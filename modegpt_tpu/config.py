@@ -1,0 +1,121 @@
+"""Compression configuration + reflection-generated CLI.
+
+Knob-for-knob compatible with the reference's `CompressionConfig`
+(reference: src/adapters/CompressionConfig.py) — same field names, same
+defaults, same auto-generated ``--flag`` per dataclass field and the same
+dict-protocol access — plus TPU-native knobs (mesh shape, solver
+precision, layer chunking).
+"""
+
+from __future__ import annotations
+
+import argparse
+from dataclasses import MISSING, dataclass, field, fields
+from typing import Optional, get_args, get_origin
+
+__all__ = ["CompressionConfig"]
+
+
+@dataclass
+class CompressionConfig:
+    # ---- reference-compatible knobs (src/adapters/CompressionConfig.py:8-35) ----
+    model: str = "facebook/opt-125m"
+    device: int = 0
+    output_dir: str = "compressed_output"
+    temp_storage_dir: str = "./compressed_output/layers/"
+
+    dataset: str = "wikitext"
+
+    nystrom_ridge: float = 1e-2
+
+    order: Optional[str] = "mlp,qk,vo"
+
+    calib_size: int = 32
+    calibs_batch_size: int = 4
+
+    compression_ratio: float = 0.5
+    note: str = "NA"
+
+    max_sparsity: float = 0.8
+    sparsity_smoothing: float = 0.15
+
+    ridge_vo: float = 1e-4
+    ridge_qk: float = 1e-6
+
+    debug: bool = False
+
+    # ---- TPU-native knobs (new capability) ----
+    seq_len: int = 2048
+    eval_batch_size: int = 16
+    eval_max_samples: int = 512
+    solver_precision: str = "f64_cpu"  # f64_cpu (parity) | f32_device (speed)
+    layers_per_step: int = 48  # calibration layer-chunk size (reference: run_modegpt.py:107)
+    mesh_shape: str = ""  # e.g. "data:4,model:2"; empty = single device
+    model_dtype: str = "float32"  # forward dtype: float32 | bfloat16
+    metrics_dir: str = "./metrics"
+    seed: int = 1234
+    skip_baseline_eval: bool = False
+    skip_final_eval: bool = False
+    use_flash_attention: bool = True
+
+    _FIELD_HELP = {
+        "order": "mlp,qk,vo  -- <method>,<method>,<method>",
+        "solver_precision": "f64_cpu (reference-parity) or f32_device (TPU-speed)",
+        "mesh_shape": "device mesh, e.g. 'data:4,model:2'; empty = single device",
+    }
+
+    @classmethod
+    def _resolve_type(cls, tp):
+        """Unwrap Optional[X] -> X, leave primitives unchanged."""
+        if isinstance(tp, str):  # postponed annotations
+            tp = {"str": str, "int": int, "float": float, "bool": bool,
+                  "Optional[str]": Optional[str]}.get(tp, str)
+        origin = get_origin(tp)
+        if origin is type(None):
+            return None
+        if origin is not None:
+            inner = [a for a in get_args(tp) if a is not type(None)]
+            return inner[0] if inner else str
+        return tp
+
+    @classmethod
+    def make_parser(cls, parser: Optional[argparse.ArgumentParser] = None):
+        parser = parser or argparse.ArgumentParser(prog="modegpt-tpu")
+        for f in fields(cls):
+            if f.name.startswith("_"):
+                continue
+            flag = f"--{f.name}"
+            resolved = cls._resolve_type(f.type)
+            if resolved is bool:
+                parser.add_argument(flag, action="store_true", default=f.default)
+            else:
+                kwargs = {"type": resolved}
+                if f.default is not MISSING:
+                    kwargs["default"] = f.default
+                else:
+                    kwargs["required"] = True
+                if f.name in cls._FIELD_HELP:
+                    kwargs["help"] = cls._FIELD_HELP[f.name]
+                parser.add_argument(flag, **kwargs)
+        return parser
+
+    @classmethod
+    def from_args(cls, args=None) -> "CompressionConfig":
+        parser = cls.make_parser()
+        parsed = parser.parse_args(args)
+        init_fields = {f.name for f in fields(cls) if f.init}
+        return cls(**{k: v for k, v in vars(parsed).items() if k in init_fields})
+
+    # dict protocol (reference: CompressionConfig.py:82-91)
+    def get(self, key: str, default=None):
+        val = getattr(self, key, default)
+        return val if val is not None else default
+
+    def __getitem__(self, key: str):
+        return getattr(self, key)
+
+    def __contains__(self, key: str) -> bool:
+        return hasattr(self, key)
+
+    def to_dict(self) -> dict:
+        return {f.name: getattr(self, f.name) for f in fields(self) if not f.name.startswith("_")}

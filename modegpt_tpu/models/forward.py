@@ -1,0 +1,271 @@
+"""Pure-functional decoder-only forward pass with calibration taps.
+
+One forward implementation serves all three architectures (OPT, Llama,
+Qwen3) and both the dense and the compressed (heterogeneous per-layer
+rank) variants — dense vs compressed is purely a matter of the shapes in
+the params pytree plus the per-layer rotary masks. This replaces both the
+HF forward used at calibration time and the reference's vendored Rebuild
+modeling files (reference: src/patchers/*Rebuild.py).
+
+Calibration statistics are functional taps, not hooks (reference
+registers forward hooks, src/adapters/LlamaAdapter.py:71-100): when
+``stats_layers`` is non-empty the forward also returns
+
+* ``cov_mlp``: Gram of the post-activation MLP intermediate (the input
+  the down projection sees; reference: LlamaAdapter.py:127-136 /
+  model_adapter.py:546-553 which re-applies the activation to fc1 out),
+* ``cov_q`` / ``cov_k``: per-head Grams of the raw q/k projections
+  (pre-RoPE, pre-q_norm; reference: LlamaAdapter.py:115-125),
+* ``cov_x``: Gram of the attention-input layernorm output (what
+  q/k/v projections see; reference: LlamaAdapter.py:138-147 — also the
+  fixed semantics for OPT, whose reference hook was dead code, see
+  SURVEY.md §2 bit-rot item 1),
+* ``bi_acc``: per-layer Block-Influence accumulators
+  ``sum_B mean_T (1 - cos(h_in, h_out))`` (reference: calibration.py:118-124).
+
+Gram matmuls run in float32 at HIGHEST precision on the MXU; the
+calibration engine accumulates them across batches in float64 on the
+host (the reference computes "matmul in f32 then cast up when acc to
+f64", LlamaAdapter.py:110-113).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.rope import apply_rope, masked_head_rms_norm, rope_cos_sin
+
+__all__ = ["forward", "CalibStats"]
+
+_HI = lax.Precision.HIGHEST
+
+
+class CalibStats(NamedTuple):
+    """Per-batch Gram statistics for `stats_layers` (stacked on axis 0)."""
+
+    cov_mlp: jax.Array  # [n_t, D_int, D_int]
+    cov_q: jax.Array  # [n_t, n_heads, hd, hd]
+    cov_k: jax.Array  # [n_t, n_kv_heads, hd, hd]
+    cov_x: jax.Array  # [n_t, d_model, d_model]
+    bi_acc: jax.Array  # [n_layers]
+
+
+def _norm(x, p, kind: str, eps: float):
+    if kind == "rmsnorm":
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = (xf * lax.rsqrt(var + eps)).astype(x.dtype)
+        return out * p["scale"]
+    # layernorm
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+    return out * p["scale"] + p["bias"]
+
+
+def _linear(x, p):
+    y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _act(x, kind: str):
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "relu":
+        return jax.nn.relu(x)
+    if kind in ("gelu", "gelu_new"):
+        return jax.nn.gelu(x)
+    raise ValueError(f"unknown activation {kind}")
+
+
+def _gram(x2d: jax.Array) -> jax.Array:
+    """X^T X in f32 at HIGHEST MXU precision."""
+    xf = x2d.astype(jnp.float32)
+    return jnp.einsum("ni,nj->ij", xf, xf, precision=_HI)
+
+
+def _head_gram(x: jax.Array) -> jax.Array:
+    """[B,T,H,hd] -> per-head Gram [H, hd, hd]."""
+    xf = x.astype(jnp.float32)
+    return jnp.einsum("bthi,bthj->hij", xf, xf, precision=_HI)
+
+
+def _attention(q, k, v, scaling: float, window: Optional[int]):
+    """Causal (optionally sliding-window) dot-product attention.
+
+    q: [B, H, T, r], k/v: [B, Hk, T, r_k] — kv heads are repeated to H.
+    Softmax in float32 (reference: LlamaRebuild.py:241).
+    """
+    B, H, T, _ = q.shape
+    Hk = k.shape[1]
+    if Hk != H:
+        rep = H // Hk
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HI) * scaling
+    qi = jnp.arange(T)[:, None]
+    ki = jnp.arange(T)[None, :]
+    mask = ki <= qi
+    if window is not None:
+        mask = mask & (ki > qi - window)
+    scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=_HI)
+
+
+def _layer(
+    spec: ModelSpec,
+    layer_idx: int,
+    p: Dict,
+    x: jax.Array,
+    cos: Optional[jax.Array],
+    sin: Optional[jax.Array],
+    collect: bool,
+):
+    """One decoder layer. Returns (x_out, taps or None)."""
+    B, T, _ = x.shape
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[layer_idx] // H
+    v_hd = spec.v_ranks[layer_idx] // Hk
+    rotary_mask = p.get("rotary_mask")
+
+    taps = {}
+
+    # ---- attention ----
+    residual = x
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+    q = _linear(x_ln, p["q"])  # [B, T, H*q_hd]
+    k = _linear(x_ln, p["k"])
+    v = _linear(x_ln, p["v"])
+
+    if collect:
+        taps["cov_x"] = _gram(x_ln.reshape(-1, spec.d_model))
+        taps["cov_q"] = _head_gram(q.reshape(B, T, H, q_hd))
+        taps["cov_k"] = _head_gram(k.reshape(B, T, Hk, q_hd))
+
+    q = q.reshape(B, T, H, q_hd)
+    k = k.reshape(B, T, Hk, q_hd)
+    v = v.reshape(B, T, Hk, v_hd)
+
+    if spec.qk_norm:
+        q = masked_head_rms_norm(q, p["q_norm"]["scale"], rotary_mask, spec.group_size, spec.norm_eps)
+        k = masked_head_rms_norm(k, p["k_norm"]["scale"], rotary_mask, 1, spec.norm_eps)
+
+    q = q.transpose(0, 2, 1, 3)  # [B, H, T, q_hd]
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    if spec.uses_rope:
+        q, k = apply_rope(q, k, cos, sin, rotary_mask)
+
+    window = None
+    if spec.layer_types and spec.layer_types[layer_idx] == "sliding_attention":
+        window = spec.sliding_window
+
+    scaling = q_hd**-0.5  # compressed-head-dim scaling (reference: LlamaRebuild.py:282)
+    attn = _attention(q, k, v, scaling, window)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
+    x = residual + _linear(attn, p["o"])
+
+    # ---- MLP ----
+    residual = x
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    if spec.gated_mlp:
+        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    else:
+        h = _act(_linear(x_ln2, p["up"]), spec.act)
+    if collect:
+        taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]))
+    x = residual + _linear(h, p["down"])
+
+    return x, (taps if collect else None)
+
+
+def _bi_piece(h_in: jax.Array, h_out: jax.Array) -> jax.Array:
+    """sum_B mean_T (1 - cosine_sim(h_in, h_out)) in f64-ready f32.
+
+    (reference: calibration.py:122-124 — torch.cosine_similarity uses
+    eps=1e-8 clamping on the norms.)
+    """
+    a = h_in.astype(jnp.float32)
+    b = h_out.astype(jnp.float32)
+    num = jnp.sum(a * b, axis=-1)
+    na = jnp.linalg.norm(a, axis=-1)
+    nb = jnp.linalg.norm(b, axis=-1)
+    cos = num / jnp.maximum(na * nb, 1e-8)
+    return jnp.sum(jnp.mean(1.0 - cos, axis=1), axis=0)
+
+
+@partial(jax.jit, static_argnames=("spec", "stats_layers", "return_hidden"))
+def forward(
+    spec: ModelSpec,
+    params: Dict,
+    input_ids: jax.Array,
+    stats_layers: Tuple[int, ...] = (),
+    return_hidden: bool = False,
+):
+    """Run the model. Returns (logits, CalibStats | None).
+
+    Args:
+      spec: static architecture (hashable; jit static argument).
+      params: pytree of weights (kernels in [in, out] layout).
+      input_ids: [B, T] int32.
+      stats_layers: layer indices for which Gram taps are collected.
+        BI accumulators are always computed for every layer when
+        stats_layers is non-empty.
+    """
+    B, T = input_ids.shape
+    x = params["embed_tokens"][input_ids]
+    if spec.arch == "opt":
+        # OPT learned positions with hardcoded offset 2
+        # (HF OPTLearnedPositionalEmbedding; reference: OPTRebuild.py:58-84).
+        pos = jnp.arange(T) + 2
+        x = x + params["embed_positions"][pos][None, :, :]
+
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(jnp.arange(T), spec.head_dim, spec.rope_theta, dtype=x.dtype)
+
+    collect = len(stats_layers) > 0
+    taps_by_layer = {}
+    bi = []
+    hidden = [x] if return_hidden else None
+
+    for l in range(spec.n_layers):
+        h_in = x
+        x, taps = _layer(spec, l, params["layers"][l], x, cos, sin, collect and (l in stats_layers))
+        if collect:
+            bi.append(_bi_piece(h_in, x))
+        if taps is not None:
+            taps_by_layer[l] = taps
+        if return_hidden:
+            hidden.append(x)
+
+    x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+
+    if params.get("lm_head") is not None:
+        logits = _linear(x, params["lm_head"])
+    else:
+        logits = x @ params["embed_tokens"].T  # tied embeddings
+
+    stats = None
+    if collect:
+        stats = CalibStats(
+            cov_mlp=jnp.stack([taps_by_layer[l]["cov_mlp"] for l in stats_layers]),
+            cov_q=jnp.stack([taps_by_layer[l]["cov_q"] for l in stats_layers]),
+            cov_k=jnp.stack([taps_by_layer[l]["cov_k"] for l in stats_layers]),
+            cov_x=jnp.stack([taps_by_layer[l]["cov_x"] for l in stats_layers]),
+            bi_acc=jnp.stack(bi),
+        )
+    if return_hidden:
+        return logits, stats, hidden
+    return logits, stats

@@ -1,0 +1,151 @@
+"""HuggingFace checkpoint ingestion: torch state dict -> JAX param pytree.
+
+Replaces the reference's reliance on `AutoModelForCausalLM` for the dense
+model (reference: src/model_utils.py:63-80). Works from a live
+transformers model, a local `from_pretrained` directory, or a raw state
+dict; torch stays on CPU and is only used as a weight container.
+
+Layout conversion: HF Linear weights are [out, in]; our kernels are
+[in, out] so the forward is a plain ``x @ kernel`` (row-major friendly on
+TPU). The compression solvers in `modegpt_tpu.ops` operate on the HF
+[out, in] layout to keep factor-level parity with the reference; the
+surgery module handles the transposition.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from modegpt_tpu.models.spec import ModelSpec, spec_from_hf_config
+
+__all__ = ["params_from_hf_model", "params_from_state_dict", "load_hf_model"]
+
+
+def _t2n(t, dtype) -> np.ndarray:
+    """torch tensor -> numpy in the requested dtype."""
+    import torch
+
+    with torch.no_grad():
+        return t.detach().to(torch.float32).cpu().numpy().astype(dtype)
+
+
+def params_from_state_dict(
+    spec: ModelSpec, sd: Dict, dtype=np.float32, rotary_masks: Optional[Dict] = None
+) -> Dict:
+    """Build the params pytree from an HF state dict."""
+
+    def W(name):  # linear kernel: [out, in] -> [in, out]
+        return jnp.asarray(_t2n(sd[name], dtype).T)
+
+    def V(name):  # vector / embedding: as-is
+        return jnp.asarray(_t2n(sd[name], dtype))
+
+    def has(name):
+        return name in sd
+
+    params: Dict = {}
+    if spec.arch == "opt":
+        pre = "model.decoder."
+        params["embed_tokens"] = V(pre + "embed_tokens.weight")
+        params["embed_positions"] = V(pre + "embed_positions.weight")
+        params["final_norm"] = {
+            "scale": V(pre + "final_layer_norm.weight"),
+            "bias": V(pre + "final_layer_norm.bias"),
+        }
+        layers = []
+        for l in range(spec.n_layers):
+            b = f"{pre}layers.{l}."
+            lp = {
+                "attn_norm": {
+                    "scale": V(b + "self_attn_layer_norm.weight"),
+                    "bias": V(b + "self_attn_layer_norm.bias"),
+                },
+                "mlp_norm": {
+                    "scale": V(b + "final_layer_norm.weight"),
+                    "bias": V(b + "final_layer_norm.bias"),
+                },
+                "q": {"kernel": W(b + "self_attn.q_proj.weight")},
+                "k": {"kernel": W(b + "self_attn.k_proj.weight")},
+                "v": {"kernel": W(b + "self_attn.v_proj.weight")},
+                "o": {"kernel": W(b + "self_attn.out_proj.weight")},
+                "up": {"kernel": W(b + "fc1.weight")},
+                "down": {"kernel": W(b + "fc2.weight")},
+            }
+            for ours, theirs in [
+                ("q", "self_attn.q_proj"),
+                ("k", "self_attn.k_proj"),
+                ("v", "self_attn.v_proj"),
+                ("o", "self_attn.out_proj"),
+                ("up", "fc1"),
+                ("down", "fc2"),
+            ]:
+                if has(b + theirs + ".bias"):
+                    lp[ours]["bias"] = V(b + theirs + ".bias")
+            layers.append(lp)
+        params["layers"] = layers
+    else:  # llama / qwen3
+        pre = "model."
+        params["embed_tokens"] = V(pre + "embed_tokens.weight")
+        params["final_norm"] = {"scale": V(pre + "norm.weight")}
+        layers = []
+        for l in range(spec.n_layers):
+            b = f"{pre}layers.{l}."
+            lp = {
+                "attn_norm": {"scale": V(b + "input_layernorm.weight")},
+                "mlp_norm": {"scale": V(b + "post_attention_layernorm.weight")},
+                "q": {"kernel": W(b + "self_attn.q_proj.weight")},
+                "k": {"kernel": W(b + "self_attn.k_proj.weight")},
+                "v": {"kernel": W(b + "self_attn.v_proj.weight")},
+                "o": {"kernel": W(b + "self_attn.o_proj.weight")},
+                "gate": {"kernel": W(b + "mlp.gate_proj.weight")},
+                "up": {"kernel": W(b + "mlp.up_proj.weight")},
+                "down": {"kernel": W(b + "mlp.down_proj.weight")},
+            }
+            if spec.attention_bias:
+                for ours, theirs in [
+                    ("q", "self_attn.q_proj"),
+                    ("k", "self_attn.k_proj"),
+                    ("v", "self_attn.v_proj"),
+                ]:
+                    if has(b + theirs + ".bias"):
+                        lp[ours]["bias"] = V(b + theirs + ".bias")
+            if spec.qk_norm:
+                lp["q_norm"] = {"scale": V(b + "self_attn.q_norm.weight")}
+                lp["k_norm"] = {"scale": V(b + "self_attn.k_norm.weight")}
+            if rotary_masks is not None and l in rotary_masks:
+                lp["rotary_mask"] = jnp.asarray(rotary_masks[l], dtype=jnp.int32)
+            layers.append(lp)
+        params["layers"] = layers
+
+    if spec.tie_word_embeddings or "lm_head.weight" not in sd:
+        params["lm_head"] = None
+    else:
+        params["lm_head"] = {"kernel": W("lm_head.weight")}
+    return params
+
+
+def params_from_hf_model(model, dtype=np.float32) -> Tuple[ModelSpec, Dict]:
+    """Convert a live transformers CausalLM model to (spec, params)."""
+    spec = spec_from_hf_config(model.config)
+    sd = dict(model.state_dict())
+    return spec, params_from_state_dict(spec, sd, dtype=dtype)
+
+
+def load_hf_model(model_name_or_path: str, dtype=np.float32):
+    """Load a dense HF checkpoint from disk and return (spec, params, tokenizer)."""
+    from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
+    import torch
+
+    config = AutoConfig.from_pretrained(model_name_or_path)
+    model = AutoModelForCausalLM.from_pretrained(
+        model_name_or_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
+    )
+    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+    if tokenizer.pad_token is None:
+        tokenizer.pad_token = tokenizer.eos_token
+    spec, params = params_from_hf_model(model, dtype=dtype)
+    del model
+    return spec, params, tokenizer

@@ -1,0 +1,223 @@
+"""Static model specification with first-class heterogeneous per-layer ranks.
+
+This replaces the reference's entire patcher layer
+(reference: src/patchers/LlamaRebuild.py, OPTRebuild.py,
+DenseQwenRebuild.py — ~2,500 LoC of vendored HF modeling code whose only
+real delta is reading per-layer rank lists from the config). Here the
+compressed architecture IS the config: a frozen, hashable dataclass that
+can be passed as a static argument to `jax.jit`.
+
+A dense model has ``q_ranks[l] == n_heads * head_dim`` etc.; a compressed
+model carries whatever ranks the solvers produced (reference:
+src/adapters/LlamaAdapter.py:250-302 `patch_config`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+__all__ = ["ModelSpec", "spec_from_hf_config"]
+
+ARCHS = ("opt", "llama", "qwen3")
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    arch: str
+    vocab_size: int
+    d_model: int
+    n_layers: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    d_int: int
+    max_position_embeddings: int
+    act: str  # "silu" | "relu" | "gelu"
+    norm: str  # "rmsnorm" | "layernorm"
+    norm_eps: float
+    rope_theta: Optional[float]
+    attention_bias: bool
+    mlp_bias: bool
+    tie_word_embeddings: bool
+    qk_norm: bool = False  # qwen3 per-head q/k RMSNorm
+    gated_mlp: bool = True  # llama/qwen3; False for OPT's fc1/fc2
+    do_layer_norm_before: bool = True  # OPT
+    # Per-layer compressed output dims (HF rank-list semantics,
+    # reference: LlamaAdapter.py:286-292). Dense models carry the full dims.
+    q_ranks: Tuple[int, ...] = ()
+    k_ranks: Tuple[int, ...] = ()
+    v_ranks: Tuple[int, ...] = ()
+    o_ranks: Tuple[int, ...] = ()
+    gate_ranks: Tuple[int, ...] = ()
+    has_rotary_masks: bool = False
+    # qwen3 sliding-window plumbing (reference: DenseQwenRebuild.py:257-259)
+    sliding_window: Optional[int] = None
+    layer_types: Tuple[str, ...] = ()
+
+    # ---- derived helpers ----
+    @property
+    def uses_rope(self) -> bool:
+        return self.arch in ("llama", "qwen3")
+
+    @property
+    def group_size(self) -> int:
+        return self.n_heads // self.n_kv_heads
+
+    def q_head_dim(self, layer: int) -> int:
+        """Compressed per-head q/k dim (reference: LlamaRebuild.py:266)."""
+        return self.q_ranks[layer] // self.n_heads
+
+    def v_head_dim(self, layer: int) -> int:
+        return self.v_ranks[layer] // self.n_kv_heads
+
+    @property
+    def is_uniform(self) -> bool:
+        """True when all layers share the same shapes (scan-friendly)."""
+        return all(
+            len(set(r)) <= 1
+            for r in (self.q_ranks, self.k_ranks, self.v_ranks, self.o_ranks, self.gate_ranks)
+        ) and not self.has_rotary_masks
+
+    @property
+    def is_dense(self) -> bool:
+        qk = self.n_heads * self.head_dim
+        kv = self.n_kv_heads * self.head_dim
+        return (
+            all(r == qk for r in self.q_ranks)
+            and all(r == kv for r in self.k_ranks)
+            and all(r == kv for r in self.v_ranks)
+            and all(r == qk for r in self.o_ranks)
+            and all(r == self.d_int for r in self.gate_ranks)
+            and not self.has_rotary_masks
+        )
+
+    def with_ranks(
+        self,
+        q_ranks=None,
+        k_ranks=None,
+        v_ranks=None,
+        o_ranks=None,
+        gate_ranks=None,
+        has_rotary_masks=None,
+    ) -> "ModelSpec":
+        kw = {}
+        if q_ranks is not None:
+            kw["q_ranks"] = tuple(q_ranks)
+        if k_ranks is not None:
+            kw["k_ranks"] = tuple(k_ranks)
+        if v_ranks is not None:
+            kw["v_ranks"] = tuple(v_ranks)
+        if o_ranks is not None:
+            kw["o_ranks"] = tuple(o_ranks)
+        if gate_ranks is not None:
+            kw["gate_ranks"] = tuple(gate_ranks)
+        if has_rotary_masks is not None:
+            kw["has_rotary_masks"] = bool(has_rotary_masks)
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: dict) -> "ModelSpec":
+        d = dict(d)
+        for k in ("q_ranks", "k_ranks", "v_ranks", "o_ranks", "gate_ranks", "layer_types"):
+            if k in d and d[k] is not None:
+                d[k] = tuple(d[k])
+        return ModelSpec(**d)
+
+
+def _dense_ranks(n_layers, qk, kv, d_int):
+    return dict(
+        q_ranks=(qk,) * n_layers,
+        k_ranks=(kv,) * n_layers,
+        v_ranks=(kv,) * n_layers,
+        o_ranks=(qk,) * n_layers,
+        gate_ranks=(d_int,) * n_layers,
+    )
+
+
+def spec_from_hf_config(config) -> ModelSpec:
+    """Build a ModelSpec from a HuggingFace PretrainedConfig.
+
+    Mirrors the reference's arch sniffing (src/adapters/model_adapter.py:118-135)
+    and its dimension properties (model_adapter.py:253-307). If the config
+    carries compressed rank lists (a model previously saved by this
+    framework or by the reference's patch_config), they are honoured.
+    """
+    model_type = getattr(config, "model_type", "")
+    if model_type == "opt":
+        n_heads = config.num_attention_heads
+        head_dim = config.hidden_size // n_heads
+        n_layers = config.num_hidden_layers
+        qk = n_heads * head_dim
+        ranks = _dense_ranks(n_layers, qk, qk, config.ffn_dim)
+        spec = ModelSpec(
+            arch="opt",
+            vocab_size=config.vocab_size,
+            d_model=config.hidden_size,
+            n_layers=n_layers,
+            n_heads=n_heads,
+            n_kv_heads=n_heads,
+            head_dim=head_dim,
+            d_int=config.ffn_dim,
+            max_position_embeddings=config.max_position_embeddings,
+            act="relu" if config.activation_function == "relu" else config.activation_function,
+            norm="layernorm",
+            norm_eps=1e-5,
+            rope_theta=None,
+            attention_bias=getattr(config, "enable_bias", True),
+            mlp_bias=getattr(config, "enable_bias", True),
+            tie_word_embeddings=config.tie_word_embeddings,
+            gated_mlp=False,
+            do_layer_norm_before=getattr(config, "do_layer_norm_before", True),
+            **ranks,
+        )
+    elif model_type in ("llama", "qwen3") or "qwen3" in model_type:
+        arch = "qwen3" if "qwen3" in model_type else "llama"
+        n_heads = config.num_attention_heads
+        n_kv = getattr(config, "num_key_value_heads", n_heads)
+        head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_heads
+        n_layers = config.num_hidden_layers
+        ranks = _dense_ranks(n_layers, n_heads * head_dim, n_kv * head_dim, config.intermediate_size)
+        spec = ModelSpec(
+            arch=arch,
+            vocab_size=config.vocab_size,
+            d_model=config.hidden_size,
+            n_layers=n_layers,
+            n_heads=n_heads,
+            n_kv_heads=n_kv,
+            head_dim=head_dim,
+            d_int=config.intermediate_size,
+            max_position_embeddings=config.max_position_embeddings,
+            act=config.hidden_act,
+            norm="rmsnorm",
+            norm_eps=config.rms_norm_eps,
+            rope_theta=getattr(config, "rope_theta", 10000.0),
+            attention_bias=getattr(config, "attention_bias", False),
+            mlp_bias=getattr(config, "mlp_bias", False),
+            tie_word_embeddings=config.tie_word_embeddings,
+            qk_norm=(arch == "qwen3"),
+            gated_mlp=True,
+            sliding_window=getattr(config, "sliding_window", None)
+            if getattr(config, "use_sliding_window", False)
+            else None,
+            layer_types=tuple(getattr(config, "layer_types", ()) or ()),
+            **ranks,
+        )
+    else:
+        raise ValueError(f"Unsupported architecture: {model_type!r}")
+
+    # Honour compressed rank lists if present (reference: LlamaAdapter.py:288-292).
+    if getattr(config, "q_ranks", None):
+        spec = spec.with_ranks(
+            q_ranks=config.q_ranks,
+            k_ranks=config.k_ranks,
+            v_ranks=config.v_ranks,
+            o_ranks=config.o_ranks,
+            gate_ranks=config.gate_ranks,
+            has_rotary_masks=getattr(config, "mask_path", None) is not None,
+        )
+    return spec

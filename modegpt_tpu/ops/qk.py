@@ -1,0 +1,226 @@
+"""Type-II Q/K decomposition — CR column selection, RoPE-pair-aware.
+
+TPU-native equivalent of the reference QK solver
+(reference: src/compression/compress_qk.py). Two architecture kernels:
+
+* RoPE archs (Llama/Qwen, MHA and GQA): score each rotary frequency pair
+  ``j`` by the whitened column energies of the per-head Q/K Grams,
+  summed over the query heads of the kv group, keep the top ``rank/2``
+  pairs and slice the matching Q/K rows. The kept index mask doubles as
+  the per-head *rotary mask* the compressed model uses to gather cos/sin
+  (reference: compress_head_llama_grouped :320-384, compress_head_llama
+  :387-436).
+
+* OPT (no RoPE, attention biases): score = columnwise
+  ``||sqrt(C_q)|| * ||sqrt(C_k)||``, keep the top ``rank`` rows of Q, K
+  and their biases (reference: compress_head_opt :439-476).
+
+All per-head eigendecompositions are `vmap`-batched: a layer is one XLA
+program over ``[n_heads, head_dim, head_dim]`` — on TPU this hits the
+batched Jacobi eigensolver instead of the reference's sequential
+per-head loop.
+
+Index-order convention: the rotary mask is ``concat(topk, topk + hd/2)``
+with topk in descending-score order (NOT sorted), exactly as the
+reference builds it (compress_qk.py:366-367) — the compressed model's
+rotate_half pairs position ``i`` with ``i + rank/2``, which is only
+consistent under this ordering.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from modegpt_tpu.ops.psd import sqrt_psd
+
+__all__ = [
+    "qk_rope_pair_scores",
+    "qk_opt_scores",
+    "compress_qk_layer_rope",
+    "compress_qk_layer_opt",
+]
+
+# The reference regularises sqrt(C_q) with sqrt_M's default ridge (1e-4)
+# and applies config.ridge_qk only to sqrt(C_k) in the GQA path
+# (compress_qk.py:348-353); the MHA path uses defaults for both
+# (compress_qk.py:406-407). We mirror both quirks.
+DEFAULT_SQRT_RIDGE = 1e-4
+
+
+class QKFactors(NamedTuple):
+    """Compressed Q/K factors in HF weight layout.
+
+    q: [n_heads * rank, d_model]
+    k: [n_kv_heads * rank, d_model]
+    rotary_mask: [n_kv_heads, rank] int32 or None (OPT)
+    q_bias / k_bias: per-head-sliced biases or None (OPT only)
+    """
+
+    q: jax.Array
+    k: jax.Array
+    rotary_mask: Optional[jax.Array]
+    q_bias: Optional[jax.Array] = None
+    k_bias: Optional[jax.Array] = None
+
+
+def _batched_sqrt_col_energy(cov: jax.Array, ridge: float) -> jax.Array:
+    """Per-head column squared-norms of the PSD sqrt: [H, hd].
+
+    ||sqrt(C)[:, j]||^2 for each column j, vmapped over heads.
+    """
+    sq = jax.vmap(lambda c: sqrt_psd(c, ridge))(cov)
+    return jnp.sum(sq * sq, axis=-2)
+
+
+@partial(jax.jit, static_argnames=("n_kv_heads",))
+def qk_rope_pair_scores(
+    cov_q: jax.Array,
+    cov_k: jax.Array,
+    ridge_qk: float,
+    n_kv_heads: int,
+) -> jax.Array:
+    """RoPE frequency-pair scores per kv head: [n_kv_heads, head_dim/2].
+
+    score[kv, j] = sqrt( sum_{q in group}  e_q[j]    * e_k[j]
+                                         + e_q[j+h/2] * e_k[j+h/2] )
+    where e = column energy of the whitening sqrt
+    (reference: compress_qk.py:346-364).
+    """
+    n_heads, hd = cov_q.shape[0], cov_q.shape[-1]
+    group = n_heads // n_kv_heads
+    half = hd // 2
+
+    eq = _batched_sqrt_col_energy(cov_q, DEFAULT_SQRT_RIDGE)  # [H, hd]
+    ek = _batched_sqrt_col_energy(cov_k, ridge_qk)  # [Hk, hd]
+
+    eq = eq.reshape(n_kv_heads, group, hd)
+    pair = (
+        eq[..., :half] * ek[:, None, :half] + eq[..., half:] * ek[:, None, half:]
+    )  # [Hk, G, half]
+    return jnp.sqrt(jnp.sum(pair, axis=1))  # [Hk, half]
+
+
+@jax.jit
+def qk_opt_scores(cov_q: jax.Array, cov_k: jax.Array, ridge_qk: float) -> jax.Array:
+    """OPT per-head row scores: [n_heads, head_dim].
+
+    score = ||sqrt(C_q)||_col * ||sqrt(C_k)||_col
+    (reference: compress_qk.py:455-461 — both sqrts at default ridge).
+    """
+    del ridge_qk  # the reference OPT path uses sqrt_M defaults for both
+    eq = _batched_sqrt_col_energy(cov_q, DEFAULT_SQRT_RIDGE)
+    ek = _batched_sqrt_col_energy(cov_k, DEFAULT_SQRT_RIDGE)
+    return jnp.sqrt(eq) * jnp.sqrt(ek)
+
+
+@partial(jax.jit, static_argnames=("rank", "n_kv_heads"))
+def _rope_select_and_slice(
+    scores: jax.Array,
+    W_q_heads: jax.Array,
+    W_k_heads: jax.Array,
+    rank: int,
+    n_kv_heads: int,
+):
+    n_heads, hd, d_model = W_q_heads.shape
+    group = n_heads // n_kv_heads
+    half = hd // 2
+
+    _, topk = jax.lax.top_k(scores, rank // 2)  # [Hk, rank/2], descending score order
+    mask = jnp.concatenate([topk, topk + half], axis=-1)  # [Hk, rank]
+
+    k_new = jnp.take_along_axis(W_k_heads, mask[:, :, None], axis=1)  # [Hk, rank, d]
+    q_mask = jnp.repeat(mask, group, axis=0)  # [H, rank]
+    q_new = jnp.take_along_axis(W_q_heads, q_mask[:, :, None], axis=1)  # [H, rank, d]
+
+    return (
+        q_new.reshape(n_heads * rank, d_model),
+        k_new.reshape(n_kv_heads * rank, d_model),
+        mask.astype(jnp.int32),
+    )
+
+
+def compress_qk_layer_rope(
+    cov_q: jax.Array,
+    cov_k: jax.Array,
+    W_q: jax.Array,
+    W_k: jax.Array,
+    rank: int,
+    ridge_qk: float,
+) -> QKFactors:
+    """Type-II solve for one RoPE layer (Llama MHA/GQA, Qwen3).
+
+    Args:
+      cov_q: [n_heads, hd, hd] per-head Q Grams.
+      cov_k: [n_kv_heads, hd, hd] per-head K Grams.
+      W_q:   [n_heads*hd, d_model], W_k: [n_kv_heads*hd, d_model].
+      rank:  even kept-dim per head (caller enforces evenness,
+             reference: compress_qk.py:180-182).
+    """
+    n_heads, hd = cov_q.shape[0], cov_q.shape[-1]
+    n_kv_heads = cov_k.shape[0]
+    d_model = W_q.shape[-1]
+    assert rank % 2 == 0 and 2 <= rank <= hd
+
+    scores = qk_rope_pair_scores(cov_q, cov_k, ridge_qk, n_kv_heads)
+    q_new, k_new, mask = _rope_select_and_slice(
+        scores,
+        W_q.reshape(n_heads, hd, d_model),
+        W_k.reshape(n_kv_heads, hd, d_model),
+        rank,
+        n_kv_heads,
+    )
+    return QKFactors(q=q_new, k=k_new, rotary_mask=mask)
+
+
+@partial(jax.jit, static_argnames=("rank", "n_heads"))
+def _opt_select_and_slice(
+    scores: jax.Array,
+    W_q_heads: jax.Array,
+    W_k_heads: jax.Array,
+    bias_q: jax.Array,
+    bias_k: jax.Array,
+    rank: int,
+    n_heads: int,
+):
+    _, hd, d_model = W_q_heads.shape
+    _, topk = jax.lax.top_k(scores, rank)  # [H, rank]
+    q_new = jnp.take_along_axis(W_q_heads, topk[:, :, None], axis=1)
+    k_new = jnp.take_along_axis(W_k_heads, topk[:, :, None], axis=1)
+    bq = jnp.take_along_axis(bias_q.reshape(n_heads, hd), topk, axis=1)
+    bk = jnp.take_along_axis(bias_k.reshape(n_heads, hd), topk, axis=1)
+    return (
+        q_new.reshape(n_heads * rank, d_model),
+        k_new.reshape(n_heads * rank, d_model),
+        bq.reshape(n_heads * rank),
+        bk.reshape(n_heads * rank),
+    )
+
+
+def compress_qk_layer_opt(
+    cov_q: jax.Array,
+    cov_k: jax.Array,
+    W_q: jax.Array,
+    W_k: jax.Array,
+    bias_q: jax.Array,
+    bias_k: jax.Array,
+    rank: int,
+    ridge_qk: float,
+) -> QKFactors:
+    """Type-II solve for one OPT layer (no RoPE; biases sliced too)."""
+    n_heads, hd = cov_q.shape[0], cov_q.shape[-1]
+    d_model = W_q.shape[-1]
+    scores = qk_opt_scores(cov_q, cov_k, ridge_qk)
+    q_new, k_new, bq, bk = _opt_select_and_slice(
+        scores,
+        W_q.reshape(n_heads, hd, d_model),
+        W_k.reshape(n_heads, hd, d_model),
+        bias_q,
+        bias_k,
+        rank,
+        n_heads,
+    )
+    return QKFactors(q=q_new, k=k_new, rotary_mask=None, q_bias=bq, k_bias=bk)
