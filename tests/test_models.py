@@ -1,0 +1,115 @@
+"""Model forward parity vs HuggingFace torch implementations.
+
+Tiny random-init HF models (no network) are the golden oracle for the
+dense forward; the compressed forward is validated via identity
+properties in test_surgery.py / test_pipeline.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from modegpt_tpu.models import forward, params_from_hf_model
+from modegpt_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+def _logits_close(hf_model, spec, params, input_ids, atol=2e-3):
+    with torch.no_grad():
+        ref = hf_model(torch.tensor(input_ids)).logits.numpy()
+    got, _ = forward(spec, params, jnp.asarray(input_ids))
+    got = np.asarray(got)
+    assert got.shape == ref.shape
+    # fp32 end-to-end; differences are accumulation order only.
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=atol)
+
+
+@pytest.fixture(scope="module")
+def tiny_ids(request):
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 128, size=(2, 24)).astype(np.int32)
+
+
+def test_llama_dense_parity(tiny_ids):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4, max_position_embeddings=128,
+        rms_norm_eps=1e-6, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "llama" and spec.is_dense
+    _logits_close(m, spec, params, tiny_ids)
+
+
+def test_llama_gqa_parity(tiny_ids):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=True,
+    )
+    torch.manual_seed(1)
+    m = transformers.LlamaForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.n_kv_heads == 2 and params["lm_head"] is None
+    _logits_close(m, spec, params, tiny_ids)
+
+
+def test_opt_dense_parity(tiny_ids):
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=48, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128, word_embed_proj_dim=48,
+        do_layer_norm_before=True,
+    )
+    torch.manual_seed(2)
+    m = transformers.OPTForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "opt" and spec.attention_bias
+    _logits_close(m, spec, params, tiny_ids)
+
+
+def test_qwen3_dense_parity(tiny_ids):
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=24,
+        max_position_embeddings=128, tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    m = transformers.Qwen3ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "qwen3" and spec.qk_norm and spec.head_dim == 24
+    _logits_close(m, spec, params, tiny_ids)
+
+
+def test_masked_rope_identity_mask_equals_dense(rng):
+    """A full-rank identity-ordered mask must reproduce plain RoPE."""
+    B, H, Hk, T, hd = 2, 4, 2, 8, 16
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+    cos, sin = rope_cos_sin(jnp.arange(T), hd)
+    mask = jnp.tile(jnp.arange(hd, dtype=jnp.int32)[None], (Hk, 1))
+    q1, k1 = apply_rope(q, k, cos, sin, None)
+    q2, k2 = apply_rope(q, k, cos, sin, mask)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(k1), np.asarray(k2), rtol=1e-6)
+
+
+def test_masked_rope_gathers_frequencies(rng):
+    """A masked head must equal slicing the dense-rope output of a
+    permuted input: rope(q_masked)[..., i] pairs frequency mask[i]."""
+    B, T, hd, r = 1, 6, 16, 8
+    half, rhalf = hd // 2, r // 2
+    # mask: keep pairs (5, 2, 7, 1) in descending-score order
+    pairs = jnp.asarray([5, 2, 7, 1], dtype=jnp.int32)
+    mask = jnp.concatenate([pairs, pairs + half])[None, :]  # [1, r]
+    q_full = jnp.asarray(rng.standard_normal((B, 1, T, hd)), dtype=jnp.float32)
+    cos, sin = rope_cos_sin(jnp.arange(T), hd)
+    # dense rope then gather == gather then masked rope
+    qd, _ = apply_rope(q_full, q_full, cos, sin, None)
+    q_sliced = jnp.take(q_full, mask[0], axis=-1)
+    qm, _ = apply_rope(q_sliced, q_sliced, cos, sin, mask)
+    want = jnp.take(qd, mask[0], axis=-1)
+    np.testing.assert_allclose(np.asarray(qm), np.asarray(want), rtol=1e-5, atol=1e-6)
