@@ -1,0 +1,200 @@
+"""Compressed-model persistence: per-layer factor store + final artifact.
+
+Mirrors the reference's two-tier persistence design (SURVEY.md §5
+checkpoint/resume):
+
+* per-layer factor checkpointing to a temp dir, decoupling the solvers
+  from surgery and enabling resume (reference:
+  model_adapter.py:184-191 `save_layer` writing ``layer_{i}_{suffix}``
+  torch.save files, consumed by `convert_model` :193-237);
+* a final self-describing artifact directory (reference:
+  model_utils.py:83-126 `save_compressed_model` = HF save_pretrained +
+  rotary_masks.pt + copied Rebuild .py + tokenizer_source.txt).
+
+TPU-native redesign: the artifact is a ``spec.json`` (the ModelSpec —
+per-layer ranks ARE the architecture, no modeling code is shipped) plus
+a flat ``params.npz`` of the pytree leaves (rotary masks are ordinary
+leaves). float32/bfloat16 storage is recorded in the sidecar; bfloat16
+round-trips through a uint16 bit view since npz has no native bf16.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modegpt_tpu.models.spec import ModelSpec
+
+__all__ = [
+    "save_layer_factors",
+    "load_layer_factors",
+    "save_compressed_model",
+    "load_compressed_model",
+]
+
+_FORMAT_VERSION = 1
+
+
+def _factor_path(output_dir: str, layer_idx: int, suffix: str) -> str:
+    # Same naming scheme as the reference's temp store for familiarity.
+    return os.path.join(os.path.expandvars(output_dir), f"layer_{layer_idx}_{suffix}.npz")
+
+
+def save_layer_factors(output_dir: str, layer_idx: int, suffix: str, factors: Dict) -> str:
+    """Persist one layer's solver factors (suffix in mlp|qk|vo)."""
+    os.makedirs(os.path.expandvars(output_dir), exist_ok=True)
+    path = _factor_path(output_dir, layer_idx, suffix)
+    arrays = {k: np.asarray(v) for k, v in factors.items() if v is not None}
+    np.savez(path, **arrays)
+    return path
+
+
+def load_layer_factors(output_dir: str, layer_idx: int, suffix: str) -> Optional[Dict]:
+    """Load one layer's factors, or None if not yet solved (resume support)."""
+    path = _factor_path(output_dir, layer_idx, suffix)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    elif tree is None:
+        out[prefix[:-1] + "::none"] = np.zeros(0)
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _store_array(a: np.ndarray) -> Tuple[np.ndarray, str]:
+    if a.dtype == jnp.bfloat16:
+        return a.view(np.uint16), "bfloat16"
+    return a, str(a.dtype)
+
+
+def save_compressed_model(
+    save_dir: str,
+    spec: ModelSpec,
+    params: Dict,
+    tokenizer_source: str = "",
+    metadata: Optional[Dict] = None,
+    dtype: str = "float32",
+) -> str:
+    """Write the final artifact: spec.json + params.npz + tokenizer_source.txt."""
+    os.makedirs(save_dir, exist_ok=True)
+
+    flat = _flatten(jax.device_get(params))
+    target = jnp.bfloat16 if dtype == "bfloat16" else np.float32
+    stored, dtypes = {}, {}
+    for k, v in flat.items():
+        if np.issubdtype(v.dtype, np.floating) or v.dtype == jnp.bfloat16:
+            v = np.asarray(jnp.asarray(v).astype(target)) if dtype == "bfloat16" else v.astype(
+                np.float32
+            )
+        a, dt = _store_array(v)
+        # '/' is fine inside npz names; keep keys as-is.
+        stored[k] = a
+        dtypes[k] = dt
+    np.savez(os.path.join(save_dir, "params.npz"), **stored)
+
+    sidecar = {
+        "format_version": _FORMAT_VERSION,
+        "spec": spec.to_dict(),
+        "dtypes": dtypes,
+        "storage_dtype": dtype,
+        "metadata": metadata or {},
+    }
+    with open(os.path.join(save_dir, "spec.json"), "w") as f:
+        json.dump(sidecar, f, indent=2)
+
+    # Tokenizer source pointer (reference: model_utils.py:123-124).
+    with open(os.path.join(save_dir, "tokenizer_source.txt"), "w") as f:
+        f.write(tokenizer_source.strip())
+    return save_dir
+
+
+def _unflatten(flat: Dict[str, np.ndarray], n_layers: int) -> Dict:
+    tree: Dict = {}
+    for key, val in flat.items():
+        if key.endswith("::none"):
+            key, val = key[: -len("::none")], None
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    # convert the integer-keyed "layers" dict into a list
+    if "layers" in tree:
+        layers = tree["layers"]
+        tree["layers"] = [layers[str(i)] for i in range(n_layers)]
+    return tree
+
+
+def load_compressed_model(save_dir: str):
+    """Load (spec, params, tokenizer_source) from an artifact directory.
+
+    Fail-fast shape validation at load (replaces the reference's
+    parameter-load crash monkeypatch, run_modegpt.py:46-68): every leaf's
+    shape is re-derivable from the spec; mismatches raise with the
+    parameter name.
+    """
+    with open(os.path.join(save_dir, "spec.json")) as f:
+        sidecar = json.load(f)
+    if sidecar["format_version"] > _FORMAT_VERSION:
+        raise ValueError(f"artifact written by a newer format: {sidecar['format_version']}")
+    spec = ModelSpec.from_dict(sidecar["spec"])
+
+    flat = {}
+    with np.load(os.path.join(save_dir, "params.npz")) as z:
+        for k in z.files:
+            a = z[k]
+            if sidecar["dtypes"].get(k) == "bfloat16":
+                a = a.view(jnp.bfloat16)
+            flat[k] = a
+
+    params = _unflatten(flat, spec.n_layers)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    if "lm_head" not in params:
+        params["lm_head"] = None
+
+    _validate_shapes(spec, params)
+
+    tok_path = os.path.join(save_dir, "tokenizer_source.txt")
+    tokenizer_source = ""
+    if os.path.exists(tok_path):
+        with open(tok_path) as f:
+            tokenizer_source = f.read().strip()
+    return spec, params, tokenizer_source
+
+
+def _validate_shapes(spec: ModelSpec, params: Dict) -> None:
+    def check(name, got, want):
+        if tuple(got) != tuple(want):
+            raise ValueError(f"shape mismatch for {name}: got {tuple(got)}, want {tuple(want)}")
+
+    check("embed_tokens", params["embed_tokens"].shape, (spec.vocab_size, spec.d_model))
+    for l, lp in enumerate(params["layers"]):
+        check(f"layers/{l}/q", lp["q"]["kernel"].shape, (spec.d_model, spec.q_ranks[l]))
+        check(f"layers/{l}/k", lp["k"]["kernel"].shape, (spec.d_model, spec.k_ranks[l]))
+        check(f"layers/{l}/v", lp["v"]["kernel"].shape, (spec.d_model, spec.v_ranks[l]))
+        check(f"layers/{l}/o", lp["o"]["kernel"].shape, (spec.o_ranks[l], spec.d_model))
+        check(f"layers/{l}/up", lp["up"]["kernel"].shape, (spec.d_model, spec.gate_ranks[l]))
+        check(f"layers/{l}/down", lp["down"]["kernel"].shape, (spec.gate_ranks[l], spec.d_model))
+        if "rotary_mask" in lp:
+            check(
+                f"layers/{l}/rotary_mask",
+                lp["rotary_mask"].shape,
+                (spec.n_kv_heads, spec.k_ranks[l] // spec.n_kv_heads),
+            )

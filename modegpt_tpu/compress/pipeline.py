@@ -1,0 +1,300 @@
+"""End-to-end compression pipeline orchestration.
+
+TPU-native equivalent of the reference driver (reference:
+src/run_modegpt.py:72-196): load -> baseline PPL -> per-layer-chunk
+(calibrate -> allocate sparsity -> Type-I/II/III solvers) -> surgery ->
+save -> reload -> compressed PPL -> metrics.
+
+Differences by design:
+* solvers consume host-f64 covariances and run either on the CPU backend
+  in float64 (reference parity) or on the accelerator in float32
+  (speed) — config.solver_precision;
+* surgery is pure-functional (modegpt_tpu/compress/surgery.py), no
+  in-place module swapping;
+* the per-layer factor store doubles as a resume checkpoint: layers
+  with existing factor files are skipped on re-run.
+"""
+
+from __future__ import annotations
+
+import gc
+import logging
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modegpt_tpu.calib.data import load_calibration_batches, load_eval_tokens
+from modegpt_tpu.calib.engine import CalibrationResult, calibrate
+from modegpt_tpu.compress.artifact import (
+    load_compressed_model,
+    load_layer_factors,
+    save_compressed_model,
+    save_layer_factors,
+)
+from modegpt_tpu.compress.surgery import apply_factors, compress_ranks_for_layer
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.evals.perplexity import compute_perplexity
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.allocation import allocate_keep_ratios
+from modegpt_tpu.ops.mlp import nystrom_mlp
+from modegpt_tpu.ops.qk import compress_qk_layer_opt, compress_qk_layer_rope
+from modegpt_tpu.ops.vo import compress_vo_layer
+from modegpt_tpu.utils.metrics import MetricsRegistry
+from modegpt_tpu.utils.precision import solver_dtype, solver_placement
+
+logger = logging.getLogger("modegpt_tpu")
+
+__all__ = ["run_compression", "solve_layer"]
+
+
+def _hf_weight(layer_params: Dict, name: str) -> np.ndarray:
+    """Forward kernel [in, out] -> HF [out, in] layout for the solvers."""
+    return np.asarray(layer_params[name]["kernel"]).T
+
+
+def solve_layer(
+    spec: ModelSpec,
+    layer_params: Dict,
+    layer_idx: int,
+    keep_ratio: float,
+    calib: CalibrationResult,
+    config: CompressionConfig,
+    order: str,
+) -> Dict[str, Dict]:
+    """Run the requested solvers for one layer; returns factor dicts
+    keyed by suffix (mlp/qk/vo), all arrays as host numpy in HF layout."""
+    out: Dict[str, Dict] = {}
+    dt = solver_dtype(config.solver_precision)
+
+    with solver_placement(config.solver_precision):
+        if "mlp" in order:
+            rank = compress_ranks_for_layer(spec, keep_ratio, "mlp")
+            C = jnp.asarray(calib.cov_mlp[layer_idx], dtype=dt)
+            W_u = jnp.asarray(_hf_weight(layer_params, "up"), dtype=dt)
+            W_g = (
+                jnp.asarray(_hf_weight(layer_params, "gate"), dtype=dt)
+                if spec.gated_mlp
+                else None
+            )
+            W_d = jnp.asarray(_hf_weight(layer_params, "down"), dtype=dt)
+            f = nystrom_mlp(C, W_u, W_g, W_d, keep_ratio, config.nystrom_ridge, rank=rank)
+            out["mlp"] = {
+                "up": np.asarray(f.up),
+                "down": np.asarray(f.down),
+                "idx": np.asarray(f.idx),
+            }
+            if spec.gated_mlp:
+                out["mlp"]["gate"] = np.asarray(f.gate)
+            elif "bias" in layer_params["up"]:
+                # OPT fc1/fc2 biases: the reference's surgery drops all MLP
+                # biases (model_adapter.py:199-207); we keep the kept-row
+                # fc1 bias and the fc2 bias (the intended semantics for
+                # column selection — fc2's bias is rank-independent).
+                out["mlp"]["up_bias"] = np.asarray(layer_params["up"]["bias"])[np.asarray(f.idx)]
+                out["mlp"]["down_bias"] = np.asarray(layer_params["down"]["bias"])
+            logger.info("[MLP] layer %d compressed to rank %d", layer_idx, rank)
+
+        if "qk" in order:
+            rank = compress_ranks_for_layer(spec, keep_ratio, "qk")
+            cov_q = jnp.asarray(calib.cov_q[layer_idx], dtype=dt)
+            cov_k = jnp.asarray(calib.cov_k[layer_idx], dtype=dt)
+            W_q = jnp.asarray(_hf_weight(layer_params, "q"), dtype=dt)
+            W_k = jnp.asarray(_hf_weight(layer_params, "k"), dtype=dt)
+            if spec.uses_rope:
+                f = compress_qk_layer_rope(cov_q, cov_k, W_q, W_k, rank, config.ridge_qk)
+                out["qk"] = {
+                    "q": np.asarray(f.q),
+                    "k": np.asarray(f.k),
+                    "rotary_mask": np.asarray(f.rotary_mask),
+                }
+            else:
+                bq = jnp.asarray(np.asarray(layer_params["q"]["bias"]), dtype=dt)
+                bk = jnp.asarray(np.asarray(layer_params["k"]["bias"]), dtype=dt)
+                f = compress_qk_layer_opt(cov_q, cov_k, W_q, W_k, bq, bk, rank, config.ridge_qk)
+                out["qk"] = {
+                    "q": np.asarray(f.q),
+                    "k": np.asarray(f.k),
+                    "q_bias": np.asarray(f.q_bias),
+                    "k_bias": np.asarray(f.k_bias),
+                }
+            logger.info("[QK] layer %d compressed to rank %d per head", layer_idx, rank)
+
+        if "vo" in order:
+            rank = compress_ranks_for_layer(spec, keep_ratio, "vo")
+            C = jnp.asarray(calib.cov_x[layer_idx], dtype=dt)
+            W_v = jnp.asarray(_hf_weight(layer_params, "v"), dtype=dt)
+            W_o = jnp.asarray(_hf_weight(layer_params, "o"), dtype=dt)
+            f = compress_vo_layer(C, W_v, W_o, rank, spec.n_heads, spec.n_kv_heads, config.ridge_vo)
+            out["vo"] = {"v": np.asarray(f.v), "o": np.asarray(f.o)}
+            if "bias" in layer_params.get("v", {}):
+                # OPT v/o biases: attention weights sum to 1, so a constant
+                # value bias contributes exactly W_o @ b_v to every output
+                # token — fold it into the o bias (exact; the reference
+                # instead drops both biases in its surgery,
+                # model_adapter.py:199-207).
+                b_v = np.asarray(layer_params["v"]["bias"], dtype=np.float64)
+                W_o_np = np.asarray(_hf_weight(layer_params, "o"), dtype=np.float64)
+                b_o = np.asarray(
+                    layer_params["o"].get("bias", np.zeros(spec.d_model)), dtype=np.float64
+                )
+                out["vo"]["o_bias"] = b_o + W_o_np @ b_v
+            logger.info("[VO] layer %d compressed to rank %d per head", layer_idx, rank)
+
+    return out
+
+
+def _suffixes(order: str):
+    return [s for s in ("mlp", "qk", "vo") if s in order]
+
+
+def run_compression(
+    config: CompressionConfig,
+    spec: Optional[ModelSpec] = None,
+    params: Optional[Dict] = None,
+    tokenizer=None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    calib_batches=None,
+    eval_tokens=None,
+) -> Dict:
+    """Run the full pipeline. Either pass (spec, params[, tokenizer]) or
+    let it load config.model from disk. Returns a results dict including
+    baseline/compressed PPL and the artifact path."""
+    from modegpt_tpu.utils.logging import setup_logging
+
+    setup_logging()
+    metrics = MetricsRegistry(config.metrics_dir)
+    metrics["args"] = config.to_dict()
+    metrics["note"] = config.note
+    results: Dict = {}
+
+    t0 = time.perf_counter()
+
+    if spec is None or params is None:
+        from modegpt_tpu.models.hf import load_hf_model
+
+        spec, params, tokenizer = load_hf_model(config.model)
+    order = config.order or "mlp,qk,vo"
+
+    if config.model_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            params,
+        )
+
+    # ---- baseline PPL (reference: run_modegpt.py:91-99) ----
+    if eval_tokens is None and not (config.skip_baseline_eval and config.skip_final_eval):
+        eval_tokens = load_eval_tokens(
+            tokenizer,
+            config.dataset,
+            config.seq_len,
+            config.eval_max_samples,
+            vocab_size=spec.vocab_size,
+        )
+    if not config.skip_baseline_eval:
+        baseline_ppl = compute_perplexity(
+            spec, params, eval_tokens, config.eval_batch_size, mesh=mesh, metrics=metrics.run
+        )
+        logger.info("Baseline ppl: %s", baseline_ppl)
+        metrics["baseline-ppl"] = baseline_ppl
+        results["baseline_ppl"] = baseline_ppl
+
+    # ---- calibration batches ----
+    if calib_batches is None:
+        calib_batches = load_calibration_batches(
+            tokenizer,
+            config.dataset,
+            config.calib_size,
+            config.calibs_batch_size,
+            config.seq_len,
+            vocab_size=spec.vocab_size,
+        )
+
+    # ---- layer-chunked calibrate + solve (reference: run_modegpt.py:107-156) ----
+    t_compress = time.perf_counter()
+    suffixes = _suffixes(order)
+    factors: Dict[str, Dict[int, Dict]] = {s: {} for s in suffixes}
+    n_layers = spec.n_layers
+    for start in range(0, n_layers, config.layers_per_step):
+        target_layers = list(range(start, min(n_layers, start + config.layers_per_step)))
+
+        # Resume: skip layers whose factors are all on disk already.
+        pending = [
+            l
+            for l in target_layers
+            if not all(
+                load_layer_factors(config.temp_storage_dir, l, s) is not None for s in suffixes
+            )
+        ]
+        if pending:
+            calib = calibrate(spec, params, calib_batches, pending, mesh=mesh)
+            keep_ratios, max_sp = allocate_keep_ratios(
+                calib.bi_scores,
+                config.compression_ratio,
+                smoothing=config.sparsity_smoothing,
+                max_sparsity=config.max_sparsity,
+            )
+            metrics["max_layer_sparsity"] = max_sp
+            metrics["smoothing"] = config.sparsity_smoothing
+            for l in pending:
+                layer_factors = solve_layer(
+                    spec, params["layers"][l], l, keep_ratios[l], calib, config, order
+                )
+                for s, f in layer_factors.items():
+                    save_layer_factors(config.temp_storage_dir, l, s, f)
+            del calib
+            gc.collect()
+
+        for l in target_layers:
+            for s in suffixes:
+                factors[s][l] = load_layer_factors(config.temp_storage_dir, l, s)
+
+    compress_seconds = time.perf_counter() - t_compress
+    metrics["compress_seconds"] = compress_seconds
+    results["compress_seconds"] = compress_seconds
+
+    # ---- surgery + artifact (reference: run_modegpt.py:158-166) ----
+    comp_spec, comp_params = apply_factors(
+        spec,
+        params,
+        mlp_factors=factors.get("mlp"),
+        qk_factors=factors.get("qk"),
+        vo_factors=factors.get("vo"),
+    )
+    save_dir = os.path.join(config.output_dir, "model")
+    save_compressed_model(
+        save_dir,
+        comp_spec,
+        comp_params,
+        tokenizer_source=config.model,
+        metadata={"order": order, "compression_ratio": config.compression_ratio},
+        dtype="bfloat16" if config.model_dtype == "bfloat16" else "float32",
+    )
+    results["artifact_dir"] = save_dir
+
+    # ---- reload + compressed PPL (reference: run_modegpt.py:179-194) ----
+    del comp_params
+    gc.collect()
+    comp_spec, comp_params, _ = load_compressed_model(save_dir)
+    results["compressed_spec"] = comp_spec
+    results["compressed_params"] = comp_params
+    if not config.skip_final_eval:
+        compressed_ppl = compute_perplexity(
+            comp_spec,
+            comp_params,
+            eval_tokens,
+            config.eval_batch_size,
+            mesh=mesh,
+            metrics=metrics.run,
+        )
+        logger.info("Compressed ppl: %s", compressed_ppl)
+        metrics[f"ppl-{config.dataset}"] = compressed_ppl
+        results["compressed_ppl"] = compressed_ppl
+
+    results["total_seconds"] = time.perf_counter() - t0
+    metrics["total_seconds"] = results["total_seconds"]
+    metrics.save()
+    return results

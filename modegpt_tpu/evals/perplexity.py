@@ -1,0 +1,107 @@
+"""On-device perplexity harness.
+
+Reproduces the reference's PPL computation exactly (reference:
+src/eval.py:134-225): sequential ``seq_len`` windows, shifted
+cross-entropy averaged per batch, and the final
+``ppl = exp(sum_nll / (n_samples * (seq_len - 1)))`` formula
+(eval.py:220). The per-batch loss is jitted; throughput is reported with
+`block_until_ready` bracketing (the reference brackets with
+torch.cuda.synchronize, eval.py:169-204).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modegpt_tpu.models.forward import forward
+from modegpt_tpu.models.spec import ModelSpec
+
+logger = logging.getLogger("modegpt_tpu")
+
+__all__ = ["compute_perplexity"]
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _batch_nll(spec: ModelSpec, params, batch):
+    """Mean shifted cross-entropy over the batch, scaled back to a sum.
+
+    Matches the reference: CE is averaged over all (B*(T-1)) positions
+    then multiplied by (T-1)*B (eval.py:192-198), i.e. the plain sum of
+    per-position NLL. Loss in float32.
+    """
+    logits, _ = forward(spec, params, batch)
+    logits = logits[:, :-1, :].astype(jnp.float32)
+    labels = batch[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll)
+
+
+def compute_perplexity(
+    spec: ModelSpec,
+    params: Dict,
+    eval_tokens: np.ndarray,
+    batch_size: int = 16,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    metrics: Optional[Dict] = None,
+    progress: bool = True,
+) -> float:
+    """Perplexity over pre-chunked eval windows [n, seq_len]."""
+    n_samples, seq_len = eval_tokens.shape
+
+    nll_fn = _batch_nll
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nll_fn = jax.jit(
+            _batch_nll.__wrapped__,
+            static_argnames=("spec",),
+            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data", None))),
+            out_shardings=NamedSharding(mesh, P()),
+        )
+
+    total_nll = 0.0
+    total_tokens = 0
+    t_start = time.perf_counter()
+    for i in range(0, n_samples, batch_size):
+        j = min(i + batch_size, n_samples)
+        batch = jnp.asarray(eval_tokens[i:j])
+        nll = nll_fn(spec, params, batch)
+        total_nll += float(nll)
+        total_tokens += (j - i) * seq_len
+        if progress and i > 0:
+            elapsed = time.perf_counter() - t_start
+            running = math.exp(total_nll / ((j) * (seq_len - 1)))
+            tps = total_tokens / max(elapsed, 1e-9)
+            print(
+                f"\rsample {j}/{n_samples} | ppl: {running:.2f} | {tps:,.0f} tok/s | {elapsed:.1f}s   ",
+                end="",
+                flush=True,
+            )
+    jax.block_until_ready(nll)
+    elapsed = time.perf_counter() - t_start
+    tps = total_tokens / max(elapsed, 1e-9)
+    if progress:
+        print()
+    logger.info(
+        "eval: %d tokens in %.2fs -> %.0f tok/s (%.1f ktok/s)",
+        total_tokens,
+        elapsed,
+        tps,
+        tps / 1000,
+    )
+    if metrics is not None:
+        # Same metric keys as the reference (eval.py:213-215).
+        metrics["throughput_tok/s"] = tps
+        metrics["throughput_ktok/s"] = tps / 1000
+
+    # exp(sum_nll / (n * (seq_len - 1)))  (reference: eval.py:220)
+    return math.exp(total_nll / (n_samples * (seq_len - 1)))

@@ -143,9 +143,14 @@ def load_hf_model(model_name_or_path: str, dtype=np.float32):
     model = AutoModelForCausalLM.from_pretrained(
         model_name_or_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
     )
-    tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
-    if tokenizer.pad_token is None:
-        tokenizer.pad_token = tokenizer.eos_token
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
+        if tokenizer.pad_token is None:
+            tokenizer.pad_token = tokenizer.eos_token
+    except Exception:
+        # Checkpoint without tokenizer files — fine for the synthetic
+        # dataset and for pre-tokenized local corpora.
+        tokenizer = None
     spec, params = params_from_hf_model(model, dtype=dtype)
     del model
     return spec, params, tokenizer

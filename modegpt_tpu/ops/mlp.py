@@ -90,6 +90,7 @@ def nystrom_mlp(
     W_d: jax.Array,
     keep_ratio: float,
     ridge: float,
+    rank: Optional[int] = None,
 ) -> MLPFactors:
     """Full Type-I solve for one layer.
 
@@ -100,9 +101,11 @@ def nystrom_mlp(
       W_d: [d_model, D_int] down (fc2) weight.
       keep_ratio: fraction of intermediate columns to keep.
       ridge: ridge-leverage lambda (config.nystrom_ridge).
+      rank: explicit kept-column count, overriding keep_ratio.
     """
     d_int = C.shape[0]
-    rank = max(1, int(d_int * keep_ratio))  # reference: compress_mlp.py:37
+    if rank is None:
+        rank = max(1, int(d_int * keep_ratio))  # reference: compress_mlp.py:37
     scores = nystrom_scores(C, ridge)
     idx = nystrom_select(scores, rank)
     up, gate, down = _nystrom_factor(C, W_u, W_g, W_d, idx, rank)

@@ -1,0 +1,114 @@
+"""Device-mesh construction and sharding helpers.
+
+New capability relative to the reference, which has no distributed
+backend at all (SURVEY.md §2: a dormant two-GPU flag and HF
+``device_map="auto"`` are its entire story, src/model_utils.py:21-31).
+
+The TPU-native design (SURVEY.md §5 "Distributed communication backend"):
+
+* ``data`` axis — calibration/eval batches are sharded over it; GSPMD
+  inserts the psum that reduces Gram accumulators across shards (the
+  statistics are plain sums over tokens, so data/sequence sharding is
+  exact);
+* ``model`` axis — tensor-parallel shardings for the forward (head- and
+  d_int-sharded projections) and layer-parallel solver execution.
+
+Collectives ride ICI when the mesh is built from `jax.devices()` of one
+slice; multi-slice DCN layouts should put ``data`` on the outer
+(slower) axis.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["parse_mesh_shape", "make_mesh", "shard_batch", "param_shardings"]
+
+
+def parse_mesh_shape(mesh_shape: str) -> Dict[str, int]:
+    """Parse "data:4,model:2" into {"data": 4, "model": 2}."""
+    out: Dict[str, int] = {}
+    if not mesh_shape:
+        return out
+    for part in mesh_shape.split(","):
+        name, _, size = part.partition(":")
+        out[name.strip()] = int(size)
+    return out
+
+
+def make_mesh(mesh_shape: str = "", devices=None) -> Optional[Mesh]:
+    """Build a Mesh from a "name:size,..." spec; None for single-device.
+
+    With an empty spec and more than one device, defaults to a pure-data
+    mesh over all devices.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    axes = parse_mesh_shape(mesh_shape)
+    if not axes:
+        if len(devices) == 1:
+            return None
+        axes = {"data": len(devices)}
+    total = int(np.prod(list(axes.values())))
+    if total > len(devices):
+        raise ValueError(f"mesh {axes} needs {total} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:total]).reshape(tuple(axes.values()))
+    return Mesh(dev_array, tuple(axes.keys()))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a [B, T] batch sharded along the data axis."""
+    return jax.device_put(batch, NamedSharding(mesh, P("data", None)))
+
+
+def param_shardings(mesh: Mesh, spec, params) -> Dict:
+    """Tensor-parallel sharding rules for the forward pass.
+
+    Projections are sharded over the ``model`` axis on their head/d_int
+    output dim (column-parallel q/k/v/up/gate, row-parallel o/down —
+    the Megatron layout expressed as GSPMD annotations):
+
+      q/k/v kernel [d, H*hd]    -> P(None, "model")
+      o kernel     [H*hd, d]    -> P("model", None)
+      up/gate      [d, d_int]   -> P(None, "model")
+      down         [d_int, d]   -> P("model", None)
+      embeddings / norms        -> replicated
+
+    XLA then inserts exactly one psum per attention/MLP block (the o/down
+    row-parallel reduction).
+    """
+    if "model" not in mesh.axis_names:
+        return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
+
+    col = NamedSharding(mesh, P(None, "model"))
+    row = NamedSharding(mesh, P("model", None))
+    rep = NamedSharding(mesh, P())
+    bias_col = NamedSharding(mesh, P("model"))
+
+    def layer_sharding(lp: Dict) -> Dict:
+        out = {}
+        for name, sub in lp.items():
+            if name in ("q", "k", "v", "up", "gate"):
+                out[name] = {"kernel": col}
+                if "bias" in sub:
+                    out[name]["bias"] = bias_col
+            elif name in ("o", "down"):
+                out[name] = {"kernel": row}
+                if "bias" in sub:
+                    out[name]["bias"] = rep
+            else:
+                out[name] = jax.tree_util.tree_map(lambda _: rep, sub)
+        return out
+
+    shardings = {
+        k: jax.tree_util.tree_map(lambda _: rep, v)
+        for k, v in params.items()
+        if k != "layers" and v is not None
+    }
+    if params.get("lm_head") is None:
+        shardings["lm_head"] = None
+    shardings["layers"] = [layer_sharding(lp) for lp in params["layers"]]
+    return shardings
