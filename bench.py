@@ -1,0 +1,238 @@
+"""Benchmark: end-to-end compression time, TPU-native vs reference-equivalent torch.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
+
+The workload is the framework's headline job (BASELINE.json metric:
+"end-to-end compress time"): calibrate (forward passes + Gram/BI
+statistics) and solve all three decompositions for every layer of a
+synthetic Llama-style model at 30% compression, then apply surgery.
+The reference publishes no numbers (BASELINE.md), so the baseline here
+is a faithful torch implementation of the reference's computation
+(hooked HF forward, float64 per-layer solvers with the same closed
+forms) on this host's CPU — the only backend the reference can use in
+this environment. `vs_baseline` is the speedup (baseline_s / ours_s).
+
+Both paths are warmed up (one calibration batch) so the metric is
+steady-state compute, which is what dominates at real model scale; JIT
+compile time is excluded symmetrically.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# ---- workload size (fits comfortably in one v5e chip and in host RAM) ----
+D_MODEL, N_HEADS, N_KV, HEAD_DIM = 1024, 16, 8, 64
+D_INT, N_LAYERS, VOCAB = 2816, 4, 8192
+SEQ, CALIB_SEQS, BATCH = 512, 8, 4
+RATIO = 0.3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_jax() -> float:
+    import jax
+
+    from modegpt_tpu.calib.data import load_calibration_batches
+    from modegpt_tpu.calib.engine import calibrate
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.compress.surgery import apply_factors
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models.init import init_params
+    from modegpt_tpu.models.spec import ModelSpec
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    spec = ModelSpec(
+        arch="llama", vocab_size=VOCAB, d_model=D_MODEL, n_layers=N_LAYERS,
+        n_heads=N_HEADS, n_kv_heads=N_KV, head_dim=HEAD_DIM, d_int=D_INT,
+        max_position_embeddings=SEQ * 2, act="silu", norm="rmsnorm", norm_eps=1e-6,
+        rope_theta=10000.0, attention_bias=False, mlp_bias=False,
+        tie_word_embeddings=False,
+        q_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS, k_ranks=(N_KV * HEAD_DIM,) * N_LAYERS,
+        v_ranks=(N_KV * HEAD_DIM,) * N_LAYERS, o_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS,
+        gate_ranks=(D_INT,) * N_LAYERS,
+    )
+    params = init_params(spec, jax.random.key(0))
+    config = CompressionConfig(
+        compression_ratio=RATIO, solver_precision="f32_device",
+        sparsity_smoothing=0.5, calib_size=CALIB_SEQS, calibs_batch_size=BATCH,
+        seq_len=SEQ,
+    )
+    batches = load_calibration_batches(None, "synthetic", CALIB_SEQS, BATCH, SEQ,
+                                       vocab_size=VOCAB)
+    target_layers = list(range(N_LAYERS))
+
+    # Warmup: one full pass compiles the stats fn and the batched solver
+    # programs with the exact shapes/ranks of the timed pass.
+    t = time.perf_counter()
+    warm = calibrate(spec, params, batches, target_layers)
+    log(f"jax warmup calibrate (compile): {time.perf_counter() - t:.2f}s")
+    keep_w, _ = allocate_keep_ratios(warm.bi_scores, RATIO, 0.5, 0.8)
+    t = time.perf_counter()
+    solve_chunk_batched(spec, params, target_layers, keep_w, warm, config, "mlp,qk,vo")
+    log(f"jax warmup solve (compile): {time.perf_counter() - t:.2f}s")
+
+    t0 = time.perf_counter()
+    calib = calibrate(spec, params, batches, target_layers)
+    t1 = time.perf_counter()
+    log(f"  calibrate: {t1 - t0:.2f}s")
+    keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)
+    f = solve_chunk_batched(spec, params, target_layers, keep, calib, config, "mlp,qk,vo")
+    t2 = time.perf_counter()
+    log(f"  solve: {t2 - t1:.2f}s")
+    cspec, cparams = apply_factors(spec, params, f["mlp"], f["qk"], f["vo"])
+    jax.block_until_ready(cparams["layers"][0]["up"]["kernel"])
+    elapsed = time.perf_counter() - t0
+    log(f"jax e2e compress: {elapsed:.2f}s; gate_ranks={cspec.gate_ranks}")
+    return elapsed
+
+
+def bench_torch_reference() -> float:
+    """Reference-equivalent computation in torch on CPU: hooked forward
+    calibration (f64 Gram accumulation) + f64 closed-form solvers."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    cfg = transformers.LlamaConfig(
+        vocab_size=VOCAB, hidden_size=D_MODEL, intermediate_size=D_INT,
+        num_hidden_layers=N_LAYERS, num_attention_heads=N_HEADS,
+        num_key_value_heads=N_KV, max_position_embeddings=SEQ * 2,
+        tie_word_embeddings=False,
+    )
+    model = transformers.LlamaForCausalLM(cfg).eval()
+
+    rng = np.random.default_rng(1234)
+    tokens = torch.tensor(
+        rng.integers(0, VOCAB, size=(CALIB_SEQS, SEQ)), dtype=torch.long
+    )
+
+    cov_mlp = [torch.zeros(D_INT, D_INT, dtype=torch.float64) for _ in range(N_LAYERS)]
+    cov_q = [torch.zeros(N_HEADS, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(N_LAYERS)]
+    cov_k = [torch.zeros(N_KV, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(N_LAYERS)]
+    cov_x = [torch.zeros(D_MODEL, D_MODEL, dtype=torch.float64) for _ in range(N_LAYERS)]
+
+    def mlp_hook(l):
+        def hook(mod, inp):
+            h = inp[0].detach().to(torch.float64).reshape(-1, D_INT)
+            cov_mlp[l] += h.T @ h
+        return hook
+
+    def proj_hook(l, cov, n_h):
+        def hook(mod, inp, out):
+            p = out.detach().to(torch.float64).reshape(-1, n_h, HEAD_DIM).permute(1, 0, 2)
+            cov[l] += torch.bmm(p.transpose(1, 2), p)
+        return hook
+
+    def ln_hook(l):
+        def hook(mod, inp, out):
+            x = out.detach().to(torch.float64)
+            cov_x[l] += torch.einsum("btd,bte->de", x, x)
+        return hook
+
+    handles = []
+    for l, blk in enumerate(model.model.layers):
+        handles.append(blk.mlp.down_proj.register_forward_pre_hook(mlp_hook(l)))
+        handles.append(blk.self_attn.q_proj.register_forward_hook(proj_hook(l, cov_q, N_HEADS)))
+        handles.append(blk.self_attn.k_proj.register_forward_hook(proj_hook(l, cov_k, N_KV)))
+        handles.append(blk.input_layernorm.register_forward_hook(ln_hook(l)))
+
+    def sqrt_m(M, ridge=1e-4):
+        w, V = torch.linalg.eigh(M)
+        w = (w + ridge).clamp(min=0).sqrt()
+        return (V * w) @ V.T
+
+    bi = torch.zeros(N_LAYERS, dtype=torch.float64)
+
+    def run_calibration():
+        with torch.no_grad():
+            for i in range(0, CALIB_SEQS, BATCH):
+                out = model(tokens[i : i + BATCH], output_hidden_states=True)
+                hs = out.hidden_states
+                for l in range(N_LAYERS):
+                    cs = torch.cosine_similarity(hs[l].double(), hs[l + 1].double(), dim=2)
+                    bi[l] += (1 - cs).sum(0).mean()
+
+    # Warmup one batch (symmetric with the JAX warmup).
+    with torch.no_grad():
+        model(tokens[:BATCH], output_hidden_states=True)
+    log("torch warmup done")
+
+    t0 = time.perf_counter()
+    run_calibration()
+    total_tokens = CALIB_SEQS * SEQ
+    rank_mlp = int(D_INT * (1 - RATIO))
+    rank_hd = int(HEAD_DIM * (1 - RATIO)) // 2 * 2
+    group = N_HEADS // N_KV
+    with torch.no_grad():
+        for l, blk in enumerate(model.model.layers):
+            C = cov_mlp[l] / total_tokens
+            L = torch.linalg.cholesky(C + 1e-2 * torch.eye(D_INT, dtype=torch.float64))
+            inv_diag = torch.diag(torch.cholesky_inverse(L))
+            topk, _ = torch.sort(torch.topk(inv_diag, rank_mlp, largest=False).indices)
+            W_d = blk.mlp.down_proj.weight.double()
+            C_SS = C[topk][:, topk]
+            cross = C[topk, :] @ W_d.T
+            Lr = torch.linalg.cholesky(C_SS + 1e-6 * torch.eye(rank_mlp, dtype=torch.float64))
+            torch.cholesky_solve(cross, Lr)
+            _ = blk.mlp.up_proj.weight.double()[topk, :]
+            _ = blk.mlp.gate_proj.weight.double()[topk, :]
+
+            # QK: per-head sqrt + pair scores + slicing
+            for kv in range(N_KV):
+                sk = sqrt_m(cov_k[l][kv] / total_tokens, 1e-6)
+                score = torch.zeros(HEAD_DIM // 2, dtype=torch.float64)
+                for g in range(group):
+                    sq = sqrt_m(cov_q[l][kv * group + g] / total_tokens)
+                    e_q = (sq * sq).sum(0)
+                    e_k = (sk * sk).sum(0)
+                    score += e_q[: HEAD_DIM // 2] * e_k[: HEAD_DIM // 2] + e_q[HEAD_DIM // 2 :] * e_k[HEAD_DIM // 2 :]
+                torch.topk(score.sqrt(), rank_hd // 2)
+
+            # VO: whitening + per-head SVDs
+            Cx = cov_x[l] / total_tokens
+            w, V = torch.linalg.eigh(Cx)
+            sw = (w + 1e-4).clamp(min=0).sqrt()
+            sqrt_C = (V * sw) @ V.T
+            inv_sqrt_C = (V * (1.0 / sw.clamp(min=1e-12))) @ V.T
+            W_v = blk.self_attn.v_proj.weight.double()
+            W_o = blk.self_attn.o_proj.weight.double()
+            for kv in range(N_KV):
+                Vh_w = W_v[kv * HEAD_DIM : (kv + 1) * HEAD_DIM, :]
+                U, S, Vh = torch.linalg.svd(sqrt_C @ Vh_w.T, full_matrices=False)
+                _ = inv_sqrt_C @ U[:, :rank_hd]
+                for g in range(group):
+                    h = kv * group + g
+                    O_h = W_o[:, h * HEAD_DIM : (h + 1) * HEAD_DIM]
+                    _ = torch.diag(S[:rank_hd]) @ Vh[:rank_hd, :] @ O_h.T
+    elapsed = time.perf_counter() - t0
+    for h in handles:
+        h.remove()
+    log(f"torch reference-equivalent compress: {elapsed:.2f}s")
+    return elapsed
+
+
+def main():
+    ours = bench_jax()
+    baseline = bench_torch_reference()
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_compress_seconds_synthetic_llama_0.1B@30%",
+                "value": round(ours, 3),
+                "unit": "s",
+                "vs_baseline": round(baseline / ours, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Layer-batched solver execution — one XLA program per stage.
+
+The reference loops solvers sequentially per layer and per head
+(reference: compress_mlp.py:82, compress_qk.py:174/240, compress_vo.py:34/58).
+On TPU that shape is wrong twice over: XLA compile time is paid per
+distinct rank, and tiny per-head ops can't feed the MXU. This module
+restructures a whole layer chunk into fixed-shape, rank-independent
+device programs:
+
+* Type-I MLP: `nystrom_mlp_padded` vmapped over the layer stack at a
+  uniform pad rank (identity block padding is exact — see ops/mlp.py);
+  per-layer slicing on the host.
+* Type-II QK: scores are ridged covariance DIAGONALS (see ops/qk.py) —
+  pure numpy on the host; selection and row gathers are host-side too
+  (they're memory moves, not FLOPs).
+* Type-III VO: rank-independent full factor forms
+  (`vo_full_factors`) vmapped over layers; host slices each layer's
+  rank.
+
+Everything here is bit-identical to the per-layer path (tested in
+tests/test_batched.py); it's purely an execution-shape change.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modegpt_tpu.calib.engine import CalibrationResult
+from modegpt_tpu.compress.surgery import compress_ranks_for_layer
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.mlp import nystrom_mlp_padded
+from modegpt_tpu.ops.qk import DEFAULT_SQRT_RIDGE
+from modegpt_tpu.ops.vo import vo_factors_from_full, vo_full_factors
+from modegpt_tpu.utils.precision import solver_dtype, solver_placement
+
+logger = logging.getLogger("modegpt_tpu")
+
+__all__ = ["solve_chunk_batched"]
+
+
+def _hf_w(lp: Dict, name: str) -> np.ndarray:
+    return np.asarray(lp[name]["kernel"]).T
+
+
+def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
+    """Descending top-k indices with lower-index tie-breaks — matches
+    jax.lax.top_k and torch.topk ordering."""
+    return np.argsort(-scores, kind="stable")[:k]
+
+
+def _solve_mlp_batched(spec, layer_params, layers, ranks, calib, config, dt) -> Dict[int, Dict]:
+    cov = jnp.asarray(np.stack([calib.cov_mlp[l] for l in layers]), dtype=dt)
+    W_u = jnp.asarray(np.stack([_hf_w(layer_params[l], "up") for l in layers]), dtype=dt)
+    W_d = jnp.asarray(np.stack([_hf_w(layer_params[l], "down") for l in layers]), dtype=dt)
+    if spec.gated_mlp:
+        W_g = jnp.asarray(np.stack([_hf_w(layer_params[l], "gate") for l in layers]), dtype=dt)
+    else:
+        W_g = W_u  # placeholder; gate output discarded
+    ranks_arr = jnp.asarray(ranks, dtype=jnp.int32)
+    pad = int(max(ranks))
+
+    up, gate, down, idx, valid = jax.vmap(
+        nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
+    )(cov, W_u, W_g, W_d, ranks_arr, pad, jnp.asarray(config.nystrom_ridge, dt))
+    up, gate, down, idx = map(np.asarray, (up, gate, down, idx))
+
+    out = {}
+    for i, l in enumerate(layers):
+        r = ranks[i]
+        f = {"up": up[i, :r], "down": down[i, :, :r], "idx": idx[i, :r]}
+        if spec.gated_mlp:
+            f["gate"] = gate[i, :r]
+        elif "bias" in layer_params[l]["up"]:
+            f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[idx[i, :r]]
+            f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
+        out[l] = f
+        logger.info("[MLP] layer %d compressed to rank %d", l, r)
+    return out
+
+
+def _solve_qk_host(spec, layer_params, layers, ranks, calib, config) -> Dict[int, Dict]:
+    """QK selection entirely on the host: scores are covariance diagonals
+    (exactly the reference's sqrt-column-norms, see ops/qk.py), gathers
+    are row moves."""
+    H, Hk, hd = spec.n_heads, spec.n_kv_heads, spec.head_dim
+    group = H // Hk
+    half = hd // 2
+    out = {}
+    for i, l in enumerate(layers):
+        r = ranks[i]
+        dq = np.einsum("hii->hi", calib.cov_q[l])  # [H, hd]
+        dk = np.einsum("hii->hi", calib.cov_k[l])  # [Hk, hd]
+        W_q = _hf_w(layer_params[l], "q").reshape(H, hd, -1)
+        W_k = _hf_w(layer_params[l], "k").reshape(Hk, hd, -1)
+        if spec.uses_rope:
+            eq = (dq + DEFAULT_SQRT_RIDGE).reshape(Hk, group, hd)
+            ek = dk + config.ridge_qk
+            pair = (eq[..., :half] * ek[:, None, :half] + eq[..., half:] * ek[:, None, half:])
+            scores = np.sqrt(pair.sum(axis=1))  # [Hk, half]
+            masks, qs, ks = [], [], []
+            for kv in range(Hk):
+                top = _topk_desc(scores[kv], r // 2)
+                mask = np.concatenate([top, top + half])
+                masks.append(mask)
+                ks.append(W_k[kv][mask])
+                for g in range(group):
+                    qs.append(W_q[kv * group + g][mask])
+            out[l] = {
+                "q": np.concatenate(qs, axis=0),
+                "k": np.concatenate(ks, axis=0),
+                "rotary_mask": np.stack(masks).astype(np.int32),
+            }
+        else:
+            scores = np.sqrt(dq + DEFAULT_SQRT_RIDGE) * np.sqrt(dk + DEFAULT_SQRT_RIDGE)
+            bq = np.asarray(layer_params[l]["q"]["bias"]).reshape(H, hd)
+            bk = np.asarray(layer_params[l]["k"]["bias"]).reshape(H, hd)
+            qs, ks, bqs, bks = [], [], [], []
+            for h in range(H):
+                top = _topk_desc(scores[h], r)
+                qs.append(W_q[h][top])
+                ks.append(W_k[h][top])
+                bqs.append(bq[h][top])
+                bks.append(bk[h][top])
+            out[l] = {
+                "q": np.concatenate(qs, axis=0),
+                "k": np.concatenate(ks, axis=0),
+                "q_bias": np.concatenate(bqs),
+                "k_bias": np.concatenate(bks),
+            }
+        logger.info("[QK] layer %d compressed to rank %d per head", l, r)
+    return out
+
+
+def _solve_vo_batched(spec, layer_params, layers, ranks, calib, config, dt, whiten) -> Dict[int, Dict]:
+    cov = jnp.asarray(np.stack([calib.cov_x[l] for l in layers]), dtype=dt)
+    W_v = jnp.asarray(np.stack([_hf_w(layer_params[l], "v") for l in layers]), dtype=dt)
+    W_o = jnp.asarray(np.stack([_hf_w(layer_params[l], "o") for l in layers]), dtype=dt)
+
+    v_full, o_full = jax.vmap(
+        vo_full_factors, in_axes=(0, 0, 0, None, None, None, None)
+    )(cov, W_v, W_o, spec.n_heads, spec.n_kv_heads, config.ridge_vo, whiten)
+    v_full, o_full = np.asarray(v_full), np.asarray(o_full)
+
+    out = {}
+    for i, l in enumerate(layers):
+        r = ranks[i]
+        f = vo_factors_from_full(v_full[i], o_full[i], r, spec.n_heads, spec.n_kv_heads)
+        fd = {"v": np.asarray(f.v), "o": np.asarray(f.o)}
+        if "bias" in layer_params[l].get("v", {}):
+            b_v = np.asarray(layer_params[l]["v"]["bias"], dtype=np.float64)
+            W_o_np = np.asarray(_hf_w(layer_params[l], "o"), dtype=np.float64)
+            b_o = np.asarray(
+                layer_params[l]["o"].get("bias", np.zeros(spec.d_model)), dtype=np.float64
+            )
+            fd["o_bias"] = b_o + W_o_np @ b_v
+        out[l] = fd
+        logger.info("[VO] layer %d compressed to rank %d per head", l, r)
+    return out
+
+
+def solve_chunk_batched(
+    spec: ModelSpec,
+    params: Dict,
+    target_layers: Sequence[int],
+    keep_ratios: List[float],
+    calib: CalibrationResult,
+    config: CompressionConfig,
+    order: str,
+) -> Dict[str, Dict[int, Dict]]:
+    """Solve a whole layer chunk with one device program per suffix."""
+    layers = list(target_layers)
+    layer_params = {l: params["layers"][l] for l in layers}
+    dt = solver_dtype(config.solver_precision)
+    whiten = "eigh" if config.solver_precision == "f64_cpu" else "cholesky"
+
+    out: Dict[str, Dict[int, Dict]] = {}
+    with solver_placement(config.solver_precision):
+        if "mlp" in order:
+            ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "mlp") for l in layers]
+            out["mlp"] = _solve_mlp_batched(spec, layer_params, layers, ranks, calib, config, dt)
+        if "qk" in order:
+            ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "qk") for l in layers]
+            out["qk"] = _solve_qk_host(spec, layer_params, layers, ranks, calib, config)
+        if "vo" in order:
+            ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "vo") for l in layers]
+            out["vo"] = _solve_vo_batched(
+                spec, layer_params, layers, ranks, calib, config, dt, whiten
+            )
+    return out

@@ -239,11 +239,13 @@ def run_compression(
             )
             metrics["max_layer_sparsity"] = max_sp
             metrics["smoothing"] = config.sparsity_smoothing
-            for l in pending:
-                layer_factors = solve_layer(
-                    spec, params["layers"][l], l, keep_ratios[l], calib, config, order
-                )
-                for s, f in layer_factors.items():
+            from modegpt_tpu.compress.batched import solve_chunk_batched
+
+            chunk_factors = solve_chunk_batched(
+                spec, params, pending, keep_ratios, calib, config, order
+            )
+            for s, by_layer in chunk_factors.items():
+                for l, f in by_layer.items():
                     save_layer_factors(config.temp_storage_dir, l, s, f)
             del calib
             gc.collect()

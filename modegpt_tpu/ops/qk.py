@@ -35,8 +35,6 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from modegpt_tpu.ops.psd import sqrt_psd
-
 __all__ = [
     "qk_rope_pair_scores",
     "qk_opt_scores",
@@ -70,10 +68,22 @@ class QKFactors(NamedTuple):
 def _batched_sqrt_col_energy(cov: jax.Array, ridge: float) -> jax.Array:
     """Per-head column squared-norms of the PSD sqrt: [H, hd].
 
-    ||sqrt(C)[:, j]||^2 for each column j, vmapped over heads.
+    The reference computes ``||sqrt_M(C)[:, j]||^2`` with a full per-head
+    eigendecomposition (compress_qk.py:346-364). But the symmetric PSD
+    sqrt squares back to the ridged matrix exactly —
+    ``sqrt_M(C) @ sqrt_M(C) = C + ridge*I`` (negative-eigenvalue clamping
+    aside, and calibration Grams are PSD by construction) — so the column
+    energy is simply the ridged DIAGONAL:
+
+        ||sqrt(C)[:, j]||^2 = (C + ridge*I)_jj = C_jj + ridge.
+
+    Identical math, zero eigendecompositions: the hot QK scoring becomes
+    a diagonal read, which matters on TPU where XLA's eigh is
+    compile-and-Jacobi heavy. Verified against the eigh-based oracle in
+    tests/test_solvers.py.
     """
-    sq = jax.vmap(lambda c: sqrt_psd(c, ridge))(cov)
-    return jnp.sum(sq * sq, axis=-2)
+    diag = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    return diag + jnp.asarray(ridge, dtype=cov.dtype)
 
 
 @partial(jax.jit, static_argnames=("n_kv_heads",))

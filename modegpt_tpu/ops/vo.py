@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from modegpt_tpu.ops.psd import sqrt_and_inv_sqrt_psd
 
-__all__ = ["compress_vo_layer", "VOFactors"]
+__all__ = ["compress_vo_layer", "vo_full_factors", "vo_factors_from_full", "VOFactors"]
 
 
 class VOFactors(NamedTuple):
@@ -45,21 +45,59 @@ class VOFactors(NamedTuple):
     o: jax.Array
 
 
-@partial(jax.jit, static_argnames=("rank", "n_heads", "n_kv_heads"))
-def _vo_solve(
+def _whiteners(cov_x: jax.Array, ridge_vo: float, whiten: str):
+    """Return (F, unwhiten) with F^T F = cov_x + ridge*I and
+    unwhiten(M) = F^{-1} M.
+
+    whiten="eigh": F is the symmetric PSD sqrt — bit-matches the
+    reference (compress_vo.py:43-45).
+    whiten="cholesky": F = L^T from the Cholesky factorisation. Any F
+    with F^T F = C yields the same whitened column space, hence the SAME
+    functional O_new @ V_new (the truncation is an orthogonal projection
+    in whitened coordinates); only the individual factors differ by the
+    basis change. Cholesky avoids XLA's slow TPU eigh on [d_model]^2 —
+    used by the f32_device speed path.
+    """
+    if whiten == "eigh":
+        sqrt_C, inv_sqrt_C = sqrt_and_inv_sqrt_psd(cov_x, ridge_vo)
+        return sqrt_C, lambda M: inv_sqrt_C @ M
+    n = cov_x.shape[0]
+    L = jnp.linalg.cholesky(
+        cov_x + jnp.asarray(ridge_vo, cov_x.dtype) * jnp.eye(n, dtype=cov_x.dtype)
+    )
+    unwhiten = lambda M: jax.scipy.linalg.solve_triangular(L.T, M, lower=False)
+    return L.T, unwhiten
+
+
+@partial(jax.jit, static_argnames=("n_heads", "n_kv_heads", "whiten"))
+def vo_full_factors(
     cov_x: jax.Array,
     W_v: jax.Array,
     W_o: jax.Array,
-    rank: int,
     n_heads: int,
     n_kv_heads: int,
     ridge_vo: float,
+    whiten: str = "eigh",
 ):
+    """Rank-INDEPENDENT full factor forms.
+
+    Returns (v_full, o_full):
+      v_full: [Hk, d, hd] — unwhitened left basis; truncation to rank r
+              is exactly ``v_full[:, :, :r]`` (unwhitening is linear).
+      o_full: [H, hd, d]  — scaled right factors; truncation is
+              ``o_full[:, :r, :]``.
+
+    This is the TPU-first shape of the solver: one fixed-shape XLA
+    program per layer stack regardless of per-layer ranks (heterogeneous
+    ranks would otherwise force one compile per distinct rank — XLA
+    compile time dominates on TPU, see SURVEY.md §7 hard part 3). The
+    rank slicing happens on the host.
+    """
     d_model = cov_x.shape[0]
     hd = W_v.shape[0] // n_kv_heads
     group = n_heads // n_kv_heads
 
-    sqrt_C, inv_sqrt_C = sqrt_and_inv_sqrt_psd(cov_x, ridge_vo)
+    sqrt_C, unwhiten = _whiteners(cov_x, ridge_vo, whiten)
 
     V_heads = W_v.reshape(n_kv_heads, hd, d_model)  # [Hk, hd, d]
     O_heads = W_o.reshape(d_model, n_heads, hd).transpose(1, 0, 2)  # [H, d, hd]
@@ -78,23 +116,41 @@ def _vo_solve(
 
         A_in = O_heads.transpose(0, 2, 1)  # [H, hd, d] == O_head^T
         Up, Sp, Vph = jax.vmap(svd2)(S, Vh, A_in)
-        # V_new per head: (inv_sqrt_C @ U @ Up)[:, :rank]  -> weight rows [rank, d]
-        v_new = jnp.einsum("de,hef,hfg->hdg", inv_sqrt_C, U, Up)[:, :, :rank]
-        v_new = v_new.transpose(0, 2, 1)  # [H, rank, d]
-        o_new = Sp[:, :rank, None] * Vph[:, :rank, :]  # [H, rank, d]
+        UUp = jnp.einsum("hef,hfg->heg", U, Up)  # [H, d, hd]
+        v_full = jax.vmap(unwhiten, in_axes=0)(UUp)  # [H, d, hd]
+        o_full = Sp[:, :, None] * Vph  # [H, hd, d]
     else:
         # GQA: shared V basis per kv head, O heads projected through it.
-        v_new = jnp.einsum("de,hef->hdf", inv_sqrt_C, U[:, :, :rank])  # [Hk, d, rank]
-        v_new = v_new.transpose(0, 2, 1)  # [Hk, rank, d]
-        SVh = S[:, :rank, None] * Vh[:, :rank, :]  # [Hk, rank, hd]
+        v_full = jax.vmap(unwhiten, in_axes=0)(U)  # [Hk, d, hd]
+        SVh = S[:, :, None] * Vh  # [Hk, hd, hd]
         O_grp = O_heads.reshape(n_kv_heads, group, d_model, hd)
-        o_new = jnp.einsum("hre,hgde->hgrd", SVh, O_grp)  # [Hk, G, rank, d]
-        o_new = o_new.reshape(n_heads, rank, d_model)
+        o_full = jnp.einsum("hre,hgde->hgrd", SVh, O_grp)  # [Hk, G, hd, d]
+        o_full = o_full.reshape(n_heads, hd, d_model)
 
-    v_w = v_new.reshape(n_kv_heads * rank, d_model)
-    # O weight layout [d_model, n_heads*rank]: per-head column blocks.
-    o_w = o_new.transpose(2, 0, 1).reshape(d_model, n_heads * rank)
-    return v_w, o_w
+    return v_full, o_full
+
+
+def vo_factors_from_full(v_full, o_full, rank: int, n_heads: int, n_kv_heads: int) -> "VOFactors":
+    """Slice full factor forms to rank and lay out as HF weights."""
+    d_model = v_full.shape[1]
+    v_w = v_full[:, :, :rank].transpose(0, 2, 1).reshape(n_kv_heads * rank, d_model)
+    o_w = o_full[:, :rank, :].transpose(2, 0, 1).reshape(d_model, n_heads * rank)
+    return VOFactors(v=v_w, o=o_w)
+
+
+def _vo_solve(
+    cov_x: jax.Array,
+    W_v: jax.Array,
+    W_o: jax.Array,
+    rank: int,
+    n_heads: int,
+    n_kv_heads: int,
+    ridge_vo: float,
+    whiten: str = "eigh",
+):
+    v_full, o_full = vo_full_factors(cov_x, W_v, W_o, n_heads, n_kv_heads, ridge_vo, whiten)
+    f = vo_factors_from_full(v_full, o_full, rank, n_heads, n_kv_heads)
+    return f.v, f.o
 
 
 def compress_vo_layer(
@@ -105,6 +161,7 @@ def compress_vo_layer(
     n_heads: int,
     n_kv_heads: int,
     ridge_vo: float,
+    whiten: str = "eigh",
 ) -> VOFactors:
     """Type-III solve for one layer.
 
@@ -115,5 +172,5 @@ def compress_vo_layer(
       rank:  kept dims per head (caller applies the even-rank rule for
              RoPE archs, reference: compress_vo.py:39-41).
     """
-    v_w, o_w = _vo_solve(cov_x, W_v, W_o, rank, n_heads, n_kv_heads, ridge_vo)
+    v_w, o_w = _vo_solve(cov_x, W_v, W_o, rank, n_heads, n_kv_heads, ridge_vo, whiten)
     return VOFactors(v=v_w, o=o_w)

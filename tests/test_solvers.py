@@ -296,3 +296,25 @@ def test_vo_gqa_shared_basis(make_psd, rng):
         v_ref.reshape(n_kv, rank, d).repeat(group, 0),
     )
     np.testing.assert_allclose(got_vo, ref_vo, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize("n_heads,n_kv", [(3, 3), (4, 2)])
+def test_vo_cholesky_whitening_functionally_equals_eigh(make_psd, rng, n_heads, n_kv):
+    """Any F with F^T F = C gives the same whitened projection: the
+    cholesky fast path must match the eigh parity path functionally."""
+    d, hd, rank = 20, 8, 4
+    cov_x = make_psd(d, scale=2.0)
+    Wv = rng.standard_normal((n_kv * hd, d))
+    Wo = rng.standard_normal((d, n_heads * hd))
+    fe = compress_vo_layer(jnp.asarray(cov_x), jnp.asarray(Wv), jnp.asarray(Wo), rank, n_heads, n_kv, 1e-5, whiten="eigh")
+    fc = compress_vo_layer(jnp.asarray(cov_x), jnp.asarray(Wv), jnp.asarray(Wo), rank, n_heads, n_kv, 1e-5, whiten="cholesky")
+    group = n_heads // n_kv
+
+    def per_head_product(f):
+        return np.einsum(
+            "dhr,hre->hde",
+            np.asarray(f.o).reshape(d, n_heads, rank),
+            np.asarray(f.v).reshape(n_kv, rank, d).repeat(group, 0),
+        )
+
+    np.testing.assert_allclose(per_head_product(fe), per_head_product(fc), rtol=1e-6, atol=1e-8)
