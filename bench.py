@@ -72,7 +72,7 @@ def bench_jax() -> float:
     # Warmup: one full pass compiles the stats fn and the batched solver
     # programs with the exact shapes/ranks of the timed pass.
     t = time.perf_counter()
-    warm = calibrate(spec, params, batches, target_layers)
+    warm = calibrate(spec, params, batches, target_layers, accumulate="device")
     log(f"jax warmup calibrate (compile): {time.perf_counter() - t:.2f}s")
     keep_w, _ = allocate_keep_ratios(warm.bi_scores, RATIO, 0.5, 0.8)
     t = time.perf_counter()
@@ -80,7 +80,7 @@ def bench_jax() -> float:
     log(f"jax warmup solve (compile): {time.perf_counter() - t:.2f}s")
 
     t0 = time.perf_counter()
-    calib = calibrate(spec, params, batches, target_layers)
+    calib = calibrate(spec, params, batches, target_layers, accumulate="device")
     t1 = time.perf_counter()
     log(f"  calibrate: {t1 - t0:.2f}s")
     keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)

@@ -19,6 +19,7 @@ reference's ``layers_per_step`` (run_modegpt.py:107).
 
 from __future__ import annotations
 
+import functools
 import logging
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -37,18 +38,26 @@ __all__ = ["CalibrationResult", "calibrate"]
 
 @dataclass
 class CalibrationResult:
-    """Host-side float64 statistics, normalised by total token count
-    (reference: calibration.py:141-146).
+    """Normalised second-moment statistics, keyed by ABSOLUTE layer index
+    (only the target layers of this chunk are present); bi_scores covers
+    every layer (reference computes BI for all layers each chunk,
+    calibration.py:118-124). Normalisation matches the reference
+    (calibration.py:141-146).
 
-    Covariances are dicts keyed by ABSOLUTE layer index (only the target
-    layers of this chunk are present); bi_scores covers every layer
-    (reference computes BI for all layers each chunk, calibration.py:118-124).
+    Accumulation mode decides residency:
+      * host (parity): float64 numpy, accumulated exactly per batch on
+        the host — matches the reference's f64 accumulators;
+      * device (speed): float32 jax arrays accumulated on-device, fetched
+        lazily — avoids per-batch HBM->host transfers of the
+        [D_int, D_int] Grams, which dominate wall time on tunneled or
+        DCN-attached hosts, and lets the solvers consume the stats
+        without a host round-trip.
     """
 
-    cov_mlp: Dict[int, np.ndarray]
-    cov_q: Dict[int, np.ndarray]
-    cov_k: Dict[int, np.ndarray]
-    cov_x: Dict[int, np.ndarray]
+    cov_mlp: Dict[int, "np.ndarray | jax.Array"]
+    cov_q: Dict[int, "np.ndarray | jax.Array"]
+    cov_k: Dict[int, "np.ndarray | jax.Array"]
+    cov_x: Dict[int, "np.ndarray | jax.Array"]
     bi_scores: List[float]
     n_sequences: int
     total_tokens: int
@@ -77,12 +86,46 @@ def _stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...], mesh: Optional[jax
     )
 
 
+@jax.jit
+def _acc_add(acc, stats):
+    return jax.tree_util.tree_map(jnp.add, acc, stats)
+
+
+@functools.lru_cache(maxsize=32)
+def _scan_stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...]):
+    """One device program that scans over stacked batches [N, B, T],
+    accumulating all statistics on-device — a single dispatch for the
+    whole calibration pass (dispatch/RPC latency dominates on tunneled
+    or DCN-attached hosts)."""
+
+    def one(params, batch):
+        _, stats = forward(spec, params, batch, stats_layers=stats_layers)
+        return stats
+
+    @jax.jit
+    def run(params, batches):
+        def body(carry, batch):
+            stats = one(params, batch)
+            if carry is None:
+                return stats, None
+            return jax.tree_util.tree_map(jnp.add, carry, stats), None
+
+        init = one(params, batches[0])
+        if batches.shape[0] == 1:
+            return init
+        acc, _ = jax.lax.scan(lambda c, b: body(c, b), init, batches[1:])
+        return acc
+
+    return run
+
+
 def calibrate(
     spec: ModelSpec,
     params: Dict,
     batches: Sequence[np.ndarray],
     target_layers: Sequence[int],
     mesh: Optional[jax.sharding.Mesh] = None,
+    accumulate: str = "host",
 ) -> CalibrationResult:
     """Run calibration forwards and accumulate statistics.
 
@@ -90,48 +133,72 @@ def calibrate(
       batches: list of [B, T] int token arrays (uniform T; B may vary on
         the last batch).
       target_layers: layers whose Grams are collected this chunk.
+      accumulate: "host" (per-batch f64 on the host, reference parity) or
+        "device" (on-device f32 running sums, one fetch per chunk).
     """
     stats_layers = tuple(int(l) for l in target_layers)
     fn = _stats_fn(spec, stats_layers, mesh)
 
-    acc_mlp = acc_q = acc_k = acc_x = None
-    bi = np.zeros(spec.n_layers, dtype=np.float64)
     n_sequences = 0
     seq_len = int(batches[0].shape[1])
 
-    for batch in batches:
-        n_sequences += int(batch.shape[0])
-        stats = fn(params, jnp.asarray(batch))
-        # Host f64 accumulation (exact summation across batches).
-        s_mlp = np.asarray(stats.cov_mlp, dtype=np.float64)
-        s_q = np.asarray(stats.cov_q, dtype=np.float64)
-        s_k = np.asarray(stats.cov_k, dtype=np.float64)
-        s_x = np.asarray(stats.cov_x, dtype=np.float64)
-        bi += np.asarray(stats.bi_acc, dtype=np.float64)
-        if acc_mlp is None:
-            acc_mlp, acc_q, acc_k, acc_x = s_mlp, s_q, s_k, s_x
+    if accumulate == "device":
+        uniform = len({b.shape for b in batches}) == 1
+        if uniform and mesh is None and len(batches) > 1:
+            # Single-dispatch scan over the stacked batches.
+            n_sequences = sum(int(b.shape[0]) for b in batches)
+            stacked = jnp.asarray(np.stack([np.asarray(b) for b in batches]))
+            acc = _scan_stats_fn(spec, stats_layers)(params, stacked)
         else:
-            acc_mlp += s_mlp
-            acc_q += s_q
-            acc_k += s_k
-            acc_x += s_x
+            acc = None
+            for batch in batches:
+                n_sequences += int(batch.shape[0])
+                stats = fn(params, jnp.asarray(batch))
+                acc = stats if acc is None else _acc_add(acc, stats)
+        total_tokens = n_sequences * seq_len
+        inv = jnp.asarray(1.0 / total_tokens, acc.cov_mlp.dtype)
+        acc_mlp = acc.cov_mlp * inv
+        acc_q = acc.cov_q * inv
+        acc_k = acc.cov_k * inv
+        acc_x = acc.cov_x * inv
+        bi = np.asarray(acc.bi_acc, dtype=np.float64) / n_sequences
+    else:
+        acc_mlp = acc_q = acc_k = acc_x = None
+        bi = np.zeros(spec.n_layers, dtype=np.float64)
+        for batch in batches:
+            n_sequences += int(batch.shape[0])
+            stats = fn(params, jnp.asarray(batch))
+            # Host f64 accumulation (exact summation across batches).
+            s_mlp = np.asarray(stats.cov_mlp, dtype=np.float64)
+            s_q = np.asarray(stats.cov_q, dtype=np.float64)
+            s_k = np.asarray(stats.cov_k, dtype=np.float64)
+            s_x = np.asarray(stats.cov_x, dtype=np.float64)
+            bi += np.asarray(stats.bi_acc, dtype=np.float64)
+            if acc_mlp is None:
+                acc_mlp, acc_q, acc_k, acc_x = s_mlp, s_q, s_k, s_x
+            else:
+                acc_mlp += s_mlp
+                acc_q += s_q
+                acc_k += s_k
+                acc_x += s_x
 
-    total_tokens = n_sequences * seq_len
-    # Normalisation (reference: calibration.py:135-146 — BI by sequence
-    # count, covariances by token count; the reference hardcodes 2048 as
-    # the token count per sequence, we use the actual seq_len, identical
-    # for the reference's configs).
-    bi /= n_sequences
-    acc_mlp /= total_tokens
-    acc_q /= total_tokens
-    acc_k /= total_tokens
-    acc_x /= total_tokens
+        total_tokens = n_sequences * seq_len
+        # Normalisation (reference: calibration.py:135-146 — BI by sequence
+        # count, covariances by token count; the reference hardcodes 2048 as
+        # the token count per sequence, we use the actual seq_len, identical
+        # for the reference's configs).
+        bi /= n_sequences
+        acc_mlp /= total_tokens
+        acc_q /= total_tokens
+        acc_k /= total_tokens
+        acc_x /= total_tokens
 
     logger.info(
-        "calibration: %d sequences x %d tokens, %d target layers",
+        "calibration: %d sequences x %d tokens, %d target layers (%s accumulation)",
         n_sequences,
         seq_len,
         len(stats_layers),
+        accumulate,
     )
     return CalibrationResult(
         cov_mlp={l: acc_mlp[i] for i, l in enumerate(stats_layers)},

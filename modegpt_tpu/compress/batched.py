@@ -45,7 +45,33 @@ __all__ = ["solve_chunk_batched"]
 
 
 def _hf_w(lp: Dict, name: str) -> np.ndarray:
+    """Forward kernel [in, out] -> HF [out, in], on the host."""
     return np.asarray(lp[name]["kernel"]).T
+
+
+def _hf_w_dev(lp: Dict, name: str) -> jax.Array:
+    """Same, but as a device op (no host round-trip)."""
+    return jnp.asarray(lp[name]["kernel"]).T
+
+
+def _stack_covs(covs: Dict[int, object], layers, dt, use_dev: bool) -> jax.Array:
+    vals = [covs[l] for l in layers]
+    if isinstance(vals[0], jax.Array) and use_dev:
+        return jnp.stack(vals).astype(dt)
+    return jnp.asarray(np.stack([np.asarray(v) for v in vals]), dtype=dt)
+
+
+def _stack_w(layer_params, layers, name: str, dt, use_dev: bool) -> jax.Array:
+    if use_dev:
+        return jnp.stack([_hf_w_dev(layer_params[l], name) for l in layers]).astype(dt)
+    return jnp.asarray(np.stack([_hf_w(layer_params[l], name) for l in layers]), dtype=dt)
+
+
+def _diag_host(cov) -> np.ndarray:
+    """Per-head covariance diagonals on the host (fetches [H, hd] only)."""
+    if isinstance(cov, jax.Array):
+        return np.asarray(jnp.diagonal(cov, axis1=-2, axis2=-1), dtype=np.float64)
+    return np.einsum("hii->hi", cov)
 
 
 def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
@@ -54,12 +80,14 @@ def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
     return np.argsort(-scores, kind="stable")[:k]
 
 
-def _solve_mlp_batched(spec, layer_params, layers, ranks, calib, config, dt) -> Dict[int, Dict]:
-    cov = jnp.asarray(np.stack([calib.cov_mlp[l] for l in layers]), dtype=dt)
-    W_u = jnp.asarray(np.stack([_hf_w(layer_params[l], "up") for l in layers]), dtype=dt)
-    W_d = jnp.asarray(np.stack([_hf_w(layer_params[l], "down") for l in layers]), dtype=dt)
+def _solve_mlp_batched(
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev
+) -> Dict[int, Dict]:
+    cov = _stack_covs(calib.cov_mlp, layers, dt, use_dev)
+    W_u = _stack_w(layer_params, layers, "up", dt, use_dev)
+    W_d = _stack_w(layer_params, layers, "down", dt, use_dev)
     if spec.gated_mlp:
-        W_g = jnp.asarray(np.stack([_hf_w(layer_params[l], "gate") for l in layers]), dtype=dt)
+        W_g = _stack_w(layer_params, layers, "gate", dt, use_dev)
     else:
         W_g = W_u  # placeholder; gate output discarded
     ranks_arr = jnp.asarray(ranks, dtype=jnp.int32)
@@ -94,8 +122,8 @@ def _solve_qk_host(spec, layer_params, layers, ranks, calib, config) -> Dict[int
     out = {}
     for i, l in enumerate(layers):
         r = ranks[i]
-        dq = np.einsum("hii->hi", calib.cov_q[l])  # [H, hd]
-        dk = np.einsum("hii->hi", calib.cov_k[l])  # [Hk, hd]
+        dq = _diag_host(calib.cov_q[l])  # [H, hd]
+        dk = _diag_host(calib.cov_k[l])  # [Hk, hd]
         W_q = _hf_w(layer_params[l], "q").reshape(H, hd, -1)
         W_k = _hf_w(layer_params[l], "k").reshape(Hk, hd, -1)
         if spec.uses_rope:
@@ -137,19 +165,25 @@ def _solve_qk_host(spec, layer_params, layers, ranks, calib, config) -> Dict[int
     return out
 
 
-def _solve_vo_batched(spec, layer_params, layers, ranks, calib, config, dt, whiten) -> Dict[int, Dict]:
-    cov = jnp.asarray(np.stack([calib.cov_x[l] for l in layers]), dtype=dt)
-    W_v = jnp.asarray(np.stack([_hf_w(layer_params[l], "v") for l in layers]), dtype=dt)
-    W_o = jnp.asarray(np.stack([_hf_w(layer_params[l], "o") for l in layers]), dtype=dt)
+def _solve_vo_batched(
+    spec, layer_params, layers, ranks, calib, config, dt, whiten, use_dev
+) -> Dict[int, Dict]:
+    cov = _stack_covs(calib.cov_x, layers, dt, use_dev)
+    W_v = _stack_w(layer_params, layers, "v", dt, use_dev)
+    W_o = _stack_w(layer_params, layers, "o", dt, use_dev)
 
     v_full, o_full = jax.vmap(
         vo_full_factors, in_axes=(0, 0, 0, None, None, None, None)
     )(cov, W_v, W_o, spec.n_heads, spec.n_kv_heads, config.ridge_vo, whiten)
-    v_full, o_full = np.asarray(v_full), np.asarray(o_full)
+    # Slice to the chunk's max rank on-device before fetching.
+    max_r = int(max(ranks))
+    v_full = np.asarray(v_full[:, :, :, :max_r])
+    o_full = np.asarray(o_full[:, :, :max_r, :])
 
     out = {}
     for i, l in enumerate(layers):
         r = ranks[i]
+        # numpy in, numpy out — vo_factors_from_full is pure slicing/reshape.
         f = vo_factors_from_full(v_full[i], o_full[i], r, spec.n_heads, spec.n_kv_heads)
         fd = {"v": np.asarray(f.v), "o": np.asarray(f.o)}
         if "bias" in layer_params[l].get("v", {}):
@@ -177,19 +211,22 @@ def solve_chunk_batched(
     layers = list(target_layers)
     layer_params = {l: params["layers"][l] for l in layers}
     dt = solver_dtype(config.solver_precision)
+    use_dev = config.solver_precision == "f32_device"
     whiten = "eigh" if config.solver_precision == "f64_cpu" else "cholesky"
 
     out: Dict[str, Dict[int, Dict]] = {}
     with solver_placement(config.solver_precision):
         if "mlp" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "mlp") for l in layers]
-            out["mlp"] = _solve_mlp_batched(spec, layer_params, layers, ranks, calib, config, dt)
+            out["mlp"] = _solve_mlp_batched(
+                spec, layer_params, layers, ranks, calib, config, dt, use_dev
+            )
         if "qk" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "qk") for l in layers]
             out["qk"] = _solve_qk_host(spec, layer_params, layers, ranks, calib, config)
         if "vo" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "vo") for l in layers]
             out["vo"] = _solve_vo_batched(
-                spec, layer_params, layers, ranks, calib, config, dt, whiten
+                spec, layer_params, layers, ranks, calib, config, dt, whiten, use_dev
             )
     return out

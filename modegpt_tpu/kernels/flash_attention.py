@@ -1,0 +1,131 @@
+"""Pallas TPU flash attention for compressed (non-128-aligned) head dims.
+
+The compressed models this framework produces have per-layer head dims
+like 40, 44, 88 (head_dim * keep_ratio, evenized) — XLA's stock attention
+handles them, but materialises the [T, T] score matrix in HBM at eval
+batch sizes. This kernel computes causal attention with the standard
+online-softmax (flash) recurrence, tiled over the query and key sequence
+axes so scores live only in VMEM, with the non-aligned head dim padded
+to the lane width inside VMEM only.
+
+Grid: (batch*heads, q_tiles); the k loop is a `fori_loop` inside the
+kernel over k tiles up to the causal frontier. GQA is handled by the
+index map (kv head = q head // group).
+
+Inference/eval only (no VJP — the compression pipeline is training-free;
+reference has no backward passes either).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e30
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len):
+    qi = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32)  # [block_q, hd] (pre-scaled by caller)
+
+    q_start = qi * block_q
+    # causal frontier: last k tile index that intersects this q tile
+    num_k = (q_start + block_q + block_k - 1) // block_k
+
+    def body(ki, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [block_q, block_k]
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (k_ids <= q_ids) & (k_ids < seq_len)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_cur, l_cur
+
+    hd_v = v_ref.shape[-1]
+    acc0 = jnp.zeros((block_q, hd_v), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Causal flash attention.
+
+    Args:
+      q: [B, H, T, hd]
+      k: [B, Hk, T, hd]   (Hk divides H; GQA repeat handled by index map)
+      v: [B, Hk, T, hd_v]
+      interpret: force Pallas interpreter mode (auto: on for CPU backend,
+        where Mosaic TPU kernels can't compile).
+    Returns [B, H, T, hd_v] in q's dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, T, hd = q.shape
+    Hk = k.shape[1]
+    hd_v = v.shape[-1]
+    group = H // Hk
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+
+    block_q = min(block_q, _ceil_to(T, 128))
+    block_k = min(block_k, _ceil_to(T, 128))
+    t_pad = _ceil_to(T, max(block_q, block_k))
+
+    # Pre-scale q outside the kernel (a traced scalar can't be closed over).
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, T, hd)
+    kf = k.reshape(B * Hk, T, hd)
+    vf = v.reshape(B * Hk, T, hd_v)
+    if t_pad != T:
+        qf = jnp.pad(qf, ((0, 0), (0, t_pad - T), (0, 0)))
+        kf = jnp.pad(kf, ((0, 0), (0, t_pad - T), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, t_pad - T), (0, 0)))
+
+    grid = (B * H, t_pad // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, block_q=block_q, block_k=block_k, seq_len=T),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((1, t_pad, hd), lambda bh, qi, group=group: (bh // group, 0, 0)),
+            pl.BlockSpec((1, t_pad, hd_v), lambda bh, qi, group=group: (bh // group, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd_v), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, hd_v), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out[:, :T, :].reshape(B, H, T, hd_v)

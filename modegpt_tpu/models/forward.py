@@ -99,14 +99,23 @@ def _head_gram(x: jax.Array) -> jax.Array:
     return jnp.einsum("bthi,bthj->hij", xf, xf, precision=_HI)
 
 
-def _attention(q, k, v, scaling: float, window: Optional[int]):
+def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"):
     """Causal (optionally sliding-window) dot-product attention.
 
     q: [B, H, T, r], k/v: [B, Hk, T, r_k] — kv heads are repeated to H.
     Softmax in float32 (reference: LlamaRebuild.py:241).
+
+    impl="flash" routes to the Pallas online-softmax kernel
+    (modegpt_tpu/kernels/flash_attention.py) — used on TPU where it
+    avoids materialising [T, T] scores in HBM; sliding-window layers and
+    tiny shapes fall back to the XLA path.
     """
     B, H, T, _ = q.shape
     Hk = k.shape[1]
+    if impl == "flash" and window is None and T >= 128:
+        from modegpt_tpu.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scaling)
     if Hk != H:
         rep = H // Hk
         k = jnp.repeat(k, rep, axis=1)
@@ -130,6 +139,7 @@ def _layer(
     cos: Optional[jax.Array],
     sin: Optional[jax.Array],
     collect: bool,
+    attn_impl: str = "xla",
 ):
     """One decoder layer. Returns (x_out, taps or None)."""
     B, T, _ = x.shape
@@ -172,7 +182,7 @@ def _layer(
         window = spec.sliding_window
 
     scaling = q_hd**-0.5  # compressed-head-dim scaling (reference: LlamaRebuild.py:282)
-    attn = _attention(q, k, v, scaling, window)
+    attn = _attention(q, k, v, scaling, window, attn_impl)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
     x = residual + _linear(attn, p["o"])
 
@@ -205,13 +215,14 @@ def _bi_piece(h_in: jax.Array, h_out: jax.Array) -> jax.Array:
     return jnp.sum(jnp.mean(1.0 - cos, axis=1), axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "stats_layers", "return_hidden"))
+@partial(jax.jit, static_argnames=("spec", "stats_layers", "return_hidden", "attn_impl"))
 def forward(
     spec: ModelSpec,
     params: Dict,
     input_ids: jax.Array,
     stats_layers: Tuple[int, ...] = (),
     return_hidden: bool = False,
+    attn_impl: str = "auto",
 ):
     """Run the model. Returns (logits, CalibStats | None).
 
@@ -235,6 +246,9 @@ def forward(
     if spec.uses_rope:
         cos, sin = rope_cos_sin(jnp.arange(T), spec.head_dim, spec.rope_theta, dtype=x.dtype)
 
+    if attn_impl == "auto":
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+
     collect = len(stats_layers) > 0
     taps_by_layer = {}
     bi = []
@@ -242,7 +256,9 @@ def forward(
 
     for l in range(spec.n_layers):
         h_in = x
-        x, taps = _layer(spec, l, params["layers"][l], x, cos, sin, collect and (l in stats_layers))
+        x, taps = _layer(
+            spec, l, params["layers"][l], x, cos, sin, collect and (l in stats_layers), attn_impl
+        )
         if collect:
             bi.append(_bi_piece(h_in, x))
         if taps is not None:

@@ -1,0 +1,206 @@
+"""Autoregressive generation with a KV cache for compressed models.
+
+The reference relies on HF `generate` through its vendored Rebuild
+classes (reference: src/patchers/LlamaRebuild.py:343-348 KV-cache update
+inside the compressed attention; OPTRebuild likewise). Here generation is
+a jitted single-token decode step over a preallocated static-shape KV
+cache — per-layer cache shapes follow the heterogeneous compressed ranks,
+and masked RoPE is applied at the decode position through each layer's
+rotary mask.
+
+Design notes (TPU):
+* static cache of max_len, updated with `lax.dynamic_update_slice` —
+  no shape changes across steps, so the decode step compiles once;
+* prefill runs the full forward once and writes the cache in one shot;
+* sampling is greedy or temperature/top-k with a threaded PRNG key.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modegpt_tpu.models.forward import _act, _attention, _linear, _norm
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.rope import masked_head_rms_norm, rope_cos_sin
+
+__all__ = ["KVCache", "init_cache", "prefill", "decode_step", "generate"]
+
+
+class KVCache(NamedTuple):
+    """Per-layer key/value caches, lists of [B, Hk, max_len, r]."""
+
+    k: Tuple[jax.Array, ...]
+    v: Tuple[jax.Array, ...]
+    length: jax.Array  # current filled length (scalar int32)
+
+
+def init_cache(spec: ModelSpec, batch: int, max_len: int, dtype=jnp.float32) -> KVCache:
+    ks, vs = [], []
+    for l in range(spec.n_layers):
+        r_k = spec.k_ranks[l] // spec.n_kv_heads
+        r_v = spec.v_ranks[l] // spec.n_kv_heads
+        ks.append(jnp.zeros((batch, spec.n_kv_heads, max_len, r_k), dtype=dtype))
+        vs.append(jnp.zeros((batch, spec.n_kv_heads, max_len, r_v), dtype=dtype))
+    return KVCache(k=tuple(ks), v=tuple(vs), length=jnp.asarray(0, jnp.int32))
+
+
+def _rope_at(cos, sin, rotary_mask, q, k, group):
+    """Apply (masked) RoPE given per-position cos/sin [T, hd]."""
+    from modegpt_tpu.ops.rope import apply_rope
+
+    return apply_rope(q, k, cos, sin, rotary_mask)
+
+
+def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len):
+    """One decoder layer over new tokens x [B, S, d], reading/writing the
+    cache at offset `pos`. Returns (x_out, new_cache_k, new_cache_v)."""
+    B, S, _ = x.shape
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[layer_idx] // H
+    v_hd = spec.v_ranks[layer_idx] // Hk
+    rotary_mask = p.get("rotary_mask")
+
+    residual = x
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+    q = _linear(x_ln, p["q"]).reshape(B, S, H, q_hd)
+    k = _linear(x_ln, p["k"]).reshape(B, S, Hk, q_hd)
+    v = _linear(x_ln, p["v"]).reshape(B, S, Hk, v_hd)
+
+    if spec.qk_norm:
+        q = masked_head_rms_norm(q, p["q_norm"]["scale"], rotary_mask, spec.group_size, spec.norm_eps)
+        k = masked_head_rms_norm(k, p["k_norm"]["scale"], rotary_mask, 1, spec.norm_eps)
+
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+
+    if spec.uses_rope:
+        q, k = _rope_at(cos, sin, rotary_mask, q, k, spec.group_size)
+
+    zero = jnp.asarray(0, pos.dtype)
+    cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (zero, zero, pos, zero))
+    cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (zero, zero, pos, zero))
+
+    # Attend over the filled prefix [0, pos+S).
+    k_all = cache_k
+    v_all = cache_v
+    if Hk != H:
+        k_all = jnp.repeat(k_all, H // Hk, axis=1)
+        v_all = jnp.repeat(v_all, H // Hk, axis=1)
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all) * (q_hd**-0.5)
+    t_ids = jnp.arange(max_len)[None, :]
+    s_ids = pos + jnp.arange(S)[:, None]
+    mask = t_ids <= s_ids  # causal within cache coordinates
+    scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * v_hd)
+    x = residual + _linear(attn, p["o"])
+
+    residual = x
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    if spec.gated_mlp:
+        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    else:
+        h = _act(_linear(x_ln2, p["up"]), spec.act)
+    x = residual + _linear(h, p["down"])
+    return x, cache_k, cache_v
+
+
+@partial(jax.jit, static_argnames=("spec", "max_len"), donate_argnames=("cache",))
+def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache, max_len: int):
+    """Run new tokens [B, S] through the model, updating the cache."""
+    B, S = tokens.shape
+    pos = cache.length
+    x = params["embed_tokens"][tokens]
+    if spec.arch == "opt":
+        positions = pos + jnp.arange(S) + 2
+        x = x + params["embed_positions"][positions][None, :, :]
+
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(
+            pos + jnp.arange(S), spec.head_dim, spec.rope_theta, dtype=x.dtype
+        )
+
+    new_k, new_v = [], []
+    for l in range(spec.n_layers):
+        x, ck, cv = _layer_step(
+            spec, l, params["layers"][l], x, cos, sin, cache.k[l], cache.v[l], pos, max_len
+        )
+        new_k.append(ck)
+        new_v.append(cv)
+
+    x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if params.get("lm_head") is not None:
+        logits = _linear(x, params["lm_head"])
+    else:
+        logits = x @ params["embed_tokens"].T
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v), length=pos + S)
+
+
+def prefill(spec, params, prompt_ids, cache):
+    """Process the prompt; returns (last-position logits, cache)."""
+    max_len = cache.k[0].shape[2]
+    logits, cache = _model_step(spec, params, prompt_ids, cache, max_len)
+    return logits[:, -1, :], cache
+
+
+def decode_step(spec, params, token, cache):
+    """One-token decode. token: [B, 1]."""
+    max_len = cache.k[0].shape[2]
+    logits, cache = _model_step(spec, params, token, cache, max_len)
+    return logits[:, -1, :], cache
+
+
+def _sample(logits, key, temperature: float, top_k: Optional[int]):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k is not None:
+        vals, _ = lax.top_k(logits, top_k)
+        logits = jnp.where(logits < vals[..., -1:], -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def generate(
+    spec: ModelSpec,
+    params: Dict,
+    prompt_ids,
+    max_new_tokens: int = 32,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    eos_token_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    max_len: Optional[int] = None,
+):
+    """Batched autoregressive generation. Returns [B, prompt+new] tokens."""
+    prompt_ids = jnp.asarray(prompt_ids)
+    B, P = prompt_ids.shape
+    if max_len is None:
+        max_len = P + max_new_tokens
+    if key is None:
+        key = jax.random.key(0)
+
+    cache = init_cache(spec, B, max_len, dtype=params["embed_tokens"].dtype)
+    logits, cache = prefill(spec, params, prompt_ids, cache)
+
+    out = [prompt_ids]
+    done = jnp.zeros((B,), dtype=bool)
+    token = None
+    for _ in range(max_new_tokens):
+        key, sub = jax.random.split(key)
+        token = _sample(logits, sub, temperature, top_k)
+        if eos_token_id is not None:
+            token = jnp.where(done, eos_token_id, token)
+            done = done | (token == eos_token_id)
+        out.append(token[:, None])
+        if eos_token_id is not None and bool(done.all()):
+            break
+        logits, cache = decode_step(spec, params, token[:, None], cache)
+    return jnp.concatenate(out, axis=1)

@@ -58,3 +58,27 @@ def test_batched_equals_per_layer(arch):
                     np.asarray(got), np.asarray(val), rtol=1e-9, atol=1e-11,
                     err_msg=f"{arch} layer {l} {s}/{key}",
                 )
+
+
+def test_device_accumulation_matches_host():
+    """device (f32 scan) accumulation must match host f64 accumulation to
+    f32 tolerance, including the single-dispatch scan path."""
+    mk = lambda: transformers.LlamaForCausalLM(
+        transformers.LlamaConfig(
+            vocab_size=128, hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        )
+    ).eval()
+    torch.manual_seed(1)
+    model = mk()
+    spec, params = params_from_hf_model(model)
+    batches = load_calibration_batches(None, "synthetic", 6, 2, 48, vocab_size=spec.vocab_size)
+    host = calibrate(spec, params, batches, [0, 1], accumulate="host")
+    dev = calibrate(spec, params, batches, [0, 1], accumulate="device")
+    for l in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(dev.cov_mlp[l]), host.cov_mlp[l], rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(dev.cov_x[l]), host.cov_x[l], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(dev.cov_q[l]), host.cov_q[l], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(dev.bi_scores, host.bi_scores, rtol=1e-5)

@@ -113,3 +113,31 @@ def test_masked_rope_gathers_frequencies(rng):
     qm, _ = apply_rope(q_sliced, q_sliced, cos, sin, mask)
     want = jnp.take(qd, mask[0], axis=-1)
     np.testing.assert_allclose(np.asarray(qm), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
+def test_flash_attention_matches_xla(rng):
+    """Pallas flash kernel (interpret mode on CPU) == XLA attention."""
+    from modegpt_tpu.kernels.flash_attention import flash_attention
+    from modegpt_tpu.models.forward import _attention
+
+    B, H, Hk, T, hd = 2, 4, 2, 160, 24  # non-aligned T and hd, GQA
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+    scale = hd**-0.5
+    ref = _attention(q, k, v, scale, None, impl="xla")
+    got = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_long_causal(rng):
+    from modegpt_tpu.kernels.flash_attention import flash_attention
+    from modegpt_tpu.models.forward import _attention
+
+    B, H, T, hd = 1, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    ref = _attention(q, k, v, hd**-0.5, None, impl="xla")
+    got = flash_attention(q, k, v, block_q=256, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
