@@ -65,7 +65,13 @@ class CalibrationResult:
 
 def _stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...], mesh: Optional[jax.sharding.Mesh]):
     """Build the jitted per-batch stats function (logits are discarded —
-    XLA dead-code-eliminates the LM head for calibration batches)."""
+    XLA dead-code-eliminates the LM head for calibration batches).
+
+    With a mesh: the batch is data-sharded; params keep whatever sharding
+    the caller placed them with (e.g. Megatron TP via
+    `modegpt_tpu.parallel.mesh.param_shardings`); the Gram outputs are
+    replicated — GSPMD inserts the psum over data shards.
+    """
 
     def fn(params, batch):
         _, stats = forward(spec, params, batch, stats_layers=stats_layers)
@@ -79,11 +85,7 @@ def _stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...], mesh: Optional[jax
     batch_sharding = NamedSharding(mesh, P("data", None))
     replicated = NamedSharding(mesh, P())
 
-    return jax.jit(
-        fn,
-        in_shardings=(replicated, batch_sharding),
-        out_shardings=replicated,
-    )
+    return jax.jit(fn, in_shardings=(None, batch_sharding), out_shardings=replicated)
 
 
 @jax.jit

@@ -74,6 +74,30 @@ def _diag_host(cov) -> np.ndarray:
     return np.einsum("hii->hi", cov)
 
 
+def _shard_layers(arrs, ranks_arr, mesh):
+    """Shard stacked per-layer arrays over the mesh's first axis —
+    layers are embarrassingly parallel, so GSPMD partitions the vmapped
+    solver with zero communication. Pads the layer axis to the axis size
+    (padding rows are discarded by the host slicing)."""
+    if mesh is None:
+        return arrs, ranks_arr, arrs[0].shape[0]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n = mesh.shape[axis]
+    L = arrs[0].shape[0]
+    pad = (-L) % n
+    out = []
+    for x in arrs:
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        out.append(jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))))
+    if pad:
+        ranks_arr = jnp.concatenate([ranks_arr, jnp.repeat(ranks_arr[-1:], pad, axis=0)])
+    ranks_arr = jax.device_put(ranks_arr, NamedSharding(mesh, P(axis)))
+    return out, ranks_arr, L
+
+
 def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
     """Descending top-k indices with lower-index tie-breaks — matches
     jax.lax.top_k and torch.topk ordering."""
@@ -81,7 +105,7 @@ def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
 
 
 def _solve_mlp_batched(
-    spec, layer_params, layers, ranks, calib, config, dt, use_dev
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None
 ) -> Dict[int, Dict]:
     cov = _stack_covs(calib.cov_mlp, layers, dt, use_dev)
     W_u = _stack_w(layer_params, layers, "up", dt, use_dev)
@@ -93,10 +117,13 @@ def _solve_mlp_batched(
     ranks_arr = jnp.asarray(ranks, dtype=jnp.int32)
     pad = int(max(ranks))
 
+    (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
+        (cov, W_u, W_g, W_d), ranks_arr, mesh
+    )
     up, gate, down, idx, valid = jax.vmap(
         nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
     )(cov, W_u, W_g, W_d, ranks_arr, pad, jnp.asarray(config.nystrom_ridge, dt))
-    up, gate, down, idx = map(np.asarray, (up, gate, down, idx))
+    up, gate, down, idx = (np.asarray(a[:n_real]) for a in (up, gate, down, idx))
 
     out = {}
     for i, l in enumerate(layers):
@@ -166,19 +193,22 @@ def _solve_qk_host(spec, layer_params, layers, ranks, calib, config) -> Dict[int
 
 
 def _solve_vo_batched(
-    spec, layer_params, layers, ranks, calib, config, dt, whiten, use_dev
+    spec, layer_params, layers, ranks, calib, config, dt, whiten, use_dev, mesh=None
 ) -> Dict[int, Dict]:
     cov = _stack_covs(calib.cov_x, layers, dt, use_dev)
     W_v = _stack_w(layer_params, layers, "v", dt, use_dev)
     W_o = _stack_w(layer_params, layers, "o", dt, use_dev)
 
+    (cov, W_v, W_o), _, n_real = _shard_layers(
+        (cov, W_v, W_o), jnp.zeros(cov.shape[0], jnp.int32), mesh
+    )
     v_full, o_full = jax.vmap(
         vo_full_factors, in_axes=(0, 0, 0, None, None, None, None)
     )(cov, W_v, W_o, spec.n_heads, spec.n_kv_heads, config.ridge_vo, whiten)
     # Slice to the chunk's max rank on-device before fetching.
     max_r = int(max(ranks))
-    v_full = np.asarray(v_full[:, :, :, :max_r])
-    o_full = np.asarray(o_full[:, :, :max_r, :])
+    v_full = np.asarray(v_full[:n_real, :, :, :max_r])
+    o_full = np.asarray(o_full[:n_real, :, :max_r, :])
 
     out = {}
     for i, l in enumerate(layers):
@@ -206,6 +236,7 @@ def solve_chunk_batched(
     calib: CalibrationResult,
     config: CompressionConfig,
     order: str,
+    mesh=None,
 ) -> Dict[str, Dict[int, Dict]]:
     """Solve a whole layer chunk with one device program per suffix."""
     layers = list(target_layers)
@@ -219,7 +250,7 @@ def solve_chunk_batched(
         if "mlp" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "mlp") for l in layers]
             out["mlp"] = _solve_mlp_batched(
-                spec, layer_params, layers, ranks, calib, config, dt, use_dev
+                spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh
             )
         if "qk" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "qk") for l in layers]
@@ -227,6 +258,6 @@ def solve_chunk_batched(
         if "vo" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "vo") for l in layers]
             out["vo"] = _solve_vo_batched(
-                spec, layer_params, layers, ranks, calib, config, dt, whiten, use_dev
+                spec, layer_params, layers, ranks, calib, config, dt, whiten, use_dev, mesh
             )
     return out

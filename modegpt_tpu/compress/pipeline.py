@@ -185,6 +185,14 @@ def run_compression(
             params,
         )
 
+    if mesh is not None:
+        # Tensor/data-parallel placement: Megatron-style TP shardings when
+        # the mesh has a "model" axis, replicated otherwise (new capability
+        # vs the reference's single-process design, SURVEY.md §2).
+        from modegpt_tpu.parallel.mesh import param_shardings
+
+        params = jax.device_put(params, param_shardings(mesh, spec, params))
+
     # ---- baseline PPL (reference: run_modegpt.py:91-99) ----
     if eval_tokens is None and not (config.skip_baseline_eval and config.skip_final_eval):
         eval_tokens = load_eval_tokens(
@@ -242,8 +250,9 @@ def run_compression(
             metrics["smoothing"] = config.sparsity_smoothing
             from modegpt_tpu.compress.batched import solve_chunk_batched
 
+            solver_mesh = mesh if config.solver_precision == "f32_device" else None
             chunk_factors = solve_chunk_batched(
-                spec, params, pending, keep_ratios, calib, config, order
+                spec, params, pending, keep_ratios, calib, config, order, mesh=solver_mesh
             )
             for s, by_layer in chunk_factors.items():
                 for l, f in by_layer.items():

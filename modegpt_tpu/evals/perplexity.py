@@ -64,7 +64,7 @@ def compute_perplexity(
         nll_fn = jax.jit(
             _batch_nll.__wrapped__,
             static_argnames=("spec",),
-            in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data", None))),
+            in_shardings=(None, NamedSharding(mesh, P("data", None))),
             out_shardings=NamedSharding(mesh, P()),
         )
 

@@ -1,0 +1,83 @@
+"""Mesh-parallel execution tests on 8 virtual CPU devices."""
+
+import jax
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from modegpt_tpu.calib.data import load_calibration_batches
+from modegpt_tpu.calib.engine import calibrate
+from modegpt_tpu.compress.pipeline import run_compression
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.models import forward, params_from_hf_model
+from modegpt_tpu.parallel.mesh import make_mesh, param_shardings, parse_mesh_shape
+
+
+def _tiny_llama(seed=0):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, max_position_embeddings=128,
+    )
+    torch.manual_seed(seed)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+def test_parse_and_make_mesh():
+    assert parse_mesh_shape("data:4,model:2") == {"data": 4, "model": 2}
+    mesh = make_mesh("data:4,model:2")
+    assert mesh.shape == {"data": 4, "model": 2}
+    assert make_mesh("", devices=jax.devices()[:1]) is None
+    with pytest.raises(ValueError):
+        make_mesh("data:64")
+
+
+def test_tp_forward_matches_single_device(rng):
+    """Megatron-sharded forward must equal the unsharded one."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    ids = rng.integers(0, 128, size=(4, 16)).astype(np.int32)
+    ref, _ = forward(spec, params, jnp.asarray(ids))
+
+    mesh = make_mesh("data:2,model:4")
+    sharded = jax.device_put(params, param_shardings(mesh, spec, params))
+    got, _ = forward(spec, sharded, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_mesh_calibration_matches_single_device():
+    spec, params = params_from_hf_model(_tiny_llama(seed=1))
+    batches = load_calibration_batches(None, "synthetic", 8, 4, 32, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0, 1], accumulate="host")
+
+    mesh = make_mesh("data:4")
+    sharded = jax.device_put(params, param_shardings(mesh, spec, params))
+    got = calibrate(spec, sharded, batches, [0, 1], mesh=mesh, accumulate="host")
+    for l in (0, 1):
+        np.testing.assert_allclose(got.cov_mlp[l], ref.cov_mlp[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_x[l], ref.cov_x[l], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
+
+
+def test_pipeline_on_mesh_matches_single_device(tmp_path):
+    """Full pipeline on a dp x tp mesh == single-device pipeline."""
+    model = _tiny_llama(seed=2)
+    spec, params = params_from_hf_model(model)
+
+    def cfg(sub):
+        return CompressionConfig(
+            model="mem", dataset="synthetic", calib_size=8, calibs_batch_size=4,
+            seq_len=32, eval_batch_size=4, eval_max_samples=8,
+            compression_ratio=0.3, sparsity_smoothing=0.5,
+            output_dir=str(tmp_path / sub / "o"), temp_storage_dir=str(tmp_path / sub / "l"),
+            metrics_dir=str(tmp_path / sub / "m"), solver_precision="f32_device",
+        )
+
+    r_single = run_compression(cfg("single"), spec=spec, params=params, tokenizer=None)
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    r_mesh = run_compression(cfg("mesh"), spec=spec, params=params, tokenizer=None, mesh=mesh)
+
+    assert abs(r_mesh["compressed_ppl"] - r_single["compressed_ppl"]) < 2e-3 * r_single["compressed_ppl"]
+    assert r_mesh["compressed_spec"].gate_ranks == r_single["compressed_spec"].gate_ranks
