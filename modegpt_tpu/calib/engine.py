@@ -63,7 +63,12 @@ class CalibrationResult:
     total_tokens: int
 
 
-def _stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...], mesh: Optional[jax.sharding.Mesh]):
+def _stats_fn(
+    spec: ModelSpec,
+    stats_layers: Tuple[int, ...],
+    mesh: Optional[jax.sharding.Mesh],
+    shard_sequence: bool = False,
+):
     """Build the jitted per-batch stats function (logits are discarded —
     XLA dead-code-eliminates the LM head for calibration batches).
 
@@ -71,6 +76,12 @@ def _stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...], mesh: Optional[jax
     the caller placed them with (e.g. Megatron TP via
     `modegpt_tpu.parallel.mesh.param_shardings`); the Gram outputs are
     replicated — GSPMD inserts the psum over data shards.
+
+    shard_sequence=True additionally shards the sequence axis over the
+    "model" axis (sequence parallelism): the Gram statistics are plain
+    sums over tokens, so sequence sharding is exact — GSPMD inserts the
+    gathers the attention needs and the psum that reduces the Grams
+    (long-context extension the reference lacks, SURVEY.md §5).
     """
 
     def fn(params, batch):
@@ -82,7 +93,8 @@ def _stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...], mesh: Optional[jax
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_sharding = NamedSharding(mesh, P("data", None))
+    seq_axis = "model" if (shard_sequence and "model" in mesh.axis_names) else None
+    batch_sharding = NamedSharding(mesh, P("data", seq_axis))
     replicated = NamedSharding(mesh, P())
 
     return jax.jit(fn, in_shardings=(None, batch_sharding), out_shardings=replicated)
@@ -128,6 +140,7 @@ def calibrate(
     target_layers: Sequence[int],
     mesh: Optional[jax.sharding.Mesh] = None,
     accumulate: str = "host",
+    shard_sequence: bool = False,
 ) -> CalibrationResult:
     """Run calibration forwards and accumulate statistics.
 
@@ -137,9 +150,11 @@ def calibrate(
       target_layers: layers whose Grams are collected this chunk.
       accumulate: "host" (per-batch f64 on the host, reference parity) or
         "device" (on-device f32 running sums, one fetch per chunk).
+      shard_sequence: also shard the sequence axis over the mesh's
+        "model" axis (exact for Gram sums).
     """
     stats_layers = tuple(int(l) for l in target_layers)
-    fn = _stats_fn(spec, stats_layers, mesh)
+    fn = _stats_fn(spec, stats_layers, mesh, shard_sequence)
 
     n_sequences = 0
     seq_len = int(batches[0].shape[1])

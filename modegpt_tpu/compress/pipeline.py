@@ -165,6 +165,8 @@ def run_compression(
     baseline/compressed PPL and the artifact path."""
     from modegpt_tpu.utils.logging import setup_logging
 
+    from modegpt_tpu.utils.profiling import trace
+
     setup_logging()
     metrics = MetricsRegistry(config.metrics_dir)
     metrics["args"] = config.to_dict()
@@ -222,6 +224,8 @@ def run_compression(
         )
 
     # ---- layer-chunked calibrate + solve (reference: run_modegpt.py:107-156) ----
+    profile_ctx = trace(config.profile_dir or None)
+    profile_ctx.__enter__()
     t_compress = time.perf_counter()
     suffixes = _suffixes(order)
     factors: Dict[str, Dict[int, Dict]] = {s: {} for s in suffixes}
@@ -239,7 +243,15 @@ def run_compression(
         ]
         if pending:
             accumulate = "device" if config.solver_precision == "f32_device" else "host"
-            calib = calibrate(spec, params, calib_batches, pending, mesh=mesh, accumulate=accumulate)
+            calib = calibrate(
+                spec,
+                params,
+                calib_batches,
+                pending,
+                mesh=mesh,
+                accumulate=accumulate,
+                shard_sequence=config.shard_sequence,
+            )
             keep_ratios, max_sp = allocate_keep_ratios(
                 calib.bi_scores,
                 config.compression_ratio,
@@ -265,6 +277,7 @@ def run_compression(
                 factors[s][l] = load_layer_factors(config.temp_storage_dir, l, s)
 
     compress_seconds = time.perf_counter() - t_compress
+    profile_ctx.__exit__(None, None, None)
     metrics["compress_seconds"] = compress_seconds
     results["compress_seconds"] = compress_seconds
 

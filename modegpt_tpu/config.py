@@ -53,6 +53,8 @@ class CompressionConfig:
     mesh_shape: str = ""  # e.g. "data:4,model:2"; empty = single device
     model_dtype: str = "float32"  # forward dtype: float32 | bfloat16
     metrics_dir: str = "./metrics"
+    profile_dir: str = ""  # jax.profiler trace output; empty = disabled
+    shard_sequence: bool = False  # sequence-parallel calibration over the model axis
     seed: int = 1234
     skip_baseline_eval: bool = False
     skip_final_eval: bool = False

@@ -81,3 +81,18 @@ def test_pipeline_on_mesh_matches_single_device(tmp_path):
 
     assert abs(r_mesh["compressed_ppl"] - r_single["compressed_ppl"]) < 2e-3 * r_single["compressed_ppl"]
     assert r_mesh["compressed_spec"].gate_ranks == r_single["compressed_spec"].gate_ranks
+
+
+def test_sequence_parallel_calibration_matches():
+    """Sequence-sharded calibration (dp x sp mesh) == single-device."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=3))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 64, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0], accumulate="host")
+
+    mesh = make_mesh("data:2,model:4")
+    sharded = jax.device_put(params, param_shardings(mesh, spec, params))
+    got = calibrate(spec, sharded, batches, [0], mesh=mesh, accumulate="host",
+                    shard_sequence=True)
+    np.testing.assert_allclose(got.cov_mlp[0], ref.cov_mlp[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.cov_q[0], ref.cov_q[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
