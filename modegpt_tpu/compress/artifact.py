@@ -49,7 +49,14 @@ def save_layer_factors(output_dir: str, layer_idx: int, suffix: str, factors: Di
     """Persist one layer's solver factors (suffix in mlp|qk|vo)."""
     os.makedirs(os.path.expandvars(output_dir), exist_ok=True)
     path = _factor_path(output_dir, layer_idx, suffix)
-    arrays = {k: np.asarray(v) for k, v in factors.items() if v is not None}
+    arrays = {}
+    for k, v in factors.items():
+        if v is None:
+            continue
+        a = np.asarray(v)
+        if a.dtype == jnp.bfloat16:
+            a = a.astype(np.float32)  # npz has no bf16; f32 is lossless here
+        arrays[k] = a
     np.savez(path, **arrays)
     return path
 

@@ -247,6 +247,20 @@ def solve_chunk_batched(
 
     out: Dict[str, Dict[int, Dict]] = {}
     with solver_placement(config.solver_precision):
+        if config.debug:
+            # Covariance conditioning diagnostics (reference: sqrt_M's
+            # debug prints, compression_utils.py:28-45).
+            from modegpt_tpu.ops.psd import psd_diagnostics
+
+            for l in layers[:2]:
+                if "mlp" in order:
+                    d = psd_diagnostics(jnp.asarray(np.asarray(calib.cov_mlp[l]), dtype=dt),
+                                        config.nystrom_ridge)
+                    logger.info("[debug] layer %d cov_mlp: %s", l, d)
+                if "vo" in order:
+                    d = psd_diagnostics(jnp.asarray(np.asarray(calib.cov_x[l]), dtype=dt),
+                                        config.ridge_vo)
+                    logger.info("[debug] layer %d cov_x: %s", l, d)
         if "mlp" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "mlp") for l in layers]
             out["mlp"] = _solve_mlp_batched(

@@ -35,6 +35,29 @@ def _ridged_eigh(M: jax.Array, ridge: float, scaled: bool):
     return w, V
 
 
+def psd_diagnostics(M: jax.Array, ridge: float = 1e-4, scaled: bool = False) -> dict:
+    """Eigenvalue-range / condition-number diagnostics for a PSD matrix.
+
+    Host-side equivalent of the reference's pre/post-regularisation
+    condition prints and non-PSD warnings inside sqrt_M
+    (reference: src/compression_utils.py:28-45) — exposed as data so the
+    pipeline can log it under --debug instead of printing inline.
+    """
+    w = jnp.linalg.eigvalsh(M)
+    w_max, w_min, w_mean = w[-1], w[0], jnp.mean(w)
+    scale = w_max if scaled else jnp.asarray(1.0, w.dtype)
+    w_reg_min = w_min + ridge * scale
+    out = {
+        "max_eig": float(w_max),
+        "min_eig": float(w_min),
+        "mean_eig": float(w_mean),
+        "cond_pre": float(w_max / (w_min + 1e-9)),
+        "cond_post": float((w_max + ridge * scale) / (w_reg_min + 1e-9)),
+        "is_psd": bool(w_min >= -1e-9 * max(float(w_max), 1.0)),
+    }
+    return out
+
+
 @partial(jax.jit, static_argnames=("scaled",))
 def sqrt_psd(M: jax.Array, ridge: float = 1e-4, scaled: bool = False) -> jax.Array:
     """PSD square root with eigenvalue ridge.

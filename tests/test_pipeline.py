@@ -161,3 +161,27 @@ def test_layer_chunking_equivalence(tmp_path):
     ra = run_compression(cfg_a, spec=spec, params=params, tokenizer=None)
     rb = run_compression(cfg_b, spec=spec, params=params, tokenizer=None)
     assert abs(ra["compressed_ppl"] - rb["compressed_ppl"]) < 1e-9 * max(1.0, ra["compressed_ppl"])
+
+
+def test_bfloat16_model_dtype(tmp_path):
+    """model_dtype=bfloat16 runs end-to-end and saves a bf16 artifact."""
+    model = _tiny_llama(seed=7)
+    spec, params = params_from_hf_model(model)
+    config = _config(tmp_path, model_dtype="bfloat16", solver_precision="f32_device")
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(results["compressed_ppl"])
+    spec2, params2, _ = load_compressed_model(results["artifact_dir"])
+    assert params2["embed_tokens"].dtype == jnp.bfloat16
+    # bf16 eval stays in the same ballpark as the f32 pipeline
+    assert results["compressed_ppl"] < results["baseline_ppl"] * 3.0
+
+
+def test_debug_diagnostics_logged(tmp_path, caplog):
+    import logging as _logging
+
+    model = _tiny_llama(seed=8)
+    spec, params = params_from_hf_model(model)
+    config = _config(tmp_path, debug=True, skip_baseline_eval=True, skip_final_eval=True)
+    with caplog.at_level(_logging.INFO, logger="modegpt_tpu"):
+        run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert any("cov_mlp" in r.message for r in caplog.records)
