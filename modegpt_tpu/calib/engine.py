@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from modegpt_tpu.models.forward import forward
+from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
 from modegpt_tpu.models.spec import ModelSpec
 
 logger = logging.getLogger("modegpt_tpu")
@@ -84,8 +85,10 @@ def _stats_fn(
     (long-context extension the reference lacks, SURVEY.md §5).
     """
 
+    fwd = forward_scan if supports_scan(spec, stats_layers) else forward
+
     def fn(params, batch):
-        _, stats = forward(spec, params, batch, stats_layers=stats_layers)
+        _, stats = fwd(spec, params, batch, stats_layers=stats_layers)
         return stats
 
     if mesh is None:
@@ -112,8 +115,10 @@ def _scan_stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...]):
     whole calibration pass (dispatch/RPC latency dominates on tunneled
     or DCN-attached hosts)."""
 
+    fwd = forward_scan if supports_scan(spec, stats_layers) else forward
+
     def one(params, batch):
-        _, stats = forward(spec, params, batch, stats_layers=stats_layers)
+        _, stats = fwd(spec, params, batch, stats_layers=stats_layers)
         return stats
 
     @jax.jit

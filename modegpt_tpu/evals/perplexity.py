@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from modegpt_tpu.models.forward import forward
+from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
 from modegpt_tpu.models.spec import ModelSpec
 
 logger = logging.getLogger("modegpt_tpu")
@@ -37,7 +38,8 @@ def _batch_nll(spec: ModelSpec, params, batch):
     then multiplied by (T-1)*B (eval.py:192-198), i.e. the plain sum of
     per-position NLL. Loss in float32.
     """
-    logits, _ = forward(spec, params, batch)
+    fwd = forward_scan if supports_scan(spec, ()) else forward
+    logits, _ = fwd(spec, params, batch)
     logits = logits[:, :-1, :].astype(jnp.float32)
     labels = batch[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)

@@ -1,0 +1,182 @@
+"""Scan-based forward for uniform (dense) models.
+
+The unrolled forward in `models/forward.py` compiles one body per layer
+— for a 32-layer model through XLA that's 32x the compile time, which
+can rival the compute itself for one-shot compression jobs. For UNIFORM
+layer stacks (the dense model being calibrated — heterogeneous-rank
+compressed models stay on the unrolled path) this module runs the layers
+as a single `lax.scan` over stacked parameters: compile time becomes
+layer-count independent.
+
+Calibration statistics are accumulated inside the scan carry: Gram taps
+are computed only for the contiguous `stats_layers` window (a
+`lax.cond` guards the heavy einsums, so non-target layers pay nothing)
+and written into fixed `[n_target, ...]` accumulators with
+`dynamic_update_index`. BI pieces are scan outputs for every layer.
+
+Numerically identical to the unrolled forward (same ops, same order) —
+tested in tests/test_scan_forward.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modegpt_tpu.models.forward import (
+    CalibStats,
+    _attention,
+    _act,
+    _bi_piece,
+    _gram,
+    _head_gram,
+    _linear,
+    _norm,
+)
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.rope import rope_cos_sin, apply_rope, masked_head_rms_norm
+
+__all__ = ["stack_layer_params", "forward_scan", "supports_scan"]
+
+
+def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
+    """Scan path requires uniform layer shapes, no rotary masks, uniform
+    attention window, and a contiguous stats window."""
+    if not spec.is_uniform:
+        return False
+    if spec.layer_types and len(set(spec.layer_types)) > 1:
+        return False
+    if stats_layers:
+        lo, hi = min(stats_layers), max(stats_layers)
+        if tuple(range(lo, hi + 1)) != tuple(sorted(stats_layers)):
+            return False
+    return True
+
+
+def stack_layer_params(params: Dict) -> Dict:
+    """List-of-dicts layers -> dict of stacked [L, ...] leaves."""
+    layers = params["layers"]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
+    """Uniform dense layer (mirrors forward._layer without masks/taps)."""
+    B, T, _ = x.shape
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[0] // H
+    v_hd = spec.v_ranks[0] // Hk
+
+    residual = x
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+    q = _linear(x_ln, p["q"])
+    k = _linear(x_ln, p["k"])
+    v = _linear(x_ln, p["v"])
+
+    taps_src = (x_ln, q, k)
+
+    q = q.reshape(B, T, H, q_hd)
+    k = k.reshape(B, T, Hk, q_hd)
+    v = v.reshape(B, T, Hk, v_hd)
+    if spec.qk_norm:
+        q = masked_head_rms_norm(q, p["q_norm"]["scale"], None, spec.group_size, spec.norm_eps)
+        k = masked_head_rms_norm(k, p["k_norm"]["scale"], None, 1, spec.norm_eps)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    if spec.uses_rope:
+        q, k = apply_rope(q, k, cos, sin, None)
+
+    window = spec.sliding_window if (spec.layer_types and spec.layer_types[0] == "sliding_attention") else None
+    attn = _attention(q, k, v, q_hd**-0.5, window, attn_impl)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
+    x = residual + _linear(attn, p["o"])
+
+    residual = x
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    if spec.gated_mlp:
+        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    else:
+        h = _act(_linear(x_ln2, p["up"]), spec.act)
+    x = residual + _linear(h, p["down"])
+    return x, taps_src, h
+
+
+@partial(jax.jit, static_argnames=("spec", "stats_layers", "attn_impl"))
+def forward_scan(
+    spec: ModelSpec,
+    params: Dict,
+    input_ids: jax.Array,
+    stats_layers: Tuple[int, ...] = (),
+    attn_impl: str = "auto",
+):
+    """Scan-over-layers forward. Same contract as `forward` (returns
+    (logits, CalibStats | None)); requires `supports_scan(spec, ...)`."""
+    assert supports_scan(spec, stats_layers), "spec not scan-compatible"
+    B, T = input_ids.shape
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[0] // H
+
+    x = params["embed_tokens"][input_ids]
+    if spec.arch == "opt":
+        pos = jnp.arange(T) + 2
+        x = x + params["embed_positions"][pos][None, :, :]
+
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(jnp.arange(T), spec.head_dim, spec.rope_theta, dtype=x.dtype)
+
+    if attn_impl == "auto":
+        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+
+    stacked = stack_layer_params(params)
+    collect = len(stats_layers) > 0
+    if collect:
+        start = min(stats_layers)
+        n_t = len(stats_layers)
+        acc0 = CalibStats(
+            cov_mlp=jnp.zeros((n_t, spec.d_int, spec.d_int), jnp.float32),
+            cov_q=jnp.zeros((n_t, H, q_hd, q_hd), jnp.float32),
+            cov_k=jnp.zeros((n_t, Hk, q_hd, q_hd), jnp.float32),
+            cov_x=jnp.zeros((n_t, spec.d_model, spec.d_model), jnp.float32),
+            bi_acc=jnp.zeros((spec.n_layers,), jnp.float32),
+        )
+    else:
+        acc0 = None
+
+    def body(carry, inputs):
+        x, acc = carry
+        p, l_idx = inputs
+        h_in = x
+        x_out, taps_src, h_mlp = _one_layer(spec, p, x, cos, sin, attn_impl)
+        if acc is not None:
+            x_ln, q, k = taps_src
+            within = (l_idx >= start) & (l_idx < start + n_t)
+            slot = jnp.clip(l_idx - start, 0, n_t - 1)
+
+            def with_taps(a):
+                return CalibStats(
+                    cov_mlp=a.cov_mlp.at[slot].add(_gram(h_mlp.reshape(-1, spec.d_int))),
+                    cov_q=a.cov_q.at[slot].add(_head_gram(q.reshape(B, T, H, q_hd))),
+                    cov_k=a.cov_k.at[slot].add(_head_gram(k.reshape(B, T, Hk, q_hd))),
+                    cov_x=a.cov_x.at[slot].add(_gram(x_ln.reshape(-1, spec.d_model))),
+                    bi_acc=a.bi_acc,
+                )
+
+            acc = lax.cond(within, with_taps, lambda a: a, acc)
+            acc = acc._replace(bi_acc=acc.bi_acc.at[l_idx].add(_bi_piece(h_in, x_out)))
+        return (x_out, acc), None
+
+    (x, acc), _ = lax.scan(
+        body, (x, acc0), (stacked, jnp.arange(spec.n_layers, dtype=jnp.int32))
+    )
+
+    x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if params.get("lm_head") is not None:
+        logits = _linear(x, params["lm_head"])
+    else:
+        logits = x @ params["embed_tokens"].T
+    return logits, acc
