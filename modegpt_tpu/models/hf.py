@@ -25,7 +25,9 @@ __all__ = ["params_from_hf_model", "params_from_state_dict", "load_hf_model"]
 
 
 def _t2n(t, dtype) -> np.ndarray:
-    """torch tensor -> numpy in the requested dtype."""
+    """torch tensor or numpy array -> numpy in the requested dtype."""
+    if isinstance(t, np.ndarray):
+        return t.astype(dtype)
     import torch
 
     with torch.no_grad():
@@ -139,10 +141,21 @@ def load_hf_model(model_name_or_path: str, dtype=np.float32):
     from transformers import AutoConfig, AutoModelForCausalLM, AutoTokenizer
     import torch
 
+    spec = params = None
+    try:
+        # Torch-free fast path: read safetensors shards directly (half the
+        # peak RAM, no module instantiation — matters at 7B+).
+        from modegpt_tpu.models.safetensors_io import load_hf_checkpoint_safetensors
+
+        spec, params = load_hf_checkpoint_safetensors(model_name_or_path, dtype=dtype)
+    except (FileNotFoundError, KeyError):
+        pass
+
     config = AutoConfig.from_pretrained(model_name_or_path)
-    model = AutoModelForCausalLM.from_pretrained(
-        model_name_or_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
-    )
+    if params is None:
+        model = AutoModelForCausalLM.from_pretrained(
+            model_name_or_path, torch_dtype=torch.float32, low_cpu_mem_usage=True
+        )
     try:
         tokenizer = AutoTokenizer.from_pretrained(model_name_or_path)
         if tokenizer.pad_token is None:
@@ -151,6 +164,7 @@ def load_hf_model(model_name_or_path: str, dtype=np.float32):
         # Checkpoint without tokenizer files — fine for the synthetic
         # dataset and for pre-tokenized local corpora.
         tokenizer = None
-    spec, params = params_from_hf_model(model, dtype=dtype)
-    del model
+    if params is None:
+        spec, params = params_from_hf_model(model, dtype=dtype)
+        del model
     return spec, params, tokenizer

@@ -141,3 +141,31 @@ def test_flash_attention_long_causal(rng):
     ref = _attention(q, k, v, hd**-0.5, None, impl="xla")
     got = flash_attention(q, k, v, block_q=256, block_k=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_safetensors_loader_matches_torch_loader(tmp_path, tiny_ids):
+    """Torch-free safetensors ingestion == torch-path ingestion."""
+    from modegpt_tpu.models.hf import load_hf_model
+    from modegpt_tpu.models.safetensors_io import load_hf_checkpoint_safetensors
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    m = transformers.LlamaForCausalLM(cfg)
+    d = tmp_path / "ckpt"
+    m.save_pretrained(d)
+
+    spec_a, params_a, _ = load_hf_model(str(d))
+    spec_b, params_b = load_hf_checkpoint_safetensors(str(d))
+    assert spec_a == spec_b
+
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves(params_a)
+    leaves_b = jax.tree_util.tree_leaves(params_b)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
