@@ -191,7 +191,8 @@ def _validate_shapes(spec: ModelSpec, params: Dict) -> None:
         if tuple(got) != tuple(want):
             raise ValueError(f"shape mismatch for {name}: got {tuple(got)}, want {tuple(want)}")
 
-    check("embed_tokens", params["embed_tokens"].shape, (spec.vocab_size, spec.d_model))
+    emb_dim = spec.word_embed_proj_dim or spec.d_model
+    check("embed_tokens", params["embed_tokens"].shape, (spec.vocab_size, emb_dim))
     for l, lp in enumerate(params["layers"]):
         check(f"layers/{l}/q", lp["q"]["kernel"].shape, (spec.d_model, spec.q_ranks[l]))
         check(f"layers/{l}/k", lp["k"]["kernel"].shape, (spec.d_model, spec.k_ranks[l]))

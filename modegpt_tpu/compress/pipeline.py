@@ -204,9 +204,11 @@ def run_compression(
             config.eval_max_samples,
             vocab_size=spec.vocab_size,
         )
+    attn_impl = "auto" if config.use_flash_attention else "xla"
     if not config.skip_baseline_eval:
         baseline_ppl = compute_perplexity(
-            spec, params, eval_tokens, config.eval_batch_size, mesh=mesh, metrics=metrics.run
+            spec, params, eval_tokens, config.eval_batch_size, mesh=mesh,
+            metrics=metrics.run, attn_impl=attn_impl,
         )
         logger.info("Baseline ppl: %s", baseline_ppl)
         metrics["baseline-ppl"] = baseline_ppl
@@ -314,6 +316,7 @@ def run_compression(
             config.eval_batch_size,
             mesh=mesh,
             metrics=metrics.run,
+            attn_impl=attn_impl,
         )
         logger.info("Compressed ppl: %s", compressed_ppl)
         metrics[f"ppl-{config.dataset}"] = compressed_ppl

@@ -30,8 +30,8 @@ logger = logging.getLogger("modegpt_tpu")
 __all__ = ["compute_perplexity"]
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def _batch_nll(spec: ModelSpec, params, batch):
+@partial(jax.jit, static_argnames=("spec", "attn_impl"))
+def _batch_nll(spec: ModelSpec, params, batch, attn_impl: str = "auto"):
     """Mean shifted cross-entropy over the batch, scaled back to a sum.
 
     Matches the reference: CE is averaged over all (B*(T-1)) positions
@@ -39,7 +39,7 @@ def _batch_nll(spec: ModelSpec, params, batch):
     per-position NLL. Loss in float32.
     """
     fwd = forward_scan if supports_scan(spec, ()) else forward
-    logits, _ = fwd(spec, params, batch)
+    logits, _ = fwd(spec, params, batch, attn_impl=attn_impl)
     logits = logits[:, :-1, :].astype(jnp.float32)
     labels = batch[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -55,6 +55,7 @@ def compute_perplexity(
     mesh: Optional[jax.sharding.Mesh] = None,
     metrics: Optional[Dict] = None,
     progress: bool = True,
+    attn_impl: str = "auto",
 ) -> float:
     """Perplexity over pre-chunked eval windows [n, seq_len]."""
     n_samples, seq_len = eval_tokens.shape
@@ -63,12 +64,20 @@ def compute_perplexity(
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        nll_fn = jax.jit(
-            _batch_nll.__wrapped__,
+        # pjit with explicit in_shardings rejects kwargs; bind attn_impl
+        # positionally via a wrapper.
+        impl = attn_impl
+
+        def _nll_pos(spec, params, batch):
+            return _batch_nll.__wrapped__(spec, params, batch, impl)
+
+        nll_fn_mesh = jax.jit(
+            _nll_pos,
             static_argnames=("spec",),
             in_shardings=(None, NamedSharding(mesh, P("data", None))),
             out_shardings=NamedSharding(mesh, P()),
         )
+        nll_fn = lambda spec, params, batch, attn_impl: nll_fn_mesh(spec, params, batch)
 
     total_nll = 0.0
     total_tokens = 0
@@ -76,7 +85,7 @@ def compute_perplexity(
     for i in range(0, n_samples, batch_size):
         j = min(i + batch_size, n_samples)
         batch = jnp.asarray(eval_tokens[i:j])
-        nll = nll_fn(spec, params, batch)
+        nll = nll_fn(spec, params, batch, attn_impl)
         total_nll += float(nll)
         total_tokens += (j - i) * seq_len
         if progress and i > 0:

@@ -149,10 +149,11 @@ def _layer(
     rotary_mask = p.get("rotary_mask")
 
     taps = {}
+    pre_ln = spec.do_layer_norm_before  # False = post-LN OPT (e.g. OPT-350m)
 
     # ---- attention ----
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     q = _linear(x_ln, p["q"])  # [B, T, H*q_hd]
     k = _linear(x_ln, p["k"])
     v = _linear(x_ln, p["v"])
@@ -185,10 +186,12 @@ def _layer(
     attn = _attention(q, k, v, scaling, window, attn_impl)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
     x = residual + _linear(attn, p["o"])
+    if not pre_ln:
+        x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
     # ---- MLP ----
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     if spec.gated_mlp:
         h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
     else:
@@ -196,6 +199,8 @@ def _layer(
     if collect:
         taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]))
     x = residual + _linear(h, p["down"])
+    if not pre_ln:
+        x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
 
     return x, (taps if collect else None)
 
@@ -239,6 +244,8 @@ def forward(
     if spec.arch == "opt":
         # OPT learned positions with hardcoded offset 2
         # (HF OPTLearnedPositionalEmbedding; reference: OPTRebuild.py:58-84).
+        if "project_in" in params:  # OPT-350m-style word_embed_proj_dim
+            x = _linear(x, params["project_in"])
         pos = jnp.arange(T) + 2
         x = x + params["embed_positions"][pos][None, :, :]
 
@@ -266,7 +273,10 @@ def forward(
         if return_hidden:
             hidden.append(x)
 
-    x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if params.get("final_norm") is not None:
+        x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if "project_out" in params:
+        x = _linear(x, params["project_out"])
 
     if params.get("lm_head") is not None:
         logits = _linear(x, params["lm_head"])

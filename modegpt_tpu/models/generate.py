@@ -65,8 +65,9 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
     v_hd = spec.v_ranks[layer_idx] // Hk
     rotary_mask = p.get("rotary_mask")
 
+    pre_ln = spec.do_layer_norm_before
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     q = _linear(x_ln, p["q"]).reshape(B, S, H, q_hd)
     k = _linear(x_ln, p["k"]).reshape(B, S, Hk, q_hd)
     v = _linear(x_ln, p["v"]).reshape(B, S, Hk, v_hd)
@@ -101,14 +102,18 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
     attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * v_hd)
     x = residual + _linear(attn, p["o"])
+    if not pre_ln:
+        x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     if spec.gated_mlp:
         h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
     else:
         h = _act(_linear(x_ln2, p["up"]), spec.act)
     x = residual + _linear(h, p["down"])
+    if not pre_ln:
+        x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, cache_k, cache_v
 
 
@@ -119,6 +124,8 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
     pos = cache.length
     x = params["embed_tokens"][tokens]
     if spec.arch == "opt":
+        if "project_in" in params:
+            x = _linear(x, params["project_in"])
         positions = pos + jnp.arange(S) + 2
         x = x + params["embed_positions"][positions][None, :, :]
 
@@ -136,7 +143,10 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
         new_k.append(ck)
         new_v.append(cv)
 
-    x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if params.get("final_norm") is not None:
+        x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if "project_out" in params:
+        x = _linear(x, params["project_out"])
     if params.get("lm_head") is not None:
         logits = _linear(x, params["lm_head"])
     else:

@@ -53,10 +53,18 @@ def params_from_state_dict(
         pre = "model.decoder."
         params["embed_tokens"] = V(pre + "embed_tokens.weight")
         params["embed_positions"] = V(pre + "embed_positions.weight")
-        params["final_norm"] = {
-            "scale": V(pre + "final_layer_norm.weight"),
-            "bias": V(pre + "final_layer_norm.bias"),
-        }
+        if has(pre + "project_in.weight"):
+            params["project_in"] = {"kernel": W(pre + "project_in.weight")}
+            params["project_out"] = {"kernel": W(pre + "project_out.weight")}
+        if has(pre + "final_layer_norm.weight"):
+            params["final_norm"] = {
+                "scale": V(pre + "final_layer_norm.weight"),
+                "bias": V(pre + "final_layer_norm.bias"),
+            }
+        else:
+            # post-LN OPT variants (do_layer_norm_before=False) have no
+            # final decoder LayerNorm.
+            params["final_norm"] = None
         layers = []
         for l in range(spec.n_layers):
             b = f"{pre}layers.{l}."

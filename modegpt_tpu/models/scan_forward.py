@@ -70,8 +70,9 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
     q_hd = spec.q_ranks[0] // H
     v_hd = spec.v_ranks[0] // Hk
 
+    pre_ln = spec.do_layer_norm_before
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     q = _linear(x_ln, p["q"])
     k = _linear(x_ln, p["k"])
     v = _linear(x_ln, p["v"])
@@ -94,14 +95,18 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
     attn = _attention(q, k, v, q_hd**-0.5, window, attn_impl)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
     x = residual + _linear(attn, p["o"])
+    if not pre_ln:
+        x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     if spec.gated_mlp:
         h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
     else:
         h = _act(_linear(x_ln2, p["up"]), spec.act)
     x = residual + _linear(h, p["down"])
+    if not pre_ln:
+        x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, taps_src, h
 
 
@@ -122,6 +127,8 @@ def forward_scan(
 
     x = params["embed_tokens"][input_ids]
     if spec.arch == "opt":
+        if "project_in" in params:
+            x = _linear(x, params["project_in"])
         pos = jnp.arange(T) + 2
         x = x + params["embed_positions"][pos][None, :, :]
 
@@ -174,7 +181,10 @@ def forward_scan(
         body, (x, acc0), (stacked, jnp.arange(spec.n_layers, dtype=jnp.int32))
     )
 
-    x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if params.get("final_norm") is not None:
+        x = _norm(x, params["final_norm"], spec.norm, spec.norm_eps)
+    if "project_out" in params:
+        x = _linear(x, params["project_out"])
     if params.get("lm_head") is not None:
         logits = _linear(x, params["lm_head"])
     else:

@@ -55,6 +55,9 @@ class ModelSpec:
     # qwen3 sliding-window plumbing (reference: DenseQwenRebuild.py:257-259)
     sliding_window: Optional[int] = None
     layer_types: Tuple[str, ...] = ()
+    # OPT word-embedding projection dim (e.g. OPT-350m: 512 vs hidden 1024;
+    # reference: OPTRebuild project_in/project_out handling)
+    word_embed_proj_dim: Optional[int] = None
 
     # ---- derived helpers ----
     @property
@@ -154,6 +157,7 @@ def spec_from_hf_config(config) -> ModelSpec:
         n_layers = config.num_hidden_layers
         qk = n_heads * head_dim
         ranks = _dense_ranks(n_layers, qk, qk, config.ffn_dim)
+        wepd = getattr(config, "word_embed_proj_dim", config.hidden_size)
         spec = ModelSpec(
             arch="opt",
             vocab_size=config.vocab_size,
@@ -173,6 +177,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             tie_word_embeddings=config.tie_word_embeddings,
             gated_mlp=False,
             do_layer_norm_before=getattr(config, "do_layer_norm_before", True),
+            word_embed_proj_dim=wepd if wepd != config.hidden_size else None,
             **ranks,
         )
     elif model_type in ("llama", "qwen3") or "qwen3" in model_type:

@@ -169,3 +169,27 @@ def test_safetensors_loader_matches_torch_loader(tmp_path, tiny_ids):
     assert len(leaves_a) == len(leaves_b)
     for a, b in zip(leaves_a, leaves_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_opt_350m_style_parity(tiny_ids):
+    """Post-LN OPT with word_embed_proj_dim != hidden (the OPT-350m
+    layout: project_in/out, no final decoder LayerNorm)."""
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=48, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128,
+        word_embed_proj_dim=32, do_layer_norm_before=False,
+    )
+    torch.manual_seed(13)
+    m = transformers.OPTForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.word_embed_proj_dim == 32 and not spec.do_layer_norm_before
+    assert "project_in" in params and params["final_norm"] is None
+    _logits_close(m, spec, params, tiny_ids)
+
+    # scan path must agree too
+    from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
+
+    assert supports_scan(spec, ())
+    ref, _ = forward(spec, params, jnp.asarray(tiny_ids))
+    got, _ = forward_scan(spec, params, jnp.asarray(tiny_ids))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5)
