@@ -21,7 +21,7 @@ import gc
 import logging
 import os
 import time
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ import logging
 import math
 import time
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from modegpt_tpu.models.forward import _act, _attention, _linear, _norm
+from modegpt_tpu.models.forward import _act, _linear, _norm
 from modegpt_tpu.models.spec import ModelSpec
 from modegpt_tpu.ops.rope import masked_head_rms_norm, rope_cos_sin
 

@@ -20,7 +20,7 @@ slice; multi-slice DCN layouts should put ``data`` on the outer
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import os
 import threading
-import time
 from typing import Optional
 
 __all__ = ["start_memory_watchdog", "device_memory_stats"]

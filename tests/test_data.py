@@ -1,0 +1,86 @@
+"""Data loader semantics: reference-exact chunking/sampling, offline."""
+
+import numpy as np
+import pytest
+
+from modegpt_tpu.calib.data import (
+    SEED,
+    _chunk_ids,
+    _synthetic_chunks,
+    load_calibration_batches,
+    load_eval_tokens,
+)
+
+
+class ToyTokenizer:
+    def __call__(self, text, add_special_tokens=False, **kw):
+        return {"input_ids": [ord(c) % 250 for c in text]}
+
+
+def test_chunking_drops_remainder():
+    ids = np.arange(103, dtype=np.int32)
+    chunks = _chunk_ids(ids, 10)
+    assert chunks.shape == (10, 10)
+    np.testing.assert_array_equal(chunks[0], np.arange(10))
+
+
+def test_synthetic_deterministic():
+    a = _synthetic_chunks(100, 16, 4)
+    b = _synthetic_chunks(100, 16, 4)
+    np.testing.assert_array_equal(a, b)
+    c = _synthetic_chunks(100, 16, 4, seed=SEED + 1)
+    assert not np.array_equal(a, c)
+
+
+def test_local_file_calibration(tmp_path):
+    """Local text file path: tokenize -> chunk -> seeded sample -> batches
+    (reference flow: eval.py:54-66)."""
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("hello world, this is a long corpus. " * 200)
+    batches = load_calibration_batches(ToyTokenizer(), str(corpus), calib_size=6,
+                                       batch_size=2, seq_len=32)
+    assert len(batches) == 3
+    assert all(b.shape == (2, 32) for b in batches)
+    # reference-exact sampling: np.random.seed(1234) + choice without replacement
+    b2 = load_calibration_batches(ToyTokenizer(), str(corpus), calib_size=6,
+                                  batch_size=2, seq_len=32)
+    for x, y in zip(batches, b2):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_local_file_eval_sequential(tmp_path):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("abcdefgh " * 400)
+    toks = load_eval_tokens(ToyTokenizer(), str(corpus), seq_len=16, max_samples=5)
+    assert toks.shape == (5, 16)
+    # sequential windows, not shuffled
+    ids = np.asarray(ToyTokenizer()(corpus.read_text())["input_ids"], dtype=np.int32)
+    np.testing.assert_array_equal(toks.reshape(-1), ids[: 5 * 16])
+
+
+def test_wikitext_path_uses_seeded_choice(monkeypatch):
+    """Monkeypatch the datasets dependency: verify join + chunk + seeded
+    sampling semantics without network access."""
+    texts = [f"sentence number {i} with some words." for i in range(60)]
+
+    import modegpt_tpu.calib.data as data_mod
+
+    def fake_load(dataset, split):
+        assert dataset == "wikitext" and split == "train"
+        return texts
+
+    monkeypatch.setattr(data_mod, "_load_hf_texts", fake_load)
+    tok = ToyTokenizer()
+    batches = data_mod.load_calibration_batches(tok, "wikitext", calib_size=4,
+                                                batch_size=2, seq_len=32)
+    assert len(batches) == 2 and batches[0].shape == (2, 32)
+
+    # reproduce the expected selection manually (reference: eval.py:54-66)
+    joined = "\n\n".join(texts)
+    ids = np.asarray(tok(joined)["input_ids"], dtype=np.int32)
+    chunks = data_mod._chunk_ids(ids, 32)
+    np.random.seed(SEED)
+    idx = np.random.choice(chunks.shape[0], size=4, replace=False)
+    want = chunks[idx]
+    got = np.concatenate(batches, axis=0)
+    np.testing.assert_array_equal(got, want)

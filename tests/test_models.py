@@ -193,3 +193,21 @@ def test_opt_350m_style_parity(tiny_ids):
     ref, _ = forward(spec, params, jnp.asarray(tiny_ids))
     got, _ = forward_scan(spec, params, jnp.asarray(tiny_ids))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5)
+
+
+def test_qwen3_sliding_window_parity(tiny_ids):
+    """Mixed full/sliding attention layers must match HF exactly."""
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=128, use_sliding_window=True, sliding_window=8,
+        max_window_layers=2, tie_word_embeddings=False,
+    )
+    torch.manual_seed(17)
+    m = transformers.Qwen3ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.sliding_window == 8
+    assert spec.layer_types == ("full_attention", "full_attention",
+                                "sliding_attention", "sliding_attention")
+    # sequence longer than the window so sliding actually bites
+    _logits_close(m, spec, params, tiny_ids)
