@@ -1,0 +1,117 @@
+"""Standalone evaluation CLI for saved models.
+
+The reference's post-compression workflow runs EleutherAI lm_eval over
+the saved artifact (reference: tests.sh:107-113) and re-computes PPL via
+the driver. This gives both natively:
+
+  python -m modegpt_tpu.evals.cli --model <artifact-or-hf-dir> \
+      --dataset wikitext --tasks arc_easy,piqa --generate "a prompt"
+
+Accepts either a modegpt_tpu artifact directory (spec.json present) or a
+dense HF checkpoint directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+
+def _load_any(path: str):
+    """(spec, params, tokenizer) from an artifact or HF checkpoint dir."""
+    if os.path.exists(os.path.join(path, "spec.json")):
+        from modegpt_tpu.compress.artifact import load_compressed_model
+
+        spec, params, tok_src = load_compressed_model(path)
+        tokenizer = None
+        source = tok_src or path
+        try:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(source)
+            if tokenizer.pad_token is None:
+                tokenizer.pad_token = tokenizer.eos_token
+        except Exception:
+            pass
+        return spec, params, tokenizer
+    from modegpt_tpu.models.hf import load_hf_model
+
+    return load_hf_model(path)
+
+
+def main(argv=None):
+    from modegpt_tpu.utils.logging import setup_logging
+
+    parser = argparse.ArgumentParser(prog="modegpt-tpu-eval")
+    parser.add_argument("--model", required=True, help="artifact dir or HF checkpoint dir")
+    parser.add_argument("--dataset", default="", help="PPL dataset (wikitext/c4/alpaca/synthetic/<file>)")
+    parser.add_argument("--tasks", default="", help="comma list: arc_challenge,arc_easy,piqa,winogrande,hellaswag")
+    parser.add_argument("--task_limit", type=int, default=0, help="cap examples per task")
+    parser.add_argument("--seq_len", type=int, default=2048)
+    parser.add_argument("--eval_batch_size", type=int, default=16)
+    parser.add_argument("--eval_max_samples", type=int, default=512)
+    parser.add_argument("--generate", default="", help="prompt to generate from")
+    parser.add_argument("--max_new_tokens", type=int, default=64)
+    parser.add_argument("--mesh_shape", default="")
+    args = parser.parse_args(argv)
+
+    logger = setup_logging()
+    spec, params, tokenizer = _load_any(args.model)
+    logger.info("loaded %s: %s layers, dense=%s", args.model, spec.n_layers, spec.is_dense)
+
+    from modegpt_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(args.mesh_shape)
+    results = {}
+
+    if args.dataset:
+        from modegpt_tpu.calib.data import load_eval_tokens
+        from modegpt_tpu.evals.perplexity import compute_perplexity
+
+        tokens = load_eval_tokens(
+            tokenizer, args.dataset, args.seq_len, args.eval_max_samples,
+            vocab_size=spec.vocab_size,
+        )
+        ppl = compute_perplexity(
+            spec, params, tokens, args.eval_batch_size, mesh=mesh, metrics=results
+        )
+        results[f"ppl-{args.dataset}"] = ppl
+        logger.info("ppl-%s: %.4f", args.dataset, ppl)
+
+    if args.tasks:
+        from modegpt_tpu.evals.tasks import evaluate_multiple_choice, load_task
+
+        if tokenizer is None:
+            raise SystemExit("--tasks requires a tokenizer (artifact's tokenizer_source)")
+        for task in args.tasks.split(","):
+            task = task.strip()
+            examples = load_task(task, limit=args.task_limit or None)
+            res = evaluate_multiple_choice(
+                spec, params, examples, tokenizer, batch_size=args.eval_batch_size
+            )
+            results[task] = res
+            logger.info("%s: %s", task, res)
+
+    if args.generate:
+        from modegpt_tpu.models.generate import generate
+        import numpy as np
+
+        if tokenizer is None:
+            raise SystemExit("--generate requires a tokenizer")
+        ids = np.asarray([tokenizer(args.generate)["input_ids"]], dtype=np.int32)
+        out = generate(
+            spec, params, ids, max_new_tokens=args.max_new_tokens,
+            eos_token_id=getattr(tokenizer, "eos_token_id", None),
+        )
+        text = tokenizer.decode(np.asarray(out)[0].tolist())
+        results["generation"] = text
+        print(text)
+
+    print(json.dumps({k: v for k, v in results.items() if k != "generation"}, default=str))
+    return results
+
+
+if __name__ == "__main__":
+    main()
