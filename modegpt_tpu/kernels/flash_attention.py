@@ -29,13 +29,20 @@ from jax.experimental import pallas as pl
 NEG_INF = -1e30
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len, window):
     qi = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # [block_q, hd] (pre-scaled by caller)
 
     q_start = qi * block_q
     # causal frontier: last k tile index that intersects this q tile
     num_k = (q_start + block_q + block_k - 1) // block_k
+    # sliding window: first k tile that can still be inside the window
+    # (key is visible iff q - window < k <= q)
+    if window is None:
+        k_lo = 0
+    else:
+        # q_start is traced (program_id); keep the bound computation traced.
+        k_lo = jnp.maximum(0, (q_start - window + 1) // block_k)
 
     def body(ki, carry):
         acc, m_prev, l_prev = carry
@@ -52,6 +59,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len):
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = (k_ids <= q_ids) & (k_ids < seq_len)
+        if window is not None:
+            mask = mask & (k_ids > q_ids - window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -69,7 +78,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len):
     acc0 = jnp.zeros((block_q, hd_v), jnp.float32)
     m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q,), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(k_lo, num_k, body, (acc0, m0, l0))
 
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
 
@@ -78,7 +87,7 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "window"))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -87,8 +96,9 @@ def flash_attention(
     block_q: int = 256,
     block_k: int = 256,
     interpret: Optional[bool] = None,
+    window: Optional[int] = None,
 ) -> jax.Array:
-    """Causal flash attention.
+    """Causal (optionally sliding-window) flash attention.
 
     Args:
       q: [B, H, T, hd]
@@ -96,6 +106,8 @@ def flash_attention(
       v: [B, Hk, T, hd_v]
       interpret: force Pallas interpreter mode (auto: on for CPU backend,
         where Mosaic TPU kernels can't compile).
+      window: sliding-window size (key visible iff q-window < k <= q;
+        Qwen3 semantics, reference: DenseQwenRebuild.py:341).
     Returns [B, H, T, hd_v] in q's dtype.
     """
     if interpret is None:
@@ -123,7 +135,9 @@ def flash_attention(
     grid = (B * H, t_pad // block_q)
 
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, block_q=block_q, block_k=block_k, seq_len=T),
+        functools.partial(
+            _attn_kernel, block_q=block_q, block_k=block_k, seq_len=T, window=window
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hd), lambda bh, qi: (bh, qi, 0)),

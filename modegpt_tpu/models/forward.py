@@ -112,10 +112,10 @@ def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"
     """
     B, H, T, _ = q.shape
     Hk = k.shape[1]
-    if impl == "flash" and window is None and T >= 128:
+    if impl == "flash" and T >= 128:
         from modegpt_tpu.kernels.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scaling)
+        return flash_attention(q, k, v, scale=scaling, window=window)
     if Hk != H:
         rep = H // Hk
         k = jnp.repeat(k, rep, axis=1)

@@ -211,3 +211,17 @@ def test_qwen3_sliding_window_parity(tiny_ids):
                                 "sliding_attention", "sliding_attention")
     # sequence longer than the window so sliding actually bites
     _logits_close(m, spec, params, tiny_ids)
+
+
+def test_flash_attention_sliding_window(rng):
+    from modegpt_tpu.kernels.flash_attention import flash_attention
+    from modegpt_tpu.models.forward import _attention
+
+    B, H, T, hd = 1, 2, 320, 32
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    for w in (8, 100):
+        ref = _attention(q, k, v, hd**-0.5, w, impl="xla")
+        got = flash_attention(q, k, v, scale=hd**-0.5, window=w, block_q=128, block_k=128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
