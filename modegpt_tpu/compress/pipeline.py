@@ -151,6 +151,14 @@ def _suffixes(order: str):
     return [s for s in ("mlp", "qk", "vo") if s in order]
 
 
+def count_params(params: Dict) -> int:
+    import numpy as _np
+
+    return int(
+        sum(_np.prod(a.shape) for a in jax.tree_util.tree_leaves(params) if hasattr(a, "shape"))
+    )
+
+
 def run_compression(
     config: CompressionConfig,
     spec: Optional[ModelSpec] = None,
@@ -290,6 +298,27 @@ def run_compression(
         mlp_factors=factors.get("mlp"),
         qk_factors=factors.get("qk"),
         vo_factors=factors.get("vo"),
+    )
+    n_before = count_params(params)
+    n_after = count_params(comp_params)
+    metrics["params_before"] = n_before
+    metrics["params_after"] = n_after
+    metrics["achieved_compression"] = 1.0 - n_after / max(n_before, 1)
+    # Per-layer rank dump (SURVEY.md §5: "add per-layer rank/score dumps").
+    metrics["rank_lists"] = {
+        "q_ranks": list(comp_spec.q_ranks),
+        "k_ranks": list(comp_spec.k_ranks),
+        "v_ranks": list(comp_spec.v_ranks),
+        "o_ranks": list(comp_spec.o_ranks),
+        "gate_ranks": list(comp_spec.gate_ranks),
+    }
+    results["params_before"] = n_before
+    results["params_after"] = n_after
+    logger.info(
+        "params: %.1fM -> %.1fM (%.1f%% reduction)",
+        n_before / 1e6,
+        n_after / 1e6,
+        100 * (1 - n_after / max(n_before, 1)),
     )
     save_dir = os.path.join(config.output_dir, "model")
     save_compressed_model(
