@@ -27,9 +27,17 @@ import time
 import numpy as np
 
 # ---- workload size (fits comfortably in one v5e chip and in host RAM) ----
-D_MODEL, N_HEADS, N_KV, HEAD_DIM = 1024, 16, 8, 64
-D_INT, N_LAYERS, VOCAB = 2816, 4, 8192
-SEQ, CALIB_SEQS, BATCH = 512, 8, 4
+# MODEGPT_BENCH_PRESET=medium scales to a ~0.5B model (longer runtime).
+import os as _os
+
+if _os.environ.get("MODEGPT_BENCH_PRESET", "small") == "medium":
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 2048, 16, 8, 128
+    D_INT, N_LAYERS, VOCAB = 5504, 8, 16384
+    SEQ, CALIB_SEQS, BATCH = 1024, 8, 4
+else:
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 1024, 16, 8, 64
+    D_INT, N_LAYERS, VOCAB = 2816, 4, 8192
+    SEQ, CALIB_SEQS, BATCH = 512, 8, 4
 RATIO = 0.3
 
 
@@ -225,7 +233,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "e2e_compress_seconds_synthetic_llama_0.1B@30%",
+                "metric": "e2e_compress_seconds_synthetic_llama_"
+                + (_os.environ.get("MODEGPT_BENCH_PRESET", "small") == "medium" and "0.5B" or "0.1B")
+                + "@30%",
                 "value": round(ours, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline / ours, 3),

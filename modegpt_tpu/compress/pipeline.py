@@ -188,6 +188,11 @@ def run_compression(
 
         spec, params, tokenizer = load_hf_model(config.model)
     order = config.order or "mlp,qk,vo"
+    # Cap sequence length by the model's positional capacity
+    # (reference: eval.py:127 min(2048, max_position_embeddings)).
+    seq_len = min(config.seq_len, spec.max_position_embeddings)
+    if seq_len != config.seq_len:
+        logger.info("seq_len capped to max_position_embeddings: %d", seq_len)
 
     if config.model_dtype == "bfloat16":
         params = jax.tree_util.tree_map(
@@ -208,7 +213,7 @@ def run_compression(
         eval_tokens = load_eval_tokens(
             tokenizer,
             config.dataset,
-            config.seq_len,
+            seq_len,
             config.eval_max_samples,
             vocab_size=spec.vocab_size,
         )
@@ -229,7 +234,7 @@ def run_compression(
             config.dataset,
             config.calib_size,
             config.calibs_batch_size,
-            config.seq_len,
+            seq_len,
             vocab_size=spec.vocab_size,
         )
 
