@@ -104,38 +104,71 @@ def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
     return np.argsort(-scores, kind="stable")[:k]
 
 
+def _mlp_layers_per_program(spec, pad: int, mesh) -> int:
+    """Memory-aware sub-chunking for the batched MLP solve.
+
+    Per layer the padded Nystrom holds roughly cov [D,D], gathered C_SS
+    [pad,pad] (+ Cholesky workspace), cross terms [pad,d], three weight
+    stacks and outputs — about 4*(2*D^2 + 3*pad^2 + 6*pad*d + 3*D*d)
+    bytes in f32, times ~1.5 for XLA temporaries. Bound the stack so the
+    solve fits alongside the resident model + stats."""
+    d, D = spec.d_model, spec.d_int
+    per_layer = 4 * (2 * D * D + 3 * pad * pad + 6 * pad * d + 3 * D * d) * 1.5
+    budget = 8e9  # conservative HBM slice for the solver program
+    try:
+        import jax as _jax
+
+        stats = _jax.local_devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            budget = 0.5 * limit
+    except Exception:
+        pass
+    n = max(1, int(budget // per_layer))
+    if mesh is not None:
+        axis = mesh.shape[mesh.axis_names[0]]
+        n = max(axis, (n // axis) * axis)  # keep shardable multiples
+    return n
+
+
 def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None
 ) -> Dict[int, Dict]:
-    cov = _stack_covs(calib.cov_mlp, layers, dt, use_dev)
-    W_u = _stack_w(layer_params, layers, "up", dt, use_dev)
-    W_d = _stack_w(layer_params, layers, "down", dt, use_dev)
-    if spec.gated_mlp:
-        W_g = _stack_w(layer_params, layers, "gate", dt, use_dev)
-    else:
-        W_g = W_u  # placeholder; gate output discarded
-    ranks_arr = jnp.asarray(ranks, dtype=jnp.int32)
-    pad = int(max(ranks))
-
-    (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
-        (cov, W_u, W_g, W_d), ranks_arr, mesh
-    )
-    up, gate, down, idx, valid = jax.vmap(
-        nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
-    )(cov, W_u, W_g, W_d, ranks_arr, pad, jnp.asarray(config.nystrom_ridge, dt))
-    up, gate, down, idx = (np.asarray(a[:n_real]) for a in (up, gate, down, idx))
-
+    pad_all = int(max(ranks))
+    step = _mlp_layers_per_program(spec, pad_all, mesh)
     out = {}
-    for i, l in enumerate(layers):
-        r = ranks[i]
-        f = {"up": up[i, :r], "down": down[i, :, :r], "idx": idx[i, :r]}
+    for s in range(0, len(layers), step):
+        sub = layers[s : s + step]
+        sub_ranks = ranks[s : s + step]
+        cov = _stack_covs(calib.cov_mlp, sub, dt, use_dev)
+        W_u = _stack_w(layer_params, sub, "up", dt, use_dev)
+        W_d = _stack_w(layer_params, sub, "down", dt, use_dev)
         if spec.gated_mlp:
-            f["gate"] = gate[i, :r]
-        elif "bias" in layer_params[l]["up"]:
-            f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[idx[i, :r]]
-            f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
-        out[l] = f
-        logger.info("[MLP] layer %d compressed to rank %d", l, r)
+            W_g = _stack_w(layer_params, sub, "gate", dt, use_dev)
+        else:
+            W_g = W_u  # placeholder; gate output discarded
+        ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
+        # Uniform pad across sub-chunks keeps ONE compiled program.
+        pad = pad_all
+
+        (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
+            (cov, W_u, W_g, W_d), ranks_arr, mesh
+        )
+        up, gate, down, idx, valid = jax.vmap(
+            nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
+        )(cov, W_u, W_g, W_d, ranks_arr, pad, jnp.asarray(config.nystrom_ridge, dt))
+        up, gate, down, idx = (np.asarray(a[:n_real]) for a in (up, gate, down, idx))
+
+        for i, l in enumerate(sub):
+            r = sub_ranks[i]
+            f = {"up": up[i, :r], "down": down[i, :, :r], "idx": idx[i, :r]}
+            if spec.gated_mlp:
+                f["gate"] = gate[i, :r]
+            elif "bias" in layer_params[l]["up"]:
+                f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[idx[i, :r]]
+                f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
+            out[l] = f
+            logger.info("[MLP] layer %d compressed to rank %d", l, r)
     return out
 
 
@@ -189,6 +222,31 @@ def _solve_qk_host(spec, layer_params, layers, ranks, calib, config) -> Dict[int
                 "k_bias": np.concatenate(bks),
             }
         logger.info("[QK] layer %d compressed to rank %d per head", l, r)
+    return out
+
+
+def _solve_qk_svd_batched(
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev
+) -> Dict[int, Dict]:
+    """Whitened-SVD QK (qk_method='svd', non-RoPE archs)."""
+    from modegpt_tpu.ops.qk import compress_qk_layer_svd
+
+    out = {}
+    for i, l in enumerate(layers):
+        lp = layer_params[l]
+        cov = calib.cov_x[l]
+        cov = jnp.asarray(cov if use_dev and isinstance(cov, jax.Array) else np.asarray(cov), dtype=dt)
+        W_q = (_hf_w_dev(lp, "q") if use_dev else jnp.asarray(_hf_w(lp, "q"))).astype(dt)
+        W_k = (_hf_w_dev(lp, "k") if use_dev else jnp.asarray(_hf_w(lp, "k"))).astype(dt)
+        bq = jnp.asarray(np.asarray(lp["q"]["bias"]), dtype=dt) if "bias" in lp["q"] else None
+        bk = jnp.asarray(np.asarray(lp["k"]["bias"]), dtype=dt) if "bias" in lp["k"] else None
+        f = compress_qk_layer_svd(cov, W_q, W_k, bq, bk, ranks[i], config.ridge_qk, spec.n_heads)
+        fd = {"q": np.asarray(f.q), "k": np.asarray(f.k)}
+        if f.q_bias is not None:
+            fd["q_bias"] = np.asarray(f.q_bias)
+            fd["k_bias"] = np.asarray(f.k_bias)
+        out[l] = fd
+        logger.info("[QK-SVD] layer %d compressed to rank %d per head", l, ranks[i])
     return out
 
 
@@ -268,7 +326,12 @@ def solve_chunk_batched(
             )
         if "qk" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "qk") for l in layers]
-            out["qk"] = _solve_qk_host(spec, layer_params, layers, ranks, calib, config)
+            if config.qk_method == "svd" and not spec.uses_rope:
+                out["qk"] = _solve_qk_svd_batched(
+                    spec, layer_params, layers, ranks, calib, config, dt, use_dev
+                )
+            else:
+                out["qk"] = _solve_qk_host(spec, layer_params, layers, ranks, calib, config)
         if "vo" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "vo") for l in layers]
             out["vo"] = _solve_vo_batched(

@@ -42,6 +42,11 @@ class CompressionConfig:
     ridge_vo: float = 1e-4
     ridge_qk: float = 1e-6
 
+    # QK method: 'cr' (column selection, default) or 'svd' (whitened SVD of
+    # the QK bilinear form — non-RoPE archs only; the reference ships this
+    # unused at compress_qk.py:16-148 noting better OPT performance)
+    qk_method: str = "cr"
+
     debug: bool = False
 
     # ---- TPU-native knobs (new capability) ----

@@ -6,6 +6,7 @@ from modegpt_tpu.ops.qk import (
     qk_opt_scores,
     compress_qk_layer_rope,
     compress_qk_layer_opt,
+    compress_qk_layer_svd,
 )
 from modegpt_tpu.ops.vo import compress_vo_layer
 
@@ -21,5 +22,6 @@ __all__ = [
     "qk_opt_scores",
     "compress_qk_layer_rope",
     "compress_qk_layer_opt",
+    "compress_qk_layer_svd",
     "compress_vo_layer",
 ]

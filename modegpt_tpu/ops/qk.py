@@ -234,3 +234,92 @@ def compress_qk_layer_opt(
         n_heads,
     )
     return QKFactors(q=q_new, k=k_new, rotary_mask=None, q_bias=bq, k_bias=bk)
+
+
+@partial(jax.jit, static_argnames=("rank", "n_heads"))
+def _qk_svd_solve(
+    cov_x: jax.Array,
+    W_q: jax.Array,
+    W_k: jax.Array,
+    bias_q: Optional[jax.Array],
+    bias_k: Optional[jax.Array],
+    rank: int,
+    n_heads: int,
+    ridge: float,
+):
+    """Whitened two-stage SVD of the QK bilinear form, batched over heads.
+
+    Per head: U,S,Vh = svd(sqrt(C_x) @ Wq_h^T); U',S',Vh' = svd(S Vh Wk_h);
+    Q_new = (C^-1/2 U U')[:, :r], K_new = diag(S')[:r] Vh'[:r, :], with a
+    scale balance alpha = sqrt(max|K|/max|Q|) (reference:
+    compress_qk_svd, compress_qk.py:62-91). At full rank
+    Q_new @ K_new == Wq_h^T @ Wk_h exactly (the whitening cancels).
+    Biases are projected with the reference's final formulas
+    (compress_qk.py:104-119).
+    """
+    d_model = cov_x.shape[0]
+    hd = W_q.shape[0] // n_heads
+    from modegpt_tpu.ops.psd import sqrt_and_inv_sqrt_psd
+
+    sqrt_C, inv_sqrt_C = sqrt_and_inv_sqrt_psd(cov_x, ridge)
+
+    Wq_h = W_q.reshape(n_heads, hd, d_model)
+    Wk_h = W_k.reshape(n_heads, hd, d_model)
+
+    def per_head(q_head, k_head, b_q, b_k):
+        U, S, Vh = jnp.linalg.svd(sqrt_C @ q_head.T, full_matrices=False)
+        A = (S[:, None] * Vh) @ k_head  # [hd, d]
+        Up, Sp, Vph = jnp.linalg.svd(A, full_matrices=False)
+        Q = (inv_sqrt_C @ U @ Up)[:, :rank]  # [d, r]
+        K = Sp[:rank, None] * Vph[:rank, :]  # [r, d]
+        alpha = jnp.sqrt(jnp.max(jnp.abs(K)) / jnp.maximum(jnp.max(jnp.abs(Q)), 1e-30))
+        Q = (Q * alpha).T  # [r, d] q weight
+        K = K / alpha  # [r, d] k weight
+        # Bias projection: match the score cross-terms in least squares.
+        # (Wq x + bq)^T (Wk y + bk) has cross-terms bq^T Wk y and
+        # x^T Wq^T bk; requiring bq'^T K == bq^T Wk and Q^T bk' == Wq^T bk
+        # gives the pinv solves below. (The reference's experimental
+        # formulas at compress_qk.py:104-119 are annotated in-source as
+        # driving the bias toward zero; this is the exact LS solution.)
+        new_bq = jnp.linalg.pinv(K.T) @ (k_head.T @ b_q) if b_q is not None else None
+        new_bk = jnp.linalg.pinv(Q.T) @ (q_head.T @ b_k) if b_k is not None else None
+        return Q, K, new_bq, new_bk
+
+    if bias_q is None:
+        Qs, Ks, _, _ = jax.vmap(lambda q, k: per_head(q, k, None, None))(Wq_h, Wk_h)
+        bq_new = bk_new = None
+    else:
+        bq_h = bias_q.reshape(n_heads, hd)
+        bk_h = bias_k.reshape(n_heads, hd)
+        Qs, Ks, bq_new, bk_new = jax.vmap(per_head)(Wq_h, Wk_h, bq_h, bk_h)
+        bq_new = bq_new.reshape(n_heads * rank)
+        bk_new = bk_new.reshape(n_heads * rank)
+    return (
+        Qs.reshape(n_heads * rank, d_model),
+        Ks.reshape(n_heads * rank, d_model),
+        bq_new,
+        bk_new,
+    )
+
+
+def compress_qk_layer_svd(
+    cov_x: jax.Array,
+    W_q: jax.Array,
+    W_k: jax.Array,
+    bias_q: Optional[jax.Array],
+    bias_k: Optional[jax.Array],
+    rank: int,
+    ridge_qk: float,
+    n_heads: int,
+) -> QKFactors:
+    """Alternative Type-II solve: whitened SVD of the QK bilinear form.
+
+    The reference ships this as an unused alternative "better for OPT
+    models" (compress_qk.py:16-148, never called by the driver); here
+    it's a first-class option for non-RoPE archs via
+    ``CompressionConfig.qk_method='svd'``.
+    """
+    q, k, bq, bk = _qk_svd_solve(
+        cov_x, W_q, W_k, bias_q, bias_k, rank, n_heads, ridge_qk
+    )
+    return QKFactors(q=q, k=k, rotary_mask=None, q_bias=bq, k_bias=bk)

@@ -185,3 +185,16 @@ def test_debug_diagnostics_logged(tmp_path, caplog):
     with caplog.at_level(_logging.INFO, logger="modegpt_tpu"):
         run_compression(config, spec=spec, params=params, tokenizer=None)
     assert any("cov_mlp" in r.message for r in caplog.records)
+
+
+def test_opt_qk_svd_method(tmp_path):
+    """qk_method=svd end-to-end on OPT (the reference's unused alternative)."""
+    model = _tiny_opt(seed=9)
+    spec, params = params_from_hf_model(model)
+    config = _config(tmp_path, qk_method="svd", order="qk")
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(results["compressed_ppl"])
+    cspec = results["compressed_spec"]
+    assert sum(cspec.q_ranks) < sum(spec.q_ranks)
+    assert not cspec.has_rotary_masks
+    assert results["compressed_ppl"] < results["baseline_ppl"] * 3.0

@@ -318,3 +318,40 @@ def test_vo_cholesky_whitening_functionally_equals_eigh(make_psd, rng, n_heads, 
         )
 
     np.testing.assert_allclose(per_head_product(fe), per_head_product(fc), rtol=1e-6, atol=1e-8)
+
+
+def test_qk_svd_full_rank_reproduces_bilinear_form(make_psd, rng):
+    """At full rank the whitened-SVD QK factors reproduce Wq_h^T Wk_h."""
+    from modegpt_tpu.ops.qk import compress_qk_layer_svd
+
+    d, hd, n = 20, 8, 2
+    cov_x = make_psd(d, scale=2.0)
+    Wq = rng.standard_normal((n * hd, d))
+    Wk = rng.standard_normal((n * hd, d))
+    f = compress_qk_layer_svd(
+        jnp.asarray(cov_x), jnp.asarray(Wq), jnp.asarray(Wk), None, None, hd, 1e-10, n
+    )
+    for h in range(n):
+        q_blk = np.asarray(f.q)[h * hd : (h + 1) * hd]  # [r, d]
+        k_blk = np.asarray(f.k)[h * hd : (h + 1) * hd]
+        got = q_blk.T @ k_blk  # [d, d] bilinear form
+        want = Wq[h * hd : (h + 1) * hd].T @ Wk[h * hd : (h + 1) * hd]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_qk_svd_truncation_reduces_error_with_rank(make_psd, rng):
+    from modegpt_tpu.ops.qk import compress_qk_layer_svd
+
+    d, hd, n = 24, 12, 1
+    cov_x = make_psd(d, scale=2.0)
+    Wq = rng.standard_normal((hd, d))
+    Wk = rng.standard_normal((hd, d))
+    want = Wq.T @ Wk
+    errs = []
+    for r in (4, 8, 12):
+        f = compress_qk_layer_svd(
+            jnp.asarray(cov_x), jnp.asarray(Wq), jnp.asarray(Wk), None, None, r, 1e-8, n
+        )
+        got = np.asarray(f.q).T @ np.asarray(f.k)
+        errs.append(np.linalg.norm(got - want))
+    assert errs[0] > errs[1] > errs[2]
