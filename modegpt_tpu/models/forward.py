@@ -121,8 +121,8 @@ def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HI) * scaling
-    qi = jnp.arange(T)[:, None]
-    ki = jnp.arange(T)[None, :]
+    qi = jnp.arange(T, dtype=jnp.int32)[:, None]
+    ki = jnp.arange(T, dtype=jnp.int32)[None, :]
     mask = ki <= qi
     if window is not None:
         mask = mask & (ki > qi - window)
@@ -246,12 +246,12 @@ def forward(
         # (HF OPTLearnedPositionalEmbedding; reference: OPTRebuild.py:58-84).
         if "project_in" in params:  # OPT-350m-style word_embed_proj_dim
             x = _linear(x, params["project_in"])
-        pos = jnp.arange(T) + 2
+        pos = jnp.arange(T, dtype=jnp.int32) + 2
         x = x + params["embed_positions"][pos][None, :, :]
 
     cos = sin = None
     if spec.uses_rope:
-        cos, sin = rope_cos_sin(jnp.arange(T), spec.head_dim, spec.rope_theta, dtype=x.dtype)
+        cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype)
 
     if attn_impl == "auto":
         attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"

@@ -94,8 +94,8 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
         k_all = jnp.repeat(k_all, H // Hk, axis=1)
         v_all = jnp.repeat(v_all, H // Hk, axis=1)
     scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all) * (q_hd**-0.5)
-    t_ids = jnp.arange(max_len)[None, :]
-    s_ids = pos + jnp.arange(S)[:, None]
+    t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    s_ids = pos + jnp.arange(S, dtype=jnp.int32)[:, None]
     mask = t_ids <= s_ids  # causal within cache coordinates
     scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
@@ -126,13 +126,13 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
     if spec.arch == "opt":
         if "project_in" in params:
             x = _linear(x, params["project_in"])
-        positions = pos + jnp.arange(S) + 2
+        positions = pos + jnp.arange(S, dtype=jnp.int32) + 2
         x = x + params["embed_positions"][positions][None, :, :]
 
     cos = sin = None
     if spec.uses_rope:
         cos, sin = rope_cos_sin(
-            pos + jnp.arange(S), spec.head_dim, spec.rope_theta, dtype=x.dtype
+            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype
         )
 
     new_k, new_v = [], []

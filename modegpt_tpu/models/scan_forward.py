@@ -129,12 +129,12 @@ def forward_scan(
     if spec.arch == "opt":
         if "project_in" in params:
             x = _linear(x, params["project_in"])
-        pos = jnp.arange(T) + 2
+        pos = jnp.arange(T, dtype=jnp.int32) + 2
         x = x + params["embed_positions"][pos][None, :, :]
 
     cos = sin = None
     if spec.uses_rope:
-        cos, sin = rope_cos_sin(jnp.arange(T), spec.head_dim, spec.rope_theta, dtype=x.dtype)
+        cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype)
 
     if attn_impl == "auto":
         attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"

@@ -136,7 +136,7 @@ def nystrom_mlp_padded(
     scores = ridge_inverse_diag(C, ridge)
     # Push invalid (beyond-rank) picks to the end by masking scores.
     _, idx_full = jax.lax.top_k(-scores, pad_rank)
-    pos = jnp.arange(pad_rank)
+    pos = jnp.arange(pad_rank, dtype=jnp.int32)
     valid = pos < rank
     # Sort only the valid prefix ascending; invalid entries sort to the end.
     sort_keys = jnp.where(valid, idx_full, C.shape[0] + pos)
