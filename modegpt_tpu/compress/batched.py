@@ -113,15 +113,18 @@ def _mlp_layers_per_program(spec, pad: int, mesh) -> int:
     bytes in f32, times ~1.5 for XLA temporaries. Bound the stack so the
     solve fits alongside the resident model + stats."""
     d, D = spec.d_model, spec.d_int
-    per_layer = 4 * (2 * D * D + 3 * pad * pad + 6 * pad * d + 3 * D * d) * 1.5
-    budget = 8e9  # conservative HBM slice for the solver program
+    # 3x headroom: XLA keeps gather intermediates (C[idx] is [pad, D]),
+    # the Cholesky workspace, and double-buffered outputs live together.
+    per_layer = 4 * (2 * D * D + 3 * pad * pad + 6 * pad * d + 3 * D * d) * 3.0
+    budget = 5e9  # conservative HBM slice for the solver program
     try:
         import jax as _jax
 
         stats = _jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit")
         if limit:
-            budget = 0.5 * limit
+            # leave room for resident params + on-device calibration stats
+            budget = 0.35 * limit
     except Exception:
         pass
     n = max(1, int(budget // per_layer))
