@@ -160,69 +160,75 @@ def _solve_mlp_batched(
         up, gate, down, idx, valid = jax.vmap(
             nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
         )(cov, W_u, W_g, W_d, ranks_arr, pad, jnp.asarray(config.nystrom_ridge, dt))
-        up, gate, down, idx = (np.asarray(a[:n_real]) for a in (up, gate, down, idx))
 
         for i, l in enumerate(sub):
             r = sub_ranks[i]
-            f = {"up": up[i, :r], "down": down[i, :, :r], "idx": idx[i, :r]}
+            # Fetch exact per-layer slices (device-side slice first): the
+            # pad-to-max rows are zeros and HBM->host bandwidth is the
+            # bottleneck of the whole solve on tunneled hosts.
+            f = {
+                "up": np.asarray(up[i, :r]),
+                "down": np.asarray(down[i, :, :r]),
+                "idx": np.asarray(idx[i, :r]),
+            }
             if spec.gated_mlp:
-                f["gate"] = gate[i, :r]
+                f["gate"] = np.asarray(gate[i, :r])
             elif "bias" in layer_params[l]["up"]:
-                f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[idx[i, :r]]
+                f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[f["idx"]]
                 f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
             out[l] = f
             logger.info("[MLP] layer %d compressed to rank %d", l, r)
     return out
 
 
-def _solve_qk_host(spec, layer_params, layers, ranks, calib, config) -> Dict[int, Dict]:
-    """QK selection entirely on the host: scores are covariance diagonals
-    (exactly the reference's sqrt-column-norms, see ops/qk.py), gathers
-    are row moves."""
+def _solve_qk_host(
+    spec, layer_params, layers, ranks, calib, config, use_dev: bool = False
+) -> Dict[int, Dict]:
+    """QK selection on the host: scores are covariance diagonals (exactly
+    the reference's sqrt-column-norms, see ops/qk.py). Row gathers run on
+    the device when stats live there, so only the KEPT rows cross the
+    HBM->host link."""
     H, Hk, hd = spec.n_heads, spec.n_kv_heads, spec.head_dim
     group = H // Hk
     half = hd // 2
+
+    def rows(lp, name, n_h, mask2d):
+        """Gather per-head rows by a [n_h, r] index array -> host [n_h*r, d]."""
+        if use_dev:
+            w = _hf_w_dev(lp, name).reshape(n_h, hd, -1)
+            sel = jnp.take_along_axis(w, jnp.asarray(mask2d)[:, :, None], axis=1)
+            return np.asarray(sel.reshape(mask2d.shape[0] * mask2d.shape[1], -1))
+        w = _hf_w(lp, name).reshape(n_h, hd, -1)
+        return np.concatenate([w[h][mask2d[h]] for h in range(n_h)], axis=0)
+
     out = {}
     for i, l in enumerate(layers):
         r = ranks[i]
         dq = _diag_host(calib.cov_q[l])  # [H, hd]
         dk = _diag_host(calib.cov_k[l])  # [Hk, hd]
-        W_q = _hf_w(layer_params[l], "q").reshape(H, hd, -1)
-        W_k = _hf_w(layer_params[l], "k").reshape(Hk, hd, -1)
         if spec.uses_rope:
             eq = (dq + DEFAULT_SQRT_RIDGE).reshape(Hk, group, hd)
             ek = dk + config.ridge_qk
             pair = (eq[..., :half] * ek[:, None, :half] + eq[..., half:] * ek[:, None, half:])
             scores = np.sqrt(pair.sum(axis=1))  # [Hk, half]
-            masks, qs, ks = [], [], []
-            for kv in range(Hk):
-                top = _topk_desc(scores[kv], r // 2)
-                mask = np.concatenate([top, top + half])
-                masks.append(mask)
-                ks.append(W_k[kv][mask])
-                for g in range(group):
-                    qs.append(W_q[kv * group + g][mask])
+            masks = np.stack(
+                [np.concatenate([t := _topk_desc(scores[kv], r // 2), t + half]) for kv in range(Hk)]
+            )
             out[l] = {
-                "q": np.concatenate(qs, axis=0),
-                "k": np.concatenate(ks, axis=0),
-                "rotary_mask": np.stack(masks).astype(np.int32),
+                "q": rows(layer_params[l], "q", H, np.repeat(masks, group, axis=0)),
+                "k": rows(layer_params[l], "k", Hk, masks),
+                "rotary_mask": masks.astype(np.int32),
             }
         else:
             scores = np.sqrt(dq + DEFAULT_SQRT_RIDGE) * np.sqrt(dk + DEFAULT_SQRT_RIDGE)
+            masks = np.stack([_topk_desc(scores[h], r) for h in range(H)])
             bq = np.asarray(layer_params[l]["q"]["bias"]).reshape(H, hd)
             bk = np.asarray(layer_params[l]["k"]["bias"]).reshape(H, hd)
-            qs, ks, bqs, bks = [], [], [], []
-            for h in range(H):
-                top = _topk_desc(scores[h], r)
-                qs.append(W_q[h][top])
-                ks.append(W_k[h][top])
-                bqs.append(bq[h][top])
-                bks.append(bk[h][top])
             out[l] = {
-                "q": np.concatenate(qs, axis=0),
-                "k": np.concatenate(ks, axis=0),
-                "q_bias": np.concatenate(bqs),
-                "k_bias": np.concatenate(bks),
+                "q": rows(layer_params[l], "q", H, masks),
+                "k": rows(layer_params[l], "k", H, masks),
+                "q_bias": np.concatenate([bq[h][masks[h]] for h in range(H)]),
+                "k_bias": np.concatenate([bk[h][masks[h]] for h in range(H)]),
             }
         logger.info("[QK] layer %d compressed to rank %d per head", l, r)
     return out
@@ -334,7 +340,9 @@ def solve_chunk_batched(
                     spec, layer_params, layers, ranks, calib, config, dt, use_dev
                 )
             else:
-                out["qk"] = _solve_qk_host(spec, layer_params, layers, ranks, calib, config)
+                out["qk"] = _solve_qk_host(
+                    spec, layer_params, layers, ranks, calib, config, use_dev
+                )
         if "vo" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "vo") for l in layers]
             out["vo"] = _solve_vo_batched(
