@@ -24,6 +24,25 @@ def _tiny_llama():
     return transformers.LlamaForCausalLM(cfg).eval()
 
 
+def _tiny_opt():
+    cfg = transformers.OPTConfig(
+        vocab_size=128, hidden_size=48, ffn_dim=96, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=128, word_embed_proj_dim=48,
+    )
+    torch.manual_seed(0)
+    return transformers.OPTForCausalLM(cfg).eval()
+
+
+def _tiny_qwen3():
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen3ForCausalLM(cfg).eval()
+
+
 def _incremental_vs_full(spec, params, rng):
     B, P, steps = 2, 6, 4
     ids = rng.integers(0, spec.vocab_size, size=(B, P)).astype(np.int32)
@@ -41,13 +60,15 @@ def _incremental_vs_full(spec, params, rng):
         logits_inc, cache = decode_step(spec, params, jnp.asarray(nxt), cache)
 
 
-def test_dense_incremental_matches_full(rng):
-    spec, params = params_from_hf_model(_tiny_llama())
+@pytest.mark.parametrize("mk", [_tiny_llama, _tiny_opt, _tiny_qwen3])
+def test_dense_incremental_matches_full(rng, mk):
+    spec, params = params_from_hf_model(mk())
     _incremental_vs_full(spec, params, rng)
 
 
-def test_compressed_incremental_matches_full(tmp_path, rng):
-    spec, params = params_from_hf_model(_tiny_llama())
+@pytest.mark.parametrize("mk", [_tiny_llama, _tiny_qwen3])
+def test_compressed_incremental_matches_full(tmp_path, rng, mk):
+    spec, params = params_from_hf_model(mk())
     config = CompressionConfig(
         model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
         compression_ratio=0.3, sparsity_smoothing=0.5,
