@@ -134,9 +134,21 @@ def _mlp_layers_per_program(spec, pad: int, mesh) -> int:
     return n
 
 
+def _fetch_dtype(config):
+    """bf16 artifacts (the reference always saves bf16, model_utils.py:111)
+    lose nothing if the factors already cross the HBM->host link in bf16 —
+    and the link is the solve bottleneck on tunneled hosts."""
+    return jnp.bfloat16 if config.model_dtype == "bfloat16" else None
+
+
+def _fetch(a, fdt):
+    return np.asarray(a.astype(fdt) if fdt is not None else a)
+
+
 def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None
 ) -> Dict[int, Dict]:
+    fdt = _fetch_dtype(config)
     pad_all = int(max(ranks))
     step = _mlp_layers_per_program(spec, pad_all, mesh)
     out = {}
@@ -167,12 +179,12 @@ def _solve_mlp_batched(
             # pad-to-max rows are zeros and HBM->host bandwidth is the
             # bottleneck of the whole solve on tunneled hosts.
             f = {
-                "up": np.asarray(up[i, :r]),
-                "down": np.asarray(down[i, :, :r]),
+                "up": _fetch(up[i, :r], fdt),
+                "down": _fetch(down[i, :, :r], fdt),
                 "idx": np.asarray(idx[i, :r]),
             }
             if spec.gated_mlp:
-                f["gate"] = np.asarray(gate[i, :r])
+                f["gate"] = _fetch(gate[i, :r], fdt)
             elif "bias" in layer_params[l]["up"]:
                 f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[f["idx"]]
                 f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
@@ -192,12 +204,14 @@ def _solve_qk_host(
     group = H // Hk
     half = hd // 2
 
+    fdt = _fetch_dtype(config)
+
     def rows(lp, name, n_h, mask2d):
         """Gather per-head rows by a [n_h, r] index array -> host [n_h*r, d]."""
         if use_dev:
             w = _hf_w_dev(lp, name).reshape(n_h, hd, -1)
             sel = jnp.take_along_axis(w, jnp.asarray(mask2d)[:, :, None], axis=1)
-            return np.asarray(sel.reshape(mask2d.shape[0] * mask2d.shape[1], -1))
+            return _fetch(sel.reshape(mask2d.shape[0] * mask2d.shape[1], -1), fdt)
         w = _hf_w(lp, name).reshape(n_h, hd, -1)
         return np.concatenate([w[h][mask2d[h]] for h in range(n_h)], axis=0)
 
@@ -273,9 +287,10 @@ def _solve_vo_batched(
         vo_full_factors, in_axes=(0, 0, 0, None, None, None, None)
     )(cov, W_v, W_o, spec.n_heads, spec.n_kv_heads, config.ridge_vo, whiten)
     # Slice to the chunk's max rank on-device before fetching.
+    fdt = _fetch_dtype(config)
     max_r = int(max(ranks))
-    v_full = np.asarray(v_full[:n_real, :, :, :max_r])
-    o_full = np.asarray(o_full[:n_real, :, :max_r, :])
+    v_full = _fetch(v_full[:n_real, :, :, :max_r], fdt)
+    o_full = _fetch(o_full[:n_real, :, :max_r, :], fdt)
 
     out = {}
     for i, l in enumerate(layers):
