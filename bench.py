@@ -67,11 +67,16 @@ def bench_jax() -> float:
         v_ranks=(N_KV * HEAD_DIM,) * N_LAYERS, o_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS,
         gate_ranks=(D_INT,) * N_LAYERS,
     )
-    params = init_params(spec, jax.random.key(0))
+    import jax.numpy as jnp
+
+    # bf16 weights: the production configuration (the reference's saved
+    # artifacts are always bf16, model_utils.py:111-118). Calibration
+    # statistics still accumulate in f32 at HIGHEST MXU precision.
+    params = init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
     config = CompressionConfig(
         compression_ratio=RATIO, solver_precision="f32_device",
         sparsity_smoothing=0.5, calib_size=CALIB_SEQS, calibs_batch_size=BATCH,
-        seq_len=SEQ,
+        seq_len=SEQ, model_dtype="bfloat16",
     )
     batches = load_calibration_batches(None, "synthetic", CALIB_SEQS, BATCH, SEQ,
                                        vocab_size=VOCAB)
