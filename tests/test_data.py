@@ -84,3 +84,34 @@ def test_wikitext_path_uses_seeded_choice(monkeypatch):
     want = chunks[idx]
     got = np.concatenate(batches, axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_alpaca_calibration_flow(monkeypatch):
+    """Alpaca path: formatted prompts -> token stream -> [calib, seq] view
+    (reference: eval.py:71-119), with eos appended per sample."""
+    import modegpt_tpu.calib.data as data_mod
+
+    samples = [
+        {"instruction": f"do thing {i}", "input": "ctx" if i % 2 else ""}
+        for i in range(50)
+    ]
+
+    def fake_alpaca(tokenizer, calib, n_holdout=500):
+        texts = []
+        for s in samples:
+            tpl = data_mod.ALPACA_WITH_INPUT if s.get("input") else data_mod.ALPACA_NO_INPUT
+            texts.append(tpl.format(instruction=s["instruction"], input=s.get("input", "")) + "</s>")
+        return texts
+
+    monkeypatch.setattr(data_mod, "_alpaca_texts", fake_alpaca)
+
+    class Tok(ToyTokenizer):
+        eos_token = "</s>"
+
+    batches = data_mod.load_calibration_batches(Tok(), "alpaca", calib_size=4,
+                                                batch_size=2, seq_len=64)
+    assert len(batches) == 2 and batches[0].shape == (2, 64)
+    # alpaca is NOT shuffled post-tokenisation: first token of first batch
+    # equals the first token of the first formatted prompt
+    first = Tok()(fake_alpaca(None, True)[0])["input_ids"][0]
+    assert batches[0][0, 0] == first
