@@ -254,7 +254,11 @@ def forward(
         cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype)
 
     if attn_impl == "auto":
-        attn_impl = "flash" if jax.default_backend() == "tpu" else "xla"
+        # Flash on TPU — except under jax_enable_x64, where Pallas grid
+        # index-map integer promotion recurses in jax 0.9 (parity mode
+        # only needs f64 in the solvers; XLA attention is fine for eval).
+        use_flash = jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        attn_impl = "flash" if use_flash else "xla"
 
     collect = len(stats_layers) > 0
     taps_by_layer = {}
