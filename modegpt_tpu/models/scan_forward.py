@@ -44,13 +44,20 @@ __all__ = ["stack_layer_params", "forward_scan", "supports_scan"]
 
 
 def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
-    """Scan path requires uniform layer shapes, no rotary masks, uniform
-    attention window, and a contiguous stats window."""
-    if not spec.is_uniform:
+    """Scan path requires uniform layer SHAPES (rotary masks are fine —
+    they become scanned inputs), a uniform attention window, and a
+    contiguous stats window."""
+    uniform_shapes = all(
+        len(set(r)) <= 1
+        for r in (spec.q_ranks, spec.k_ranks, spec.v_ranks, spec.o_ranks, spec.gate_ranks)
+    )
+    if not uniform_shapes:
         return False
     if spec.layer_types and len(set(spec.layer_types)) > 1:
         return False
     if stats_layers:
+        if spec.has_rotary_masks:
+            return False  # calibration runs on the dense model only
         lo, hi = min(stats_layers), max(stats_layers)
         if tuple(range(lo, hi + 1)) != tuple(sorted(stats_layers)):
             return False
@@ -64,11 +71,13 @@ def stack_layer_params(params: Dict) -> Dict:
 
 
 def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
-    """Uniform dense layer (mirrors forward._layer without masks/taps)."""
+    """Uniform layer (mirrors forward._layer; per-layer rotary masks are
+    scanned inputs when present)."""
     B, T, _ = x.shape
     H, Hk = spec.n_heads, spec.n_kv_heads
     q_hd = spec.q_ranks[0] // H
     v_hd = spec.v_ranks[0] // Hk
+    rotary_mask = p.get("rotary_mask")
 
     pre_ln = spec.do_layer_norm_before
     residual = x
@@ -83,13 +92,13 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
     k = k.reshape(B, T, Hk, q_hd)
     v = v.reshape(B, T, Hk, v_hd)
     if spec.qk_norm:
-        q = masked_head_rms_norm(q, p["q_norm"]["scale"], None, spec.group_size, spec.norm_eps)
-        k = masked_head_rms_norm(k, p["k_norm"]["scale"], None, 1, spec.norm_eps)
+        q = masked_head_rms_norm(q, p["q_norm"]["scale"], rotary_mask, spec.group_size, spec.norm_eps)
+        k = masked_head_rms_norm(k, p["k_norm"]["scale"], rotary_mask, 1, spec.norm_eps)
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
     if spec.uses_rope:
-        q, k = apply_rope(q, k, cos, sin, None)
+        q, k = apply_rope(q, k, cos, sin, rotary_mask)
 
     window = spec.sliding_window if (spec.layer_types and spec.layer_types[0] == "sliding_attention") else None
     attn = _attention(q, k, v, q_hd**-0.5, window, attn_impl)

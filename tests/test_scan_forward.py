@@ -63,3 +63,28 @@ def test_scan_rejects_heterogeneous():
     cspec = spec.with_ranks(gate_ranks=[96, 80, 96])
     assert not supports_scan(cspec, ())
     assert not supports_scan(spec, (0, 2))  # non-contiguous stats window
+
+
+def test_scan_uniform_compressed_with_masks(tmp_path, rng):
+    """Uniform-rank compressed models (large sparsity_smoothing) run via
+    scan — rotary masks become scanned inputs — matching the unrolled
+    forward exactly."""
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.config import CompressionConfig
+
+    spec, params = params_from_hf_model(_model("llama", seed=9))
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=1e9,  # uniform allocation
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"), skip_baseline_eval=True, skip_final_eval=True,
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = r["compressed_spec"], r["compressed_params"]
+    assert len(set(cspec.q_ranks)) == 1 and cspec.has_rotary_masks
+    assert supports_scan(cspec, ())
+
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 16)).astype(np.int32))
+    ref, _ = forward(cspec, cparams, ids)
+    got, _ = forward_scan(cspec, cparams, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=5e-5, atol=5e-5)
