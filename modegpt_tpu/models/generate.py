@@ -214,3 +214,48 @@ def generate(
             break
         logits, cache = decode_step(spec, params, token[:, None], cache)
     return jnp.concatenate(out, axis=1)
+
+
+@partial(jax.jit, static_argnames=("spec", "max_new_tokens", "temperature", "top_k"))
+def generate_scan(
+    spec: ModelSpec,
+    params: Dict,
+    prompt_ids: jax.Array,
+    cache: KVCache,
+    max_new_tokens: int,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    eos_token_id: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+):
+    """Whole-generation-in-one-dispatch: prefill + `lax.scan` over decode
+    steps. The Python-loop `generate` dispatches one program per token —
+    fine locally, but per-dispatch latency dominates on remote/tunneled
+    hosts and in serving; this compiles once and runs the entire decode
+    on-device. Post-eos positions emit eos (compute continues, masked).
+
+    Returns [B, max_new_tokens] generated tokens.
+    """
+    max_len = cache.k[0].shape[2]
+    if key is None:
+        key = jax.random.key(0)
+
+    logits, cache = _model_step(spec, params, prompt_ids, cache, max_len)
+    logits = logits[:, -1, :]
+
+    def step(carry, _):
+        logits, cache, key, done = carry
+        key, sub = jax.random.split(key)
+        token = _sample(logits, sub, temperature, top_k)
+        if eos_token_id is not None:
+            token = jnp.where(done, eos_token_id, token)
+            done = done | (token == eos_token_id)
+        logits, cache = _model_step(spec, params, token[:, None], cache, max_len)
+        return (logits[:, -1, :], cache, key, done), token
+
+    B = prompt_ids.shape[0]
+    done0 = jnp.zeros((B,), dtype=bool)
+    (_, cache, _, _), tokens = jax.lax.scan(
+        step, (logits, cache, key, done0), None, length=max_new_tokens
+    )
+    return tokens.T  # [B, max_new_tokens]

@@ -94,3 +94,18 @@ def test_generate_api(rng):
     out3 = generate(spec, params, ids, max_new_tokens=3, temperature=0.8, top_k=10,
                     key=jax.random.key(1))
     assert out3.shape == (2, 8)
+
+
+def test_generate_scan_matches_python_loop(rng):
+    """One-dispatch scan generation == the Python-loop greedy path."""
+    from modegpt_tpu.models.generate import generate_scan, init_cache
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    ids = rng.integers(0, 128, size=(2, 5)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, ids, max_new_tokens=6, temperature=0.0))
+
+    cache = init_cache(spec, 2, 5 + 6, dtype=params["embed_tokens"].dtype)
+    got = np.asarray(
+        generate_scan(spec, params, jnp.asarray(ids), cache, max_new_tokens=6)
+    )
+    np.testing.assert_array_equal(got, ref[:, 5:])
