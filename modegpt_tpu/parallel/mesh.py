@@ -41,17 +41,17 @@ def parse_mesh_shape(mesh_shape: str) -> Dict[str, int]:
 
 
 def make_mesh(mesh_shape: str = "", devices=None) -> Optional[Mesh]:
-    """Build a Mesh from a "name:size,..." spec; None for single-device.
+    """Build a Mesh from a "name:size,..." spec.
 
-    With an empty spec and more than one device, defaults to a pure-data
-    mesh over all devices.
+    Empty spec -> None (single-device execution): meshes are explicit
+    opt-in so small-batch runs on many-device hosts don't silently
+    acquire divisibility constraints. Batch sizes must divide the
+    ``data`` axis when a mesh is used.
     """
     devices = list(devices if devices is not None else jax.devices())
     axes = parse_mesh_shape(mesh_shape)
     if not axes:
-        if len(devices) == 1:
-            return None
-        axes = {"data": len(devices)}
+        return None
     total = int(np.prod(list(axes.values())))
     if total > len(devices):
         raise ValueError(f"mesh {axes} needs {total} devices, have {len(devices)}")

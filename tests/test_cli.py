@@ -1,0 +1,56 @@
+"""CLI surfaces: compression CLI and the standalone eval CLI."""
+
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt") / "tiny-llama"
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    transformers.LlamaForCausalLM(cfg).save_pretrained(d)
+    return str(d)
+
+
+def test_compression_cli_end_to_end(tmp_path, tiny_ckpt):
+    from modegpt_tpu.cli import main
+
+    results = main([
+        "--model", tiny_ckpt, "--compression_ratio", "0.3",
+        "--calib_size", "4", "--calibs_batch_size", "2", "--seq_len", "48",
+        "--eval_batch_size", "4", "--eval_max_samples", "4",
+        "--dataset", "synthetic", "--sparsity_smoothing", "0.5",
+        "--solver_precision", "f32_device",
+        "--output_dir", str(tmp_path / "o"),
+        "--temp_storage_dir", str(tmp_path / "l"),
+        "--metrics_dir", str(tmp_path / "m"),
+    ])
+    assert np.isfinite(results["compressed_ppl"])
+    # metrics registry written with the reference's shape
+    reg = json.load(open(tmp_path / "m" / "metrics.json"))
+    run = list(reg.values())[-1]
+    assert "baseline-ppl" in run and "ppl-synthetic" in run
+    assert "achieved_compression" in run and run["achieved_compression"] > 0
+
+    # eval CLI over the produced artifact
+    from modegpt_tpu.evals.cli import main as eval_main
+
+    r = eval_main([
+        "--model", str(tmp_path / "o" / "model"), "--dataset", "synthetic",
+        "--seq_len", "48", "--eval_batch_size", "4", "--eval_max_samples", "4",
+    ])
+    assert abs(r["ppl-synthetic"] - results["compressed_ppl"]) < 1e-6 * results["compressed_ppl"]
+
+    # inspect CLI
+    from modegpt_tpu.inspect_artifact import main as inspect_main
+
+    assert inspect_main([str(tmp_path / "o" / "model")]) == 0

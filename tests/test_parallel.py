@@ -31,6 +31,7 @@ def test_parse_and_make_mesh():
     mesh = make_mesh("data:4,model:2")
     assert mesh.shape == {"data": 4, "model": 2}
     assert make_mesh("", devices=jax.devices()[:1]) is None
+    assert make_mesh("") is None  # explicit opt-in only
     with pytest.raises(ValueError):
         make_mesh("data:64")
 
