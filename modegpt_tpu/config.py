@@ -111,7 +111,31 @@ class CompressionConfig:
         parser = cls.make_parser()
         parsed = parser.parse_args(args)
         init_fields = {f.name for f in fields(cls) if f.init}
-        return cls(**{k: v for k, v in vars(parsed).items() if k in init_fields})
+        cfg = cls(**{k: v for k, v in vars(parsed).items() if k in init_fields})
+        cfg.validate()
+        return cfg
+
+    def validate(self) -> "CompressionConfig":
+        """Fail fast on invalid knob combinations."""
+        if self.solver_precision not in ("f64_cpu", "f32_device"):
+            raise ValueError(
+                f"solver_precision must be f64_cpu or f32_device, got {self.solver_precision!r}"
+            )
+        if not (0.0 <= self.compression_ratio < 1.0):
+            raise ValueError(f"compression_ratio must be in [0, 1), got {self.compression_ratio}")
+        if not (0.0 < self.max_sparsity <= 1.0):
+            raise ValueError(f"max_sparsity must be in (0, 1], got {self.max_sparsity}")
+        if self.qk_method not in ("cr", "svd"):
+            raise ValueError(f"qk_method must be cr or svd, got {self.qk_method!r}")
+        if self.model_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"model_dtype must be float32 or bfloat16, got {self.model_dtype!r}")
+        order = self.order or "mlp,qk,vo"
+        for tok in order.split(","):
+            if tok.strip() not in ("mlp", "qk", "vo"):
+                raise ValueError(f"order token {tok!r} not in (mlp, qk, vo)")
+        if self.calibs_batch_size <= 0 or self.calib_size <= 0:
+            raise ValueError("calib_size and calibs_batch_size must be positive")
+        return self
 
     # dict protocol (reference: CompressionConfig.py:82-91)
     def get(self, key: str, default=None):

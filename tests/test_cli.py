@@ -54,3 +54,17 @@ def test_compression_cli_end_to_end(tmp_path, tiny_ckpt):
     from modegpt_tpu.inspect_artifact import main as inspect_main
 
     assert inspect_main([str(tmp_path / "o" / "model")]) == 0
+
+
+def test_config_validation():
+    from modegpt_tpu.config import CompressionConfig
+
+    with pytest.raises(ValueError, match="solver_precision"):
+        CompressionConfig(solver_precision="f16").validate()
+    with pytest.raises(ValueError, match="compression_ratio"):
+        CompressionConfig(compression_ratio=1.5).validate()
+    with pytest.raises(ValueError, match="order token"):
+        CompressionConfig(order="mlp,bogus").validate()
+    with pytest.raises(ValueError, match="qk_method"):
+        CompressionConfig(qk_method="x").validate()
+    CompressionConfig().validate()  # defaults are valid
