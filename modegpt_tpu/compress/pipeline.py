@@ -239,60 +239,59 @@ def run_compression(
         )
 
     # ---- layer-chunked calibrate + solve (reference: run_modegpt.py:107-156) ----
-    profile_ctx = trace(config.profile_dir or None)
-    profile_ctx.__enter__()
     t_compress = time.perf_counter()
     suffixes = _suffixes(order)
     factors: Dict[str, Dict[int, Dict]] = {s: {} for s in suffixes}
     n_layers = spec.n_layers
-    for start in range(0, n_layers, config.layers_per_step):
-        target_layers = list(range(start, min(n_layers, start + config.layers_per_step)))
+    with trace(config.profile_dir or None):
+        for start in range(0, n_layers, config.layers_per_step):
+            target_layers = list(range(start, min(n_layers, start + config.layers_per_step)))
 
-        # Resume: skip layers whose factors are all on disk already.
-        pending = [
-            l
-            for l in target_layers
-            if not all(
-                load_layer_factors(config.temp_storage_dir, l, s) is not None for s in suffixes
-            )
-        ]
-        if pending:
-            accumulate = "device" if config.solver_precision == "f32_device" else "host"
-            calib = calibrate(
-                spec,
-                params,
-                calib_batches,
-                pending,
-                mesh=mesh,
-                accumulate=accumulate,
-                shard_sequence=config.shard_sequence,
-            )
-            keep_ratios, max_sp = allocate_keep_ratios(
-                calib.bi_scores,
-                config.compression_ratio,
-                smoothing=config.sparsity_smoothing,
-                max_sparsity=config.max_sparsity,
-            )
-            metrics["max_layer_sparsity"] = max_sp
-            metrics["smoothing"] = config.sparsity_smoothing
-            from modegpt_tpu.compress.batched import solve_chunk_batched
+            # Resume: skip layers whose factors are all on disk already.
+            pending = [
+                l
+                for l in target_layers
+                if not all(
+                    load_layer_factors(config.temp_storage_dir, l, s) is not None
+                    for s in suffixes
+                )
+            ]
+            if pending:
+                accumulate = "device" if config.solver_precision == "f32_device" else "host"
+                calib = calibrate(
+                    spec,
+                    params,
+                    calib_batches,
+                    pending,
+                    mesh=mesh,
+                    accumulate=accumulate,
+                    shard_sequence=config.shard_sequence,
+                )
+                keep_ratios, max_sp = allocate_keep_ratios(
+                    calib.bi_scores,
+                    config.compression_ratio,
+                    smoothing=config.sparsity_smoothing,
+                    max_sparsity=config.max_sparsity,
+                )
+                metrics["max_layer_sparsity"] = max_sp
+                metrics["smoothing"] = config.sparsity_smoothing
+                from modegpt_tpu.compress.batched import solve_chunk_batched
 
-            solver_mesh = mesh if config.solver_precision == "f32_device" else None
-            chunk_factors = solve_chunk_batched(
-                spec, params, pending, keep_ratios, calib, config, order, mesh=solver_mesh
-            )
-            for s, by_layer in chunk_factors.items():
-                for l, f in by_layer.items():
-                    save_layer_factors(config.temp_storage_dir, l, s, f)
-            del calib
-            gc.collect()
+                solver_mesh = mesh if config.solver_precision == "f32_device" else None
+                chunk_factors = solve_chunk_batched(
+                    spec, params, pending, keep_ratios, calib, config, order, mesh=solver_mesh
+                )
+                for s, by_layer in chunk_factors.items():
+                    for l, f in by_layer.items():
+                        save_layer_factors(config.temp_storage_dir, l, s, f)
+                del calib
+                gc.collect()
 
-        for l in target_layers:
-            for s in suffixes:
-                factors[s][l] = load_layer_factors(config.temp_storage_dir, l, s)
+            for l in target_layers:
+                for s in suffixes:
+                    factors[s][l] = load_layer_factors(config.temp_storage_dir, l, s)
 
     compress_seconds = time.perf_counter() - t_compress
-    profile_ctx.__exit__(None, None, None)
     metrics["compress_seconds"] = compress_seconds
     results["compress_seconds"] = compress_seconds
 
