@@ -97,3 +97,20 @@ def test_sequence_parallel_calibration_matches():
     np.testing.assert_allclose(got.cov_mlp[0], ref.cov_mlp[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got.cov_q[0], ref.cov_q[0], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
+
+
+def test_tp_generation_matches_single_device(rng):
+    """KV-cache generation with Megatron-sharded params + head-sharded
+    caches == unsharded generation (GSPMD propagates through the decode)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from modegpt_tpu.models.generate import generate
+
+    spec, params = params_from_hf_model(_tiny_llama(seed=4))
+    ids = rng.integers(0, 128, size=(2, 5)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, ids, max_new_tokens=6, temperature=0.0))
+
+    mesh = make_mesh("data:2,model:4")
+    sharded = jax.device_put(params, param_shardings(mesh, spec, params))
+    got = np.asarray(generate(spec, sharded, ids, max_new_tokens=6, temperature=0.0))
+    np.testing.assert_array_equal(got, ref)

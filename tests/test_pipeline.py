@@ -198,3 +198,23 @@ def test_opt_qk_svd_method(tmp_path):
     assert sum(cspec.q_ranks) < sum(spec.q_ranks)
     assert not cspec.has_rotary_masks
     assert results["compressed_ppl"] < results["baseline_ppl"] * 3.0
+
+
+def test_opt_350m_style_end_to_end(tmp_path):
+    """Post-LN OPT with word_embed_proj_dim: full pipeline, artifact
+    round-trip, finite and sane PPL."""
+    cfg = transformers.OPTConfig(
+        vocab_size=256, hidden_size=48, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=256,
+        word_embed_proj_dim=32, do_layer_norm_before=False,
+    )
+    torch.manual_seed(21)
+    model = transformers.OPTForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(model)
+    assert spec.word_embed_proj_dim == 32 and not spec.do_layer_norm_before
+    config = _config(tmp_path)
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(results["compressed_ppl"])
+    assert results["compressed_ppl"] < results["baseline_ppl"] * 3.0
+    spec2, params2, _ = load_compressed_model(results["artifact_dir"])
+    assert params2.get("final_norm") is None and "project_in" in params2
