@@ -31,7 +31,15 @@ NEG_INF = -1e30
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len, window):
     qi = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)  # [block_q, hd] (pre-scaled by caller)
+    # dtype policy: f32 inputs run at HIGHEST precision (the MXU's default
+    # f32 decomposition costs ~8e-3 relative error); bf16 inputs stay bf16
+    # on the MXU with f32 accumulators (single pass, exact for bf16 data —
+    # upcasting them to f32 + HIGHEST would force the slow multi-pass path).
+    in_dtype = q_ref.dtype
+    mxu_precision = (
+        jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0]  # [block_q, hd] (pre-scaled by caller)
 
     q_start = qi * block_q
     # causal frontier: last k tile index that intersects this q tile
@@ -46,16 +54,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len, windo
 
     def body(ki, carry):
         acc, m_prev, l_prev = carry
-        k = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        # HIGHEST matmul precision: TPU MXU default decomposes f32 into
-        # bf16 passes (~8e-3 relative error) — measured 1.4e-2 max error
-        # vs the XLA f32 attention without this.
+        k = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [block_q, block_k]
+            precision=mxu_precision,
+        )  # [block_q, block_k] f32
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
         mask = (k_ids <= q_ids) & (k_ids < seq_len)
@@ -65,12 +70,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, block_q, block_k, seq_len, windo
 
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])
+        p = jnp.exp(s - m_cur[:, None])  # f32
         l_cur = l_prev * alpha + jnp.sum(p, axis=1)
         acc = acc * alpha[:, None] + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(in_dtype) if in_dtype != jnp.float32 else p,
+            v,
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=mxu_precision,
         )
         return acc, m_cur, l_cur
 

@@ -225,3 +225,22 @@ def test_flash_attention_sliding_window(rng):
         ref = _attention(q, k, v, hd**-0.5, w, impl="xla")
         got = flash_attention(q, k, v, scale=hd**-0.5, window=w, block_q=128, block_k=128)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_bf16(rng):
+    """bf16 inputs: single-pass MXU with f32 accumulators; tolerances at
+    bf16 resolution vs the f32 XLA reference."""
+    from modegpt_tpu.kernels.flash_attention import flash_attention
+    from modegpt_tpu.models.forward import _attention
+
+    B, H, T, hd = 1, 2, 256, 64
+    qf = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    kf = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    vf = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    q = jnp.asarray(qf, dtype=jnp.bfloat16)
+    k = jnp.asarray(kf, dtype=jnp.bfloat16)
+    v = jnp.asarray(vf, dtype=jnp.bfloat16)
+    ref = _attention(q, k, v, hd**-0.5, None, impl="xla").astype(jnp.float32)
+    got = flash_attention(q, k, v, scale=hd**-0.5, block_q=128, block_k=128).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
+    assert flash_attention(q, k, v, scale=hd**-0.5).dtype == jnp.bfloat16
