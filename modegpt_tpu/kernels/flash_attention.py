@@ -25,6 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
@@ -157,3 +158,165 @@ def flash_attention(
     )(qf, kf, vf)
 
     return out[:, :T, :].reshape(B, H, T, hd_v)
+
+
+def _attn_kernel_hbm(
+    q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, sem_k, sem_v,
+    *, block_q, block_k, seq_len, window, group,
+):
+    """Flash body with K/V streamed from HBM via double-buffered DMA.
+
+    K/V never fully enter VMEM — each [block_k, hd] tile is copied into a
+    two-slot scratch while the previous tile computes (pallas guide's
+    double-buffering pattern), so sequence length is bounded by HBM, not
+    the ~16 MB VMEM.
+    """
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    kv_idx = bh // group
+
+    in_dtype = q_ref.dtype
+    mxu_precision = (
+        jax.lax.Precision.HIGHEST if in_dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0]
+    q_start = qi * block_q
+    num_k = (q_start + block_q + block_k - 1) // block_k
+    if window is None:
+        k_lo = 0
+    else:
+        k_lo = jnp.maximum(0, (q_start - window + 1) // block_k)
+
+    def dma(ki, slot):
+        return (
+            pltpu.make_async_copy(
+                k_hbm.at[kv_idx, pl.ds(ki * block_k, block_k), :],
+                k_buf.at[slot],
+                sem_k.at[slot],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[kv_idx, pl.ds(ki * block_k, block_k), :],
+                v_buf.at[slot],
+                sem_v.at[slot],
+            ),
+        )
+
+    # Warm up the pipeline with the first tile.
+    dk0, dv0 = dma(k_lo, k_lo % 2)
+    dk0.start()
+    dv0.start()
+
+    def body(ki, carry):
+        acc, m_prev, l_prev = carry
+        slot = ki % 2
+
+        @pl.when(ki + 1 < num_k)
+        def _():
+            dk, dv = dma(ki + 1, (ki + 1) % 2)
+            dk.start()
+            dv.start()
+
+        dk_cur, dv_cur = dma(ki, slot)
+        dk_cur.wait()
+        dv_cur.wait()
+
+        k = k_buf[slot]
+        v = v_buf[slot]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (k_ids <= q_ids) & (k_ids < seq_len)
+        if window is not None:
+            mask = mask & (k_ids > q_ids - window)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jax.lax.dot_general(
+            p.astype(in_dtype) if in_dtype != jnp.float32 else p,
+            v,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision,
+        )
+        return acc, m_cur, l_cur
+
+    hd_v = v_buf.shape[-1]
+    acc0 = jnp.zeros((block_q, hd_v), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(k_lo, num_k, body, (acc0, m0, l0))
+
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)[:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret", "window"))
+def flash_attention_hbm(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+    window: Optional[int] = None,
+) -> jax.Array:
+    """Long-context flash attention: K/V stay in HBM, tiles are streamed
+    into VMEM with double-buffered DMA. Same semantics as
+    `flash_attention`; use when T is too long for whole-K/V-in-VMEM
+    (~30k+ tokens at hd 128 f32)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, H, T, hd = q.shape
+    Hk = k.shape[1]
+    hd_v = v.shape[-1]
+    group = H // Hk
+    if scale is None:
+        scale = 1.0 / math.sqrt(hd)
+
+    block_q = min(block_q, _ceil_to(T, 128))
+    block_k = min(block_k, _ceil_to(T, 128))
+    t_pad = _ceil_to(T, max(block_q, block_k))
+    # Manual HBM DMA slices must be 128-lane aligned (Mosaic tiling);
+    # zero-padded head columns contribute nothing to q.k or the output.
+    hd_p = _ceil_to(hd, 128)
+    hd_v_p = _ceil_to(hd_v, 128)
+
+    qf = (q * jnp.asarray(scale, q.dtype)).reshape(B * H, T, hd)
+    kf = k.reshape(B * Hk, T, hd)
+    vf = v.reshape(B * Hk, T, hd_v)
+    qf = jnp.pad(qf, ((0, 0), (0, t_pad - T), (0, hd_p - hd)))
+    kf = jnp.pad(kf, ((0, 0), (0, t_pad - T), (0, hd_p - hd)))
+    vf = jnp.pad(vf, ((0, 0), (0, t_pad - T), (0, hd_v_p - hd_v)))
+
+    grid = (B * H, t_pad // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_hbm,
+            block_q=block_q, block_k=block_k, seq_len=T, window=window, group=group,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd_p), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd_v_p), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, t_pad, hd_v_p), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, hd_p), q.dtype),
+            pltpu.VMEM((2, block_k, hd_v_p), q.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+
+    return out[:, :T, :hd_v].reshape(B, H, T, hd_v)

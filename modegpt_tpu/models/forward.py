@@ -113,8 +113,13 @@ def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"
     B, H, T, _ = q.shape
     Hk = k.shape[1]
     if impl == "flash" and T >= 128:
-        from modegpt_tpu.kernels.flash_attention import flash_attention
+        from modegpt_tpu.kernels.flash_attention import flash_attention, flash_attention_hbm
 
+        if T > 8192:
+            # Long context: K/V stay in HBM, tiles streamed via
+            # double-buffered DMA (the in-VMEM variant holds whole K/V
+            # per program — fine to ~8k tokens, wasteful beyond).
+            return flash_attention_hbm(q, k, v, scale=scaling, window=window)
         return flash_attention(q, k, v, scale=scaling, window=window)
     if Hk != H:
         rep = H // Hk

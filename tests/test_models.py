@@ -244,3 +244,22 @@ def test_flash_attention_bf16(rng):
     got = flash_attention(q, k, v, scale=hd**-0.5, block_q=128, block_k=128).astype(jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2)
     assert flash_attention(q, k, v, scale=hd**-0.5).dtype == jnp.bfloat16
+
+
+def test_flash_attention_hbm_streaming(rng):
+    """HBM-streamed double-buffered kernel == in-VMEM kernel == XLA."""
+    from modegpt_tpu.kernels.flash_attention import flash_attention, flash_attention_hbm
+    from modegpt_tpu.models.forward import _attention
+
+    B, H, Hk, T, hd = 1, 4, 2, 384, 32
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+    scale = hd**-0.5
+    ref = _attention(q, k, v, scale, None, impl="xla")
+    got = flash_attention_hbm(q, k, v, scale=scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
+    # sliding window too
+    refw = _attention(q, k, v, scale, 64, impl="xla")
+    gotw = flash_attention_hbm(q, k, v, scale=scale, window=64, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(gotw), np.asarray(refw), rtol=2e-4, atol=2e-5)
