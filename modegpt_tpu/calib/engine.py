@@ -69,6 +69,7 @@ def _stats_fn(
     stats_layers: Tuple[int, ...],
     mesh: Optional[jax.sharding.Mesh],
     shard_sequence: bool = False,
+    shard_stats: bool = False,
 ):
     """Build the jitted per-batch stats function (logits are discarded —
     XLA dead-code-eliminates the LM head for calibration batches).
@@ -83,6 +84,12 @@ def _stats_fn(
     sums over tokens, so sequence sharding is exact — GSPMD inserts the
     gathers the attention needs and the psum that reduces the Grams
     (long-context extension the reference lacks, SURVEY.md §5).
+
+    shard_stats=True shards the Gram accumulators over the data axis on
+    their LAYER-stack dim: the all-reduce becomes a reduce-scatter (half
+    the collective traffic) and each device holds 1/n of the
+    [n_t, D_int, D_int] accumulators — the mesh answer to SURVEY.md §7
+    hard part 6 (streaming Gram memory). Requires n_t % data == 0.
     """
 
     fwd = forward_scan if supports_scan(spec, stats_layers) else forward
@@ -96,11 +103,25 @@ def _stats_fn(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from modegpt_tpu.models.forward import CalibStats
+
     seq_axis = "model" if (shard_sequence and "model" in mesh.axis_names) else None
     batch_sharding = NamedSharding(mesh, P("data", seq_axis))
     replicated = NamedSharding(mesh, P())
 
-    return jax.jit(fn, in_shardings=(None, batch_sharding), out_shardings=replicated)
+    out_shardings = replicated
+    if shard_stats and len(stats_layers) % mesh.shape["data"] == 0:
+        layer_sharded3 = NamedSharding(mesh, P("data", None, None))
+        layer_sharded4 = NamedSharding(mesh, P("data", None, None, None))
+        out_shardings = CalibStats(
+            cov_mlp=layer_sharded3,
+            cov_q=layer_sharded4,
+            cov_k=layer_sharded4,
+            cov_x=layer_sharded3,
+            bi_acc=replicated,
+        )
+
+    return jax.jit(fn, in_shardings=(None, batch_sharding), out_shardings=out_shardings)
 
 
 @jax.jit
@@ -146,6 +167,7 @@ def calibrate(
     mesh: Optional[jax.sharding.Mesh] = None,
     accumulate: str = "host",
     shard_sequence: bool = False,
+    shard_stats: bool = False,
 ) -> CalibrationResult:
     """Run calibration forwards and accumulate statistics.
 
@@ -157,9 +179,12 @@ def calibrate(
         "device" (on-device f32 running sums, one fetch per chunk).
       shard_sequence: also shard the sequence axis over the mesh's
         "model" axis (exact for Gram sums).
+      shard_stats: shard Gram accumulators over the data axis on the
+        layer-stack dim (reduce-scatter instead of all-reduce; per-device
+        accumulator memory divided by the data-axis size).
     """
     stats_layers = tuple(int(l) for l in target_layers)
-    fn = _stats_fn(spec, stats_layers, mesh, shard_sequence)
+    fn = _stats_fn(spec, stats_layers, mesh, shard_sequence, shard_stats)
 
     n_sequences = 0
     seq_len = int(batches[0].shape[1])

@@ -266,6 +266,7 @@ def run_compression(
                     mesh=mesh,
                     accumulate=accumulate,
                     shard_sequence=config.shard_sequence,
+                    shard_stats=config.shard_stats,
                 )
                 keep_ratios, max_sp = allocate_keep_ratios(
                     calib.bi_scores,

@@ -60,6 +60,7 @@ class CompressionConfig:
     metrics_dir: str = "./metrics"
     profile_dir: str = ""  # jax.profiler trace output; empty = disabled
     shard_sequence: bool = False  # sequence-parallel calibration over the model axis
+    shard_stats: bool = False  # layer-shard Gram accumulators over the data axis
     seed: int = 1234
     skip_baseline_eval: bool = False
     skip_final_eval: bool = False

@@ -114,3 +114,31 @@ def test_tp_generation_matches_single_device(rng):
     sharded = jax.device_put(params, param_shardings(mesh, spec, params))
     got = np.asarray(generate(spec, sharded, ids, max_new_tokens=6, temperature=0.0))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_layer_sharded_stats_accumulators():
+    """shard_stats=True (reduce-scatter over the layer-stack axis) must
+    produce the same statistics as replicated accumulation."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=5))
+    batches = load_calibration_batches(None, "synthetic", 8, 4, 32, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0, 1], accumulate="host")
+
+    mesh = make_mesh("data:2,model:2", devices=jax.devices()[:4])
+    sharded = jax.device_put(params, param_shardings(mesh, spec, params))
+    got = calibrate(
+        spec, sharded, batches, [0, 1], mesh=mesh, accumulate="host", shard_stats=True
+    )
+    for l in (0, 1):
+        np.testing.assert_allclose(got.cov_mlp[l], ref.cov_mlp[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_x[l], ref.cov_x[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_q[l], ref.cov_q[l], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
+
+    # device-accumulate mode keeps the shards resident; results identical too
+    got_dev = calibrate(
+        spec, sharded, batches, [0, 1], mesh=mesh, accumulate="device", shard_stats=True
+    )
+    for l in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(got_dev.cov_mlp[l]), ref.cov_mlp[l], rtol=2e-4, atol=2e-4
+        )
