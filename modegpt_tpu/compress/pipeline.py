@@ -351,6 +351,7 @@ def run_compression(
             mesh=mesh,
             metrics=metrics.run,
             attn_impl=attn_impl,
+            exec_mode=config.compressed_exec,
         )
         logger.info("Compressed ppl: %s", compressed_ppl)
         metrics[f"ppl-{config.dataset}"] = compressed_ppl

@@ -65,6 +65,11 @@ class CompressionConfig:
     skip_baseline_eval: bool = False
     skip_final_eval: bool = False
     use_flash_attention: bool = True
+    # Heterogeneous-rank execution: 'unrolled' compiles one XLA body per
+    # layer (exact shapes); 'padded' zero-pads to the stack max and scans
+    # (layer-count-independent compile, see models/padded.py); 'auto'
+    # picks padded when the FLOP overhead is small.
+    compressed_exec: str = "auto"
 
     _FIELD_HELP = {
         "order": "mlp,qk,vo  -- <method>,<method>,<method>",
@@ -128,6 +133,10 @@ class CompressionConfig:
             raise ValueError(f"max_sparsity must be in (0, 1], got {self.max_sparsity}")
         if self.qk_method not in ("cr", "svd"):
             raise ValueError(f"qk_method must be cr or svd, got {self.qk_method!r}")
+        if self.compressed_exec not in ("auto", "unrolled", "padded"):
+            raise ValueError(
+                f"compressed_exec must be auto, unrolled or padded, got {self.compressed_exec!r}"
+            )
         if self.model_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"model_dtype must be float32 or bfloat16, got {self.model_dtype!r}")
         order = self.order or "mlp,qk,vo"

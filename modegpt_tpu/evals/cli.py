@@ -55,6 +55,10 @@ def main(argv=None):
     parser.add_argument("--generate", default="", help="prompt to generate from")
     parser.add_argument("--max_new_tokens", type=int, default=64)
     parser.add_argument("--mesh_shape", default="")
+    parser.add_argument(
+        "--compressed_exec", default="auto", choices=("auto", "unrolled", "padded"),
+        help="heterogeneous-rank execution path (see models/padded.py)",
+    )
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -75,7 +79,8 @@ def main(argv=None):
             vocab_size=spec.vocab_size,
         )
         ppl = compute_perplexity(
-            spec, params, tokens, args.eval_batch_size, mesh=mesh, metrics=results
+            spec, params, tokens, args.eval_batch_size, mesh=mesh, metrics=results,
+            exec_mode=args.compressed_exec,
         )
         results[f"ppl-{args.dataset}"] = ppl
         logger.info("ppl-%s: %.4f", args.dataset, ppl)

@@ -40,11 +40,23 @@ def _batch_nll(spec: ModelSpec, params, batch, attn_impl: str = "auto"):
     """
     fwd = forward_scan if supports_scan(spec, ()) else forward
     logits, _ = fwd(spec, params, batch, attn_impl=attn_impl)
+    return _nll_from_logits(logits, batch)
+
+
+def _nll_from_logits(logits, batch):
     logits = logits[:, :-1, :].astype(jnp.float32)
     labels = batch[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return jnp.sum(nll)
+
+
+@partial(jax.jit, static_argnames=("spec", "attn_impl"))
+def _batch_nll_padded(spec: ModelSpec, layers, other, q_hd_true, batch, attn_impl="auto"):
+    from modegpt_tpu.models.padded import forward_padded
+
+    logits = forward_padded.__wrapped__(spec, layers, other, q_hd_true, batch, attn_impl)
+    return _nll_from_logits(logits, batch)
 
 
 def compute_perplexity(
@@ -56,11 +68,36 @@ def compute_perplexity(
     metrics: Optional[Dict] = None,
     progress: bool = True,
     attn_impl: str = "auto",
+    exec_mode: str = "auto",
 ) -> float:
-    """Perplexity over pre-chunked eval windows [n, seq_len]."""
+    """Perplexity over pre-chunked eval windows [n, seq_len].
+
+    exec_mode selects the heterogeneous-rank execution path: 'unrolled'
+    (exact shapes, one compiled body per layer), 'padded' (zero-padded
+    uniform scan, models/padded.py), or 'auto' (padded when the spec is
+    non-uniform and the padding FLOP overhead is < 1.5x).
+    """
     n_samples, seq_len = eval_tokens.shape
 
-    nll_fn = _batch_nll
+    if exec_mode == "auto":
+        from modegpt_tpu.models.padded import padding_overhead
+
+        use_padded = not spec.is_uniform and padding_overhead(spec) < 1.5
+    else:
+        use_padded = exec_mode == "padded"
+    if use_padded and mesh is None:
+        from modegpt_tpu.models.padded import pad_to_uniform, padding_overhead
+
+        pm = pad_to_uniform(spec, params)
+        logger.info(
+            "eval: padded-uniform execution (%.1f%% FLOP overhead, compile O(1) in depth)",
+            (padding_overhead(spec) - 1) * 100,
+        )
+        nll_fn = lambda _spec, _params, batch, impl: _batch_nll_padded(
+            pm.spec, pm.layers, pm.other, pm.q_hd_true, batch, impl
+        )
+    else:
+        nll_fn = _batch_nll
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 

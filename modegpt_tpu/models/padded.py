@@ -1,0 +1,491 @@
+"""Padded-uniform execution for heterogeneous-rank compressed models.
+
+The compressed model has different q/k/v/o/gate dims per layer
+(reference: per-layer rank lists written by src/adapters/LlamaAdapter.py:250-302
+and consumed by the vendored Rebuild files). The unrolled forward in
+`models/forward.py` handles that exactly but compiles one XLA body per
+layer — compile time grows linearly in depth, which hurts serving
+restarts and large models.
+
+This module trades a small amount of padded FLOPs for layer-count-
+independent compile time: every layer's factors are zero-padded to the
+stack-wide max rank per module, parameters are stacked to ``[L, ...]``
+leaves, and the whole stack runs as ONE ``lax.scan`` body — both for the
+full forward and for the KV-cache decode step. With MoDeGPT's smoothed
+global allocation the rank spread across layers is modest, so the
+padding overhead is typically a few percent (see `padding_overhead`).
+
+Exactness (bit-for-bit vs the unrolled path up to float reassociation):
+
+* Zero-padded projection columns produce zero q/k/v coordinates, which
+  contribute nothing to attention scores or outputs; zero-padded o/down
+  rows consume those zero coordinates. Biases are zero at pad positions.
+* For RoPE architectures, q/k pads use a HALF-SPLIT layout per head —
+  ``[first-half | 0.. | second-half | 0..]`` — so ``rotate_half``'s
+  pairing of position ``i`` with ``i + R/2`` still pairs true coordinate
+  with true coordinate (the rotary mask ordering is ``concat(topk,
+  topk + hd/2)``, ops/rope.py). Rotating a (0, 0) pair yields (0, 0).
+* Attention scaling uses the TRUE per-layer head dim ``r^-1/2``
+  (reference: LlamaRebuild.py:282) — carried as a scanned scalar and
+  pre-multiplied into q (softmax(q*s . k) == softmax((q . k) * s)).
+* Qwen3's masked per-head q/k RMSNorm divides by the TRUE rank, not the
+  padded one: variance is computed as ``sum(x^2) / r_true`` (pads are
+  zero, so the sum is unaffected; reference: DenseQwenRebuild.py:262-286).
+
+Verified against the unrolled forward in tests/test_padded.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modegpt_tpu.models.forward import _act, _attention, _linear, _norm
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.rope import apply_rope, rope_cos_sin
+
+__all__ = [
+    "PaddedModel",
+    "pad_to_uniform",
+    "padding_overhead",
+    "forward_padded",
+    "init_cache_padded",
+    "prefill_padded",
+    "generate_padded",
+]
+
+
+class PaddedModel(NamedTuple):
+    """Uniform-shape stacked model: `spec` has the PADDED (uniform) ranks;
+    `layers` holds [L, ...] stacked leaves; `meta` carries per-layer true
+    dims needed at runtime (everything else is exact through zeros)."""
+
+    spec: ModelSpec  # padded, uniform ranks (hashable, jit-static)
+    layers: Dict  # stacked padded per-layer params
+    other: Dict  # non-layer params (embed, final norm, lm_head, ...)
+    q_hd_true: jax.Array  # [L] f32 — true per-head q/k dim per layer
+
+
+def _pad_head_axis(x, n_heads: int, r_true: int, R: int, rope: bool, axis: int):
+    """Pad a head-major axis of size n_heads*r_true to n_heads*R with
+    zeros; `rope=True` uses the half-split layout."""
+    if r_true == R:
+        return x
+    x = jnp.moveaxis(x, axis, -1)
+    shape = x.shape[:-1]
+    xh = x.reshape(*shape, n_heads, r_true)
+    out = jnp.zeros((*shape, n_heads, R), dtype=x.dtype)
+    if rope:
+        h, Rh = r_true // 2, R // 2
+        out = out.at[..., :h].set(xh[..., :h])
+        out = out.at[..., Rh : Rh + h].set(xh[..., h:])
+    else:
+        out = out.at[..., :r_true].set(xh)
+    return jnp.moveaxis(out.reshape(*shape, n_heads * R), -1, axis)
+
+
+def _pad_tail(x, true: int, target: int, axis: int):
+    if true == target:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - true)
+    return jnp.pad(x, pad)
+
+
+def _pad_linear(p: Dict, pad_in=None, pad_out=None) -> Dict:
+    """pad_in/pad_out: None or (fn taking (array, axis))."""
+    out = dict(p)
+    k = p["kernel"]
+    if pad_in is not None:
+        k = pad_in(k, 0)
+    if pad_out is not None:
+        k = pad_out(k, 1)
+    out["kernel"] = k
+    if "bias" in p and pad_out is not None:
+        out["bias"] = pad_out(p["bias"], 0)
+    return out
+
+
+def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
+    """Zero-pad every layer to the stack-wide max rank per module and
+    stack the layer params into [L, ...] leaves."""
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    L = spec.n_layers
+    rope = spec.uses_rope
+
+    Rq = max(spec.q_ranks[l] // H for l in range(L))
+    Rv = max(spec.v_ranks[l] // Hk for l in range(L))
+    Rg = max(spec.gate_ranks)
+    # All layers must agree on pytree structure for stacking: if ANY layer
+    # carries a rotary mask (or a RoPE layer needs q/k padding), every
+    # layer gets one (identity mask for untouched layers).
+    need_masks = spec.has_rotary_masks or (
+        rope and any(spec.q_ranks[l] // H != Rq for l in range(L))
+    )
+
+    padded_layers = []
+    for l in range(L):
+        p = params["layers"][l]
+        rq = spec.q_ranks[l] // H
+        rv = spec.v_ranks[l] // Hk
+        rg = spec.gate_ranks[l]
+
+        qk_out_q = lambda x, ax: _pad_head_axis(x, H, rq, Rq, rope, ax)
+        qk_out_k = lambda x, ax: _pad_head_axis(x, Hk, rq, Rq, rope, ax)
+        v_out = lambda x, ax: _pad_head_axis(x, Hk, rv, Rv, False, ax)
+        o_in = lambda x, ax: _pad_head_axis(x, H, rv, Rv, False, ax)
+        g_out = lambda x, ax: _pad_tail(x, rg, Rg, ax)
+        g_in = lambda x, ax: _pad_tail(x, rg, Rg, ax)
+
+        q = {
+            "attn_norm": p["attn_norm"],
+            "mlp_norm": p["mlp_norm"],
+            "q": _pad_linear(p["q"], pad_out=qk_out_q),
+            "k": _pad_linear(p["k"], pad_out=qk_out_k),
+            "v": _pad_linear(p["v"], pad_out=v_out),
+            "o": _pad_linear(p["o"], pad_in=o_in),
+            "up": _pad_linear(p["up"], pad_out=g_out),
+            "down": _pad_linear(p["down"], pad_in=g_in),
+        }
+        if spec.gated_mlp:
+            q["gate"] = _pad_linear(p["gate"], pad_out=g_out)
+        if spec.qk_norm:
+            q["q_norm"] = p["q_norm"]
+            q["k_norm"] = p["k_norm"]
+        if "rotary_mask" in p:
+            # pad positions keep index 0: the gathered cos/sin multiply a
+            # zero coordinate, so the value is irrelevant. Each mask row
+            # is one kv head, so pad the last axis with n_heads=1.
+            q["rotary_mask"] = _pad_head_axis(p["rotary_mask"], 1, rq, Rq, rope, 1)
+        elif need_masks:
+            # RoPE layer without an explicit mask (dense/untouched layer
+            # inside a compressed stack): identity frequency mask, padded
+            # in the same half-split layout.
+            half = rq // 2
+            ident = jnp.concatenate(
+                [
+                    jnp.arange(half, dtype=jnp.int32),
+                    jnp.arange(half, dtype=jnp.int32) + spec.head_dim // 2,
+                ]
+            )
+            ident = jnp.broadcast_to(ident[None, :], (Hk, rq))
+            q["rotary_mask"] = _pad_head_axis(ident, 1, rq, Rq, rope, 1)
+        padded_layers.append(q)
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded_layers)
+    other = {k: v for k, v in params.items() if k != "layers"}
+
+    pspec = spec.with_ranks(
+        q_ranks=(H * Rq,) * L,
+        k_ranks=(Hk * Rq,) * L,
+        v_ranks=(Hk * Rv,) * L,
+        o_ranks=(H * Rv,) * L,
+        gate_ranks=(Rg,) * L,
+    )
+    q_hd_true = jnp.asarray([spec.q_ranks[l] / H for l in range(L)], jnp.float32)
+    return PaddedModel(spec=pspec, layers=stacked, other=other, q_hd_true=q_hd_true)
+
+
+def padding_overhead(spec: ModelSpec) -> float:
+    """FLOP ratio padded/exact for the layer stack's matmuls (embeddings
+    and attention quadratic terms excluded — a conservative upper bound)."""
+    H, Hk, L, d = spec.n_heads, spec.n_kv_heads, spec.n_layers, spec.d_model
+    Rq = max(spec.q_ranks) // H * H
+    Rk = max(spec.q_ranks) // H * Hk
+    Rv = max(spec.v_ranks) // Hk * Hk
+    Ro = max(spec.v_ranks) // Hk * H
+    Rg = max(spec.gate_ranks)
+    n_g = 2 if spec.gated_mlp else 1
+    padded = L * d * (Rq + Rk + Rv + Ro + (n_g + 1) * Rg)
+    exact = sum(
+        d
+        * (
+            spec.q_ranks[l]
+            + spec.k_ranks[l]
+            + spec.v_ranks[l]
+            + spec.o_ranks[l]
+            + (n_g + 1) * spec.gate_ranks[l]
+        )
+        for l in range(L)
+    )
+    return padded / max(exact, 1)
+
+
+def _masked_rms_norm_truerank(x, weight, rotary_mask, group: int, eps: float, r_true):
+    """masked_head_rms_norm with the variance over the TRUE rank
+    (pads are zero so sum(x^2) is unaffected; r_true is a traced scalar)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / r_true
+    normed = xf * lax.rsqrt(var + eps)
+    if rotary_mask is None:
+        w = weight.astype(jnp.float32)[None, None, None, :]
+    else:
+        mask = jnp.repeat(rotary_mask, group, axis=0) if group > 1 else rotary_mask
+        w = weight.astype(jnp.float32)[mask][None, None, :, :]
+    return (normed * w).astype(dtype)
+
+
+def _layer_padded(
+    spec: ModelSpec,
+    p: Dict,
+    q_hd_true,
+    x,
+    cos,
+    sin,
+    attn_impl: str,
+    cache_kv=None,
+    pos=None,
+):
+    """One padded layer. Without a cache: full causal self-attention.
+    With cache_kv=(ck, cv) and pos: incremental step reading/writing the
+    cache at offset pos. Returns (x_out, new_cache or None)."""
+    B, S, _ = x.shape
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    Rq = spec.q_ranks[0] // H
+    Rv = spec.v_ranks[0] // Hk
+    rotary_mask = p.get("rotary_mask")
+
+    pre_ln = spec.do_layer_norm_before
+    residual = x
+    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    q = _linear(x_ln, p["q"]).reshape(B, S, H, Rq)
+    k = _linear(x_ln, p["k"]).reshape(B, S, Hk, Rq)
+    v = _linear(x_ln, p["v"]).reshape(B, S, Hk, Rv)
+
+    if spec.qk_norm:
+        q = _masked_rms_norm_truerank(
+            q, p["q_norm"]["scale"], rotary_mask, spec.group_size, spec.norm_eps, q_hd_true
+        )
+        k = _masked_rms_norm_truerank(
+            k, p["k_norm"]["scale"], rotary_mask, 1, spec.norm_eps, q_hd_true
+        )
+
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    if spec.uses_rope:
+        q, k = apply_rope(q, k, cos, sin, rotary_mask)
+
+    # True-rank scaling, pre-multiplied into q (traced per-layer scalar).
+    q = q * lax.rsqrt(q_hd_true).astype(q.dtype)
+
+    new_cache = None
+    if cache_kv is None:
+        window = spec.sliding_window if (
+            spec.layer_types and spec.layer_types[0] == "sliding_attention"
+        ) else None
+        attn = _attention(q, k, v, 1.0, window, attn_impl)
+    else:
+        ck, cv = cache_kv
+        max_len = ck.shape[2]
+        zero = jnp.asarray(0, pos.dtype)
+        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (zero, zero, pos, zero))
+        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (zero, zero, pos, zero))
+        new_cache = (ck, cv)
+        k_all, v_all = ck, cv
+        if Hk != H:
+            k_all = jnp.repeat(k_all, H // Hk, axis=1)
+            v_all = jnp.repeat(v_all, H // Hk, axis=1)
+        scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
+        t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+        s_ids = pos + jnp.arange(S, dtype=jnp.int32)[:, None]
+        mask = t_ids <= s_ids
+        scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
+
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Rv)
+    x = residual + _linear(attn, p["o"])
+    if not pre_ln:
+        x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+
+    residual = x
+    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    if spec.gated_mlp:
+        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    else:
+        h = _act(_linear(x_ln2, p["up"]), spec.act)
+    x = residual + _linear(h, p["down"])
+    if not pre_ln:
+        x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+    return x, new_cache
+
+
+def _embed(spec: ModelSpec, other: Dict, tokens, pos0=None):
+    x = other["embed_tokens"][tokens]
+    if spec.arch == "opt":
+        if "project_in" in other:
+            x = _linear(x, other["project_in"])
+        S = tokens.shape[1]
+        pos = jnp.arange(S, dtype=jnp.int32) + 2
+        if pos0 is not None:
+            pos = pos + pos0
+        x = x + other["embed_positions"][pos][None, :, :]
+    return x
+
+
+def _unembed(spec: ModelSpec, other: Dict, x):
+    if other.get("final_norm") is not None:
+        x = _norm(x, other["final_norm"], spec.norm, spec.norm_eps)
+    if "project_out" in other:
+        x = _linear(x, other["project_out"])
+    if other.get("lm_head") is not None:
+        return _linear(x, other["lm_head"])
+    return x @ other["embed_tokens"].T
+
+
+def _resolve_attn_impl(attn_impl: str) -> str:
+    if attn_impl == "auto":
+        use_flash = jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        return "flash" if use_flash else "xla"
+    return attn_impl
+
+
+@partial(jax.jit, static_argnames=("spec", "attn_impl"))
+def forward_padded(
+    spec: ModelSpec,
+    layers: Dict,
+    other: Dict,
+    q_hd_true: jax.Array,
+    input_ids: jax.Array,
+    attn_impl: str = "auto",
+):
+    """Full causal forward over the padded stack; returns logits.
+    Same numerics as `forward(orig_spec, orig_params, ...)`."""
+    T = input_ids.shape[1]
+    attn_impl = _resolve_attn_impl(attn_impl)
+
+    x = _embed(spec, other, input_ids)
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(
+            jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype
+        )
+
+    def body(x, inputs):
+        p, r_true = inputs
+        x, _ = _layer_padded(spec, p, r_true, x, cos, sin, attn_impl)
+        return x, None
+
+    x, _ = lax.scan(body, x, (layers, q_hd_true))
+    return _unembed(spec, other, x)
+
+
+def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float32):
+    """Stacked KV cache [L, B, Hk, max_len, R]; returns (k, v, length)."""
+    spec = pm.spec
+    Rq = spec.q_ranks[0] // spec.n_heads
+    Rv = spec.v_ranks[0] // spec.n_kv_heads
+    L = spec.n_layers
+    k = jnp.zeros((L, batch, spec.n_kv_heads, max_len, Rq), dtype=dtype)
+    v = jnp.zeros((L, batch, spec.n_kv_heads, max_len, Rv), dtype=dtype)
+    return k, v, jnp.asarray(0, jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("spec",), donate_argnames=("cache_k", "cache_v"))
+def _model_step_padded(
+    spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length
+):
+    """New tokens [B, S] through the padded stack with a stacked cache."""
+    S = tokens.shape[1]
+    pos = length
+    x = _embed(spec, other, tokens, pos0=pos)
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(
+            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype
+        )
+
+    def body(x, inputs):
+        p, r_true, ck, cv = inputs
+        x, (ck, cv) = _layer_padded(
+            spec, p, r_true, x, cos, sin, "xla", cache_kv=(ck, cv), pos=pos
+        )
+        return x, (ck, cv)
+
+    x, (cache_k, cache_v) = lax.scan(body, x, (layers, q_hd_true, cache_k, cache_v))
+    return _unembed(spec, other, x), cache_k, cache_v, pos + S
+
+
+def prefill_padded(pm: PaddedModel, prompt_ids, cache):
+    ck, cv, length = cache
+    logits, ck, cv, length = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, prompt_ids, ck, cv, length
+    )
+    return logits[:, -1, :], (ck, cv, length)
+
+
+@partial(jax.jit, static_argnames=("spec", "max_new_tokens", "temperature", "top_k"))
+def _generate_padded_jit(
+    spec: ModelSpec,
+    layers,
+    other,
+    q_hd_true,
+    prompt_ids,
+    cache_k,
+    cache_v,
+    length,
+    max_new_tokens: int,
+    temperature: float,
+    top_k: Optional[int],
+    eos_token_id: Optional[jax.Array],
+    key: jax.Array,
+):
+    from modegpt_tpu.models.generate import _sample
+
+    logits, cache_k, cache_v, length = _model_step_padded.__wrapped__(
+        spec, layers, other, q_hd_true, prompt_ids, cache_k, cache_v, length
+    )
+    logits = logits[:, -1, :]
+
+    def step(carry, _):
+        logits, ck, cv, length, key, done = carry
+        key, sub = jax.random.split(key)
+        token = _sample(logits, sub, temperature, top_k)
+        if eos_token_id is not None:
+            token = jnp.where(done, eos_token_id, token)
+            done = done | (token == eos_token_id)
+        logits, ck, cv, length = _model_step_padded.__wrapped__(
+            spec, layers, other, q_hd_true, token[:, None], ck, cv, length
+        )
+        return (logits[:, -1, :], ck, cv, length, key, done), token
+
+    B = prompt_ids.shape[0]
+    done0 = jnp.zeros((B,), dtype=bool)
+    (_, *_rest), tokens = lax.scan(
+        step, (logits, cache_k, cache_v, length, key, done0), None, length=max_new_tokens
+    )
+    return tokens.T
+
+
+def generate_padded(
+    pm: PaddedModel,
+    prompt_ids,
+    max_new_tokens: int = 32,
+    temperature: float = 0.0,
+    top_k: Optional[int] = None,
+    eos_token_id: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    max_len: Optional[int] = None,
+):
+    """One-dispatch generation over the padded stack: prefill + scanned
+    decode, compile time independent of both depth and token count.
+    Returns [B, prompt+new] tokens (same contract as models.generate.generate)."""
+    prompt_ids = jnp.asarray(prompt_ids)
+    B, P = prompt_ids.shape
+    if max_len is None:
+        max_len = P + max_new_tokens
+    if key is None:
+        key = jax.random.key(0)
+    ck, cv, length = init_cache_padded(pm, B, max_len, dtype=pm.other["embed_tokens"].dtype)
+    eos = None if eos_token_id is None else jnp.asarray(eos_token_id, prompt_ids.dtype)
+    tokens = _generate_padded_jit(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, prompt_ids, ck, cv, length,
+        max_new_tokens, temperature, top_k, eos, key,
+    )
+    return jnp.concatenate([prompt_ids, tokens], axis=1)
