@@ -54,6 +54,12 @@ def main(argv=None):
     parser.add_argument("--eval_max_samples", type=int, default=512)
     parser.add_argument("--generate", default="", help="prompt to generate from")
     parser.add_argument("--max_new_tokens", type=int, default=64)
+    parser.add_argument(
+        "--speculative_draft", default="",
+        help="artifact/checkpoint dir used as speculative-decoding draft; "
+        "--model becomes the verified target (greedy output is the target's own)",
+    )
+    parser.add_argument("--n_draft", type=int, default=4, help="draft tokens per round")
     parser.add_argument("--mesh_shape", default="")
     parser.add_argument(
         "--compressed_exec", default="auto", choices=("auto", "unrolled", "padded"),
@@ -106,10 +112,28 @@ def main(argv=None):
         if tokenizer is None:
             raise SystemExit("--generate requires a tokenizer")
         ids = np.asarray([tokenizer(args.generate)["input_ids"]], dtype=np.int32)
-        out = generate(
-            spec, params, ids, max_new_tokens=args.max_new_tokens,
-            eos_token_id=getattr(tokenizer, "eos_token_id", None),
-        )
+        eos = getattr(tokenizer, "eos_token_id", None)
+        if args.speculative_draft:
+            from modegpt_tpu.models.padded import pad_to_uniform
+            from modegpt_tpu.models.speculative import speculative_generate
+
+            dspec, dparams, _ = _load_any(args.speculative_draft)
+            out, stats = speculative_generate(
+                pad_to_uniform(dspec, dparams), pad_to_uniform(spec, params), ids,
+                max_new_tokens=args.max_new_tokens, n_draft=args.n_draft,
+                eos_token_id=eos, return_stats=True,
+            )
+            results["spec_decode"] = {
+                "rounds": int(stats.rounds),
+                "drafted": int(stats.drafted),
+                "accepted": int(stats.accepted),
+                "acceptance_rate": float(stats.accepted) / max(float(stats.drafted), 1.0),
+            }
+            logger.info("speculative decode: %s", results["spec_decode"])
+        else:
+            out = generate(
+                spec, params, ids, max_new_tokens=args.max_new_tokens, eos_token_id=eos
+            )
         text = tokenizer.decode(np.asarray(out)[0].tolist())
         results["generation"] = text
         print(text)

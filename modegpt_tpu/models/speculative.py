@@ -1,0 +1,226 @@
+"""Speculative decoding: the compressed model drafts, a target verifies.
+
+A MoDeGPT-compressed model is a cheap, distribution-faithful draft for
+its own dense parent (the compression objective minimises per-module
+output distortion), which makes self-speculative serving a natural fit:
+decode latency approaches the compressed model's, output equals the
+TARGET model's greedy decode exactly.
+
+This capability goes beyond the reference (which has no serving stack;
+its generation runs through HF `generate` on the rebuilt checkpoint,
+reference: src/patchers/LlamaRebuild.py). TPU-native design:
+
+* both models run as padded-uniform stacks (models/padded.py) — one
+  scanned layer body each, so the whole speculative loop is a single
+  compiled program (`lax.while_loop` over rounds, `lax.scan` over draft
+  steps) with NO host round-trips during decode;
+* fixed-shape windows everywhere: the draft proposes ``n_draft`` tokens,
+  the target verifies ``n_draft + 1`` positions in one forward, and the
+  accepted prefix length only moves the cache-length scalars — stale
+  cache entries beyond the accepted length are never attended (the
+  causal mask is driven by the length scalar) and the next round's
+  fixed-size window always overwrites them (the next write spans
+  ``[len + a + 1, len + a + k + 1] ⊇ stale [len + a + 1, len + k]``);
+* the draft runs one extra cache-fill step per round so every drafted
+  token's K/V is present regardless of how many get accepted.
+
+Greedy only (temperature 0): acceptance is exact token match against the
+target's argmax, so the output is identical to the target's own greedy
+decode — tested in tests/test_speculative.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from modegpt_tpu.models.padded import (
+    PaddedModel,
+    _model_step_padded,
+    init_cache_padded,
+)
+
+__all__ = ["speculative_generate", "SpecDecodeStats"]
+
+
+class SpecDecodeStats(NamedTuple):
+    """Telemetry from one speculative generation call."""
+
+    rounds: jax.Array  # target forwards executed (after prefill)
+    drafted: jax.Array  # draft tokens proposed
+    accepted: jax.Array  # draft tokens accepted
+
+
+@partial(
+    jax.jit,
+    static_argnames=("draft_spec", "target_spec", "max_new_tokens", "n_draft"),
+)
+def _spec_generate_jit(
+    draft_spec,
+    target_spec,
+    draft_arrays,  # (layers, other, q_hd_true)
+    target_arrays,
+    prompt_ids: jax.Array,
+    dcache,  # (k, v, length)
+    tcache,
+    max_new_tokens: int,
+    n_draft: int,
+    eos_token_id: Optional[jax.Array],
+):
+    B, P = prompt_ids.shape
+    k = n_draft
+
+    def dstep_model(tokens, cache):
+        ck, cv, length = cache
+        layers, other, qhd = draft_arrays
+        logits, ck, cv, length = _model_step_padded.__wrapped__(
+            draft_spec, layers, other, qhd, tokens, ck, cv, length
+        )
+        return logits, (ck, cv, length)
+
+    def tstep_model(tokens, cache):
+        ck, cv, length = cache
+        layers, other, qhd = target_arrays
+        logits, ck, cv, length = _model_step_padded.__wrapped__(
+            target_spec, layers, other, qhd, tokens, ck, cv, length
+        )
+        return logits, (ck, cv, length)
+
+    # ---- prefill both models; the target's last-position argmax is the
+    # first committed token (invariant: each cache holds every committed
+    # token EXCEPT the newest one).
+    _, dcache = dstep_model(prompt_ids, dcache)
+    tlogits, tcache = tstep_model(prompt_ids, tcache)
+    first = jnp.argmax(tlogits[:, -1, :], axis=-1).astype(prompt_ids.dtype)  # [B]
+
+    buf = jnp.zeros((B, max_new_tokens + k + 1), prompt_ids.dtype)
+    buf = buf.at[:, 0].set(first)
+
+    done0 = (
+        (first == eos_token_id) if eos_token_id is not None else jnp.zeros((B,), bool)
+    )[0]
+
+    def cond(state):
+        n_gen, done = state[0], state[1]
+        return (n_gen < max_new_tokens) & ~done
+
+    def body(state):
+        n_gen, done, last, buf, dcache, tcache, rounds, drafted, accepted = state
+        dlen_base = dcache[2]
+        tlen_base = tcache[2]
+
+        # ---- draft k tokens greedily (S=1 steps), then one extra step to
+        # fill the cache for the final drafted token.
+        def dstep(carry, _):
+            tok, dcache = carry
+            logits, dcache = dstep_model(tok[:, None], dcache)
+            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(tok.dtype)
+            return (nxt, dcache), nxt
+
+        (_, dcache), dtoks = lax.scan(dstep, (last, dcache), None, length=k)
+        dtoks = dtoks.T  # [B, k]
+        _, dcache = dstep_model(dtoks[:, -1:], dcache)
+
+        # ---- target verifies [last, d_0..d_{k-1}] in one forward.
+        window = jnp.concatenate([last[:, None], dtoks], axis=1)  # [B, k+1]
+        tlogits, tcache = tstep_model(window, tcache)
+        ttoks = jnp.argmax(tlogits, axis=-1).astype(last.dtype)  # [B, k+1]
+
+        # ---- accepted prefix: leading positions where draft == target.
+        match = dtoks == ttoks[:, :k]
+        a = jnp.sum(
+            jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1, dtype=jnp.int32
+        )[0]
+
+        # Committed this round: ttoks[:, : a+1] (accepted drafts equal the
+        # target's own argmax; position a is the correction/bonus token).
+        # An EOS inside the accepted window truncates the advance.
+        adv = a + 1
+        if eos_token_id is not None:
+            is_eos = ttoks[0] == eos_token_id  # [k+1]
+            eos_pos = jnp.argmax(is_eos).astype(jnp.int32)
+            has_eos = jnp.any(is_eos & (jnp.arange(k + 1, dtype=jnp.int32) < adv))
+            adv = jnp.where(has_eos, jnp.minimum(adv, eos_pos + 1), adv)
+            done = done | has_eos
+
+        # Write the whole fixed window at the next free slot; only `adv`
+        # of it counts — the rest is overwritten by later rounds.
+        buf = lax.dynamic_update_slice(buf, ttoks, (jnp.asarray(0, jnp.int32), n_gen))
+        new_last = jnp.take_along_axis(
+            ttoks, jnp.full((B, 1), adv - 1, dtype=jnp.int32), axis=1
+        )[:, 0]
+
+        # Roll cache lengths forward by the accepted prefix only; entries
+        # written beyond that are stale (never attended, later overwritten).
+        dcache = (dcache[0], dcache[1], dlen_base + adv)
+        tcache = (tcache[0], tcache[1], tlen_base + adv)
+        n_gen = jnp.minimum(n_gen + adv, jnp.asarray(max_new_tokens, jnp.int32))
+
+        return (n_gen, done, new_last, buf, dcache, tcache, rounds + 1, drafted + k, accepted + a)
+
+    zero = jnp.asarray(0, jnp.int32)
+    state = (
+        jnp.minimum(jnp.asarray(1, jnp.int32), max_new_tokens),
+        done0, first, buf, dcache, tcache, zero, zero, zero,
+    )
+    n_gen, done, last, buf, dcache, tcache, rounds, drafted, accepted = lax.while_loop(
+        cond, body, state
+    )
+
+    tokens = buf[:, :max_new_tokens]
+    if eos_token_id is not None:
+        # Positions after the first eos emit eos.
+        seq = tokens[0]
+        has = jnp.any(seq == eos_token_id)
+        first_eos = jnp.argmax(seq == eos_token_id)
+        idx = jnp.arange(max_new_tokens)
+        tokens = jnp.where(has & (idx > first_eos)[None, :], eos_token_id, tokens)
+    return tokens, SpecDecodeStats(rounds=rounds, drafted=drafted, accepted=accepted)
+
+
+def speculative_generate(
+    draft: PaddedModel,
+    target: PaddedModel,
+    prompt_ids,
+    max_new_tokens: int = 32,
+    n_draft: int = 4,
+    eos_token_id: Optional[int] = None,
+    max_len: Optional[int] = None,
+    return_stats: bool = False,
+):
+    """Greedy speculative decoding (batch 1) in one compiled dispatch.
+
+    Returns [1, prompt+new] tokens — identical to the target model's own
+    greedy decode — and, with return_stats, the (rounds, drafted,
+    accepted) counters whose acceptance rate predicts the speedup.
+    """
+    prompt_ids = jnp.asarray(prompt_ids)
+    B, P = prompt_ids.shape
+    if B != 1:
+        raise ValueError(
+            "speculative_generate handles one sequence at a time (per-row "
+            "acceptance lengths diverge; run rows as separate calls)"
+        )
+    if max_len is None:
+        max_len = P + max_new_tokens + n_draft + 1
+    dcache = init_cache_padded(draft, B, max_len, dtype=draft.other["embed_tokens"].dtype)
+    tcache = init_cache_padded(target, B, max_len, dtype=target.other["embed_tokens"].dtype)
+    eos = None if eos_token_id is None else jnp.asarray(eos_token_id, prompt_ids.dtype)
+    tokens, stats = _spec_generate_jit(
+        draft.spec,
+        target.spec,
+        (draft.layers, draft.other, draft.q_hd_true),
+        (target.layers, target.other, target.q_hd_true),
+        prompt_ids,
+        dcache,
+        tcache,
+        max_new_tokens,
+        n_draft,
+        eos,
+    )
+    out = jnp.concatenate([prompt_ids, tokens], axis=1)
+    return (out, stats) if return_stats else out
