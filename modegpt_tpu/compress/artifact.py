@@ -198,8 +198,24 @@ def _validate_shapes(spec: ModelSpec, params: Dict) -> None:
         check(f"layers/{l}/k", lp["k"]["kernel"].shape, (spec.d_model, spec.k_ranks[l]))
         check(f"layers/{l}/v", lp["v"]["kernel"].shape, (spec.d_model, spec.v_ranks[l]))
         check(f"layers/{l}/o", lp["o"]["kernel"].shape, (spec.o_ranks[l], spec.d_model))
-        check(f"layers/{l}/up", lp["up"]["kernel"].shape, (spec.d_model, spec.gate_ranks[l]))
-        check(f"layers/{l}/down", lp["down"]["kernel"].shape, (spec.gate_ranks[l], spec.d_model))
+        if spec.n_experts:
+            E, r = spec.n_experts, spec.gate_ranks[l]
+            check(f"layers/{l}/router", lp["router"]["kernel"].shape, (spec.d_model, E))
+            check(
+                f"layers/{l}/experts/up",
+                lp["experts"]["up"]["kernel"].shape,
+                (E, spec.d_model, r),
+            )
+            check(
+                f"layers/{l}/experts/down",
+                lp["experts"]["down"]["kernel"].shape,
+                (E, r, spec.d_model),
+            )
+        else:
+            check(f"layers/{l}/up", lp["up"]["kernel"].shape, (spec.d_model, spec.gate_ranks[l]))
+            check(
+                f"layers/{l}/down", lp["down"]["kernel"].shape, (spec.gate_ranks[l], spec.d_model)
+            )
         if "rotary_mask" in lp:
             check(
                 f"layers/{l}/rotary_mask",

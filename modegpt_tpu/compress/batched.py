@@ -145,9 +145,80 @@ def _fetch(a, fdt):
     return np.asarray(a.astype(fdt) if fdt is not None else a)
 
 
+def _solve_mlp_moe(
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None
+) -> Dict[int, Dict]:
+    """Per-expert Type-I solves for MoE layers: the (layer, expert) pairs
+    are one flat batch through the SAME padded Nystrom program as the
+    dense path — each expert is solved against the Gram of its own routed
+    tokens, all experts of a layer share the layer's rank (so the expert
+    stack stays uniform-shaped)."""
+    E = spec.n_experts
+    fdt = _fetch_dtype(config)
+    pad_all = int(max(ranks))
+    step = max(1, _mlp_layers_per_program(spec, pad_all, mesh) // E)
+
+    def stack_e(sub, name):
+        # expert kernels [E, in, out] -> HF [E, out, in], stacked over layers
+        if use_dev:
+            w = jnp.stack(
+                [
+                    jnp.transpose(layer_params[l]["experts"][name]["kernel"], (0, 2, 1))
+                    for l in sub
+                ]
+            )
+        else:
+            w = jnp.asarray(
+                np.stack(
+                    [
+                        np.transpose(
+                            np.asarray(layer_params[l]["experts"][name]["kernel"]), (0, 2, 1)
+                        )
+                        for l in sub
+                    ]
+                )
+            )
+        return w.astype(dt).reshape((len(sub) * E,) + w.shape[2:])
+
+    out = {}
+    for s in range(0, len(layers), step):
+        sub = layers[s : s + step]
+        sub_ranks = ranks[s : s + step]
+        n = len(sub)
+        cov = _stack_covs(calib.cov_mlp, sub, dt, use_dev)  # [n, E, D, D]
+        cov = cov.reshape((n * E,) + cov.shape[2:])
+        W_u = stack_e(sub, "up")
+        W_g = stack_e(sub, "gate")
+        W_d = stack_e(sub, "down")
+        ranks_arr = jnp.asarray(np.repeat(sub_ranks, E), dtype=jnp.int32)
+
+        (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
+            (cov, W_u, W_g, W_d), ranks_arr, mesh
+        )
+        up, gate, down, idx, valid = jax.vmap(
+            nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
+        )(cov, W_u, W_g, W_d, ranks_arr, pad_all, jnp.asarray(config.nystrom_ridge, dt))
+
+        for i, l in enumerate(sub):
+            r = sub_ranks[i]
+            sl = slice(i * E, (i + 1) * E)
+            out[l] = {
+                "up": _fetch(up[sl, :r], fdt),  # [E, r, d]
+                "gate": _fetch(gate[sl, :r], fdt),
+                "down": _fetch(down[sl, :, :r], fdt),  # [E, d, r]
+                "idx": np.asarray(idx[sl, :r]),
+            }
+            logger.info("[MLP-MoE] layer %d: %d experts compressed to rank %d", l, E, r)
+    return out
+
+
 def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None
 ) -> Dict[int, Dict]:
+    if spec.n_experts:
+        return _solve_mlp_moe(
+            spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh
+        )
     fdt = _fetch_dtype(config)
     pad_all = int(max(ranks))
     step = _mlp_layers_per_program(spec, pad_all, mesh)

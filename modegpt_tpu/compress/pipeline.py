@@ -71,7 +71,34 @@ def solve_layer(
     dt = solver_dtype(config.solver_precision)
 
     with solver_placement(config.solver_precision):
-        if "mlp" in order:
+        if "mlp" in order and spec.n_experts:
+            # MoE: per-expert Type-I solves against each expert's own
+            # routed-token Gram; one shared rank per layer keeps the
+            # expert stack uniform (models/spec.py n_experts note).
+            rank = compress_ranks_for_layer(spec, keep_ratio, "mlp")
+            ek = layer_params["experts"]
+            ups, gates, downs, idxs = [], [], [], []
+            for e in range(spec.n_experts):
+                C = jnp.asarray(np.asarray(calib.cov_mlp[layer_idx])[e], dtype=dt)
+                W_u = jnp.asarray(np.asarray(ek["up"]["kernel"][e]).T, dtype=dt)
+                W_g = jnp.asarray(np.asarray(ek["gate"]["kernel"][e]).T, dtype=dt)
+                W_d = jnp.asarray(np.asarray(ek["down"]["kernel"][e]).T, dtype=dt)
+                f = nystrom_mlp(C, W_u, W_g, W_d, keep_ratio, config.nystrom_ridge, rank=rank)
+                ups.append(np.asarray(f.up))
+                gates.append(np.asarray(f.gate))
+                downs.append(np.asarray(f.down))
+                idxs.append(np.asarray(f.idx))
+            out["mlp"] = {
+                "up": np.stack(ups),
+                "gate": np.stack(gates),
+                "down": np.stack(downs),
+                "idx": np.stack(idxs),
+            }
+            logger.info(
+                "[MLP-MoE] layer %d: %d experts compressed to rank %d",
+                layer_idx, spec.n_experts, rank,
+            )
+        elif "mlp" in order:
             rank = compress_ranks_for_layer(spec, keep_ratio, "mlp")
             C = jnp.asarray(calib.cov_mlp[layer_idx], dtype=dt)
             W_u = jnp.asarray(_hf_weight(layer_params, "up"), dtype=dt)
@@ -149,6 +176,52 @@ def solve_layer(
 
 def _suffixes(order: str):
     return [s for s in ("mlp", "qk", "vo") if s in order]
+
+
+def _check_factor_store(config: CompressionConfig, spec: ModelSpec, order: str) -> None:
+    """Guard the resume store against stale factors from a different run.
+
+    The per-layer factor files double as a resume checkpoint (reference:
+    temp_storage_dir, model_adapter.py:184-191) — but resuming with
+    factors solved for a DIFFERENT model/ratio/order would silently graft
+    wrong weights. A fingerprint sidecar makes the mismatch loud.
+    """
+    import json
+
+    fingerprint = {
+        "model": config.model,
+        "spec": spec.to_dict(),
+        "order": order,
+        "compression_ratio": config.compression_ratio,
+        "sparsity_smoothing": config.sparsity_smoothing,
+        "max_sparsity": config.max_sparsity,
+        "calib": [config.dataset, config.calib_size, config.seed],
+        "ridges": [config.nystrom_ridge, config.ridge_qk, config.ridge_vo],
+        "qk_method": config.qk_method,
+    }
+    # normalise through JSON so tuples compare equal to the reloaded lists
+    fingerprint = json.loads(json.dumps(fingerprint))
+    store = os.path.expandvars(config.temp_storage_dir)
+    meta_path = os.path.join(store, "store_meta.json")
+    os.makedirs(store, exist_ok=True)
+    has_factors = any(f.startswith("layer_") for f in os.listdir(store))
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            existing = json.load(f)
+        if existing != fingerprint:
+            raise ValueError(
+                f"temp_storage_dir {store!r} holds factors from a different "
+                "run (model/ratio/order/ridges differ). Point "
+                "--temp_storage_dir at a fresh directory or delete the old "
+                "factors to re-solve."
+            )
+    elif has_factors:
+        raise ValueError(
+            f"temp_storage_dir {store!r} holds factor files with no "
+            "fingerprint (pre-existing or foreign). Use a fresh directory."
+        )
+    with open(meta_path, "w") as f:
+        json.dump(fingerprint, f, indent=2)
 
 
 def count_params(params: Dict) -> int:
@@ -240,6 +313,7 @@ def run_compression(
 
     # ---- layer-chunked calibrate + solve (reference: run_modegpt.py:107-156) ----
     t_compress = time.perf_counter()
+    _check_factor_store(config, spec, order)
     suffixes = _suffixes(order)
     factors: Dict[str, Dict[int, Dict]] = {s: {} for s in suffixes}
     n_layers = spec.n_layers

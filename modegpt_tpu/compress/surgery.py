@@ -87,15 +87,35 @@ def apply_factors(
 
         if l in mlp_factors:
             f = mlp_factors[l]
-            lp["up"] = {"kernel": _as_kernel(f["up"], model_dtype)}
-            if spec.gated_mlp:
-                lp["gate"] = {"kernel": _as_kernel(f["gate"], model_dtype)}
-            lp["down"] = {"kernel": _as_kernel(f["down"], model_dtype)}
-            if f.get("up_bias") is not None:
-                lp["up"]["bias"] = jnp.asarray(np.asarray(f["up_bias"]), dtype=model_dtype)
-            if f.get("down_bias") is not None:
-                lp["down"]["bias"] = jnp.asarray(np.asarray(f["down_bias"]), dtype=model_dtype)
-            gate_ranks[l] = int(f["up"].shape[0])
+            if spec.n_experts:
+                if np.asarray(f["up"]).ndim != 3:
+                    raise ValueError(
+                        f"layer {l}: MoE spec but 2D MLP factors — the factor "
+                        "store was solved for a different (dense) model"
+                    )
+                # MoE: stacked per-expert HF factors [E, r, d]/[E, d, r]
+                # -> stacked kernels [E, d, r]/[E, r, d] (router untouched).
+                def _ek(w):
+                    return jnp.asarray(np.swapaxes(np.asarray(w), -1, -2), dtype=model_dtype)
+
+                lp["experts"] = {
+                    "gate": {"kernel": _ek(f["gate"])},
+                    "up": {"kernel": _ek(f["up"])},
+                    "down": {"kernel": _ek(f["down"])},
+                }
+                gate_ranks[l] = int(f["up"].shape[1])
+            else:
+                lp["up"] = {"kernel": _as_kernel(f["up"], model_dtype)}
+                if spec.gated_mlp:
+                    lp["gate"] = {"kernel": _as_kernel(f["gate"], model_dtype)}
+                lp["down"] = {"kernel": _as_kernel(f["down"], model_dtype)}
+                if f.get("up_bias") is not None:
+                    lp["up"]["bias"] = jnp.asarray(np.asarray(f["up_bias"]), dtype=model_dtype)
+                if f.get("down_bias") is not None:
+                    lp["down"]["bias"] = jnp.asarray(
+                        np.asarray(f["down_bias"]), dtype=model_dtype
+                    )
+                gate_ranks[l] = int(f["up"].shape[0])
 
         if l in qk_factors:
             f = qk_factors[l]

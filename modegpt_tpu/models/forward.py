@@ -99,6 +99,50 @@ def _head_gram(x: jax.Array) -> jax.Array:
     return jnp.einsum("bthi,bthj->hij", xf, xf, precision=_HI)
 
 
+def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
+    """Mixtral-style sparse-MoE MLP (HF semantics: softmax over ALL
+    experts, top-k, renormalise over the selected k, weighted sum of
+    expert outputs — modeling_mixtral.MixtralSparseMoeBlock).
+
+    TPU-native formulation: every expert runs on every token as one
+    batched einsum over the stacked expert kernels [E, d, D] and the
+    non-selected experts are zeroed by the routing weights — static
+    shapes, no gather/scatter dispatch, exact including tie-breaks
+    (lax.top_k and torch.topk both pick the lower index). The E/k FLOP
+    overhead is the price of MXU-friendly uniformity; a capacity-based
+    dispatch kernel is the serving-scale follow-up.
+
+    Returns (y, h_routed): h_routed [B, T, E, D] is the per-expert
+    down-projection input masked to the tokens actually ROUTED to that
+    expert (0/1, not weight-scaled) — exactly the rows the expert's
+    down projection sees in a sparse execution, which is what the
+    per-expert Type-I Gram must accumulate. None when collect=False.
+    """
+    E, k = spec.n_experts, spec.experts_per_tok
+    logits = x @ p["router"]["kernel"]  # [B, T, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    w, idx = lax.top_k(probs, k)  # [B, T, k]
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    hot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [B, T, k, E]
+    w_full = jnp.einsum("btke,btk->bte", hot, w).astype(x.dtype)  # 0 or renormalised weight
+
+    g = jnp.einsum("btd,edf->btef", x, p["experts"]["gate"]["kernel"])
+    u = jnp.einsum("btd,edf->btef", x, p["experts"]["up"]["kernel"])
+    h = _act(g, spec.act) * u  # [B, T, E, D]
+    y = jnp.einsum("btef,efd,bte->btd", h, p["experts"]["down"]["kernel"], w_full)
+
+    if collect:
+        routed = jnp.sum(hot, axis=2).astype(h.dtype)  # 0/1 membership [B, T, E]
+        return y, h * routed[..., None]
+    return y, None
+
+
+def _moe_gram(h_routed: jax.Array) -> jax.Array:
+    """[B,T,E,D] routed-masked intermediates -> per-expert Gram [E,D,D]."""
+    hf = h_routed.astype(jnp.float32)
+    return jnp.einsum("btef,bteg->efg", hf, hf, precision=_HI)
+
+
 def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"):
     """Causal (optionally sliding-window) dot-product attention.
 
@@ -197,13 +241,19 @@ def _layer(
     # ---- MLP ----
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    if spec.gated_mlp:
-        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    if spec.n_experts:
+        y, h_routed = _moe_mlp(spec, p, x_ln2, collect)
+        if collect:
+            taps["cov_mlp"] = _moe_gram(h_routed)
+        x = residual + y
     else:
-        h = _act(_linear(x_ln2, p["up"]), spec.act)
-    if collect:
-        taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]))
-    x = residual + _linear(h, p["down"])
+        if spec.gated_mlp:
+            h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+        else:
+            h = _act(_linear(x_ln2, p["up"]), spec.act)
+        if collect:
+            taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]))
+        x = residual + _linear(h, p["down"])
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
 

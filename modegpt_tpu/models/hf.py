@@ -96,7 +96,7 @@ def params_from_state_dict(
                     lp[ours]["bias"] = V(b + theirs + ".bias")
             layers.append(lp)
         params["layers"] = layers
-    else:  # llama / qwen3
+    else:  # llama / qwen3 / mixtral
         pre = "model."
         params["embed_tokens"] = V(pre + "embed_tokens.weight")
         params["final_norm"] = {"scale": V(pre + "norm.weight")}
@@ -110,10 +110,30 @@ def params_from_state_dict(
                 "k": {"kernel": W(b + "self_attn.k_proj.weight")},
                 "v": {"kernel": W(b + "self_attn.v_proj.weight")},
                 "o": {"kernel": W(b + "self_attn.o_proj.weight")},
-                "gate": {"kernel": W(b + "mlp.gate_proj.weight")},
-                "up": {"kernel": W(b + "mlp.up_proj.weight")},
-                "down": {"kernel": W(b + "mlp.down_proj.weight")},
             }
+            if spec.n_experts:
+                # Mixtral: stack the per-expert w1/w3/w2 into [E, in, out]
+                # kernels (one batched einsum per projection on-device).
+                moe = b + "block_sparse_moe."
+                lp["router"] = {"kernel": W(moe + "gate.weight")}
+
+                def EW(name):
+                    return jnp.stack(
+                        [
+                            jnp.asarray(_t2n(sd[f"{moe}experts.{e}.{name}.weight"], dtype).T)
+                            for e in range(spec.n_experts)
+                        ]
+                    )
+
+                lp["experts"] = {
+                    "gate": {"kernel": EW("w1")},
+                    "up": {"kernel": EW("w3")},
+                    "down": {"kernel": EW("w2")},
+                }
+            else:
+                lp["gate"] = {"kernel": W(b + "mlp.gate_proj.weight")}
+                lp["up"] = {"kernel": W(b + "mlp.up_proj.weight")}
+                lp["down"] = {"kernel": W(b + "mlp.down_proj.weight")}
             if spec.attention_bias:
                 for ours, theirs in [
                     ("q", "self_attn.q_proj"),

@@ -91,6 +91,11 @@ def export_to_hf(
     dtype=np.float32,
 ) -> str:
     """Write an HF-layout checkpoint directory from (spec, params)."""
+    if spec.n_experts:
+        raise NotImplementedError(
+            "HF export covers the reference's archs (opt/llama/qwen3); "
+            "MoE artifacts load via modegpt_tpu.compress.artifact"
+        )
     from safetensors.numpy import save_file
 
     os.makedirs(out_dir, exist_ok=True)

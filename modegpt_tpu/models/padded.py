@@ -113,6 +113,11 @@ def _pad_linear(p: Dict, pad_in=None, pad_out=None) -> Dict:
 def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     """Zero-pad every layer to the stack-wide max rank per module and
     stack the layer params into [L, ...] leaves."""
+    if spec.n_experts:
+        raise NotImplementedError(
+            "padded-uniform execution does not cover MoE stacks yet; "
+            "use the unrolled forward (exec_mode='unrolled')"
+        )
     H, Hk = spec.n_heads, spec.n_kv_heads
     L = spec.n_layers
     rope = spec.uses_rope

@@ -53,6 +53,8 @@ def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
     )
     if not uniform_shapes:
         return False
+    if spec.n_experts:
+        return False  # MoE runs unrolled (expert einsums not in the scan body yet)
     if spec.layer_types and len(set(spec.layer_types)) > 1:
         return False
     if stats_layers:

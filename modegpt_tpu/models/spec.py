@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
-ARCHS = ("opt", "llama", "qwen3")
+ARCHS = ("opt", "llama", "qwen3", "mixtral")
 
 
 @dataclass(frozen=True)
@@ -58,11 +58,18 @@ class ModelSpec:
     # OPT word-embedding projection dim (e.g. OPT-350m: 512 vs hidden 1024;
     # reference: OPTRebuild project_in/project_out handling)
     word_embed_proj_dim: Optional[int] = None
+    # Mixture-of-experts (mixtral family). The reference carries only
+    # vestigial MoE branches (SURVEY.md §2 "dead/vestigial"); here MoE is
+    # first-class: per-expert Type-I solves share one rank per layer
+    # (gate_ranks[l] applies to every expert of layer l), so expert
+    # stacks stay uniform-shaped for batched execution.
+    n_experts: int = 0  # 0 = dense MLP
+    experts_per_tok: int = 2
 
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch in ("llama", "qwen3")
+        return self.arch in ("llama", "qwen3", "mixtral")
 
     @property
     def group_size(self) -> int:
@@ -180,8 +187,8 @@ def spec_from_hf_config(config) -> ModelSpec:
             word_embed_proj_dim=wepd if wepd != config.hidden_size else None,
             **ranks,
         )
-    elif model_type in ("llama", "qwen3") or "qwen3" in model_type:
-        arch = "qwen3" if "qwen3" in model_type else "llama"
+    elif model_type in ("llama", "qwen3", "mixtral") or "qwen3" in model_type:
+        arch = "qwen3" if "qwen3" in model_type else model_type
         n_heads = config.num_attention_heads
         n_kv = getattr(config, "num_key_value_heads", n_heads)
         head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_heads
@@ -206,10 +213,19 @@ def spec_from_hf_config(config) -> ModelSpec:
             tie_word_embeddings=config.tie_word_embeddings,
             qk_norm=(arch == "qwen3"),
             gated_mlp=True,
+            # qwen3 gates its window behind use_sliding_window; mixtral
+            # applies config.sliding_window whenever it is set (HF
+            # modeling_mixtral mask_function selection).
             sliding_window=getattr(config, "sliding_window", None)
-            if getattr(config, "use_sliding_window", False)
+            if (getattr(config, "use_sliding_window", False) or arch == "mixtral")
             else None,
-            layer_types=tuple(getattr(config, "layer_types", ()) or ()),
+            layer_types=tuple(getattr(config, "layer_types", ()) or ())
+            if arch != "mixtral"
+            else ("sliding_attention",) * n_layers
+            if getattr(config, "sliding_window", None)
+            else (),
+            n_experts=getattr(config, "num_local_experts", 0) if arch == "mixtral" else 0,
+            experts_per_tok=getattr(config, "num_experts_per_tok", 2),
             **ranks,
         )
     else:

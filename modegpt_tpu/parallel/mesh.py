@@ -76,9 +76,12 @@ def param_shardings(mesh: Mesh, spec, params) -> Dict:
       up/gate      [d, d_int]   -> P(None, "model")
       down         [d_int, d]   -> P("model", None)
       embeddings / norms        -> replicated
+      experts      [E, ..., ..] -> P("model", None, None)  (expert parallel:
+                                   each device holds E/n whole experts; the
+                                   routed-weighted sum becomes one psum)
 
     XLA then inserts exactly one psum per attention/MLP block (the o/down
-    row-parallel reduction).
+    row-parallel reduction; the expert-dim reduction for MoE).
     """
     if "model" not in mesh.axis_names:
         return jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), params)
@@ -87,6 +90,8 @@ def param_shardings(mesh: Mesh, spec, params) -> Dict:
     row = NamedSharding(mesh, P("model", None))
     rep = NamedSharding(mesh, P())
     bias_col = NamedSharding(mesh, P("model"))
+    n_model = mesh.shape["model"]
+    ep = NamedSharding(mesh, P("model", None, None))
 
     def layer_sharding(lp: Dict) -> Dict:
         out = {}
@@ -99,6 +104,8 @@ def param_shardings(mesh: Mesh, spec, params) -> Dict:
                 out[name] = {"kernel": row}
                 if "bias" in sub:
                     out[name]["bias"] = rep
+            elif name == "experts" and spec.n_experts % n_model == 0:
+                out[name] = {k: {"kernel": ep} for k in sub}
             else:
                 out[name] = jax.tree_util.tree_map(lambda _: rep, sub)
         return out

@@ -1,0 +1,166 @@
+"""Mixtral-family MoE support: HF forward parity, per-expert Type-I
+compression end to end, batched-vs-reference solver equality, generation.
+
+MoE is NEW capability relative to the reference, which carries only
+vestigial Mixtral/DeepSeek branches (SURVEY.md §2 "dead/vestigial")."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from modegpt_tpu.calib.engine import calibrate
+from modegpt_tpu.compress.pipeline import run_compression, solve_layer
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.models import forward, params_from_hf_model
+
+
+def _tiny_mixtral(n_layers=2):
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=n_layers,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=128, sliding_window=None,
+    )
+    torch.manual_seed(0)
+    return transformers.MixtralForCausalLM(cfg).eval()
+
+
+def test_forward_matches_hf(rng):
+    m = _tiny_mixtral()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "mixtral" and spec.n_experts == 4 and spec.experts_per_tok == 2
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_moe_gram_covers_only_routed_tokens(rng):
+    """Per-expert cov_mlp accumulates exactly the routed tokens: the trace
+    sums match a manual HF-side recomputation of routed intermediates."""
+    m = _tiny_mixtral(n_layers=1)
+    spec, params = params_from_hf_model(m)
+    ids = rng.integers(0, spec.vocab_size, size=(1, 12)).astype(np.int32)
+    _, stats = forward(spec, params, ids, stats_layers=(0,))
+    cov = np.asarray(stats.cov_mlp[0])  # [E, D, D]
+    assert cov.shape == (4, 96, 96)
+
+    # HF side: intermediate h = silu(w1 x) * (w3 x) for tokens routed to e.
+    moe = m.model.layers[0].block_sparse_moe
+    with torch.no_grad():
+        hs = m.model.layers[0].post_attention_layernorm(
+            _hf_hidden_before_mlp(m, ids)
+        ).reshape(-1, spec.d_model)
+        logits = moe.gate(hs)
+        probs = torch.softmax(logits.float(), dim=-1)
+        _, sel = torch.topk(probs, 2, dim=-1)
+        for e in range(4):
+            routed = (sel == e).any(dim=-1)
+            xe = hs[routed]
+            he = torch.nn.functional.silu(moe.experts[e].w1(xe)) * moe.experts[e].w3(xe)
+            ref = (he.T @ he).numpy()
+            np.testing.assert_allclose(cov[e], ref, rtol=1e-3, atol=1e-3)
+
+
+def _hf_hidden_before_mlp(m, ids):
+    """Hidden state entering layer 0's MLP block (post-attention residual)."""
+    with torch.no_grad():
+        t = torch.from_numpy(np.asarray(ids).astype(np.int64))
+        out = m.model(t, output_hidden_states=True)
+        h0 = out.hidden_states[0]
+        layer = m.model.layers[0]
+        pos = torch.arange(t.shape[1])[None, :]
+        cos, sin = m.model.rotary_emb(h0, pos)
+        attn_out, *_ = layer.self_attn(
+            layer.input_layernorm(h0), position_embeddings=(cos, sin), attention_mask=None
+        )
+        return h0 + attn_out
+
+
+def test_batched_moe_solver_matches_per_layer(tmp_path, rng):
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1])
+    config = CompressionConfig(compression_ratio=0.3, sparsity_smoothing=0.2)
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, smoothing=0.2, max_sparsity=0.8)
+
+    batched = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    for l in (0, 1):
+        ref = solve_layer(spec, params["layers"][l], l, keep[l], calib, config, "mlp")["mlp"]
+        np.testing.assert_allclose(batched[l]["up"], ref["up"], rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(batched[l]["down"], ref["down"], rtol=1e-6, atol=1e-8)
+        np.testing.assert_array_equal(batched[l]["idx"], ref["idx"])
+
+
+def test_moe_compression_end_to_end(tmp_path, rng):
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = results["compressed_spec"], results["compressed_params"]
+    assert cspec.n_experts == 4
+    assert results["params_after"] < results["params_before"]
+    assert np.isfinite(results["compressed_ppl"])
+    # every layer's expert stack is compressed to the layer's shared rank
+    for l in range(cspec.n_layers):
+        assert cparams["layers"][l]["experts"]["up"]["kernel"].shape == (
+            4, cspec.d_model, cspec.gate_ranks[l],
+        )
+    assert max(cspec.gate_ranks) < spec.d_int
+
+
+def test_moe_expert_parallel_mesh_matches_single_device(rng):
+    """EP+TP mesh forward (experts sharded over the model axis) must match
+    the single-device forward; calibration taps survive the sharding."""
+    import jax
+
+    from modegpt_tpu.parallel.mesh import make_mesh, param_shardings, shard_batch
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    mesh = make_mesh("data:2,model:4")
+    sparams = jax.device_put(params, param_shardings(mesh, spec, params))
+    ids = rng.integers(0, spec.vocab_size, size=(4, 16)).astype(np.int32)
+    got, stats = forward(spec, sparams, shard_batch(mesh, ids), stats_layers=(0, 1))
+    ref, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    assert stats.cov_mlp.shape == (2, 4, 96, 96)
+
+
+def test_moe_generation_incremental_matches_full(tmp_path, rng):
+    from modegpt_tpu.models.generate import decode_step, init_cache, prefill
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.3,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"), skip_baseline_eval=True, skip_final_eval=True,
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = results["compressed_spec"], results["compressed_params"]
+
+    B, P, steps = 2, 6, 3
+    ids = rng.integers(0, cspec.vocab_size, size=(B, P)).astype(np.int32)
+    cache = init_cache(cspec, B, P + steps, dtype=cparams["embed_tokens"].dtype)
+    logits_inc, cache = prefill(cspec, cparams, jnp.asarray(ids), cache)
+    seq = ids
+    for _ in range(steps):
+        full_logits, _ = forward(cspec, cparams, jnp.asarray(seq))
+        np.testing.assert_allclose(
+            np.asarray(logits_inc), np.asarray(full_logits[:, -1, :]), rtol=2e-4, atol=2e-4
+        )
+        nxt = np.asarray(jnp.argmax(logits_inc, axis=-1))[:, None].astype(np.int32)
+        seq = np.concatenate([seq, nxt], axis=1)
+        logits_inc, cache = decode_step(cspec, cparams, jnp.asarray(nxt), cache)

@@ -151,6 +151,33 @@ def test_resume_from_factor_store(tmp_path):
     assert abs(r1["compressed_ppl"] - r2["compressed_ppl"]) < 1e-9 * max(1.0, r1["compressed_ppl"])
 
 
+def test_stale_factor_store_is_rejected(tmp_path):
+    """Factors solved for a DIFFERENT run (model/ratio/...) must not be
+    silently grafted on resume — the fingerprint sidecar makes it loud."""
+    import pytest as _pytest
+
+    model = _tiny_llama(seed=5)
+    spec, params = params_from_hf_model(model)
+    config = _config(tmp_path)
+    run_compression(config, spec=spec, params=params, tokenizer=None)
+
+    # same store, different compression ratio -> reject
+    config2 = _config(tmp_path, compression_ratio=0.4)
+    with _pytest.raises(ValueError, match="different"):
+        run_compression(config2, spec=spec, params=params, tokenizer=None)
+
+    # factor files with no fingerprint (foreign/legacy store) -> reject
+    import os as _os
+
+    store = str(tmp_path / "legacy")
+    _os.makedirs(store)
+    open(_os.path.join(store, "layer_0_mlp.npz"), "wb").close()
+    config3 = _config(tmp_path)
+    config3.temp_storage_dir = store
+    with _pytest.raises(ValueError, match="fingerprint"):
+        run_compression(config3, spec=spec, params=params, tokenizer=None)
+
+
 def test_layer_chunking_equivalence(tmp_path):
     """layers_per_step=1 must produce the same factors as all-at-once
     (reference chunks at 48, run_modegpt.py:107)."""
