@@ -273,13 +273,24 @@ def run_compression(
             params,
         )
 
+    pp_mode = False
     if mesh is not None:
+        from modegpt_tpu.parallel.pp import supports_pp
+
+        pp_mode = supports_pp(spec, mesh)
+    if mesh is not None and not pp_mode:
         # Tensor/data-parallel placement: Megatron-style TP shardings when
         # the mesh has a "model" axis, replicated otherwise (new capability
         # vs the reference's single-process design, SURVEY.md §2).
         from modegpt_tpu.parallel.mesh import param_shardings
 
         params = jax.device_put(params, param_shardings(mesh, spec, params))
+    elif pp_mode:
+        # Pipeline staging: calibrate_pp places each stage's layer block on
+        # its own device — do NOT replicate the model across the mesh here.
+        logger.info(
+            "pipeline-parallel calibration over %d stages", mesh.shape["stage"]
+        )
 
     # ---- baseline PPL (reference: run_modegpt.py:91-99) ----
     if eval_tokens is None and not (config.skip_baseline_eval and config.skip_final_eval):
@@ -317,9 +328,12 @@ def run_compression(
     suffixes = _suffixes(order)
     factors: Dict[str, Dict[int, Dict]] = {s: {} for s in suffixes}
     n_layers = spec.n_layers
+    # PP shards the accumulators across stages — that IS the memory plan,
+    # so the whole stack calibrates in one pass (no layer chunking).
+    layers_per_step = n_layers if pp_mode else config.layers_per_step
     with trace(config.profile_dir or None):
-        for start in range(0, n_layers, config.layers_per_step):
-            target_layers = list(range(start, min(n_layers, start + config.layers_per_step)))
+        for start in range(0, n_layers, layers_per_step):
+            target_layers = list(range(start, min(n_layers, start + layers_per_step)))
 
             # Resume: skip layers whose factors are all on disk already.
             pending = [
@@ -331,17 +345,24 @@ def run_compression(
                 )
             ]
             if pending:
-                accumulate = "device" if config.solver_precision == "f32_device" else "host"
-                calib = calibrate(
-                    spec,
-                    params,
-                    calib_batches,
-                    pending,
-                    mesh=mesh,
-                    accumulate=accumulate,
-                    shard_sequence=config.shard_sequence,
-                    shard_stats=config.shard_stats,
-                )
+                if pp_mode:
+                    from modegpt_tpu.parallel.pp import calibrate_pp
+
+                    calib = calibrate_pp(spec, params, calib_batches, mesh)
+                else:
+                    accumulate = (
+                        "device" if config.solver_precision == "f32_device" else "host"
+                    )
+                    calib = calibrate(
+                        spec,
+                        params,
+                        calib_batches,
+                        pending,
+                        mesh=mesh,
+                        accumulate=accumulate,
+                        shard_sequence=config.shard_sequence,
+                        shard_stats=config.shard_stats,
+                    )
                 keep_ratios, max_sp = allocate_keep_ratios(
                     calib.bi_scores,
                     config.compression_ratio,

@@ -79,6 +79,10 @@ def compute_perplexity(
     """
     n_samples, seq_len = eval_tokens.shape
 
+    if mesh is not None and "data" not in mesh.axis_names:
+        # stage-only (pipeline) meshes have no data axis to shard eval over
+        mesh = None
+
     if exec_mode == "auto":
         from modegpt_tpu.models.padded import padding_overhead
 

@@ -1,0 +1,231 @@
+"""Pipeline-parallel calibration: the layer stack staged over the mesh.
+
+For models whose parameters exceed one chip's HBM, tensor parallelism
+(parallel/mesh.py) shards every matmul; this module adds the orthogonal
+option: a GPipe-style pipeline over a ``stage`` mesh axis. Each stage
+holds L/S whole layers, calibration batches flow stage-to-stage over ICI
+(`lax.ppermute`), and each stage accumulates the Gram statistics for ITS
+OWN layers locally — the accumulator memory (the real pressure point,
+SURVEY.md §7 hard part 6: [D_int, D_int] per layer) is sharded across
+stages by construction, and no statistic ever moves between devices.
+
+Calibration is uniquely pipeline-friendly: it needs NO logits and NO
+backward pass (the reference's hooks fire during plain forwards,
+src/calibration.py:114-127), so the classic GPipe bubble is the only
+overhead: (S-1)/(N+S-1) idle fraction for N microbatches — each entry of
+the calibration batch list is one microbatch, so N = calib_size /
+calibs_batch_size and the bubble is small for real calibration sizes
+(e.g. 128/8 = 16 microbatches on 4 stages -> 16% bubble).
+
+The whole pipeline — N+S-1 steps, each a `lax.scan` over the stage's
+layers with Gram taps — is ONE jitted program driven by `lax.fori_loop`;
+per-step state is just the [B, T, d] boundary activation and the
+stage-local accumulators.
+
+New capability relative to the reference (single-process, SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from modegpt_tpu.models.forward import _bi_piece, _gram, _head_gram, _linear
+from modegpt_tpu.models.scan_forward import _one_layer, stack_layer_params
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.rope import rope_cos_sin
+
+try:  # jax >= 0.4.35 exports shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+logger = logging.getLogger("modegpt_tpu")
+
+__all__ = ["calibrate_pp", "supports_pp"]
+
+STAGE_AXIS = "stage"
+
+
+def supports_pp(spec: ModelSpec, mesh: Optional[jax.sharding.Mesh]) -> bool:
+    """PP calibration needs a 'stage' mesh axis, a uniform dense layer
+    stack (calibration always runs on the dense model), and a layer count
+    divisible by the stage count."""
+    if mesh is None or STAGE_AXIS not in mesh.axis_names:
+        return False
+    if spec.n_experts or not spec.is_uniform:
+        return False
+    if spec.layer_types and len(set(spec.layer_types)) > 1:
+        return False
+    return spec.n_layers % mesh.shape[STAGE_AXIS] == 0
+
+
+def calibrate_pp(
+    spec: ModelSpec,
+    params: Dict,
+    batches: Sequence[np.ndarray],
+    mesh: jax.sharding.Mesh,
+    attn_impl: str = "xla",
+):
+    """Run pipeline-parallel calibration over ALL layers in one pass.
+
+    Returns a CalibrationResult (f32 device accumulation, fetched once at
+    the end — same semantics as `calibrate(..., accumulate="device")`).
+    Unlike the chunked engine there is no layers_per_step: sharding the
+    accumulators across stages IS the memory plan.
+    """
+    from modegpt_tpu.calib.engine import CalibrationResult
+
+    assert supports_pp(spec, mesh), "spec/mesh not pipeline-compatible"
+    S = mesh.shape[STAGE_AXIS]
+    L = spec.n_layers
+    per_stage = L // S
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[0] // H
+    d_int = spec.gate_ranks[0]
+
+    shapes = {b.shape for b in batches}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"pipeline calibration needs uniform microbatches, got shapes {shapes} "
+            "(make calib_size a multiple of calibs_batch_size)"
+        )
+    stacked_batches = jnp.asarray(np.stack([np.asarray(b) for b in batches]))  # [N, B, T]
+    N, B, T = stacked_batches.shape
+
+    # Stage-stacked layer parameters: [L, ...] -> [S, per_stage, ...],
+    # placed sharded on the stage axis (each device holds only its block).
+    layer_stack = stack_layer_params(params)
+    staged = jax.tree_util.tree_map(
+        lambda a: a.reshape((S, per_stage) + a.shape[1:]), layer_stack
+    )
+    stage_sharding = jax.tree_util.tree_map(
+        lambda a: NamedSharding(mesh, P(STAGE_AXIS, *([None] * (a.ndim - 1)))), staged
+    )
+    staged = jax.device_put(staged, stage_sharding)
+    embed = {
+        k: v
+        for k, v in params.items()
+        if k in ("embed_tokens", "embed_positions", "project_in")
+    }
+
+    def layer_specs(tree):
+        return jax.tree_util.tree_map(
+            lambda a: P(STAGE_AXIS, *([None] * (a.ndim - 1))), tree
+        )
+
+    out_spec_stats = (
+        P(STAGE_AXIS, None, None),  # cov_mlp [L, D, D]
+        P(STAGE_AXIS, None, None, None),  # cov_q [L, H, hd, hd]
+        P(STAGE_AXIS, None, None, None),  # cov_k
+        P(STAGE_AXIS, None, None),  # cov_x
+        P(STAGE_AXIS),  # bi [L]
+    )
+
+    def run(stage_layers, embed_params, all_batches):
+        # inside shard_map: stage_layers leaves are [1, per_stage, ...]
+        stage_layers = jax.tree_util.tree_map(lambda a: a[0], stage_layers)
+        s = lax.axis_index(STAGE_AXIS)
+        cos = sin = None
+        if spec.uses_rope:
+            cos, sin = rope_cos_sin(
+                jnp.arange(T, dtype=jnp.int32),
+                spec.head_dim,
+                spec.rope_theta,
+                dtype=params["embed_tokens"].dtype,
+            )
+
+        def embed_fn(tokens):
+            x = embed_params["embed_tokens"][tokens]
+            if spec.arch == "opt":
+                if "project_in" in embed_params:
+                    x = _linear(x, embed_params["project_in"])
+                pos = jnp.arange(T, dtype=jnp.int32) + 2
+                x = x + embed_params["embed_positions"][pos][None, :, :]
+            return x
+
+        def stage_body(x):
+            """Scan this stage's layers; ys are the per-layer tap pieces."""
+
+            def body(x, p):
+                h_in = x
+                x_out, taps_src, h_mlp = _one_layer(spec, p, x, cos, sin, attn_impl)
+                x_ln, q, k = taps_src
+                piece = (
+                    _gram(h_mlp.reshape(-1, d_int)),
+                    _head_gram(q.reshape(B, T, H, q_hd)),
+                    _head_gram(k.reshape(B, T, Hk, q_hd)),
+                    _gram(x_ln.reshape(-1, spec.d_model)),
+                    _bi_piece(h_in, x_out),
+                )
+                return x_out, piece
+
+            return lax.scan(body, x, stage_layers)
+
+        acc0 = (
+            jnp.zeros((per_stage, d_int, d_int), jnp.float32),
+            jnp.zeros((per_stage, H, q_hd, q_hd), jnp.float32),
+            jnp.zeros((per_stage, Hk, q_hd, q_hd), jnp.float32),
+            jnp.zeros((per_stage, spec.d_model, spec.d_model), jnp.float32),
+            jnp.zeros((per_stage,), jnp.float32),
+        )
+        x0 = jnp.zeros((B, T, spec.d_model), params["embed_tokens"].dtype)
+
+        def step(t, carry):
+            x_recv, acc = carry
+            # stage 0 ingests microbatch t; others consume what stage s-1
+            # sent at the end of step t-1 (= microbatch t - s).
+            fresh = embed_fn(all_batches[jnp.clip(t, 0, N - 1)])
+            x_in = jnp.where(s == 0, fresh, x_recv)
+            x_out, pieces = stage_body(x_in)
+            active = ((t - s) >= 0) & ((t - s) < N)
+            scale = active.astype(jnp.float32)
+            acc = jax.tree_util.tree_map(lambda a, p: a + scale * p, acc, pieces)
+            x_next = lax.ppermute(
+                x_out, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)]
+            )
+            return (x_next, acc)
+
+        _, acc = lax.fori_loop(0, N + S - 1, step, (x0, acc0))
+        return acc
+
+    run_sharded = jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(layer_specs(staged), P(), P()),
+            out_specs=out_spec_stats,
+            check_vma=False,
+        )
+    )
+    cov_mlp, cov_q, cov_k, cov_x, bi = run_sharded(staged, embed, stacked_batches)
+
+    n_sequences = N * B
+    total_tokens = n_sequences * T
+    inv = 1.0 / total_tokens
+    cov_mlp = np.asarray(cov_mlp, dtype=np.float64) * inv
+    cov_q = np.asarray(cov_q, dtype=np.float64) * inv
+    cov_k = np.asarray(cov_k, dtype=np.float64) * inv
+    cov_x = np.asarray(cov_x, dtype=np.float64) * inv
+    bi = np.asarray(bi, dtype=np.float64) / n_sequences
+
+    logger.info(
+        "pp calibration: %d microbatches x [%d, %d] over %d stages "
+        "(bubble %.0f%%), all %d layers in one pass",
+        N, B, T, S, 100 * (S - 1) / (N + S - 1), L,
+    )
+    return CalibrationResult(
+        cov_mlp={l: cov_mlp[l] for l in range(L)},
+        cov_q={l: cov_q[l] for l in range(L)},
+        cov_k={l: cov_k[l] for l in range(L)},
+        cov_x={l: cov_x[l] for l in range(L)},
+        bi_scores=bi.tolist(),
+        n_sequences=n_sequences,
+        total_tokens=total_tokens,
+    )

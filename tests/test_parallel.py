@@ -99,6 +99,60 @@ def test_sequence_parallel_calibration_matches():
     np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
 
 
+def test_pipeline_parallel_calibration_matches():
+    """GPipe-staged calibration (stage mesh, ppermute boundary flow) must
+    reproduce the single-device statistics for every layer."""
+    from modegpt_tpu.parallel.pp import calibrate_pp, supports_pp
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, max_position_embeddings=128,
+    )
+    torch.manual_seed(7)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    batches = load_calibration_batches(None, "synthetic", 12, 2, 32, vocab_size=128)
+    ref = calibrate(spec, params, batches, list(range(4)), accumulate="host")
+
+    mesh = make_mesh("stage:4")
+    assert supports_pp(spec, mesh)
+    got = calibrate_pp(spec, params, batches, mesh)
+    for l in range(4):
+        for name in ("cov_mlp", "cov_q", "cov_k", "cov_x"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)[l]), np.asarray(getattr(ref, name)[l]),
+                rtol=1e-5, atol=1e-6,
+            )
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
+
+
+def test_pipeline_parallel_end_to_end_matches(tmp_path):
+    """Full compression with PP calibration == single-device compression."""
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, max_position_embeddings=128,
+    )
+    torch.manual_seed(8)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+
+    def cfg_for(sub):
+        return CompressionConfig(
+            model="mem", dataset="synthetic", calib_size=8, calibs_batch_size=2,
+            seq_len=32, eval_batch_size=4, eval_max_samples=8,
+            compression_ratio=0.3, sparsity_smoothing=0.3,
+            output_dir=str(tmp_path / sub / "o"), temp_storage_dir=str(tmp_path / sub / "l"),
+            metrics_dir=str(tmp_path / sub / "m"), solver_precision="f32_device",
+        )
+
+    r_single = run_compression(cfg_for("single"), spec=spec, params=params, tokenizer=None)
+    mesh = make_mesh("stage:4")
+    r_pp = run_compression(cfg_for("pp"), spec=spec, params=params, tokenizer=None, mesh=mesh)
+    assert (
+        abs(r_pp["compressed_ppl"] - r_single["compressed_ppl"])
+        < 2e-3 * r_single["compressed_ppl"]
+    )
+    assert r_pp["compressed_spec"].gate_ranks == r_single["compressed_spec"].gate_ranks
+
+
 def test_tp_generation_matches_single_device(rng):
     """KV-cache generation with Megatron-sharded params + head-sharded
     caches == unsharded generation (GSPMD propagates through the decode)."""
