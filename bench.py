@@ -82,26 +82,42 @@ def bench_jax() -> float:
                                        vocab_size=VOCAB)
     target_layers = list(range(N_LAYERS))
 
-    # Warmup: one full pass compiles the stats fn and the batched solver
-    # programs with the exact shapes/ranks of the timed pass.
+    def sync(tree):
+        # On tunneled backends block_until_ready can return before the
+        # queue drains; a tiny fetch of the first and last leaves is a
+        # reliable barrier (the arrays themselves stay on device).
+        leaves = [a for a in jax.tree_util.tree_leaves(tree) if hasattr(a, "shape")]
+        np.asarray(leaves[0].ravel()[:1])
+        np.asarray(leaves[-1].ravel()[:1])
+
+    # Warmup: one full pass (calibrate + solve + surgery) compiles every
+    # program with the exact shapes/ranks of the timed pass; the sync
+    # keeps warmup work from spilling into the timed region.
     t = time.perf_counter()
     warm = calibrate(spec, params, batches, target_layers, accumulate="device")
-    log(f"jax warmup calibrate (compile): {time.perf_counter() - t:.2f}s")
     keep_w, _ = allocate_keep_ratios(warm.bi_scores, RATIO, 0.5, 0.8)
-    t = time.perf_counter()
-    solve_chunk_batched(spec, params, target_layers, keep_w, warm, config, "mlp,qk,vo")
-    log(f"jax warmup solve (compile): {time.perf_counter() - t:.2f}s")
+    fw = solve_chunk_batched(
+        spec, params, target_layers, keep_w, warm, config, "mlp,qk,vo", fetch="device"
+    )
+    _, wparams = apply_factors(spec, params, fw["mlp"], fw["qk"], fw["vo"])
+    sync(wparams["layers"])
+    log(f"jax warmup (compile): {time.perf_counter() - t:.2f}s")
 
     t0 = time.perf_counter()
     calib = calibrate(spec, params, batches, target_layers, accumulate="device")
     t1 = time.perf_counter()
     log(f"  calibrate: {t1 - t0:.2f}s")
     keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)
-    f = solve_chunk_batched(spec, params, target_layers, keep, calib, config, "mlp,qk,vo")
+    # fetch="device": factors stay in HBM and the surgery consumes them
+    # there — the in-memory compress-then-serve job never pays the
+    # HBM->host link (persistence is a separate, explicitly-IO step).
+    f = solve_chunk_batched(
+        spec, params, target_layers, keep, calib, config, "mlp,qk,vo", fetch="device"
+    )
     t2 = time.perf_counter()
-    log(f"  solve: {t2 - t1:.2f}s")
+    log(f"  solve (enqueue): {t2 - t1:.2f}s")
     cspec, cparams = apply_factors(spec, params, f["mlp"], f["qk"], f["vo"])
-    jax.block_until_ready(cparams["layers"][0]["up"]["kernel"])
+    sync(cparams["layers"])
     elapsed = time.perf_counter() - t0
     log(f"jax e2e compress: {elapsed:.2f}s; gate_ranks={cspec.gate_ranks}")
     return elapsed

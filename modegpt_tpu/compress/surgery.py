@@ -43,8 +43,14 @@ def compress_ranks_for_layer(spec: ModelSpec, keep_ratio: float, kind: str) -> i
 
 
 def _as_kernel(w, dtype) -> jnp.ndarray:
-    """HF [out, in] weight -> [in, out] kernel in the model's dtype."""
-    return jnp.asarray(np.asarray(w).T, dtype=dtype)
+    """HF [out, in] weight -> [in, out] kernel in the model's dtype.
+    Device factors (solve_chunk_batched fetch='device') transpose on
+    device — the compress-then-serve path never touches the host."""
+    import jax
+
+    if isinstance(w, jax.Array):
+        return jnp.swapaxes(w, -1, -2).astype(dtype)
+    return jnp.asarray(np.swapaxes(np.asarray(w), -1, -2), dtype=dtype)
 
 
 def apply_factors(
@@ -88,7 +94,7 @@ def apply_factors(
         if l in mlp_factors:
             f = mlp_factors[l]
             if spec.n_experts:
-                if np.asarray(f["up"]).ndim != 3:
+                if f["up"].ndim != 3:
                     raise ValueError(
                         f"layer {l}: MoE spec but 2D MLP factors — the factor "
                         "store was solved for a different (dense) model"
@@ -96,7 +102,7 @@ def apply_factors(
                 # MoE: stacked per-expert HF factors [E, r, d]/[E, d, r]
                 # -> stacked kernels [E, d, r]/[E, r, d] (router untouched).
                 def _ek(w):
-                    return jnp.asarray(np.swapaxes(np.asarray(w), -1, -2), dtype=model_dtype)
+                    return _as_kernel(w, model_dtype)
 
                 lp["experts"] = {
                     "gate": {"kernel": _ek(f["gate"])},

@@ -82,3 +82,50 @@ def test_device_accumulation_matches_host():
         np.testing.assert_allclose(np.asarray(dev.cov_x[l]), host.cov_x[l], rtol=2e-4, atol=2e-4)
         np.testing.assert_allclose(np.asarray(dev.cov_q[l]), host.cov_q[l], rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(dev.bi_scores, host.bi_scores, rtol=1e-5)
+
+
+def test_device_fetch_matches_host_fetch(tmp_path, rng):
+    """fetch='device' (factors stay in HBM for zero-copy surgery) must
+    produce the same compressed model as the host-fetch path."""
+    import jax.numpy as jnp
+    import transformers
+    import torch
+
+    from modegpt_tpu.calib.engine import calibrate
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.compress.surgery import apply_factors
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models import forward, params_from_hf_model
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+    )
+    torch.manual_seed(11)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1], accumulate="device")
+    config = CompressionConfig(compression_ratio=0.3, solver_precision="f32_device",
+                               sparsity_smoothing=0.3)
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, 0.3, 0.8)
+
+    f_host = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp,qk,vo")
+    f_dev = solve_chunk_batched(
+        spec, params, [0, 1], keep, calib, config, "mlp,qk,vo", fetch="device"
+    )
+    for suffix in ("mlp", "qk", "vo"):
+        for l in (0, 1):
+            for k, v in f_host[suffix][l].items():
+                np.testing.assert_allclose(
+                    np.asarray(f_dev[suffix][l][k]), np.asarray(v), rtol=1e-6, atol=1e-7,
+                    err_msg=f"{suffix}/{l}/{k}",
+                )
+
+    sh, ph = apply_factors(spec, params, f_host["mlp"], f_host["qk"], f_host["vo"])
+    sd, pd = apply_factors(spec, params, f_dev["mlp"], f_dev["qk"], f_dev["vo"])
+    assert sh == sd
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 16)).astype(np.int32))
+    lh, _ = forward(sh, ph, ids)
+    ld, _ = forward(sd, pd, ids)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lh), rtol=1e-5, atol=1e-6)
