@@ -91,6 +91,25 @@ def _store_array(a: np.ndarray) -> Tuple[np.ndarray, str]:
     return a, str(a.dtype)
 
 
+def _is_weight_key(key: str) -> bool:
+    """Leaves worth quantizing: projection kernels and the (un)embedding.
+    Norm scales, biases and rotary masks stay full precision (tiny)."""
+    leaf = key.rsplit("/", 1)[-1]
+    return leaf == "kernel" or leaf in ("embed_tokens", "embed_positions")
+
+
+def _quantize_int8(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-output-channel int8: scale over the LAST axis
+    (out-features of [in, out] kernels; rows broadcast). Weight-only
+    quantization — dequantized to the compute dtype at load."""
+    af = np.asarray(a, dtype=np.float32)
+    amax = np.max(np.abs(af), axis=tuple(range(af.ndim - 1)), keepdims=True)
+    scale = (amax / 127.0).astype(np.float32)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.rint(af / scale), -127, 127).astype(np.int8)
+    return q, scale.reshape(scale.shape[-1])
+
+
 def save_compressed_model(
     save_dir: str,
     spec: ModelSpec,
@@ -98,15 +117,64 @@ def save_compressed_model(
     tokenizer_source: str = "",
     metadata: Optional[Dict] = None,
     dtype: str = "float32",
+    backend: str = "npz",
 ) -> str:
-    """Write the final artifact: spec.json + params.npz + tokenizer_source.txt."""
+    """Write the final artifact: spec.json + params.npz + tokenizer_source.txt.
+
+    dtype: "float32" | "bfloat16" | "int8". int8 stores the projection
+    kernels and embeddings as symmetric per-channel int8 with a float32
+    scale sidecar leaf (weight-only quantization; ~4x smaller than f32);
+    everything else stays float32.
+
+    backend: "npz" (single-file, default) or "orbax" — Orbax's
+    OCDBT/tensorstore format supports async multi-host writes and
+    sharded restore for artifacts beyond one host's RAM (SURVEY.md §5
+    checkpoint/resume: "Orbax/safetensors per-layer factor store").
+    """
     os.makedirs(save_dir, exist_ok=True)
+
+    if backend == "orbax":
+        if dtype == "int8":
+            raise ValueError("int8 quantization is supported by the npz backend only")
+        import orbax.checkpoint as ocp
+
+        target = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        cast = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a).astype(target)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating)
+            else jnp.asarray(a),
+            params,
+        )
+        ckpt_dir = os.path.abspath(os.path.join(save_dir, "params_orbax"))
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(ckpt_dir, cast, force=True)
+        sidecar = {
+            "format_version": _FORMAT_VERSION,
+            "spec": spec.to_dict(),
+            "dtypes": {},
+            "storage_dtype": dtype,
+            "backend": "orbax",
+            "metadata": metadata or {},
+        }
+        with open(os.path.join(save_dir, "spec.json"), "w") as f:
+            json.dump(sidecar, f, indent=2)
+        with open(os.path.join(save_dir, "tokenizer_source.txt"), "w") as f:
+            f.write(tokenizer_source.strip())
+        return save_dir
 
     flat = _flatten(jax.device_get(params))
     target = jnp.bfloat16 if dtype == "bfloat16" else np.float32
     stored, dtypes = {}, {}
     for k, v in flat.items():
-        if np.issubdtype(v.dtype, np.floating) or v.dtype == jnp.bfloat16:
+        is_float = np.issubdtype(v.dtype, np.floating) or v.dtype == jnp.bfloat16
+        if is_float and dtype == "int8" and _is_weight_key(k):
+            q, scale = _quantize_int8(np.asarray(jnp.asarray(v).astype(np.float32)))
+            stored[k] = q
+            stored[k + "::scale"] = scale
+            dtypes[k] = "int8"
+            dtypes[k + "::scale"] = "float32"
+            continue
+        if is_float:
             v = np.asarray(jnp.asarray(v).astype(target)) if dtype == "bfloat16" else v.astype(
                 np.float32
             )
@@ -163,13 +231,29 @@ def load_compressed_model(save_dir: str):
         raise ValueError(f"artifact written by a newer format: {sidecar['format_version']}")
     spec = ModelSpec.from_dict(sidecar["spec"])
 
+    if sidecar.get("backend") == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            params = ckptr.restore(os.path.abspath(os.path.join(save_dir, "params_orbax")))
+        if "lm_head" not in params:
+            params["lm_head"] = None
+        if isinstance(params.get("layers"), dict):
+            params["layers"] = [params["layers"][str(i)] for i in range(spec.n_layers)]
+        _validate_shapes(spec, params)
+        return spec, params, _read_tokenizer_source(save_dir)
+
     flat = {}
     with np.load(os.path.join(save_dir, "params.npz")) as z:
-        for k in z.files:
-            a = z[k]
-            if sidecar["dtypes"].get(k) == "bfloat16":
-                a = a.view(jnp.bfloat16)
-            flat[k] = a
+        raw = {k: z[k] for k in z.files}
+    for k, a in raw.items():
+        if k.endswith("::scale"):
+            continue
+        if sidecar["dtypes"].get(k) == "int8":
+            a = (a.astype(np.float32) * raw[k + "::scale"]).astype(np.float32)
+        elif sidecar["dtypes"].get(k) == "bfloat16":
+            a = a.view(jnp.bfloat16)
+        flat[k] = a
 
     params = _unflatten(flat, spec.n_layers)
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -177,13 +261,15 @@ def load_compressed_model(save_dir: str):
         params["lm_head"] = None
 
     _validate_shapes(spec, params)
+    return spec, params, _read_tokenizer_source(save_dir)
 
+
+def _read_tokenizer_source(save_dir: str) -> str:
     tok_path = os.path.join(save_dir, "tokenizer_source.txt")
-    tokenizer_source = ""
     if os.path.exists(tok_path):
         with open(tok_path) as f:
-            tokenizer_source = f.read().strip()
-    return spec, params, tokenizer_source
+            return f.read().strip()
+    return ""
 
 
 def _validate_shapes(spec: ModelSpec, params: Dict) -> None:

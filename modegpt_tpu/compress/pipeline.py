@@ -427,7 +427,9 @@ def run_compression(
         comp_params,
         tokenizer_source=config.model,
         metadata={"order": order, "compression_ratio": config.compression_ratio},
-        dtype="bfloat16" if config.model_dtype == "bfloat16" else "float32",
+        dtype=config.artifact_dtype
+        or ("bfloat16" if config.model_dtype == "bfloat16" else "float32"),
+        backend=config.artifact_backend,
     )
     results["artifact_dir"] = save_dir
 

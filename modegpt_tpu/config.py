@@ -70,6 +70,11 @@ class CompressionConfig:
     # (layer-count-independent compile, see models/padded.py); 'auto'
     # picks padded when the FLOP overhead is small.
     compressed_exec: str = "auto"
+    # Artifact storage: '' follows model_dtype; 'int8' = weight-only
+    # symmetric per-channel quantization (~4x smaller than f32).
+    artifact_dtype: str = ""
+    # 'npz' (single file) or 'orbax' (async multi-host tensorstore).
+    artifact_backend: str = "npz"
 
     _FIELD_HELP = {
         "order": "mlp,qk,vo  -- <method>,<method>,<method>",
@@ -136,6 +141,15 @@ class CompressionConfig:
         if self.compressed_exec not in ("auto", "unrolled", "padded"):
             raise ValueError(
                 f"compressed_exec must be auto, unrolled or padded, got {self.compressed_exec!r}"
+            )
+        if self.artifact_dtype not in ("", "float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"artifact_dtype must be float32, bfloat16, int8 or empty, "
+                f"got {self.artifact_dtype!r}"
+            )
+        if self.artifact_backend not in ("npz", "orbax"):
+            raise ValueError(
+                f"artifact_backend must be npz or orbax, got {self.artifact_backend!r}"
             )
         if self.model_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"model_dtype must be float32 or bfloat16, got {self.model_dtype!r}")
