@@ -26,15 +26,22 @@ def _load_any(path: str):
 
         spec, params, tok_src = load_compressed_model(path)
         tokenizer = None
-        source = tok_src or path
-        try:
-            from transformers import AutoTokenizer
+        # tokenizer files copied into the artifact dir win over the
+        # recorded source pointer (reference resolves tokenizer_source.txt,
+        # model_utils.py:129-165; local files make artifacts portable).
+        has_local = os.path.exists(os.path.join(path, "tokenizer.json")) or os.path.exists(
+            os.path.join(path, "tokenizer_config.json")
+        )
+        for source in ([path] if has_local else []) + [tok_src or path]:
+            try:
+                from transformers import AutoTokenizer
 
-            tokenizer = AutoTokenizer.from_pretrained(source)
-            if tokenizer.pad_token is None:
-                tokenizer.pad_token = tokenizer.eos_token
-        except Exception:
-            pass
+                tokenizer = AutoTokenizer.from_pretrained(source)
+                if tokenizer.pad_token is None:
+                    tokenizer.pad_token = tokenizer.eos_token
+                break
+            except Exception:
+                tokenizer = None
         return spec, params, tokenizer
     from modegpt_tpu.models.hf import load_hf_model
 

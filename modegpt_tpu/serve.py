@@ -1,0 +1,103 @@
+"""Serving CLI: continuous-batched generation over a compressed artifact.
+
+    python -m modegpt_tpu.serve --model <artifact-or-hf-dir> \
+        --prompts prompts.txt --max_new_tokens 64 --slots 8
+
+Reads one prompt per line (or repeated --prompt flags), serves them all
+through the slot-table continuous batcher (models/serving.py) on the
+padded-uniform execution stack, and prints one JSON line per completion
+plus a final throughput summary. New capability relative to the
+reference, which has no serving stack (SURVEY.md §0: "no serving
+stack").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    from modegpt_tpu.utils.logging import setup_logging
+
+    parser = argparse.ArgumentParser(prog="modegpt-tpu-serve")
+    parser.add_argument("--model", required=True, help="artifact dir or HF checkpoint dir")
+    parser.add_argument("--prompts", default="", help="file with one prompt per line")
+    parser.add_argument("--prompt", action="append", default=[], help="inline prompt (repeatable)")
+    parser.add_argument("--max_new_tokens", type=int, default=64)
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--max_len", type=int, default=1024)
+    parser.add_argument("--prefill_bucket", type=int, default=128)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    args = parser.parse_args(argv)
+
+    logger = setup_logging()
+
+    texts = list(args.prompt)
+    if args.prompts:
+        with open(args.prompts) as f:
+            texts.extend(line.rstrip("\n") for line in f if line.strip())
+    if not texts:
+        raise SystemExit("no prompts: pass --prompts FILE or --prompt TEXT")
+
+    from modegpt_tpu.evals.cli import _load_any
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.models.serving import ContinuousBatcher
+
+    spec, params, tokenizer = _load_any(args.model)
+    if tokenizer is None:
+        raise SystemExit("--model must resolve a tokenizer (artifact tokenizer_source)")
+    pm = pad_to_uniform(spec, params)
+    logger.info(
+        "serving %s: %d layers, %d slots x %d tokens, bucket %d",
+        args.model, spec.n_layers, args.slots, args.max_len, args.prefill_bucket,
+    )
+
+    eos = getattr(tokenizer, "eos_token_id", None)
+    batcher = ContinuousBatcher(
+        pm, slots=args.slots, max_len=args.max_len, prefill_bucket=args.prefill_bucket,
+        eos_token_id=eos, temperature=args.temperature,
+    )
+    rid_to_idx = {}
+    prompt_lens = {}
+    for i, text in enumerate(texts):
+        ids = tokenizer(text)["input_ids"]
+        rid = batcher.submit(ids, max_new_tokens=args.max_new_tokens)
+        rid_to_idx[rid] = i
+        prompt_lens[rid] = len(ids)
+
+    t0 = time.perf_counter()
+    done = batcher.run()
+    elapsed = time.perf_counter() - t0
+
+    total_new = 0
+    for rid, tokens in sorted(done.items(), key=lambda kv: rid_to_idx[kv[0]]):
+        new = tokens[prompt_lens[rid] :]
+        total_new += len(new)
+        print(
+            json.dumps(
+                {
+                    "prompt": texts[rid_to_idx[rid]],
+                    "completion": tokenizer.decode(new),
+                    "tokens": len(new),
+                }
+            ),
+            flush=True,
+        )
+    logger.info(
+        "served %d requests, %d new tokens in %.2fs (%.0f tok/s)",
+        len(done), total_new, elapsed, total_new / max(elapsed, 1e-9),
+    )
+    print(
+        json.dumps(
+            {"requests": len(done), "new_tokens": total_new, "tok_per_s": total_new / max(elapsed, 1e-9)}
+        ),
+        file=sys.stderr,
+    )
+    return done
+
+
+if __name__ == "__main__":
+    main()

@@ -68,3 +68,40 @@ def test_config_validation():
     with pytest.raises(ValueError, match="qk_method"):
         CompressionConfig(qk_method="x").validate()
     CompressionConfig().validate()  # defaults are valid
+
+
+def test_serve_cli(tmp_path, tiny_ckpt):
+    """Serve CLI over a compressed artifact with an offline tokenizer."""
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import PreTrainedTokenizerFast
+
+    from modegpt_tpu.cli import main
+
+    main([
+        "--model", tiny_ckpt, "--compression_ratio", "0.3",
+        "--calib_size", "4", "--calibs_batch_size", "2", "--seq_len", "48",
+        "--dataset", "synthetic", "--sparsity_smoothing", "0.3",
+        "--skip_baseline_eval", "--skip_final_eval",
+        "--output_dir", str(tmp_path / "o"),
+        "--temp_storage_dir", str(tmp_path / "l"),
+        "--metrics_dir", str(tmp_path / "m"),
+    ])
+    artifact = str(tmp_path / "o" / "model")
+
+    vocab = {f"tok{i}": i for i in range(126)}
+    vocab.update({"<eos>": 126, "<unk>": 127})
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, eos_token="<eos>", unk_token="<unk>")
+    fast.save_pretrained(artifact)
+
+    from modegpt_tpu.serve import main as serve_main
+
+    done = serve_main([
+        "--model", artifact, "--prompt", "tok1 tok2 tok3", "--prompt", "tok4 tok5",
+        "--max_new_tokens", "5", "--slots", "2", "--max_len", "32",
+        "--prefill_bucket", "8",
+    ])
+    assert len(done) == 2
+    for tokens in done.values():
+        assert len(tokens) >= 3  # prompt + at least some generation
