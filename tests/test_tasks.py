@@ -81,3 +81,39 @@ def test_random_search_space():
     for name, (lo, hi, _) in SEARCH_SPACE.items():
         for p, _ in hist:
             assert lo <= p[name] <= hi
+
+
+def test_staged_search_with_proxy(tmp_path):
+    """Population-of-proxies search runs end to end on a tiny model and
+    returns parameters from the searched space."""
+    import torch
+    import transformers
+
+    from modegpt_tpu.analysis.search import SEARCH_SPACE, staged_search
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models import params_from_hf_model
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+
+    base = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, temp_storage_dir=str(tmp_path / "store"),
+        output_dir=str(tmp_path / "o"), metrics_dir=str(tmp_path / "m"),
+    )
+    best, score, history = staged_search(
+        base, spec, params, n_trials=3, top_k=2,
+        proxy_seq_len=48, proxy_samples=4, proxy_batch_size=2,
+    )
+    assert len(history) == 3
+    assert set(best) == set(SEARCH_SPACE)
+    import numpy as np
+
+    assert np.isfinite(score)
+    # the winner's proxy score is among the finalists' (top-2) proxy scores
+    proxy_sorted = sorted(v for _, v in history)
+    assert any(abs(best[k] - p[k]) < 1e-12 for p, v in history for k in best if v in proxy_sorted[:2])
