@@ -86,9 +86,7 @@ def compute_perplexity(
     if exec_mode == "auto":
         from modegpt_tpu.models.padded import padding_overhead
 
-        use_padded = (
-            not spec.is_uniform and spec.n_experts == 0 and padding_overhead(spec) < 1.5
-        )
+        use_padded = not spec.is_uniform and padding_overhead(spec) < 1.5
     else:
         use_padded = exec_mode == "padded"
     if use_padded and mesh is None:

@@ -113,11 +113,6 @@ def _pad_linear(p: Dict, pad_in=None, pad_out=None) -> Dict:
 def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     """Zero-pad every layer to the stack-wide max rank per module and
     stack the layer params into [L, ...] leaves."""
-    if spec.n_experts:
-        raise NotImplementedError(
-            "padded-uniform execution does not cover MoE stacks yet; "
-            "use the unrolled forward (exec_mode='unrolled')"
-        )
     H, Hk = spec.n_heads, spec.n_kv_heads
     L = spec.n_layers
     rope = spec.uses_rope
@@ -153,11 +148,22 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
             "k": _pad_linear(p["k"], pad_out=qk_out_k),
             "v": _pad_linear(p["v"], pad_out=v_out),
             "o": _pad_linear(p["o"], pad_in=o_in),
-            "up": _pad_linear(p["up"], pad_out=g_out),
-            "down": _pad_linear(p["down"], pad_in=g_in),
         }
-        if spec.gated_mlp:
-            q["gate"] = _pad_linear(p["gate"], pad_out=g_out)
+        if spec.n_experts:
+            # stacked expert kernels [E, d, rg]/[E, rg, d]: zero-pad the
+            # intermediate axis (exact — pads produce zero h, consume zero)
+            ek = p["experts"]
+            q["router"] = p["router"]
+            q["experts"] = {
+                "gate": {"kernel": _pad_tail(ek["gate"]["kernel"], rg, Rg, 2)},
+                "up": {"kernel": _pad_tail(ek["up"]["kernel"], rg, Rg, 2)},
+                "down": {"kernel": _pad_tail(ek["down"]["kernel"], rg, Rg, 1)},
+            }
+        else:
+            q["up"] = _pad_linear(p["up"], pad_out=g_out)
+            q["down"] = _pad_linear(p["down"], pad_in=g_in)
+            if spec.gated_mlp:
+                q["gate"] = _pad_linear(p["gate"], pad_out=g_out)
         if spec.qk_norm:
             q["q_norm"] = p["q_norm"]
             q["k_norm"] = p["k_norm"]
@@ -205,7 +211,8 @@ def padding_overhead(spec: ModelSpec) -> float:
     Ro = max(spec.v_ranks) // Hk * H
     Rg = max(spec.gate_ranks)
     n_g = 2 if spec.gated_mlp else 1
-    padded = L * d * (Rq + Rk + Rv + Ro + (n_g + 1) * Rg)
+    n_e = max(1, spec.n_experts)  # dense-all-experts MoE formulation
+    padded = L * d * (Rq + Rk + Rv + Ro + n_e * (n_g + 1) * Rg)
     exact = sum(
         d
         * (
@@ -213,7 +220,7 @@ def padding_overhead(spec: ModelSpec) -> float:
             + spec.k_ranks[l]
             + spec.v_ranks[l]
             + spec.o_ranks[l]
-            + (n_g + 1) * spec.gate_ranks[l]
+            + n_e * (n_g + 1) * spec.gate_ranks[l]
         )
         for l in range(L)
     )
@@ -311,11 +318,17 @@ def _layer_padded(
 
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    if spec.gated_mlp:
-        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    if spec.n_experts:
+        from modegpt_tpu.models.forward import _moe_mlp
+
+        y, _ = _moe_mlp(spec, p, x_ln2, False)
+        x = residual + y
     else:
-        h = _act(_linear(x_ln2, p["up"]), spec.act)
-    x = residual + _linear(h, p["down"])
+        if spec.gated_mlp:
+            h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+        else:
+            h = _act(_linear(x_ln2, p["up"]), spec.act)
+        x = residual + _linear(h, p["down"])
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, new_cache

@@ -35,6 +35,8 @@ from modegpt_tpu.models.forward import (
     _gram,
     _head_gram,
     _linear,
+    _moe_gram,
+    _moe_mlp,
     _norm,
 )
 from modegpt_tpu.models.spec import ModelSpec
@@ -53,8 +55,6 @@ def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
     )
     if not uniform_shapes:
         return False
-    if spec.n_experts:
-        return False  # MoE runs unrolled (expert einsums not in the scan body yet)
     if spec.layer_types and len(set(spec.layer_types)) > 1:
         return False
     if stats_layers:
@@ -111,11 +111,17 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
 
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    if spec.gated_mlp:
+    if spec.n_experts:
+        # h is the routed-masked per-expert intermediate [B, T, E, D] —
+        # exactly what the per-expert Type-I Gram accumulates.
+        y, h = _moe_mlp(spec, p, x_ln2, True)
+        x = residual + y
+    elif spec.gated_mlp:
         h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+        x = residual + _linear(h, p["down"])
     else:
         h = _act(_linear(x_ln2, p["up"]), spec.act)
-    x = residual + _linear(h, p["down"])
+        x = residual + _linear(h, p["down"])
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, taps_src, h
@@ -159,8 +165,13 @@ def forward_scan(
     if collect:
         start = min(stats_layers)
         n_t = len(stats_layers)
+        mlp_shape = (
+            (n_t, spec.n_experts, spec.d_int, spec.d_int)
+            if spec.n_experts
+            else (n_t, spec.d_int, spec.d_int)
+        )
         acc0 = CalibStats(
-            cov_mlp=jnp.zeros((n_t, spec.d_int, spec.d_int), jnp.float32),
+            cov_mlp=jnp.zeros(mlp_shape, jnp.float32),
             cov_q=jnp.zeros((n_t, H, q_hd, q_hd), jnp.float32),
             cov_k=jnp.zeros((n_t, Hk, q_hd, q_hd), jnp.float32),
             cov_x=jnp.zeros((n_t, spec.d_model, spec.d_model), jnp.float32),
@@ -180,8 +191,13 @@ def forward_scan(
             slot = jnp.clip(l_idx - start, 0, n_t - 1)
 
             def with_taps(a):
+                mlp_gram = (
+                    _moe_gram(h_mlp)
+                    if spec.n_experts
+                    else _gram(h_mlp.reshape(-1, spec.d_int))
+                )
                 return CalibStats(
-                    cov_mlp=a.cov_mlp.at[slot].add(_gram(h_mlp.reshape(-1, spec.d_int))),
+                    cov_mlp=a.cov_mlp.at[slot].add(mlp_gram),
                     cov_q=a.cov_q.at[slot].add(_head_gram(q.reshape(B, T, H, q_hd))),
                     cov_k=a.cov_k.at[slot].add(_head_gram(k.reshape(B, T, Hk, q_hd))),
                     cov_x=a.cov_x.at[slot].add(_gram(x_ln.reshape(-1, spec.d_model))),

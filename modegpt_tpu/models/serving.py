@@ -156,11 +156,17 @@ def _layer_ragged(spec, p, q_hd_true, x, cos, sin, ck, cv, pos):
 
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    if spec.gated_mlp:
-        h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+    if spec.n_experts:
+        from modegpt_tpu.models.forward import _moe_mlp
+
+        y, _ = _moe_mlp(spec, p, x_ln2, False)
+        x = residual + y
     else:
-        h = _act(_linear(x_ln2, p["up"]), spec.act)
-    x = residual + _linear(h, p["down"])
+        if spec.gated_mlp:
+            h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+        else:
+            h = _act(_linear(x_ln2, p["up"]), spec.act)
+        x = residual + _linear(h, p["down"])
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, ck, cv

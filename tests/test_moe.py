@@ -138,6 +138,57 @@ def test_moe_expert_parallel_mesh_matches_single_device(rng):
     assert stats.cov_mlp.shape == (2, 4, 96, 96)
 
 
+def test_moe_scan_forward_matches_unrolled(rng):
+    """Dense MoE stacks scan (layer-count-independent compile), with
+    per-expert Gram taps identical to the unrolled path."""
+    from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    assert supports_scan(spec, (0, 1))
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    ref, ref_stats = forward(spec, params, ids, stats_layers=(0, 1))
+    got, got_stats = forward_scan(spec, params, ids, stats_layers=(0, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_stats.cov_mlp), np.asarray(ref_stats.cov_mlp), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_stats.bi_acc), np.asarray(ref_stats.bi_acc), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_moe_padded_and_serving(tmp_path, rng):
+    """Compressed MoE runs on the padded scanned stack and through the
+    continuous batcher, matching the unrolled decode exactly."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+    from modegpt_tpu.models.serving import ContinuousBatcher
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.1,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"), skip_baseline_eval=True, skip_final_eval=True,
+    )
+    res = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = res["compressed_spec"], res["compressed_params"]
+    pm = pad_to_uniform(cspec, cparams)
+
+    ids = rng.integers(0, cspec.vocab_size, size=(2, 12)).astype(np.int32)
+    ref, _ = forward(cspec, cparams, ids)
+    got = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    prompt = rng.integers(1, cspec.vocab_size, size=(5,)).astype(np.int32)
+    ref_gen = np.asarray(
+        generate(cspec, cparams, prompt[None], max_new_tokens=5, temperature=0.0)
+    )[0].tolist()
+    batcher = ContinuousBatcher(pm, slots=2, max_len=32, prefill_bucket=8)
+    rid = batcher.submit(prompt, max_new_tokens=5)
+    assert batcher.run()[rid] == ref_gen
+
+
 def test_moe_generation_incremental_matches_full(tmp_path, rng):
     from modegpt_tpu.models.generate import decode_step, init_cache, prefill
 
