@@ -198,22 +198,25 @@ def _model_ragged(spec, layers, other, q_hd_true, tokens, cache_k, cache_v, pos)
 
 
 @partial(jax.jit, static_argnames=("spec",), donate_argnames=("state",))
-def _prefill_slot_jit(spec, layers, other, q_hd_true, state: ServeState, slot: jax.Array,
-                      prompt: jax.Array, prompt_len: jax.Array):
-    """Insert one padded prompt [1, bucket] into `slot` (traced index —
-    one compiled program serves every slot); other slots' caches are
-    untouched (the model runs on the single extracted row)."""
+def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: jax.Array,
+                       chunk: jax.Array, pos0: jax.Array, real_len: jax.Array,
+                       commit: jax.Array):
+    """Run one prompt chunk [1, bucket] through `slot` at offset pos0
+    (traced slot index — one compiled program serves every slot and every
+    chunk). When `commit` is set (final chunk), the next token is read
+    from the chunk's last REAL position."""
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
     cv = lax.dynamic_slice_in_dim(state.cache_v, slot, 1, axis=1)
-    pos = jnp.zeros((1,), jnp.int32)
-    logits, ck, cv = _model_ragged(spec, layers, other, q_hd_true, prompt, ck, cv, pos)
-    # first generated token comes from the LAST REAL position of the prompt
-    nxt = jnp.argmax(logits[0, prompt_len - 1], axis=-1).astype(jnp.int32)
+    pos = pos0[None]
+    logits, ck, cv = _model_ragged(spec, layers, other, q_hd_true, chunk, ck, cv, pos)
+    nxt = jnp.argmax(logits[0, real_len - 1], axis=-1).astype(jnp.int32)
     return ServeState(
         cache_k=lax.dynamic_update_index_in_dim(state.cache_k, ck[:, 0], slot, axis=1),
         cache_v=lax.dynamic_update_index_in_dim(state.cache_v, cv[:, 0], slot, axis=1),
-        lengths=state.lengths.at[slot].set(prompt_len),
-        last_token=state.last_token.at[slot].set(nxt),
+        lengths=state.lengths.at[slot].set(pos0 + real_len),
+        last_token=jnp.where(
+            commit, state.last_token.at[slot].set(nxt), state.last_token
+        ),
     )
 
 
@@ -238,18 +241,28 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
 
 def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.ndarray,
                  bucket: int) -> ServeState:
-    """Admit a prompt into `slot`, padding to `bucket` tokens (one
-    compiled program per bucket length)."""
-    prompt_ids = np.asarray(prompt_ids, dtype=np.int32).reshape(1, -1)
-    P = prompt_ids.shape[1]
-    if P > bucket:
-        raise ValueError(f"prompt ({P}) longer than bucket ({bucket})")
-    padded = np.zeros((1, bucket), np.int32)
-    padded[0, :P] = prompt_ids[0]
-    return _prefill_slot_jit(
-        pm.spec, pm.layers, pm.other, pm.q_hd_true, state, jnp.asarray(slot, jnp.int32),
-        jnp.asarray(padded), jnp.asarray(P, jnp.int32),
-    )
+    """Admit a prompt into `slot`. Prompts longer than `bucket` are
+    CHUNKED: each bucket-sized piece runs through the same compiled
+    program at its offset, so arbitrarily long prompts reuse one program
+    (chunked prefill)."""
+    prompt_ids = np.asarray(prompt_ids, dtype=np.int32).reshape(-1)
+    P = prompt_ids.shape[0]
+    max_len = state.cache_k.shape[3]
+    if P >= max_len:
+        raise ValueError(f"prompt ({P} tokens) does not fit the cache (max_len {max_len})")
+    slot_i = jnp.asarray(slot, jnp.int32)
+    n_chunks = max(1, -(-P // bucket))
+    for c in range(n_chunks):
+        piece = prompt_ids[c * bucket : (c + 1) * bucket]
+        real = piece.shape[0]
+        padded = np.zeros((1, bucket), np.int32)
+        padded[0, :real] = piece
+        state = _prefill_chunk_jit(
+            pm.spec, pm.layers, pm.other, pm.q_hd_true, state, slot_i,
+            jnp.asarray(padded), jnp.asarray(c * bucket, jnp.int32),
+            jnp.asarray(real, jnp.int32), jnp.asarray(c == n_chunks - 1),
+        )
+    return state
 
 
 def decode_slots(pm: PaddedModel, state: ServeState, active: np.ndarray,
@@ -289,9 +302,15 @@ class ContinuousBatcher:
         self._next_id = 0
 
     def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
+        prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
+        if prompt.shape[0] + max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt ({prompt.shape[0]}) + max_new_tokens ({max_new_tokens}) "
+                f"exceeds max_len ({self.max_len})"
+            )
         rid = self._next_id
         self._next_id += 1
-        self.queue.append((rid, np.asarray(prompt_ids, np.int32).reshape(-1), max_new_tokens))
+        self.queue.append((rid, prompt, max_new_tokens))
         return rid
 
     def _admit(self):

@@ -61,6 +61,24 @@ def test_batcher_matches_per_sequence_greedy(rng, mk):
         assert done[rid] == refs[i], f"request {i} diverged"
 
 
+def test_chunked_prefill_long_prompt(rng):
+    """Prompts longer than the prefill bucket are processed in chunks
+    through the same compiled program — output still greedy-exact."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=5))
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(21,)).astype(np.int32)  # 3 chunks of 8
+    ref = np.asarray(
+        generate(spec, params, prompt[None, :], max_new_tokens=6, temperature=0.0)
+    )[0].tolist()
+
+    batcher = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8)
+    rid = batcher.submit(prompt, max_new_tokens=6)
+    assert batcher.run()[rid] == ref
+
+    with pytest.raises(ValueError, match="exceeds max_len"):
+        batcher.submit(np.zeros(60, np.int32), max_new_tokens=10)
+
+
 def test_batcher_eos_and_slot_reuse(rng):
     spec, params = params_from_hf_model(_tiny_llama(seed=2))
     pm = pad_to_uniform(spec, params)
