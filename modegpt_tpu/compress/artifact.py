@@ -217,13 +217,18 @@ def _unflatten(flat: Dict[str, np.ndarray], n_layers: int) -> Dict:
     return tree
 
 
-def load_compressed_model(save_dir: str):
+def load_compressed_model(save_dir: str, resident_int8: bool = False):
     """Load (spec, params, tokenizer_source) from an artifact directory.
 
     Fail-fast shape validation at load (replaces the reference's
     parameter-load crash monkeypatch, run_modegpt.py:46-68): every leaf's
     shape is re-derivable from the spec; mismatches raise with the
     parameter name.
+
+    resident_int8: for int8 artifacts, keep projection kernels as int8
+    ``kernel_q`` + ``scale`` leaves instead of dequantizing — the forward
+    consumes them directly (models/quantize.py), halving weight HBM
+    traffic vs bf16. Embeddings always dequantize (they are gathers).
     """
     with open(os.path.join(save_dir, "spec.json")) as f:
         sidecar = json.load(f)
@@ -250,6 +255,10 @@ def load_compressed_model(save_dir: str):
         if k.endswith("::scale"):
             continue
         if sidecar["dtypes"].get(k) == "int8":
+            if resident_int8 and k.rsplit("/", 1)[-1] == "kernel":
+                flat[k[: -len("kernel")] + "kernel_q"] = a
+                flat[k[: -len("kernel")] + "scale"] = raw[k + "::scale"]
+                continue
             a = (a.astype(np.float32) * raw[k + "::scale"]).astype(np.float32)
         elif sidecar["dtypes"].get(k) == "bfloat16":
             a = a.view(jnp.bfloat16)
@@ -277,30 +286,33 @@ def _validate_shapes(spec: ModelSpec, params: Dict) -> None:
         if tuple(got) != tuple(want):
             raise ValueError(f"shape mismatch for {name}: got {tuple(got)}, want {tuple(want)}")
 
+    def kern(p):  # full-precision or int8-resident
+        return p["kernel_q"] if "kernel_q" in p else p["kernel"]
+
     emb_dim = spec.word_embed_proj_dim or spec.d_model
     check("embed_tokens", params["embed_tokens"].shape, (spec.vocab_size, emb_dim))
     for l, lp in enumerate(params["layers"]):
-        check(f"layers/{l}/q", lp["q"]["kernel"].shape, (spec.d_model, spec.q_ranks[l]))
-        check(f"layers/{l}/k", lp["k"]["kernel"].shape, (spec.d_model, spec.k_ranks[l]))
-        check(f"layers/{l}/v", lp["v"]["kernel"].shape, (spec.d_model, spec.v_ranks[l]))
-        check(f"layers/{l}/o", lp["o"]["kernel"].shape, (spec.o_ranks[l], spec.d_model))
+        check(f"layers/{l}/q", kern(lp["q"]).shape, (spec.d_model, spec.q_ranks[l]))
+        check(f"layers/{l}/k", kern(lp["k"]).shape, (spec.d_model, spec.k_ranks[l]))
+        check(f"layers/{l}/v", kern(lp["v"]).shape, (spec.d_model, spec.v_ranks[l]))
+        check(f"layers/{l}/o", kern(lp["o"]).shape, (spec.o_ranks[l], spec.d_model))
         if spec.n_experts:
             E, r = spec.n_experts, spec.gate_ranks[l]
-            check(f"layers/{l}/router", lp["router"]["kernel"].shape, (spec.d_model, E))
+            check(f"layers/{l}/router", kern(lp["router"]).shape, (spec.d_model, E))
             check(
                 f"layers/{l}/experts/up",
-                lp["experts"]["up"]["kernel"].shape,
+                kern(lp["experts"]["up"]).shape,
                 (E, spec.d_model, r),
             )
             check(
                 f"layers/{l}/experts/down",
-                lp["experts"]["down"]["kernel"].shape,
+                kern(lp["experts"]["down"]).shape,
                 (E, r, spec.d_model),
             )
         else:
-            check(f"layers/{l}/up", lp["up"]["kernel"].shape, (spec.d_model, spec.gate_ranks[l]))
+            check(f"layers/{l}/up", kern(lp["up"]).shape, (spec.d_model, spec.gate_ranks[l]))
             check(
-                f"layers/{l}/down", lp["down"]["kernel"].shape, (spec.gate_ranks[l], spec.d_model)
+                f"layers/{l}/down", kern(lp["down"]).shape, (spec.gate_ranks[l], spec.d_model)
             )
         if "rotary_mask" in lp:
             check(

@@ -71,7 +71,15 @@ def _norm(x, p, kind: str, eps: float):
 
 
 def _linear(x, p):
-    y = x @ p["kernel"]
+    if "kernel_q" in p:
+        # int8-resident weights: the convert fuses into the dot's operand
+        # read (weight HBM traffic stays int8 — decode is memory-bound),
+        # and the symmetric per-out-channel scale applies to the OUTPUT,
+        # which is mathematically identical and never materialises a
+        # dequantized weight.
+        y = (x @ p["kernel_q"].astype(x.dtype)) * p["scale"].astype(x.dtype)
+    else:
+        y = x @ p["kernel"]
     if "bias" in p:
         y = y + p["bias"]
     return y
@@ -126,10 +134,22 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     hot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [B, T, k, E]
     w_full = jnp.einsum("btke,btk->bte", hot, w).astype(x.dtype)  # 0 or renormalised weight
 
-    g = jnp.einsum("btd,edf->btef", x, p["experts"]["gate"]["kernel"])
-    u = jnp.einsum("btd,edf->btef", x, p["experts"]["up"]["kernel"])
+    def expert_mm(xx, ep, eq):  # [.., d] x [E, d, f] (+ per-channel scales)
+        if "kernel_q" in ep:
+            out = jnp.einsum(eq, xx, ep["kernel_q"].astype(xx.dtype))
+            return out * ep["scale"].astype(xx.dtype)
+        return jnp.einsum(eq, xx, ep["kernel"])
+
+    g = expert_mm(x, p["experts"]["gate"], "btd,edf->btef")
+    u = expert_mm(x, p["experts"]["up"], "btd,edf->btef")
     h = _act(g, spec.act) * u  # [B, T, E, D]
-    y = jnp.einsum("btef,efd,bte->btd", h, p["experts"]["down"]["kernel"], w_full)
+    down = p["experts"]["down"]
+    if "kernel_q" in down:
+        y_e = jnp.einsum("btef,efd->bted", h, down["kernel_q"].astype(h.dtype))
+        y_e = y_e * down["scale"].astype(h.dtype)
+        y = jnp.einsum("bted,bte->btd", y_e, w_full)
+    else:
+        y = jnp.einsum("btef,efd,bte->btd", h, down["kernel"], w_full)
 
     if collect:
         routed = jnp.sum(hot, axis=2).astype(h.dtype)  # 0/1 membership [B, T, E]

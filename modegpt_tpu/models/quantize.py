@@ -1,0 +1,77 @@
+"""Weight-only int8 execution: quantize resident weights, dequantize
+inside the matmul.
+
+Decode is memory-bound: each generated token reads every weight once, so
+HBM traffic is the speed limit. Storing projection kernels as symmetric
+per-out-channel int8 halves that traffic vs bf16 (4x vs f32); the
+convert fuses into the dot's operand read and the scale applies to the
+matmul OUTPUT (mathematically identical for per-out-channel scales), so
+no dequantized weight copy ever exists in HBM.
+
+Works on plain params pytrees and on `PaddedModel` stacks (quantize
+AFTER padding — zero pad rows quantize to zero exactly). Norm scales,
+biases, embeddings (gathers, not matmuls) and rotary masks stay as-is.
+Consumed transparently by `forward._linear` / `forward._moe_mlp`, i.e.
+every execution path: unrolled, scanned, padded, generation, serving,
+speculative decoding.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from modegpt_tpu.models.padded import PaddedModel
+
+__all__ = ["quantize_linear", "quantize_params", "quantize_padded"]
+
+
+def quantize_linear(p: Dict) -> Dict:
+    """{"kernel": [..., in, out]} -> {"kernel_q": int8, "scale": [..., out]}.
+    The reduction (max-abs) runs over the IN axis only, so leading layer/
+    expert stack axes keep their own scales."""
+    if "kernel" not in p or p["kernel"].dtype == jnp.int8:
+        return p
+    k = p["kernel"].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(k), axis=-2, keepdims=True)
+    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    out = {k2: v for k2, v in p.items() if k2 != "kernel"}
+    out["kernel_q"] = q
+    out["scale"] = jnp.squeeze(scale, axis=-2)
+    return out
+
+
+def _quantize_layer(lp: Dict) -> Dict:
+    out = {}
+    for name, sub in lp.items():
+        if name in ("q", "k", "v", "o", "up", "gate", "down"):
+            out[name] = quantize_linear(sub)
+        elif name == "experts":
+            out[name] = {k: quantize_linear(v) for k, v in sub.items()}
+        else:
+            out[name] = sub  # norms, router, rotary_mask
+    return out
+
+
+def quantize_params(params: Dict) -> Dict:
+    """Quantize every projection kernel of a plain params pytree (list of
+    per-layer dicts). lm_head quantizes too; embeddings stay full
+    precision (token gathers only touch the looked-up rows)."""
+    out = dict(params)
+    out["layers"] = [_quantize_layer(lp) for lp in params["layers"]]
+    if params.get("lm_head") is not None:
+        out["lm_head"] = quantize_linear(params["lm_head"])
+    return out
+
+
+def quantize_padded(pm: PaddedModel) -> PaddedModel:
+    """Quantize a padded-uniform stack (the serving/speculative layout).
+    Stacked [L, ...] kernels get per-(layer, out-channel) scales."""
+    layers = _quantize_layer(pm.layers)
+    other = dict(pm.other)
+    if pm.other.get("lm_head") is not None:
+        other["lm_head"] = quantize_linear(pm.other["lm_head"])
+    return PaddedModel(spec=pm.spec, layers=layers, other=other, q_hd_true=pm.q_hd_true)
