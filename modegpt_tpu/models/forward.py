@@ -326,7 +326,7 @@ def forward(
 
     cos = sin = None
     if spec.uses_rope:
-        cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype)
+        cos, sin = rope_cos_sin(jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype, scaling=spec.rope_scaling)
 
     if attn_impl == "auto":
         # Flash on TPU — except under jax_enable_x64, where Pallas grid

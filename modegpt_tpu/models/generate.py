@@ -138,7 +138,8 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
     cos = sin = None
     if spec.uses_rope:
         cos, sin = rope_cos_sin(
-            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype
+            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype,
+            scaling=spec.rope_scaling,
         )
 
     new_k, new_v = [], []

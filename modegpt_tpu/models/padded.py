@@ -382,7 +382,8 @@ def forward_padded(
     cos = sin = None
     if spec.uses_rope:
         cos, sin = rope_cos_sin(
-            jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype
+            jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype,
+            scaling=spec.rope_scaling,
         )
 
     def body(x, inputs):
@@ -416,7 +417,8 @@ def _model_step_padded(
     cos = sin = None
     if spec.uses_rope:
         cos, sin = rope_cos_sin(
-            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype
+            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype,
+            scaling=spec.rope_scaling,
         )
 
     def body(x, inputs):

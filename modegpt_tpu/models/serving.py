@@ -69,7 +69,7 @@ def _rope_tables_at(spec: ModelSpec, positions, dtype):
     from modegpt_tpu.ops.rope import rope_cos_sin
 
     B, S = positions.shape
-    cos, sin = rope_cos_sin(positions.reshape(-1), spec.head_dim, spec.rope_theta, dtype=dtype)
+    cos, sin = rope_cos_sin(positions.reshape(-1), spec.head_dim, spec.rope_theta, dtype=dtype, scaling=spec.rope_scaling)
     return cos.reshape(B, S, -1), sin.reshape(B, S, -1)
 
 

@@ -65,6 +65,9 @@ class ModelSpec:
     # stacks stay uniform-shaped for batched execution.
     n_experts: int = 0  # 0 = dense MLP
     experts_per_tok: int = 2
+    # RoPE frequency scaling (hashable tuple; see ops/rope.rope_cos_sin):
+    # ("linear", factor) or ("llama3", factor, low_f, high_f, orig_len).
+    rope_scaling: Optional[Tuple] = None
 
     # ---- derived helpers ----
     @property
@@ -133,10 +136,31 @@ class ModelSpec:
     @staticmethod
     def from_dict(d: dict) -> "ModelSpec":
         d = dict(d)
-        for k in ("q_ranks", "k_ranks", "v_ranks", "o_ranks", "gate_ranks", "layer_types"):
+        for k in ("q_ranks", "k_ranks", "v_ranks", "o_ranks", "gate_ranks", "layer_types",
+                  "rope_scaling"):
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
         return ModelSpec(**d)
+
+
+def _parse_rope_scaling(rs) -> Optional[Tuple]:
+    """HF rope_scaling dict -> hashable tuple (llama-3.1 and linear/PI)."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type", rs.get("type", ""))
+    if kind in ("default", ""):
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return (
+            "llama3",
+            float(rs["factor"]),
+            float(rs["low_freq_factor"]),
+            float(rs["high_freq_factor"]),
+            float(rs["original_max_position_embeddings"]),
+        )
+    raise ValueError(f"unsupported rope_scaling type {kind!r} (supported: linear, llama3)")
 
 
 def _dense_ranks(n_layers, qk, kv, d_int):
@@ -226,6 +250,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             else (),
             n_experts=getattr(config, "num_local_experts", 0) if arch == "mixtral" else 0,
             experts_per_tok=getattr(config, "num_experts_per_tok", 2),
+            rope_scaling=_parse_rope_scaling(getattr(config, "rope_scaling", None)),
             **ranks,
         )
     else:

@@ -34,15 +34,36 @@ def rope_cos_sin(
     head_dim: int,
     theta: float = 10000.0,
     dtype=jnp.float32,
+    scaling: Optional[tuple] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """cos/sin tables [T, head_dim] at the ORIGINAL head dim.
 
     The duplicated-frequency layout matches HF: emb = concat(freqs, freqs)
     (reference: LlamaRebuild.py:104-107). Computed in float32 regardless
     of model dtype, as HF forces (LlamaRebuild.py:103).
+
+    scaling: optional frequency-scaling spec (ModelSpec.rope_scaling):
+      ("linear", factor) — position interpolation (inv_freq / factor);
+      ("llama3", factor, low_freq_factor, high_freq_factor,
+       original_max_position_embeddings) — Llama-3.1 per-wavelength
+       scaling (HF modeling_rope_utils._compute_llama3_parameters).
     """
     half = head_dim // 2
     inv_freq = 1.0 / (theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim))
+    if scaling is not None:
+        kind = scaling[0]
+        if kind == "linear":
+            inv_freq = inv_freq / scaling[1]
+        elif kind == "llama3":
+            _, factor, low_f, high_f, old_len = scaling
+            wavelen = 2.0 * jnp.pi / inv_freq
+            scaled = jnp.where(wavelen > old_len / low_f, inv_freq / factor, inv_freq)
+            smooth = (old_len / wavelen - low_f) / (high_f - low_f)
+            smoothed = (1.0 - smooth) * scaled / factor + smooth * scaled
+            medium = (wavelen <= old_len / low_f) & (wavelen >= old_len / high_f)
+            inv_freq = jnp.where(medium, smoothed, scaled)
+        else:
+            raise ValueError(f"unsupported rope scaling {kind!r}")
     freqs = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
     emb = jnp.concatenate([freqs, freqs], axis=-1)  # [T, head_dim]
     return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)

@@ -139,6 +139,7 @@ def calibrate_pp(
                 spec.head_dim,
                 spec.rope_theta,
                 dtype=params["embed_tokens"].dtype,
+                scaling=spec.rope_scaling,
             )
 
         def embed_fn(tokens):

@@ -263,3 +263,40 @@ def test_flash_attention_hbm_streaming(rng):
     refw = _attention(q, k, v, scale, 64, impl="xla")
     gotw = flash_attention_hbm(q, k, v, scale=scale, window=64, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(gotw), np.asarray(refw), rtol=2e-4, atol=2e-5)
+
+
+def test_llama31_rope_scaling_matches_hf(rng):
+    """Llama-3.1-style rope_scaling (per-wavelength frequency scaling)
+    must reproduce HF logits; linear (position-interpolation) too."""
+    import torch
+    import transformers
+
+    from modegpt_tpu.models import forward, params_from_hf_model
+
+    for rs in (
+        {"rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+         "high_freq_factor": 4.0, "original_max_position_embeddings": 64},
+        {"rope_type": "linear", "factor": 2.0},
+    ):
+        cfg = transformers.LlamaConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+            num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+            rope_scaling=dict(rs),
+        )
+        torch.manual_seed(0)
+        m = transformers.LlamaForCausalLM(cfg).eval()
+        spec, params = params_from_hf_model(m)
+        assert spec.rope_scaling is not None and spec.rope_scaling[0] == rs["rope_type"]
+
+        ids = rng.integers(0, 128, size=(2, 96)).astype(np.int32)  # beyond orig_len
+        with torch.no_grad():
+            ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+        got, _ = forward(spec, params, jnp.asarray(ids))
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+        # generation path uses the same scaled tables
+        from modegpt_tpu.models.generate import generate
+
+        out = generate(spec, params, ids[:1, :8], max_new_tokens=4, temperature=0.0)
+        full, _ = forward(spec, params, out[:, :-1])
+        assert int(out[0, -1]) == int(jnp.argmax(full[0, -1]))
