@@ -130,7 +130,8 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     logits = x @ p["router"]["kernel"]  # [B, T, E]
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     w, idx = lax.top_k(probs, k)  # [B, T, k]
-    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    if spec.norm_topk_prob:  # mixtral always; qwen3_moe behind the flag
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
     hot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [B, T, k, E]
     w_full = jnp.einsum("btke,btk->bte", hot, w).astype(x.dtype)  # 0 or renormalised weight
 

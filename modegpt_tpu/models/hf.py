@@ -112,9 +112,16 @@ def params_from_state_dict(
                 "o": {"kernel": W(b + "self_attn.o_proj.weight")},
             }
             if spec.n_experts:
-                # Mixtral: stack the per-expert w1/w3/w2 into [E, in, out]
-                # kernels (one batched einsum per projection on-device).
-                moe = b + "block_sparse_moe."
+                # Stack the per-expert kernels into [E, in, out] (one
+                # batched einsum per projection on-device). Key layouts:
+                # mixtral: block_sparse_moe.gate + experts.{e}.w1/w3/w2;
+                # qwen3_moe: mlp.gate + mlp.experts.{e}.{gate,up,down}_proj.
+                if spec.arch == "qwen3_moe":
+                    moe = b + "mlp."
+                    names = ("gate_proj", "up_proj", "down_proj")
+                else:
+                    moe = b + "block_sparse_moe."
+                    names = ("w1", "w3", "w2")
                 lp["router"] = {"kernel": W(moe + "gate.weight")}
 
                 def EW(name):
@@ -126,9 +133,9 @@ def params_from_state_dict(
                     )
 
                 lp["experts"] = {
-                    "gate": {"kernel": EW("w1")},
-                    "up": {"kernel": EW("w3")},
-                    "down": {"kernel": EW("w2")},
+                    "gate": {"kernel": EW(names[0])},
+                    "up": {"kernel": EW(names[1])},
+                    "down": {"kernel": EW(names[2])},
                 }
             else:
                 lp["gate"] = {"kernel": W(b + "mlp.gate_proj.weight")}

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
-ARCHS = ("opt", "llama", "qwen3", "mixtral")
+ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe")
 
 
 @dataclass(frozen=True)
@@ -65,6 +65,9 @@ class ModelSpec:
     # stacks stay uniform-shaped for batched execution.
     n_experts: int = 0  # 0 = dense MLP
     experts_per_tok: int = 2
+    # Renormalise the top-k routing weights to sum to 1. Mixtral always
+    # does; qwen3_moe gates it behind config.norm_topk_prob.
+    norm_topk_prob: bool = True
     # RoPE frequency scaling (hashable tuple; see ops/rope.rope_cos_sin):
     # ("linear", factor) or ("llama3", factor, low_f, high_f, orig_len).
     rope_scaling: Optional[Tuple] = None
@@ -72,7 +75,7 @@ class ModelSpec:
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch in ("llama", "qwen3", "mixtral")
+        return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe")
 
     @property
     def group_size(self) -> int:
@@ -211,13 +214,31 @@ def spec_from_hf_config(config) -> ModelSpec:
             word_embed_proj_dim=wepd if wepd != config.hidden_size else None,
             **ranks,
         )
-    elif model_type in ("llama", "qwen3", "mixtral") or "qwen3" in model_type:
-        arch = "qwen3" if "qwen3" in model_type else model_type
+    elif model_type in ("llama", "qwen3", "mixtral", "qwen3_moe") or "qwen3" in model_type:
+        if model_type == "qwen3_moe":
+            arch = "qwen3_moe"
+        elif "qwen3" in model_type:
+            arch = "qwen3"
+        else:
+            arch = model_type
+        is_moe = arch in ("mixtral", "qwen3_moe")
+        if arch == "qwen3_moe":
+            if list(getattr(config, "mlp_only_layers", []) or []) or getattr(
+                config, "decoder_sparse_step", 1
+            ) != 1:
+                raise NotImplementedError(
+                    "qwen3_moe with dense layers mixed in (mlp_only_layers / "
+                    "decoder_sparse_step != 1) is not supported yet; shipped "
+                    "Qwen3-MoE checkpoints are all-MoE"
+                )
+            d_int = config.moe_intermediate_size
+        else:
+            d_int = config.intermediate_size
         n_heads = config.num_attention_heads
         n_kv = getattr(config, "num_key_value_heads", n_heads)
         head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_heads
         n_layers = config.num_hidden_layers
-        ranks = _dense_ranks(n_layers, n_heads * head_dim, n_kv * head_dim, config.intermediate_size)
+        ranks = _dense_ranks(n_layers, n_heads * head_dim, n_kv * head_dim, d_int)
         spec = ModelSpec(
             arch=arch,
             vocab_size=config.vocab_size,
@@ -226,7 +247,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             n_heads=n_heads,
             n_kv_heads=n_kv,
             head_dim=head_dim,
-            d_int=config.intermediate_size,
+            d_int=d_int,
             max_position_embeddings=config.max_position_embeddings,
             act=config.hidden_act,
             norm="rmsnorm",
@@ -235,7 +256,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             attention_bias=getattr(config, "attention_bias", False),
             mlp_bias=getattr(config, "mlp_bias", False),
             tie_word_embeddings=config.tie_word_embeddings,
-            qk_norm=(arch == "qwen3"),
+            qk_norm=arch in ("qwen3", "qwen3_moe"),
             gated_mlp=True,
             # qwen3 gates its window behind use_sliding_window; mixtral
             # applies config.sliding_window whenever it is set (HF
@@ -248,8 +269,17 @@ def spec_from_hf_config(config) -> ModelSpec:
             else ("sliding_attention",) * n_layers
             if getattr(config, "sliding_window", None)
             else (),
-            n_experts=getattr(config, "num_local_experts", 0) if arch == "mixtral" else 0,
+            n_experts=(
+                getattr(config, "num_local_experts", 0)
+                if arch == "mixtral"
+                else getattr(config, "num_experts", 0)
+                if arch == "qwen3_moe"
+                else 0
+            ),
             experts_per_tok=getattr(config, "num_experts_per_tok", 2),
+            norm_topk_prob=bool(getattr(config, "norm_topk_prob", True))
+            if arch == "qwen3_moe"
+            else True,
             rope_scaling=_parse_rope_scaling(getattr(config, "rope_scaling", None)),
             **ranks,
         )

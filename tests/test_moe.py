@@ -28,6 +28,47 @@ def _tiny_mixtral(n_layers=2):
     return transformers.MixtralForCausalLM(cfg).eval()
 
 
+def _tiny_qwen3_moe(norm_topk=False):
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, moe_intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, max_position_embeddings=128,
+        norm_topk_prob=norm_topk,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen3MoeForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("norm_topk", [False, True])
+def test_qwen3_moe_forward_matches_hf(rng, norm_topk):
+    """Qwen3-MoE: qk_norm attention + MoE MLP, norm_topk_prob both ways."""
+    m = _tiny_qwen3_moe(norm_topk)
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "qwen3_moe" and spec.qk_norm and spec.n_experts == 4
+    assert spec.norm_topk_prob == norm_topk and spec.d_int == 48
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen3_moe_compression_end_to_end(tmp_path, rng):
+    spec, params = params_from_hf_model(_tiny_qwen3_moe())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec = results["compressed_spec"]
+    assert cspec.n_experts == 4 and cspec.qk_norm
+    assert max(cspec.gate_ranks) < spec.d_int
+    assert np.isfinite(results["compressed_ppl"])
+
+
 def test_forward_matches_hf(rng):
     m = _tiny_mixtral()
     spec, params = params_from_hf_model(m)
