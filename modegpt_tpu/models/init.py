@@ -55,11 +55,24 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
             "k": linear((spec.d_model, spec.k_ranks[l]), ab),
             "v": linear((spec.d_model, spec.v_ranks[l]), ab),
             "o": linear((spec.o_ranks[l], spec.d_model), ab and spec.arch == "opt"),
-            "up": linear((spec.d_model, spec.gate_ranks[l]), spec.mlp_bias or spec.arch == "opt"),
-            "down": linear((spec.gate_ranks[l], spec.d_model), spec.mlp_bias or spec.arch == "opt"),
         }
-        if spec.gated_mlp:
-            lp["gate"] = linear((spec.d_model, spec.gate_ranks[l]), spec.mlp_bias)
+        if spec.n_experts:
+            E, rg = spec.n_experts, spec.gate_ranks[l]
+            lp["router"] = {"kernel": dense((spec.d_model, E))}
+            lp["experts"] = {
+                "gate": {"kernel": dense((E, spec.d_model, rg))},
+                "up": {"kernel": dense((E, spec.d_model, rg))},
+                "down": {"kernel": dense((E, rg, spec.d_model))},
+            }
+        else:
+            lp["up"] = linear(
+                (spec.d_model, spec.gate_ranks[l]), spec.mlp_bias or spec.arch == "opt"
+            )
+            lp["down"] = linear(
+                (spec.gate_ranks[l], spec.d_model), spec.mlp_bias or spec.arch == "opt"
+            )
+            if spec.gated_mlp:
+                lp["gate"] = linear((spec.d_model, spec.gate_ranks[l]), spec.mlp_bias)
         if spec.qk_norm:
             lp["q_norm"] = {"scale": jnp.ones((spec.head_dim,), dtype=dtype)}
             lp["k_norm"] = {"scale": jnp.ones((spec.head_dim,), dtype=dtype)}
