@@ -131,10 +131,11 @@ def main(argv=None):
                 eos_token_id=eos, return_stats=True,
             )
             results["spec_decode"] = {
-                "rounds": int(stats.rounds),
-                "drafted": int(stats.drafted),
-                "accepted": int(stats.accepted),
-                "acceptance_rate": float(stats.accepted) / max(float(stats.drafted), 1.0),
+                "rounds": int(stats.rounds.sum()),
+                "drafted": int(stats.drafted.sum()),
+                "accepted": int(stats.accepted.sum()),
+                "acceptance_rate": float(stats.accepted.sum())
+                / max(float(stats.drafted.sum()), 1.0),
             }
             logger.info("speculative decode: %s", results["spec_decode"])
         else:

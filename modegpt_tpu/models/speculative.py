@@ -22,7 +22,11 @@ reference: src/patchers/LlamaRebuild.py). TPU-native design:
   fixed-size window always overwrites them (the next write spans
   ``[len + a + 1, len + a + k + 1] ⊇ stale [len + a + 1, len + k]``);
 * the draft runs one extra cache-fill step per round so every drafted
-  token's K/V is present regardless of how many get accepted.
+  token's K/V is present regardless of how many get accepted;
+* BATCHED: the per-sequence round loop is `jax.vmap`-ed — JAX's
+  `while_loop` batching runs rows in lockstep until every row finishes
+  and select-freezes finished rows' carries, so each sequence advances
+  at its own acceptance rate with no ragged bookkeeping.
 
 Greedy only (temperature 0): acceptance is exact token match against the
 target's argmax, so the output is identical to the target's own greedy
@@ -38,17 +42,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from modegpt_tpu.models.padded import (
-    PaddedModel,
-    _model_step_padded,
-    init_cache_padded,
-)
+from modegpt_tpu.models.padded import PaddedModel, _model_step_padded
 
 __all__ = ["speculative_generate", "SpecDecodeStats"]
 
 
 class SpecDecodeStats(NamedTuple):
-    """Telemetry from one speculative generation call."""
+    """Per-sequence telemetry from one speculative generation call."""
 
     rounds: jax.Array  # target forwards executed (after prefill)
     drafted: jax.Array  # draft tokens proposed
@@ -57,129 +57,123 @@ class SpecDecodeStats(NamedTuple):
 
 @partial(
     jax.jit,
-    static_argnames=("draft_spec", "target_spec", "max_new_tokens", "n_draft"),
+    static_argnames=("draft_spec", "target_spec", "max_new_tokens", "n_draft", "max_len"),
 )
 def _spec_generate_jit(
     draft_spec,
     target_spec,
     draft_arrays,  # (layers, other, q_hd_true)
     target_arrays,
-    prompt_ids: jax.Array,
-    dcache,  # (k, v, length)
-    tcache,
+    prompt_ids: jax.Array,  # [B, P]
     max_new_tokens: int,
     n_draft: int,
+    max_len: int,
     eos_token_id: Optional[jax.Array],
 ):
-    B, P = prompt_ids.shape
     k = n_draft
+    dtype = target_arrays[1]["embed_tokens"].dtype
 
-    def dstep_model(tokens, cache):
-        ck, cv, length = cache
+    def init_cache(spec):
+        Rq = spec.q_ranks[0] // spec.n_heads
+        Rv = spec.v_ranks[0] // spec.n_kv_heads
+        return (
+            jnp.zeros((spec.n_layers, 1, spec.n_kv_heads, max_len, Rq), dtype=dtype),
+            jnp.zeros((spec.n_layers, 1, spec.n_kv_heads, max_len, Rv), dtype=dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+
+    def dstep(tokens, cache):
         layers, other, qhd = draft_arrays
         logits, ck, cv, length = _model_step_padded.__wrapped__(
-            draft_spec, layers, other, qhd, tokens, ck, cv, length
+            draft_spec, layers, other, qhd, tokens, *cache
         )
         return logits, (ck, cv, length)
 
-    def tstep_model(tokens, cache):
-        ck, cv, length = cache
+    def tstep(tokens, cache):
         layers, other, qhd = target_arrays
         logits, ck, cv, length = _model_step_padded.__wrapped__(
-            target_spec, layers, other, qhd, tokens, ck, cv, length
+            target_spec, layers, other, qhd, tokens, *cache
         )
         return logits, (ck, cv, length)
 
-    # ---- prefill both models; the target's last-position argmax is the
-    # first committed token (invariant: each cache holds every committed
-    # token EXCEPT the newest one).
-    _, dcache = dstep_model(prompt_ids, dcache)
-    tlogits, tcache = tstep_model(prompt_ids, tcache)
-    first = jnp.argmax(tlogits[:, -1, :], axis=-1).astype(prompt_ids.dtype)  # [B]
+    def one(prompt):  # [P] — one sequence, vmapped over the batch
+        prompt = prompt[None]
+        dcache = init_cache(draft_spec)
+        tcache = init_cache(target_spec)
 
-    buf = jnp.zeros((B, max_new_tokens + k + 1), prompt_ids.dtype)
-    buf = buf.at[:, 0].set(first)
+        # ---- prefill; invariant: each cache holds every committed token
+        # EXCEPT the newest one.
+        _, dcache = dstep(prompt, dcache)
+        tlogits, tcache = tstep(prompt, tcache)
+        first = jnp.argmax(tlogits[0, -1, :]).astype(prompt.dtype)
 
-    done0 = (
-        (first == eos_token_id) if eos_token_id is not None else jnp.zeros((B,), bool)
-    )[0]
+        buf = jnp.zeros((max_new_tokens + k + 1,), prompt.dtype)
+        buf = buf.at[0].set(first)
+        done0 = (first == eos_token_id) if eos_token_id is not None else jnp.asarray(False)
 
-    def cond(state):
-        n_gen, done = state[0], state[1]
-        return (n_gen < max_new_tokens) & ~done
+        def cond(state):
+            n_gen, done = state[0], state[1]
+            return (n_gen < max_new_tokens) & ~done
 
-    def body(state):
-        n_gen, done, last, buf, dcache, tcache, rounds, drafted, accepted = state
-        dlen_base = dcache[2]
-        tlen_base = tcache[2]
+        def body(state):
+            n_gen, done, last, buf, dcache, tcache, rounds, drafted, accepted = state
 
-        # ---- draft k tokens greedily (S=1 steps), then one extra step to
-        # fill the cache for the final drafted token.
-        def dstep(carry, _):
-            tok, dcache = carry
-            logits, dcache = dstep_model(tok[:, None], dcache)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(tok.dtype)
-            return (nxt, dcache), nxt
+            # draft k tokens greedily, plus one cache-fill step
+            def draft_step(carry, _):
+                tok, dcache = carry
+                logits, dcache = dstep(tok[None, None], dcache)
+                nxt = jnp.argmax(logits[0, -1, :]).astype(tok.dtype)
+                return (nxt, dcache), nxt
 
-        (_, dcache), dtoks = lax.scan(dstep, (last, dcache), None, length=k)
-        dtoks = dtoks.T  # [B, k]
-        _, dcache = dstep_model(dtoks[:, -1:], dcache)
+            (_, dcache), dtoks = lax.scan(draft_step, (last, dcache), None, length=k)
+            _, dcache = dstep(dtoks[-1][None, None], dcache)
+            dlen_base = dcache[2] - (k + 1)
 
-        # ---- target verifies [last, d_0..d_{k-1}] in one forward.
-        window = jnp.concatenate([last[:, None], dtoks], axis=1)  # [B, k+1]
-        tlogits, tcache = tstep_model(window, tcache)
-        ttoks = jnp.argmax(tlogits, axis=-1).astype(last.dtype)  # [B, k+1]
+            # target verifies [last, d_0..d_{k-1}] in one forward
+            window = jnp.concatenate([last[None], dtoks])[None]  # [1, k+1]
+            tlogits, tcache = tstep(window, tcache)
+            ttoks = jnp.argmax(tlogits[0], axis=-1).astype(last.dtype)  # [k+1]
+            tlen_base = tcache[2] - (k + 1)
 
-        # ---- accepted prefix: leading positions where draft == target.
-        match = dtoks == ttoks[:, :k]
-        a = jnp.sum(
-            jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1, dtype=jnp.int32
-        )[0]
+            match = dtoks == ttoks[:k]
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)), dtype=jnp.int32)
 
-        # Committed this round: ttoks[:, : a+1] (accepted drafts equal the
-        # target's own argmax; position a is the correction/bonus token).
-        # An EOS inside the accepted window truncates the advance.
-        adv = a + 1
+            adv = a + 1
+            if eos_token_id is not None:
+                is_eos = ttoks == eos_token_id
+                eos_pos = jnp.argmax(is_eos).astype(jnp.int32)
+                has_eos = jnp.any(is_eos & (jnp.arange(k + 1, dtype=jnp.int32) < adv))
+                adv = jnp.where(has_eos, jnp.minimum(adv, eos_pos + 1), adv)
+                done = done | has_eos
+
+            buf = lax.dynamic_update_slice(buf, ttoks, (n_gen,))
+            new_last = ttoks[adv - 1]
+            dcache = (dcache[0], dcache[1], dlen_base + adv)
+            tcache = (tcache[0], tcache[1], tlen_base + adv)
+            n_gen = jnp.minimum(n_gen + adv, jnp.asarray(max_new_tokens, jnp.int32))
+            return (
+                n_gen, done, new_last, buf, dcache, tcache,
+                rounds + 1, drafted + k, accepted + a,
+            )
+
+        zero = jnp.asarray(0, jnp.int32)
+        state = (
+            jnp.minimum(jnp.asarray(1, jnp.int32), max_new_tokens),
+            done0, first, buf, dcache, tcache, zero, zero, zero,
+        )
+        n_gen, done, last, buf, dcache, tcache, rounds, drafted, accepted = lax.while_loop(
+            cond, body, state
+        )
+
+        tokens = buf[:max_new_tokens]
         if eos_token_id is not None:
-            is_eos = ttoks[0] == eos_token_id  # [k+1]
-            eos_pos = jnp.argmax(is_eos).astype(jnp.int32)
-            has_eos = jnp.any(is_eos & (jnp.arange(k + 1, dtype=jnp.int32) < adv))
-            adv = jnp.where(has_eos, jnp.minimum(adv, eos_pos + 1), adv)
-            done = done | has_eos
+            has = jnp.any(tokens == eos_token_id)
+            first_eos = jnp.argmax(tokens == eos_token_id)
+            idx = jnp.arange(max_new_tokens)
+            tokens = jnp.where(has & (idx > first_eos), eos_token_id, tokens)
+        return tokens, SpecDecodeStats(rounds=rounds, drafted=drafted, accepted=accepted)
 
-        # Write the whole fixed window at the next free slot; only `adv`
-        # of it counts — the rest is overwritten by later rounds.
-        buf = lax.dynamic_update_slice(buf, ttoks, (jnp.asarray(0, jnp.int32), n_gen))
-        new_last = jnp.take_along_axis(
-            ttoks, jnp.full((B, 1), adv - 1, dtype=jnp.int32), axis=1
-        )[:, 0]
-
-        # Roll cache lengths forward by the accepted prefix only; entries
-        # written beyond that are stale (never attended, later overwritten).
-        dcache = (dcache[0], dcache[1], dlen_base + adv)
-        tcache = (tcache[0], tcache[1], tlen_base + adv)
-        n_gen = jnp.minimum(n_gen + adv, jnp.asarray(max_new_tokens, jnp.int32))
-
-        return (n_gen, done, new_last, buf, dcache, tcache, rounds + 1, drafted + k, accepted + a)
-
-    zero = jnp.asarray(0, jnp.int32)
-    state = (
-        jnp.minimum(jnp.asarray(1, jnp.int32), max_new_tokens),
-        done0, first, buf, dcache, tcache, zero, zero, zero,
-    )
-    n_gen, done, last, buf, dcache, tcache, rounds, drafted, accepted = lax.while_loop(
-        cond, body, state
-    )
-
-    tokens = buf[:, :max_new_tokens]
-    if eos_token_id is not None:
-        # Positions after the first eos emit eos.
-        seq = tokens[0]
-        has = jnp.any(seq == eos_token_id)
-        first_eos = jnp.argmax(seq == eos_token_id)
-        idx = jnp.arange(max_new_tokens)
-        tokens = jnp.where(has & (idx > first_eos)[None, :], eos_token_id, tokens)
-    return tokens, SpecDecodeStats(rounds=rounds, drafted=drafted, accepted=accepted)
+    return jax.vmap(one)(prompt_ids)
 
 
 def speculative_generate(
@@ -192,23 +186,18 @@ def speculative_generate(
     max_len: Optional[int] = None,
     return_stats: bool = False,
 ):
-    """Greedy speculative decoding (batch 1) in one compiled dispatch.
+    """Greedy speculative decoding in one compiled dispatch, batched over
+    sequences (rows advance at their own acceptance rate in lockstep
+    rounds; finished rows are frozen by the while_loop batching rule).
 
-    Returns [1, prompt+new] tokens — identical to the target model's own
-    greedy decode — and, with return_stats, the (rounds, drafted,
+    Returns [B, prompt+new] tokens — identical to the target model's own
+    greedy decode — and, with return_stats, per-sequence (rounds, drafted,
     accepted) counters whose acceptance rate predicts the speedup.
     """
     prompt_ids = jnp.asarray(prompt_ids)
     B, P = prompt_ids.shape
-    if B != 1:
-        raise ValueError(
-            "speculative_generate handles one sequence at a time (per-row "
-            "acceptance lengths diverge; run rows as separate calls)"
-        )
     if max_len is None:
         max_len = P + max_new_tokens + n_draft + 1
-    dcache = init_cache_padded(draft, B, max_len, dtype=draft.other["embed_tokens"].dtype)
-    tcache = init_cache_padded(target, B, max_len, dtype=target.other["embed_tokens"].dtype)
     eos = None if eos_token_id is None else jnp.asarray(eos_token_id, prompt_ids.dtype)
     tokens, stats = _spec_generate_jit(
         draft.spec,
@@ -216,10 +205,9 @@ def speculative_generate(
         (draft.layers, draft.other, draft.q_hd_true),
         (target.layers, target.other, target.q_hd_true),
         prompt_ids,
-        dcache,
-        tcache,
         max_new_tokens,
         n_draft,
+        max_len,
         eos,
     )
     out = jnp.concatenate([prompt_ids, tokens], axis=1)

@@ -49,8 +49,8 @@ def test_speculative_matches_target_greedy(tmp_path, rng):
         draft, target, ids, max_new_tokens=12, n_draft=3, return_stats=True
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
-    assert int(stats.accepted) <= int(stats.drafted)
-    assert int(stats.rounds) >= 1
+    assert int(stats.accepted.sum()) <= int(stats.drafted.sum())
+    assert int(stats.rounds.sum()) >= 1
 
 
 def test_speculative_self_draft_accepts_everything(rng):
@@ -64,9 +64,9 @@ def test_speculative_self_draft_accepts_everything(rng):
         pm, pm, ids, max_new_tokens=11, n_draft=4, return_stats=True
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
-    assert int(stats.accepted) == int(stats.drafted)
+    assert int(stats.accepted.sum()) == int(stats.drafted.sum())
     # 1 token from prefill, then 5 per round (k + 1 bonus): 2 rounds for 10.
-    assert int(stats.rounds) == 2
+    assert int(stats.rounds[0]) == 2
 
 
 def test_speculative_eos_stops(rng):
@@ -87,8 +87,18 @@ def test_speculative_eos_stops(rng):
     assert (out[0, 5 + 3 :] == eos).all()
 
 
-def test_speculative_rejects_batch():
+def test_speculative_batched_matches_per_row(tmp_path, rng):
+    """Batched speculative decode: every row equals the target's greedy
+    decode of that row, even with different per-row acceptance rates."""
     spec, params = params_from_hf_model(_tiny_llama())
-    pm = pad_to_uniform(spec, params)
-    with pytest.raises(ValueError):
-        speculative_generate(pm, pm, np.zeros((2, 4), np.int32))
+    cspec, cparams = _compressed(tmp_path, spec, params)
+    target = pad_to_uniform(spec, params)
+    draft = pad_to_uniform(cspec, cparams)
+
+    ids = rng.integers(0, spec.vocab_size, size=(3, 6)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, ids, max_new_tokens=10, temperature=0.0))
+    out, stats = speculative_generate(
+        draft, target, ids, max_new_tokens=10, n_draft=3, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert stats.accepted.shape == (3,)
