@@ -83,12 +83,20 @@ def compute_perplexity(
         # stage-only (pipeline) meshes have no data axis to shard eval over
         mesh = None
 
+    uniform_windows = not spec.layer_types or len(set(spec.layer_types)) <= 1
     if exec_mode == "auto":
         from modegpt_tpu.models.padded import padding_overhead
 
-        use_padded = not spec.is_uniform and padding_overhead(spec) < 1.5
+        use_padded = (
+            not spec.is_uniform and uniform_windows and padding_overhead(spec) < 1.5
+        )
     else:
         use_padded = exec_mode == "padded"
+    if use_padded and mesh is not None:
+        logger.warning(
+            "exec_mode=padded is single-device; falling back to the unrolled "
+            "path because a mesh was passed"
+        )
     if use_padded and mesh is None:
         from modegpt_tpu.models.padded import pad_to_uniform, padding_overhead
 

@@ -97,6 +97,8 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
     t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, :]
     s_ids = pos + jnp.arange(S, dtype=jnp.int32)[:, None]
     mask = t_ids <= s_ids  # causal within cache coordinates
+    if spec.layer_types and spec.layer_types[layer_idx] == "sliding_attention":
+        mask = mask & (t_ids > s_ids - spec.sliding_window)
     scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)

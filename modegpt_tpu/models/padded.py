@@ -46,7 +46,7 @@ from jax import lax
 
 from modegpt_tpu.models.forward import _act, _attention, _linear, _norm
 from modegpt_tpu.models.spec import ModelSpec
-from modegpt_tpu.ops.rope import apply_rope, rope_cos_sin
+from modegpt_tpu.ops.rope import apply_rope, apply_rope_ragged, rope_cos_sin
 
 __all__ = [
     "PaddedModel",
@@ -113,6 +113,12 @@ def _pad_linear(p: Dict, pad_in=None, pad_out=None) -> Dict:
 def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     """Zero-pad every layer to the stack-wide max rank per module and
     stack the layer params into [L, ...] leaves."""
+    if spec.layer_types and len(set(spec.layer_types)) > 1:
+        raise NotImplementedError(
+            "padded-uniform execution requires uniform layer_types (the "
+            "scanned body applies one attention window to every layer); "
+            "use the unrolled forward for mixed sliding/full stacks"
+        )
     H, Hk = spec.n_heads, spec.n_kv_heads
     L = spec.n_layers
     rope = spec.uses_rope
@@ -280,34 +286,44 @@ def _layer_padded(
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    if spec.uses_rope:
-        q, k = apply_rope(q, k, cos, sin, rotary_mask)
-
-    # True-rank scaling, pre-multiplied into q (traced per-layer scalar).
-    q = q * lax.rsqrt(q_hd_true).astype(q.dtype)
+    window = spec.sliding_window if (
+        spec.layer_types and spec.layer_types[0] == "sliding_attention"
+    ) else None
 
     new_cache = None
     if cache_kv is None:
-        window = spec.sliding_window if (
-            spec.layer_types and spec.layer_types[0] == "sliding_attention"
-        ) else None
+        if spec.uses_rope:
+            q, k = apply_rope(q, k, cos, sin, rotary_mask)
+        q = q * lax.rsqrt(q_hd_true).astype(q.dtype)
         attn = _attention(q, k, v, 1.0, window, attn_impl)
     else:
+        # Decode/prefill into the cache at PER-ROW offsets pos [B] (the
+        # serving path; uniform generation passes a broadcast scalar).
+        if spec.uses_rope:
+            q, k = apply_rope_ragged(q, k, cos, sin, rotary_mask, spec.group_size)
+        q = q * lax.rsqrt(q_hd_true).astype(q.dtype)
         ck, cv = cache_kv
         max_len = ck.shape[2]
-        zero = jnp.asarray(0, pos.dtype)
-        ck = lax.dynamic_update_slice(ck, k.astype(ck.dtype), (zero, zero, pos, zero))
-        cv = lax.dynamic_update_slice(cv, v.astype(cv.dtype), (zero, zero, pos, zero))
+
+        def write(c, new, p_b):
+            return lax.dynamic_update_slice(
+                c, new.astype(c.dtype), (jnp.int32(0), p_b, jnp.int32(0))
+            )
+
+        ck = jax.vmap(write)(ck, k, pos)
+        cv = jax.vmap(write)(cv, v, pos)
         new_cache = (ck, cv)
         k_all, v_all = ck, cv
         if Hk != H:
             k_all = jnp.repeat(k_all, H // Hk, axis=1)
             v_all = jnp.repeat(v_all, H // Hk, axis=1)
         scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
-        t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-        s_ids = pos + jnp.arange(S, dtype=jnp.int32)[:, None]
-        mask = t_ids <= s_ids
-        scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
+        t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+        s_ids = pos[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
+        mask = t_ids <= s_ids  # [B, S, max_len]
+        if window is not None:
+            mask = mask & (t_ids > s_ids - window)
+        scores = jnp.where(mask[:, None], scores.astype(jnp.float32), -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
 
@@ -335,11 +351,15 @@ def _layer_padded(
 
 
 def _embed(spec: ModelSpec, other: Dict, tokens, pos0=None):
+    """pos0: None, a scalar offset, or a per-row [B] offset vector."""
     x = other["embed_tokens"][tokens]
     if spec.arch == "opt":
         if "project_in" in other:
             x = _linear(x, other["project_in"])
         S = tokens.shape[1]
+        if pos0 is not None and jnp.ndim(pos0) == 1:
+            pos = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] + 2
+            return x + other["embed_positions"][pos]
         pos = jnp.arange(S, dtype=jnp.int32) + 2
         if pos0 is not None:
             pos = pos + pos0
@@ -410,16 +430,24 @@ def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float
 def _model_step_padded(
     spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length
 ):
-    """New tokens [B, S] through the padded stack with a stacked cache."""
-    S = tokens.shape[1]
-    pos = length
+    """New tokens [B, S] through the padded stack with a stacked cache.
+
+    `length` is a scalar (all rows at the same offset — plain generation)
+    or a [B] vector (per-row offsets — the ragged serving path); the
+    returned length has the same shape, advanced by S.
+    """
+    B, S = tokens.shape
+    pos = jnp.broadcast_to(jnp.atleast_1d(length), (B,)).astype(jnp.int32)
     x = _embed(spec, other, tokens, pos0=pos)
     cos = sin = None
     if spec.uses_rope:
+        positions = pos[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
         cos, sin = rope_cos_sin(
-            pos + jnp.arange(S, dtype=jnp.int32), spec.head_dim, spec.rope_theta, dtype=x.dtype,
+            positions.reshape(-1), spec.head_dim, spec.rope_theta, dtype=x.dtype,
             scaling=spec.rope_scaling,
         )
+        cos = cos.reshape(B, S, -1)
+        sin = sin.reshape(B, S, -1)
 
     def body(x, inputs):
         p, r_true, ck, cv = inputs
@@ -429,7 +457,7 @@ def _model_step_padded(
         return x, (ck, cv)
 
     x, (cache_k, cache_v) = lax.scan(body, x, (layers, q_hd_true, cache_k, cache_v))
-    return _unembed(spec, other, x), cache_k, cache_v, pos + S
+    return _unembed(spec, other, x), cache_k, cache_v, length + S
 
 
 def prefill_padded(pm: PaddedModel, prompt_ids, cache):

@@ -107,6 +107,33 @@ def apply_rope(
     return q_emb, k_emb
 
 
+def apply_rope_ragged(
+    q: jax.Array,
+    k: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    rotary_mask: Optional[jax.Array],
+    group: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """RoPE with PER-ROW phase tables (decode at per-sequence positions).
+
+    q: [B, H, S, R], k: [B, Hk, S, R], cos/sin: [B, S, head_dim],
+    rotary_mask: [Hk, R] kept-frequency indices or None (dense).
+    """
+    if rotary_mask is None:
+        cos_h = cos[:, None]  # [B, 1, S, head_dim]; R == head_dim
+        sin_h = sin[:, None]
+        cq, sq, ck, sk = cos_h, sin_h, cos_h, sin_h
+    else:
+        # gather kept frequencies per kv head: [B, S, Hk, R] -> [B, Hk, S, R]
+        cos_h = jnp.take(cos, rotary_mask, axis=-1).transpose(0, 2, 1, 3)
+        sin_h = jnp.take(sin, rotary_mask, axis=-1).transpose(0, 2, 1, 3)
+        cq = jnp.repeat(cos_h, group, axis=1)
+        sq = jnp.repeat(sin_h, group, axis=1)
+        ck, sk = cos_h, sin_h
+    return q * cq + _rotate_half(q) * sq, k * ck + _rotate_half(k) * sk
+
+
 def masked_head_rms_norm(
     x: jax.Array,
     weight: jax.Array,

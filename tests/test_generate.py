@@ -109,3 +109,45 @@ def test_generate_scan_matches_python_loop(rng):
         generate_scan(spec, params, jnp.asarray(ids), cache, max_new_tokens=6)
     )
     np.testing.assert_array_equal(got, ref[:, 5:])
+
+
+def test_sliding_window_decode_matches_full_forward(rng):
+    """KV-cache decode must apply the sliding-window mask: incremental
+    logits == full-forward logits once context exceeds the window."""
+    cfg = transformers.MixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, num_local_experts=2,
+        num_experts_per_tok=1, max_position_embeddings=128, sliding_window=8,
+    )
+    torch.manual_seed(0)
+    m = transformers.MixtralForCausalLM(cfg).eval()
+    from modegpt_tpu.models import params_from_hf_model as _p
+
+    spec, params = _p(m)
+    assert spec.sliding_window == 8 and spec.layer_types[0] == "sliding_attention"
+    # context 20 >> window 8, so a missing window mask diverges
+    _incremental_vs_full(spec, params, rng=np.random.default_rng(0))
+
+
+def test_sliding_window_padded_decode_matches(rng):
+    """Padded one-dispatch generation applies the window too."""
+    from modegpt_tpu.models.padded import generate_padded, pad_to_uniform
+
+    cfg = transformers.Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        max_position_embeddings=128, use_sliding_window=True, sliding_window=6,
+        max_window_layers=0,
+    )
+    torch.manual_seed(1)
+    m = transformers.Qwen3ForCausalLM(cfg).eval()
+    from modegpt_tpu.models import params_from_hf_model as _p
+
+    spec, params = _p(m)
+    if not spec.sliding_window or len(set(spec.layer_types)) > 1:
+        pytest.skip("config did not produce a uniform sliding-window stack")
+    pm = pad_to_uniform(spec, params)
+    ids = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, ids, max_new_tokens=8, temperature=0.0))
+    got = np.asarray(generate_padded(pm, ids, max_new_tokens=8, temperature=0.0))
+    np.testing.assert_array_equal(got, ref)

@@ -116,3 +116,34 @@ def test_batcher_compressed_model(tmp_path, rng):
     rid = batcher.submit(prompt, max_new_tokens=5)
     done = batcher.run()
     assert done[rid] == ref
+
+
+def test_batcher_max_new_tokens_one(rng):
+    """A budget of 1 must yield exactly one generated token (the request
+    finishes at prefill and must not take a decode step)."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=7))
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(4,)).astype(np.int32)
+    ref = np.asarray(
+        generate(spec, params, prompt[None], max_new_tokens=1, temperature=0.0)
+    )[0].tolist()
+    b = ContinuousBatcher(pm, slots=2, max_len=32, prefill_bucket=8)
+    rid = b.submit(prompt, max_new_tokens=1)
+    done = b.run()
+    assert done[rid] == ref and len(done[rid]) == len(prompt) + 1
+
+
+def test_batcher_eos_at_prefill(rng):
+    """EOS produced by the prefill itself must end the request with no
+    extra token appended."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=8))
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(4,)).astype(np.int32)
+    ref = np.asarray(
+        generate(spec, params, prompt[None], max_new_tokens=1, temperature=0.0)
+    )[0].tolist()
+    eos = ref[-1]  # greedy FIRST generated token acts as eos
+    b = ContinuousBatcher(pm, slots=1, max_len=32, prefill_bucket=8, eos_token_id=eos)
+    rid = b.submit(prompt, max_new_tokens=10)
+    done = b.run()
+    assert done[rid] == ref  # prompt + eos, nothing after
