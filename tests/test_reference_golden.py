@@ -220,3 +220,81 @@ def test_vo_gqa_golden(ref_modules, make_psd, rng):
     )
     np.testing.assert_allclose(got_p, ref_p, rtol=1e-7, atol=1e-9)
     np.testing.assert_allclose(np.abs(np.asarray(got.v)), np.abs(ref_v), rtol=1e-6, atol=1e-8)
+
+
+def test_qk_opt_golden(ref_modules, make_psd, rng):
+    """OPT Type-II (no RoPE, biases sliced) vs compress_head_opt."""
+    from modegpt_tpu.ops.qk import compress_qk_layer_opt
+
+    n_heads, hd, d, rank = 4, 16, 24, 9
+    cov_q = np.stack([make_psd(hd) for _ in range(n_heads)])
+    cov_k = np.stack([make_psd(hd) for _ in range(n_heads)])
+    Wq = rng.standard_normal((n_heads * hd, d))
+    Wk = rng.standard_normal((n_heads * hd, d))
+    bq = rng.standard_normal(n_heads * hd)
+    bk = rng.standard_normal(n_heads * hd)
+
+    q_out, k_out, bq_out, bk_out = [], [], [], []
+    for h in range(n_heads):
+        ref_modules["qk"].compress_head_opt(
+            torch.tensor(cov_q[h], dtype=torch.float64),
+            torch.tensor(cov_k[h], dtype=torch.float64),
+            torch.tensor(Wq, dtype=torch.float64).view(n_heads, hd, d)[h],
+            torch.tensor(Wk, dtype=torch.float64).view(n_heads, hd, d)[h],
+            torch.tensor(bq, dtype=torch.float64).view(n_heads, hd)[h],
+            torch.tensor(bk, dtype=torch.float64).view(n_heads, hd)[h],
+            q_out, k_out, bq_out, bk_out, rank,
+        )
+    ref_q = torch.cat(q_out, 0).numpy()
+    ref_k = torch.cat(k_out, 0).numpy()
+    ref_bq = torch.cat(bq_out, 0).numpy()
+    ref_bk = torch.cat(bk_out, 0).numpy()
+
+    # the reference scores with sqrt_M's default ridge 1e-4 on BOTH
+    # factors (compress_qk.py:456-461); our ridge_qk maps to C_k's ridge
+    got = compress_qk_layer_opt(
+        jnp.asarray(cov_q), jnp.asarray(cov_k), jnp.asarray(Wq), jnp.asarray(Wk),
+        jnp.asarray(bq), jnp.asarray(bk), rank, 1e-4,
+    )
+    np.testing.assert_allclose(np.asarray(got.q), ref_q, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.k), ref_k, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.q_bias), ref_bq, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got.k_bias), ref_bk, rtol=1e-9, atol=1e-12)
+
+
+def test_vo_mha_golden(ref_modules, make_psd, rng):
+    """MHA Type-III (two-stage SVD) vs compress_head — functional parity:
+    the V@O product per head is SVD-sign invariant."""
+    from modegpt_tpu.ops.psd import sqrt_and_inv_sqrt_psd
+    from modegpt_tpu.ops.vo import compress_vo_layer
+
+    n_heads, hd, d, rank = 4, 12, 20, 6
+    C = make_psd(d, scale=2.0)
+    Wv = rng.standard_normal((n_heads * hd, d))
+    Wo = rng.standard_normal((d, n_heads * hd))
+
+    sqrt_C, inv_sqrt_C = sqrt_and_inv_sqrt_psd(jnp.asarray(C), ridge=1e-4)
+    new_V, new_O = [], []
+    for h in range(n_heads):
+        ref_modules["vo"].compress_head(
+            h, hd, rank,
+            torch.tensor(Wv, dtype=torch.float64),
+            torch.tensor(Wo, dtype=torch.float64),
+            torch.tensor(np.asarray(sqrt_C), dtype=torch.float64),
+            torch.tensor(np.asarray(inv_sqrt_C), dtype=torch.float64),
+            new_V, new_O,
+        )
+
+    got = compress_vo_layer(
+        jnp.asarray(C), jnp.asarray(Wv), jnp.asarray(Wo), rank, n_heads, n_heads, 1e-4
+    )
+    gv = np.asarray(got.v).reshape(n_heads, rank, d)  # HF V rows per head [r, d]
+    go = np.asarray(got.o).reshape(d, n_heads, rank).transpose(1, 0, 2)  # [d, r] per head
+    for h in range(n_heads):
+        ref_v = new_V[h].numpy()  # [r, d] (HF V rows)
+        ref_o = new_O[h].numpy()  # [d, r] (HF O columns)
+        assert ref_v.shape == (rank, d) and ref_o.shape == (d, rank)
+        # per-head functional map x -> (x @ V^T) @ O^T is SVD-sign invariant
+        ref_map = ref_v.T @ ref_o.T
+        got_map = gv[h].T @ go[h].T
+        np.testing.assert_allclose(got_map, ref_map, rtol=1e-7, atol=1e-9)
