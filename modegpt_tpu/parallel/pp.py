@@ -59,6 +59,9 @@ def supports_pp(spec: ModelSpec, mesh: Optional[jax.sharding.Mesh]) -> bool:
     divisible by the stage count."""
     if mesh is None or STAGE_AXIS not in mesh.axis_names:
         return False
+    extra = [a for a in mesh.axis_names if a not in (STAGE_AXIS, "data")]
+    if extra:
+        return False  # only stage (+ optional data) axes are understood
     if spec.n_experts or not spec.is_uniform:
         return False
     if spec.layer_types and len(set(spec.layer_types)) > 1:
@@ -98,6 +101,9 @@ def calibrate_pp(
         )
     stacked_batches = jnp.asarray(np.stack([np.asarray(b) for b in batches]))  # [N, B, T]
     N, B, T = stacked_batches.shape
+    n_data = mesh.shape.get("data", 1)
+    if B % n_data != 0:
+        raise ValueError(f"batch size {B} must divide the data axis ({n_data})")
 
     # Stage-stacked layer parameters: [L, ...] -> [S, per_stage, ...],
     # placed sharded on the stage axis (each device holds only its block).
@@ -129,8 +135,10 @@ def calibrate_pp(
     )
 
     def run(stage_layers, embed_params, all_batches):
-        # inside shard_map: stage_layers leaves are [1, per_stage, ...]
+        # inside shard_map: stage_layers leaves are [1, per_stage, ...];
+        # all_batches is this data shard's slice [N, B/n_data, T]
         stage_layers = jax.tree_util.tree_map(lambda a: a[0], stage_layers)
+        B_local = all_batches.shape[1]
         s = lax.axis_index(STAGE_AXIS)
         cos = sin = None
         if spec.uses_rope:
@@ -160,8 +168,8 @@ def calibrate_pp(
                 x_ln, q, k = taps_src
                 piece = (
                     _gram(h_mlp.reshape(-1, d_int)),
-                    _head_gram(q.reshape(B, T, H, q_hd)),
-                    _head_gram(k.reshape(B, T, Hk, q_hd)),
+                    _head_gram(q.reshape(B_local, T, H, q_hd)),
+                    _head_gram(k.reshape(B_local, T, Hk, q_hd)),
                     _gram(x_ln.reshape(-1, spec.d_model)),
                     _bi_piece(h_in, x_out),
                 )
@@ -176,7 +184,7 @@ def calibrate_pp(
             jnp.zeros((per_stage, spec.d_model, spec.d_model), jnp.float32),
             jnp.zeros((per_stage,), jnp.float32),
         )
-        x0 = jnp.zeros((B, T, spec.d_model), params["embed_tokens"].dtype)
+        x0 = jnp.zeros((B_local, T, spec.d_model), params["embed_tokens"].dtype)
 
         def step(t, carry):
             x_recv, acc = carry
@@ -194,13 +202,19 @@ def calibrate_pp(
             return (x_next, acc)
 
         _, acc = lax.fori_loop(0, N + S - 1, step, (x0, acc0))
+        if "data" in mesh.axis_names:
+            acc = jax.tree_util.tree_map(lambda a: lax.psum(a, "data"), acc)
         return acc
 
     run_sharded = jax.jit(
         shard_map(
             run,
             mesh=mesh,
-            in_specs=(layer_specs(staged), P(), P()),
+            in_specs=(
+                layer_specs(staged),
+                P(),
+                P(None, "data" if "data" in mesh.axis_names else None, None),
+            ),
             out_specs=out_spec_stats,
             check_vma=False,
         )

@@ -196,3 +196,29 @@ def test_layer_sharded_stats_accumulators():
         np.testing.assert_allclose(
             np.asarray(got_dev.cov_mlp[l]), ref.cov_mlp[l], rtol=2e-4, atol=2e-4
         )
+
+
+def test_pipeline_parallel_with_data_axis():
+    """stage x data 2D mesh: each data shard pipelines its slice of every
+    microbatch; Grams psum over data — identical statistics."""
+    from modegpt_tpu.parallel.pp import calibrate_pp, supports_pp
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, max_position_embeddings=128,
+    )
+    torch.manual_seed(9)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    batches = load_calibration_batches(None, "synthetic", 12, 4, 32, vocab_size=128)
+    ref = calibrate(spec, params, batches, list(range(4)), accumulate="host")
+
+    mesh = make_mesh("stage:4,data:2")
+    assert supports_pp(spec, mesh)
+    got = calibrate_pp(spec, params, batches, mesh)
+    for l in range(4):
+        for name in ("cov_mlp", "cov_q", "cov_k", "cov_x"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)[l]), np.asarray(getattr(ref, name)[l]),
+                rtol=1e-5, atol=1e-6,
+            )
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
