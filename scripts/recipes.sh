@@ -66,3 +66,38 @@ PY
 }
 
 "$@"
+
+# ---- new-capability recipes (round 1) ----
+
+serve_compressed() {  # $1 = artifact dir, $2 = prompts file
+  python -m modegpt_tpu.serve --model "$1" --prompts "$2" \
+    --slots 8 --max_len 1024 --prefill_bucket 128 --max_new_tokens 64
+}
+
+serve_compressed_int8() {  # int8-resident weights: ~1.5x decode on v5e
+  python -m modegpt_tpu.serve --model "$1" --prompts "$2" \
+    --slots 8 --max_len 1024 --prefill_bucket 128 --quantize_int8
+}
+
+speculative_decode() {  # $1 = dense checkpoint, $2 = compressed artifact
+  python -m modegpt_tpu.evals.cli --model "$1" \
+    --speculative_draft "$2" --n_draft 4 \
+    --generate "The capital of France is" --max_new_tokens 64
+}
+
+compress_mixtral() {  # MoE: per-expert Type-I solves
+  python -m modegpt_tpu.cli \
+    --model "$MODEL_DIR/mixtral" \
+    --compression_ratio 0.3 --dataset wikitext \
+    --calib_size 128 --calibs_batch_size 8 \
+    --output_dir out/mixtral-30 --note mixtral-0.3
+}
+
+compress_pipeline_parallel() {  # model beyond one chip's HBM: stage the stack
+  python -m modegpt_tpu.cli \
+    --model "$MODEL_DIR/llama-2-70b" \
+    --compression_ratio 0.3 --dataset wikitext \
+    --calib_size 128 --calibs_batch_size 8 \
+    --mesh_shape stage:8 --solver_precision f32_device \
+    --output_dir out/llama70b-30 --note llama70b-0.3-pp
+}
