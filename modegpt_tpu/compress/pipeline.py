@@ -303,10 +303,19 @@ def run_compression(
         )
     attn_impl = "auto" if config.use_flash_attention else "xla"
     if not config.skip_baseline_eval:
-        baseline_ppl = compute_perplexity(
-            spec, params, eval_tokens, config.eval_batch_size, mesh=mesh,
-            metrics=metrics.run, attn_impl=attn_impl,
-        )
+        if pp_mode:
+            # Stage-sharded eval: the dense model never needs to fit one
+            # chip (the same memory plan as the PP calibration).
+            from modegpt_tpu.parallel.pp import perplexity_pp
+
+            baseline_ppl = perplexity_pp(
+                spec, params, eval_tokens, mesh, batch_size=config.eval_batch_size
+            )
+        else:
+            baseline_ppl = compute_perplexity(
+                spec, params, eval_tokens, config.eval_batch_size, mesh=mesh,
+                metrics=metrics.run, attn_impl=attn_impl,
+            )
         logger.info("Baseline ppl: %s", baseline_ppl)
         metrics["baseline-ppl"] = baseline_ppl
         results["baseline_ppl"] = baseline_ppl

@@ -48,7 +48,7 @@ except ImportError:  # pragma: no cover
 
 logger = logging.getLogger("modegpt_tpu")
 
-__all__ = ["calibrate_pp", "supports_pp"]
+__all__ = ["calibrate_pp", "perplexity_pp", "supports_pp"]
 
 STAGE_AXIS = "stage"
 
@@ -244,3 +244,147 @@ def calibrate_pp(
         n_sequences=n_sequences,
         total_tokens=total_tokens,
     )
+
+
+def perplexity_pp(
+    spec: ModelSpec,
+    params: Dict,
+    eval_tokens: np.ndarray,
+    mesh: jax.sharding.Mesh,
+    batch_size: int = 8,
+    attn_impl: str = "xla",
+) -> float:
+    """Pipeline-parallel perplexity: the layer stack staged over the
+    `stage` mesh (same GPipe schedule as `calibrate_pp`), with the LAST
+    stage computing the shifted cross-entropy of each microbatch as it
+    drains. This evaluates models whose parameters exceed one chip's HBM
+    without any resharding — the memory plan the final-stage unembed
+    rides along with (embeddings are replicated; only the last stage
+    touches them).
+
+    Uniform (scan-compatible) stacks only — the dense baseline of a large
+    model is the target use case; heterogeneous compressed models
+    evaluate via the padded single-device path or TP.
+
+    Returns exp(sum_nll / (n * (seq_len - 1))) (reference: eval.py:220).
+    """
+    assert supports_pp(spec, mesh), "spec/mesh not pipeline-compatible"
+    S = mesh.shape[STAGE_AXIS]
+    per_stage = spec.n_layers // S
+    n_data = mesh.shape.get("data", 1)
+
+    n_samples, T = eval_tokens.shape
+    n_keep = (n_samples // batch_size) * batch_size
+    if n_keep != n_samples:
+        logger.info("pp eval: dropping %d samples to fill batches", n_samples - n_keep)
+    batches = np.asarray(eval_tokens[:n_keep]).reshape(-1, batch_size, T)
+    N, B = batches.shape[0], batch_size
+    if B % n_data != 0:
+        raise ValueError(f"batch size {B} must divide the data axis ({n_data})")
+
+    layer_stack = stack_layer_params(params)
+    staged = jax.tree_util.tree_map(
+        lambda a: a.reshape((S, per_stage) + a.shape[1:]), layer_stack
+    )
+    staged = jax.device_put(
+        staged,
+        jax.tree_util.tree_map(
+            lambda a: NamedSharding(mesh, P(STAGE_AXIS, *([None] * (a.ndim - 1)))), staged
+        ),
+    )
+    head = {
+        k: v
+        for k, v in params.items()
+        if k in ("embed_tokens", "embed_positions", "project_in", "project_out",
+                 "final_norm", "lm_head")
+        and v is not None
+    }
+
+    def layer_specs(tree):
+        return jax.tree_util.tree_map(
+            lambda a: P(STAGE_AXIS, *([None] * (a.ndim - 1))), tree
+        )
+
+    def run(stage_layers, head_params, all_batches):
+        from modegpt_tpu.models.forward import _norm as _fnorm
+
+        stage_layers = jax.tree_util.tree_map(lambda a: a[0], stage_layers)
+        B_local = all_batches.shape[1]
+        s = lax.axis_index(STAGE_AXIS)
+        cos = sin = None
+        if spec.uses_rope:
+            cos, sin = rope_cos_sin(
+                jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta,
+                dtype=params["embed_tokens"].dtype, scaling=spec.rope_scaling,
+            )
+
+        def embed_fn(tokens):
+            x = head_params["embed_tokens"][tokens]
+            if spec.arch == "opt":
+                if "project_in" in head_params:
+                    x = _linear(x, head_params["project_in"])
+                pos = jnp.arange(T, dtype=jnp.int32) + 2
+                x = x + head_params["embed_positions"][pos][None, :, :]
+            return x
+
+        def nll_fn(x, tokens):
+            if "final_norm" in head_params:
+                x = _fnorm(x, head_params["final_norm"], spec.norm, spec.norm_eps)
+            if "project_out" in head_params:
+                x = _linear(x, head_params["project_out"])
+            if "lm_head" in head_params:
+                logits = _linear(x, head_params["lm_head"])
+            else:
+                logits = x @ head_params["embed_tokens"].T
+            logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)
+            return jnp.sum(nll)
+
+        def stage_body(x):
+            def body(x, p):
+                x, _, _ = _one_layer(spec, p, x, cos, sin, attn_impl)
+                return x, None
+
+            x, _ = lax.scan(body, x, stage_layers)
+            return x
+
+        x0 = jnp.zeros((B_local, T, spec.d_model), params["embed_tokens"].dtype)
+
+        def step(t, carry):
+            x_recv, nll_acc = carry
+            fresh = embed_fn(all_batches[jnp.clip(t, 0, N - 1)])
+            x_in = jnp.where(s == 0, fresh, x_recv)
+            x_out = stage_body(x_in)
+            # the LAST stage finishes microbatch t - (S-1) at step t
+            mb = jnp.clip(t - (S - 1), 0, N - 1)
+            active = ((t - (S - 1)) >= 0) & ((t - (S - 1)) < N) & (s == S - 1)
+            piece = nll_fn(x_out, all_batches[mb])
+            nll_acc = nll_acc + jnp.where(active, piece, 0.0)
+            x_next = lax.ppermute(x_out, STAGE_AXIS, [(i, (i + 1) % S) for i in range(S)])
+            return (x_next, nll_acc)
+
+        _, nll = lax.fori_loop(0, N + S - 1, step, (x0, jnp.asarray(0.0, jnp.float32)))
+        # only the last stage's accumulator is real; share it with everyone
+        nll = lax.psum(jnp.where(s == S - 1, nll, 0.0), STAGE_AXIS)
+        if "data" in mesh.axis_names:
+            nll = lax.psum(nll, "data")
+        return nll
+
+    run_sharded = jax.jit(
+        shard_map(
+            run,
+            mesh=mesh,
+            in_specs=(
+                layer_specs(staged),
+                P(),
+                P(None, "data" if "data" in mesh.axis_names else None, None),
+            ),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    total_nll = float(run_sharded(staged, head, jnp.asarray(batches)))
+    logger.info("pp eval: %d samples x %d tokens over %d stages", n_keep, T, S)
+    import math
+
+    return math.exp(total_nll / (n_keep * (T - 1)))

@@ -222,3 +222,22 @@ def test_pipeline_parallel_with_data_axis():
                 rtol=1e-5, atol=1e-6,
             )
     np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
+
+
+def test_pipeline_parallel_perplexity_matches():
+    """Stage-sharded eval: PP perplexity == single-device perplexity."""
+    from modegpt_tpu.evals.perplexity import compute_perplexity
+    from modegpt_tpu.parallel.pp import perplexity_pp
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, max_position_embeddings=128,
+    )
+    torch.manual_seed(10)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    tokens = np.random.default_rng(3).integers(0, 128, size=(8, 32)).astype(np.int32)
+
+    ref = compute_perplexity(spec, params, tokens, 4, progress=False)
+    for shape in ("stage:4", "stage:4,data:2"):
+        got = perplexity_pp(spec, params, tokens, make_mesh(shape), batch_size=4)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
