@@ -449,16 +449,26 @@ def run_compression(
     results["compressed_spec"] = comp_spec
     results["compressed_params"] = comp_params
     if not config.skip_final_eval:
-        compressed_ppl = compute_perplexity(
-            comp_spec,
-            comp_params,
-            eval_tokens,
-            config.eval_batch_size,
-            mesh=mesh,
-            metrics=metrics.run,
-            attn_impl=attn_impl,
-            exec_mode=config.compressed_exec,
-        )
+        if pp_mode:
+            from modegpt_tpu.models.padded import pad_to_uniform
+            from modegpt_tpu.parallel.pp import perplexity_pp
+
+            compressed_ppl = perplexity_pp(
+                comp_spec, comp_params, eval_tokens, mesh,
+                batch_size=config.eval_batch_size,
+                padded=pad_to_uniform(comp_spec, comp_params),
+            )
+        else:
+            compressed_ppl = compute_perplexity(
+                comp_spec,
+                comp_params,
+                eval_tokens,
+                config.eval_batch_size,
+                mesh=mesh,
+                metrics=metrics.run,
+                attn_impl=attn_impl,
+                exec_mode=config.compressed_exec,
+            )
         logger.info("Compressed ppl: %s", compressed_ppl)
         metrics[f"ppl-{config.dataset}"] = compressed_ppl
         results["compressed_ppl"] = compressed_ppl

@@ -253,6 +253,7 @@ def perplexity_pp(
     mesh: jax.sharding.Mesh,
     batch_size: int = 8,
     attn_impl: str = "xla",
+    padded: "Optional[object]" = None,
 ) -> float:
     """Pipeline-parallel perplexity: the layer stack staged over the
     `stage` mesh (same GPipe schedule as `calibrate_pp`), with the LAST
@@ -262,13 +263,20 @@ def perplexity_pp(
     rides along with (embeddings are replicated; only the last stage
     touches them).
 
-    Uniform (scan-compatible) stacks only — the dense baseline of a large
-    model is the target use case; heterogeneous compressed models
-    evaluate via the padded single-device path or TP.
+    Heterogeneous compressed models evaluate by passing their
+    PaddedModel (models/padded.pad_to_uniform) via `padded`: the stage
+    body then scans the exact padded layer (true-rank scaling, rotary
+    masks, masked norms), so the compressed PPL of an arbitrarily deep
+    model is also stage-sharded.
 
     Returns exp(sum_nll / (n * (seq_len - 1))) (reference: eval.py:220).
     """
-    assert supports_pp(spec, mesh), "spec/mesh not pipeline-compatible"
+    if padded is not None:
+        spec, params = padded.spec, {"layers": None, **padded.other}
+    assert (
+        padded is not None or supports_pp(spec, mesh)
+    ), "spec/mesh not pipeline-compatible"
+    assert spec.n_layers % mesh.shape[STAGE_AXIS] == 0, "layers must divide stages"
     S = mesh.shape[STAGE_AXIS]
     per_stage = spec.n_layers // S
     n_data = mesh.shape.get("data", 1)
@@ -282,7 +290,11 @@ def perplexity_pp(
     if B % n_data != 0:
         raise ValueError(f"batch size {B} must divide the data axis ({n_data})")
 
-    layer_stack = stack_layer_params(params)
+    if padded is not None:
+        layer_stack = dict(padded.layers)
+        layer_stack["__q_hd_true__"] = padded.q_hd_true
+    else:
+        layer_stack = stack_layer_params(params)
     staged = jax.tree_util.tree_map(
         lambda a: a.reshape((S, per_stage) + a.shape[1:]), layer_stack
     )
@@ -341,6 +353,21 @@ def perplexity_pp(
             return jnp.sum(nll)
 
         def stage_body(x):
+            if padded is not None:
+                from modegpt_tpu.models.padded import _layer_padded
+
+                q_hd_true = stage_layers.pop("__q_hd_true__") if isinstance(
+                    stage_layers, dict
+                ) and "__q_hd_true__" in stage_layers else None
+
+                def body(x, inputs):
+                    p, r_true = inputs
+                    x, _ = _layer_padded(spec, p, r_true, x, cos, sin, attn_impl)
+                    return x, None
+
+                x, _ = lax.scan(body, x, (stage_layers, q_hd_true))
+                return x
+
             def body(x, p):
                 x, _, _ = _one_layer(spec, p, x, cos, sin, attn_impl)
                 return x, None

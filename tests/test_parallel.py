@@ -241,3 +241,34 @@ def test_pipeline_parallel_perplexity_matches():
     for shape in ("stage:4", "stage:4,data:2"):
         got = perplexity_pp(spec, params, tokens, make_mesh(shape), batch_size=4)
         np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_pipeline_parallel_perplexity_padded_compressed(tmp_path):
+    """PP eval of a heterogeneous COMPRESSED model via its padded stack."""
+    from modegpt_tpu.evals.perplexity import compute_perplexity
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.parallel.pp import perplexity_pp
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, max_position_embeddings=128,
+    )
+    torch.manual_seed(11)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=32,
+        compression_ratio=0.3, sparsity_smoothing=0.1,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"), skip_baseline_eval=True, skip_final_eval=True,
+    )
+    res = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = res["compressed_spec"], res["compressed_params"]
+    assert not cspec.is_uniform  # genuinely heterogeneous
+
+    tokens = np.random.default_rng(4).integers(0, 128, size=(8, 32)).astype(np.int32)
+    ref = compute_perplexity(cspec, cparams, tokens, 4, progress=False, exec_mode="unrolled")
+    got = perplexity_pp(
+        cspec, cparams, tokens, make_mesh("stage:4"), batch_size=4,
+        padded=pad_to_uniform(cspec, cparams),
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
