@@ -296,7 +296,7 @@ def _validate_shapes(spec: ModelSpec, params: Dict) -> None:
         check(f"layers/{l}/k", kern(lp["k"]).shape, (spec.d_model, spec.k_ranks[l]))
         check(f"layers/{l}/v", kern(lp["v"]).shape, (spec.d_model, spec.v_ranks[l]))
         check(f"layers/{l}/o", kern(lp["o"]).shape, (spec.o_ranks[l], spec.d_model))
-        if spec.n_experts:
+        if spec.is_moe_layer(l):
             E, r = spec.n_experts, spec.gate_ranks[l]
             check(f"layers/{l}/router", kern(lp["router"]).shape, (spec.d_model, E))
             check(

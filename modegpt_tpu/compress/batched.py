@@ -274,9 +274,34 @@ def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host"
 ) -> Dict[int, Dict]:
     if spec.n_experts:
-        return _solve_mlp_moe(
-            spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch
-        )
+        # mixed qwen3_moe stacks: solve the MoE and dense layer subsets
+        # through their own batched programs
+        moe = [(l, r) for l, r in zip(layers, ranks) if spec.is_moe_layer(l)]
+        dense = [(l, r) for l, r in zip(layers, ranks) if not spec.is_moe_layer(l)]
+        out: Dict[int, Dict] = {}
+        if moe:
+            out.update(
+                _solve_mlp_moe(
+                    spec, layer_params, [l for l, _ in moe], [r for _, r in moe],
+                    calib, config, dt, use_dev, mesh, fetch,
+                )
+            )
+        if dense:
+            out.update(
+                _solve_mlp_dense(
+                    spec, layer_params, [l for l, _ in dense], [r for _, r in dense],
+                    calib, config, dt, use_dev, mesh, fetch,
+                )
+            )
+        return out
+    return _solve_mlp_dense(
+        spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch
+    )
+
+
+def _solve_mlp_dense(
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host"
+) -> Dict[int, Dict]:
     fdt = _fetch_dtype(config)
     pad_all = int(max(ranks))
     step = _mlp_layers_per_program(spec, pad_all, mesh)

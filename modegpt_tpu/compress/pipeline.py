@@ -71,7 +71,7 @@ def solve_layer(
     dt = solver_dtype(config.solver_precision)
 
     with solver_placement(config.solver_precision):
-        if "mlp" in order and spec.n_experts:
+        if "mlp" in order and spec.is_moe_layer(layer_idx):
             # MoE: per-expert Type-I solves against each expert's own
             # routed-token Gram; one shared rank per layer keeps the
             # expert stack uniform (models/spec.py n_experts note).
@@ -362,16 +362,36 @@ def run_compression(
                     accumulate = (
                         "device" if config.solver_precision == "f32_device" else "host"
                     )
-                    calib = calibrate(
-                        spec,
-                        params,
-                        calib_batches,
-                        pending,
-                        mesh=mesh,
-                        accumulate=accumulate,
-                        shard_sequence=config.shard_sequence,
-                        shard_stats=config.shard_stats,
-                    )
+                    # Mixed dense/MoE stacks: the per-layer cov_mlp shapes
+                    # differ by kind ([E,D,D] vs [D',D']), so calibrate
+                    # each kind's layers as its own group.
+                    if spec.n_experts and spec.moe_layers:
+                        groups = [
+                            [l for l in pending if spec.is_moe_layer(l)],
+                            [l for l in pending if not spec.is_moe_layer(l)],
+                        ]
+                        groups = [g for g in groups if g]
+                    else:
+                        groups = [pending]
+                    calib = None
+                    for g in groups:
+                        part = calibrate(
+                            spec,
+                            params,
+                            calib_batches,
+                            g,
+                            mesh=mesh,
+                            accumulate=accumulate,
+                            shard_sequence=config.shard_sequence,
+                            shard_stats=config.shard_stats,
+                        )
+                        if calib is None:
+                            calib = part
+                        else:
+                            calib.cov_mlp.update(part.cov_mlp)
+                            calib.cov_q.update(part.cov_q)
+                            calib.cov_k.update(part.cov_k)
+                            calib.cov_x.update(part.cov_x)
                 keep_ratios, max_sp = allocate_keep_ratios(
                     calib.bi_scores,
                     config.compression_ratio,

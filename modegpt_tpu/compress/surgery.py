@@ -93,7 +93,7 @@ def apply_factors(
 
         if l in mlp_factors:
             f = mlp_factors[l]
-            if spec.n_experts:
+            if spec.is_moe_layer(l):
                 if f["up"].ndim != 3:
                     raise ValueError(
                         f"layer {l}: MoE spec but 2D MLP factors — the factor "

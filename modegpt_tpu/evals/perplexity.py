@@ -84,11 +84,15 @@ def compute_perplexity(
         mesh = None
 
     uniform_windows = not spec.layer_types or len(set(spec.layer_types)) <= 1
+    mixed_moe = bool(spec.n_experts and spec.moe_layers)
     if exec_mode == "auto":
         from modegpt_tpu.models.padded import padding_overhead
 
         use_padded = (
-            not spec.is_uniform and uniform_windows and padding_overhead(spec) < 1.5
+            not spec.is_uniform
+            and uniform_windows
+            and not mixed_moe
+            and padding_overhead(spec) < 1.5
         )
     else:
         use_padded = exec_mode == "padded"

@@ -262,7 +262,7 @@ def _layer(
     # ---- MLP ----
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    if spec.n_experts:
+    if spec.is_moe_layer(layer_idx):
         y, h_routed = _moe_mlp(spec, p, x_ln2, collect)
         if collect:
             taps["cov_mlp"] = _moe_gram(h_routed)

@@ -109,7 +109,7 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
 
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    if spec.n_experts:
+    if spec.is_moe_layer(layer_idx):
         from modegpt_tpu.models.forward import _moe_mlp
 
         y, _ = _moe_mlp(spec, p, x_ln2, False)

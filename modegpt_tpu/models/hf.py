@@ -111,7 +111,7 @@ def params_from_state_dict(
                 "v": {"kernel": W(b + "self_attn.v_proj.weight")},
                 "o": {"kernel": W(b + "self_attn.o_proj.weight")},
             }
-            if spec.n_experts:
+            if spec.is_moe_layer(l):
                 # Stack the per-expert kernels into [E, in, out] (one
                 # batched einsum per projection on-device). Key layouts:
                 # mixtral: block_sparse_moe.gate + experts.{e}.w1/w3/w2;

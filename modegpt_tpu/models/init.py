@@ -56,7 +56,7 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
             "v": linear((spec.d_model, spec.v_ranks[l]), ab),
             "o": linear((spec.o_ranks[l], spec.d_model), ab and spec.arch == "opt"),
         }
-        if spec.n_experts:
+        if spec.is_moe_layer(l):
             E, rg = spec.n_experts, spec.gate_ranks[l]
             lp["router"] = {"kernel": dense((spec.d_model, E))}
             lp["experts"] = {

@@ -113,6 +113,11 @@ def _pad_linear(p: Dict, pad_in=None, pad_out=None) -> Dict:
 def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     """Zero-pad every layer to the stack-wide max rank per module and
     stack the layer params into [L, ...] leaves."""
+    if spec.n_experts and spec.moe_layers:
+        raise NotImplementedError(
+            "padded-uniform execution requires an all-MoE or all-dense "
+            "stack (mixed qwen3_moe stacks run unrolled)"
+        )
     if spec.layer_types and len(set(spec.layer_types)) > 1:
         raise NotImplementedError(
             "padded-uniform execution requires uniform layer_types (the "
@@ -155,7 +160,7 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
             "v": _pad_linear(p["v"], pad_out=v_out),
             "o": _pad_linear(p["o"], pad_in=o_in),
         }
-        if spec.n_experts:
+        if spec.is_moe_layer(l):
             # stacked expert kernels [E, d, rg]/[E, rg, d]: zero-pad the
             # intermediate axis (exact — pads produce zero h, consume zero)
             ek = p["experts"]

@@ -55,6 +55,8 @@ def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
     )
     if not uniform_shapes:
         return False
+    if spec.n_experts and spec.moe_layers:
+        return False  # mixed dense/MoE stacks run unrolled
     if spec.layer_types and len(set(spec.layer_types)) > 1:
         return False
     if stats_layers:

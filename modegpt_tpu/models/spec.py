@@ -65,6 +65,10 @@ class ModelSpec:
     # stacks stay uniform-shaped for batched execution.
     n_experts: int = 0  # 0 = dense MLP
     experts_per_tok: int = 2
+    # Mixed stacks (qwen3_moe decoder_sparse_step / mlp_only_layers):
+    # indices of the MoE layers; EMPTY means every layer is MoE when
+    # n_experts > 0 (the canonical all-MoE case).
+    moe_layers: Tuple[int, ...] = ()
     # Renormalise the top-k routing weights to sum to 1. Mixtral always
     # does; qwen3_moe gates it behind config.norm_topk_prob.
     norm_topk_prob: bool = True
@@ -76,6 +80,9 @@ class ModelSpec:
     @property
     def uses_rope(self) -> bool:
         return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe")
+
+    def is_moe_layer(self, layer: int) -> bool:
+        return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
 
     @property
     def group_size(self) -> int:
@@ -140,7 +147,7 @@ class ModelSpec:
     def from_dict(d: dict) -> "ModelSpec":
         d = dict(d)
         for k in ("q_ranks", "k_ranks", "v_ranks", "o_ranks", "gate_ranks", "layer_types",
-                  "rope_scaling"):
+                  "rope_scaling", "moe_layers"):
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
         return ModelSpec(**d)
@@ -222,15 +229,19 @@ def spec_from_hf_config(config) -> ModelSpec:
         else:
             arch = model_type
         is_moe = arch in ("mixtral", "qwen3_moe")
+        moe_layer_ids = ()
         if arch == "qwen3_moe":
-            if list(getattr(config, "mlp_only_layers", []) or []) or getattr(
-                config, "decoder_sparse_step", 1
-            ) != 1:
-                raise NotImplementedError(
-                    "qwen3_moe with dense layers mixed in (mlp_only_layers / "
-                    "decoder_sparse_step != 1) is not supported yet; shipped "
-                    "Qwen3-MoE checkpoints are all-MoE"
-                )
+            # HF rule (Qwen3MoeDecoderLayer.__init__): layer l is sparse iff
+            # l not in mlp_only_layers and (l+1) % decoder_sparse_step == 0.
+            only = set(getattr(config, "mlp_only_layers", []) or [])
+            step_ = getattr(config, "decoder_sparse_step", 1)
+            moe_layer_ids = tuple(
+                l
+                for l in range(config.num_hidden_layers)
+                if l not in only and (l + 1) % step_ == 0
+            )
+            if not moe_layer_ids:
+                raise ValueError("qwen3_moe config with no sparse layers")
             d_int = config.moe_intermediate_size
         else:
             d_int = config.intermediate_size
@@ -239,6 +250,12 @@ def spec_from_hf_config(config) -> ModelSpec:
         head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_heads
         n_layers = config.num_hidden_layers
         ranks = _dense_ranks(n_layers, n_heads * head_dim, n_kv * head_dim, d_int)
+        if arch == "qwen3_moe" and len(moe_layer_ids) != n_layers:
+            # mixed stack: dense layers use the DENSE intermediate size
+            ranks["gate_ranks"] = tuple(
+                d_int if l in moe_layer_ids else config.intermediate_size
+                for l in range(n_layers)
+            )
         spec = ModelSpec(
             arch=arch,
             vocab_size=config.vocab_size,
@@ -280,6 +297,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             norm_topk_prob=bool(getattr(config, "norm_topk_prob", True))
             if arch == "qwen3_moe"
             else True,
+            moe_layers=moe_layer_ids if (arch == "qwen3_moe" and len(moe_layer_ids) != n_layers) else (),
             rope_scaling=_parse_rope_scaling(getattr(config, "rope_scaling", None)),
             **ranks,
         )

@@ -256,3 +256,53 @@ def test_moe_generation_incremental_matches_full(tmp_path, rng):
         nxt = np.asarray(jnp.argmax(logits_inc, axis=-1))[:, None].astype(np.int32)
         seq = np.concatenate([seq, nxt], axis=1)
         logits_inc, cache = decode_step(cspec, cparams, jnp.asarray(nxt), cache)
+
+
+def _tiny_qwen3_moe_mixed():
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, moe_intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, max_position_embeddings=128,
+        mlp_only_layers=[1], norm_topk_prob=True,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen3MoeForCausalLM(cfg).eval()
+
+
+def test_qwen3_moe_mixed_forward_matches_hf(rng):
+    """Mixed dense/MoE stack (mlp_only_layers): per-layer MoE flags."""
+    m = _tiny_qwen3_moe_mixed()
+    spec, params = params_from_hf_model(m)
+    assert spec.moe_layers == (0, 2)
+    assert spec.is_moe_layer(0) and not spec.is_moe_layer(1)
+    assert spec.gate_ranks == (48, 96, 48)  # dense layer keeps the dense d_int
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen3_moe_mixed_compression_end_to_end(tmp_path, rng):
+    """Mixed stack compresses end to end: per-expert solves on MoE layers,
+    plain Type-I on the dense layer, artifact roundtrip, generation."""
+    from modegpt_tpu.models.generate import generate
+
+    spec, params = params_from_hf_model(_tiny_qwen3_moe_mixed())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = results["compressed_spec"], results["compressed_params"]
+    assert np.isfinite(results["compressed_ppl"])
+    assert cspec.moe_layers == (0, 2)
+    assert max(cspec.gate_ranks) < 96 and "experts" in cparams["layers"][0]
+    assert "experts" not in cparams["layers"][1]  # dense layer stays dense
+
+    out = generate(cspec, cparams, rng.integers(1, 128, size=(1, 5)).astype(np.int32),
+                   max_new_tokens=4, temperature=0.0)
+    assert out.shape == (1, 9)
