@@ -62,6 +62,9 @@ class CalibrationResult:
     bi_scores: List[float]
     n_sequences: int
     total_tokens: int
+    # Shared-expert Grams (DeepSeek/qwen2_moe shared experts); empty for
+    # models without them.
+    cov_shared: Optional[Dict[int, "np.ndarray | jax.Array"]] = None
 
 
 def _stats_fn(
@@ -113,12 +116,16 @@ def _stats_fn(
     if shard_stats and len(stats_layers) % mesh.shape["data"] == 0:
         layer_sharded3 = NamedSharding(mesh, P("data", None, None))
         layer_sharded4 = NamedSharding(mesh, P("data", None, None, None))
+        has_shared = spec.shared_d_int > 0 and all(
+            spec.is_moe_layer(l) for l in stats_layers
+        )
         out_shardings = CalibStats(
             cov_mlp=layer_sharded3,
             cov_q=layer_sharded4,
             cov_k=layer_sharded4,
             cov_x=layer_sharded3,
             bi_acc=replicated,
+            cov_shared=layer_sharded3 if has_shared else None,
         )
 
     return jax.jit(fn, in_shardings=(None, batch_sharding), out_shardings=out_shardings)
@@ -208,9 +215,10 @@ def calibrate(
         acc_q = acc.cov_q * inv
         acc_k = acc.cov_k * inv
         acc_x = acc.cov_x * inv
+        acc_shared = acc.cov_shared * inv if acc.cov_shared is not None else None
         bi = np.asarray(acc.bi_acc, dtype=np.float64) / n_sequences
     else:
-        acc_mlp = acc_q = acc_k = acc_x = None
+        acc_mlp = acc_q = acc_k = acc_x = acc_shared = None
         bi = np.zeros(spec.n_layers, dtype=np.float64)
         for batch in batches:
             n_sequences += int(batch.shape[0])
@@ -220,14 +228,22 @@ def calibrate(
             s_q = np.asarray(stats.cov_q, dtype=np.float64)
             s_k = np.asarray(stats.cov_k, dtype=np.float64)
             s_x = np.asarray(stats.cov_x, dtype=np.float64)
+            s_shared = (
+                np.asarray(stats.cov_shared, dtype=np.float64)
+                if stats.cov_shared is not None
+                else None
+            )
             bi += np.asarray(stats.bi_acc, dtype=np.float64)
             if acc_mlp is None:
                 acc_mlp, acc_q, acc_k, acc_x = s_mlp, s_q, s_k, s_x
+                acc_shared = s_shared
             else:
                 acc_mlp += s_mlp
                 acc_q += s_q
                 acc_k += s_k
                 acc_x += s_x
+                if s_shared is not None:
+                    acc_shared += s_shared
 
         total_tokens = n_sequences * seq_len
         # Normalisation (reference: calibration.py:135-146 — BI by sequence
@@ -239,6 +255,8 @@ def calibrate(
         acc_q /= total_tokens
         acc_k /= total_tokens
         acc_x /= total_tokens
+        if acc_shared is not None:
+            acc_shared /= total_tokens
 
     logger.info(
         "calibration: %d sequences x %d tokens, %d target layers (%s accumulation)",
@@ -255,4 +273,9 @@ def calibrate(
         bi_scores=bi.tolist(),
         n_sequences=n_sequences,
         total_tokens=total_tokens,
+        cov_shared=(
+            {l: acc_shared[i] for i, l in enumerate(stats_layers)}
+            if acc_shared is not None
+            else {}
+        ),
     )

@@ -309,6 +309,24 @@ def _validate_shapes(spec: ModelSpec, params: Dict) -> None:
                 kern(lp["experts"]["down"]).shape,
                 (E, r, spec.d_model),
             )
+            if spec.shared_d_int:
+                rs = spec.shared_rank(l)
+                check(
+                    f"layers/{l}/shared/up",
+                    kern(lp["shared"]["up"]).shape,
+                    (spec.d_model, rs),
+                )
+                check(
+                    f"layers/{l}/shared/down",
+                    kern(lp["shared"]["down"]).shape,
+                    (rs, spec.d_model),
+                )
+                if spec.shared_expert_gate:
+                    check(
+                        f"layers/{l}/shared_gate",
+                        kern(lp["shared_gate"]).shape,
+                        (spec.d_model, 1),
+                    )
         else:
             check(f"layers/{l}/up", kern(lp["up"]).shape, (spec.d_model, spec.gate_ranks[l]))
             check(

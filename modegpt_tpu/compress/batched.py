@@ -104,7 +104,7 @@ def _topk_desc(scores: np.ndarray, k: int) -> np.ndarray:
     return np.argsort(-scores, kind="stable")[:k]
 
 
-def _mlp_layers_per_program(spec, pad: int, mesh) -> int:
+def _mlp_layers_per_program(spec, pad: int, mesh, d_int: int = 0) -> int:
     """Memory-aware sub-chunking for the batched MLP solve.
 
     Per layer the padded Nystrom holds roughly cov [D,D], gathered C_SS
@@ -112,7 +112,7 @@ def _mlp_layers_per_program(spec, pad: int, mesh) -> int:
     stacks and outputs — about 4*(2*D^2 + 3*pad^2 + 6*pad*d + 3*D*d)
     bytes in f32, times ~1.5 for XLA temporaries. Bound the stack so the
     solve fits alongside the resident model + stats."""
-    d, D = spec.d_model, spec.d_int
+    d, D = spec.d_model, d_int or spec.d_int
     # 3x headroom: XLA keeps gather intermediates (C[idx] is [pad, D]),
     # the Cholesky workspace, and double-buffered outputs live together.
     per_layer = 4 * (2 * D * D + 3 * pad * pad + 6 * pad * d + 3 * D * d) * 3.0
@@ -170,7 +170,8 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
 
 
 def _solve_mlp_moe(
-    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host"
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
+    shared_ranks=None,
 ) -> Dict[int, Dict]:
     """Per-expert Type-I solves for MoE layers: the (layer, expert) pairs
     are one flat batch through the SAME padded Nystrom program as the
@@ -267,23 +268,36 @@ def _solve_mlp_moe(
             }
             off += E * r
             logger.info("[MLP-MoE] layer %d: %d experts compressed to rank %d", l, E, r)
+
+    if spec.shared_d_int and shared_ranks:
+        # Shared experts across these MoE layers: one more batched dense
+        # Type-I program at the shared intermediate's own ranks.
+        shared = _solve_mlp_dense(
+            spec, layer_params, layers, shared_ranks, calib, config, dt, use_dev, mesh,
+            fetch, module="shared",
+        )
+        for l in layers:
+            out[l].update(shared[l])
     return out
 
 
 def _solve_mlp_batched(
-    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host"
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
+    shared_ranks=None,
 ) -> Dict[int, Dict]:
     if spec.n_experts:
         # mixed qwen3_moe stacks: solve the MoE and dense layer subsets
         # through their own batched programs
         moe = [(l, r) for l, r in zip(layers, ranks) if spec.is_moe_layer(l)]
         dense = [(l, r) for l, r in zip(layers, ranks) if not spec.is_moe_layer(l)]
+        sr_by_layer = dict(zip(layers, shared_ranks)) if shared_ranks else {}
         out: Dict[int, Dict] = {}
         if moe:
             out.update(
                 _solve_mlp_moe(
                     spec, layer_params, [l for l, _ in moe], [r for _, r in moe],
                     calib, config, dt, use_dev, mesh, fetch,
+                    shared_ranks=[sr_by_layer[l] for l, _ in moe] if sr_by_layer else None,
                 )
             )
         if dense:
@@ -300,20 +314,34 @@ def _solve_mlp_batched(
 
 
 def _solve_mlp_dense(
-    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host"
+    spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
+    module=None,
 ) -> Dict[int, Dict]:
+    """module=None: the layer's own MLP (cov_mlp). module="shared": the
+    DeepSeek/qwen2_moe shared expert (lp["shared"], cov_shared, always
+    gated, bias-free) — same padded Nystrom program, "shared_"-prefixed
+    factor keys."""
+    shared = module == "shared"
+    sub_params = (
+        layer_params if not shared else {l: layer_params[l]["shared"] for l in layers}
+    )
+    covs = calib.cov_shared if shared else calib.cov_mlp
+    gated = True if shared else spec.gated_mlp
+    prefix = "shared_" if shared else ""
     fdt = _fetch_dtype(config)
     pad_all = int(max(ranks))
-    step = _mlp_layers_per_program(spec, pad_all, mesh)
+    step = _mlp_layers_per_program(
+        spec, pad_all, mesh, d_int=spec.shared_d_int if shared else 0
+    )
     out = {}
     for s in range(0, len(layers), step):
         sub = layers[s : s + step]
         sub_ranks = ranks[s : s + step]
-        cov = _stack_covs(calib.cov_mlp, sub, dt, use_dev)
-        W_u = _stack_w(layer_params, sub, "up", dt, use_dev)
-        W_d = _stack_w(layer_params, sub, "down", dt, use_dev)
-        if spec.gated_mlp:
-            W_g = _stack_w(layer_params, sub, "gate", dt, use_dev)
+        cov = _stack_covs(covs, sub, dt, use_dev)
+        W_u = _stack_w(sub_params, sub, "up", dt, use_dev)
+        W_d = _stack_w(sub_params, sub, "down", dt, use_dev)
+        if gated:
+            W_g = _stack_w(sub_params, sub, "gate", dt, use_dev)
         else:
             W_g = W_u  # placeholder; gate output discarded
         ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
@@ -337,7 +365,7 @@ def _solve_mlp_dense(
             idxs = [idx_h[i, :r] for i, r in enumerate(sub_ranks)]
             gates = (
                 [gate[i, :r].astype(fdt or gate.dtype) for i, r in enumerate(sub_ranks)]
-                if spec.gated_mlp
+                if gated
                 else None
             )
         else:
@@ -345,16 +373,19 @@ def _solve_mlp_dense(
             ups = _fetch_ragged(up, sub_ranks, fdt, axis=0)
             downs = _fetch_ragged(down, sub_ranks, fdt, axis=1)
             idxs = _fetch_ragged(idx, sub_ranks, None, axis=0)
-            gates = _fetch_ragged(gate, sub_ranks, fdt, axis=0) if spec.gated_mlp else None
+            gates = _fetch_ragged(gate, sub_ranks, fdt, axis=0) if gated else None
         for i, l in enumerate(sub):
-            f = {"up": ups[i], "down": downs[i], "idx": idxs[i]}
-            if spec.gated_mlp:
-                f["gate"] = gates[i]
+            f = {prefix + "up": ups[i], prefix + "down": downs[i], prefix + "idx": idxs[i]}
+            if gated:
+                f[prefix + "gate"] = gates[i]
             elif "bias" in layer_params[l]["up"]:
                 f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[f["idx"]]
                 f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
             out[l] = f
-            logger.info("[MLP] layer %d compressed to rank %d", l, sub_ranks[i])
+            logger.info(
+                "[MLP%s] layer %d compressed to rank %d",
+                "-shared" if shared else "", l, sub_ranks[i],
+            )
     return out
 
 
@@ -442,6 +473,15 @@ def _solve_qk_host(
         masks = masks_by_layer[i]
         if spec.uses_rope:
             out[l] = {"q": q_rows[i], "k": k_rows[i], "rotary_mask": masks.astype(np.int32)}
+            if "bias" in layer_params[l]["q"]:
+                # RoPE archs with qkv biases (qwen2_moe): bias entries are
+                # per-output-coordinate, so slice them through the same
+                # per-head frequency mask as the kernel rows.
+                bq = np.asarray(layer_params[l]["q"]["bias"]).reshape(H, hd)
+                bk = np.asarray(layer_params[l]["k"]["bias"]).reshape(Hk, hd)
+                mq = np.repeat(masks, group, axis=0)
+                out[l]["q_bias"] = np.concatenate([bq[h][mq[h]] for h in range(H)])
+                out[l]["k_bias"] = np.concatenate([bk[h][masks[h]] for h in range(Hk)])
         else:
             bq = np.asarray(layer_params[l]["q"]["bias"]).reshape(H, hd)
             bk = np.asarray(layer_params[l]["k"]["bias"]).reshape(H, hd)
@@ -515,6 +555,14 @@ def _solve_vo_batched(
             fd = {"v": np.asarray(f.v), "o": np.asarray(f.o)}
         if "bias" in layer_params[l].get("v", {}):
             b_v = np.asarray(layer_params[l]["v"]["bias"], dtype=np.float64)
+            # GQA: each kv head's v bias feeds group_size query heads, so
+            # repeat it per group before folding through W_o (exact — the
+            # attention weights sum to 1 per head).
+            if spec.n_kv_heads != spec.n_heads:
+                hd_v = b_v.shape[0] // spec.n_kv_heads
+                b_v = np.repeat(
+                    b_v.reshape(spec.n_kv_heads, hd_v), spec.group_size, axis=0
+                ).reshape(-1)
             W_o_np = np.asarray(_hf_w(layer_params[l], "o"), dtype=np.float64)
             b_o = np.asarray(
                 layer_params[l]["o"].get("bias", np.zeros(spec.d_model)), dtype=np.float64
@@ -567,8 +615,14 @@ def solve_chunk_batched(
                     logger.info("[debug] layer %d cov_x: %s", l, d)
         if "mlp" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "mlp") for l in layers]
+            shared_ranks = (
+                [compress_ranks_for_layer(spec, keep_ratios[l], "shared") for l in layers]
+                if spec.shared_d_int
+                else None
+            )
             out["mlp"] = _solve_mlp_batched(
-                spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch
+                spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch,
+                shared_ranks=shared_ranks,
             )
         if "qk" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "qk") for l in layers]

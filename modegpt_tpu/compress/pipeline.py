@@ -94,6 +94,29 @@ def solve_layer(
                 "down": np.stack(downs),
                 "idx": np.stack(idxs),
             }
+            if spec.has_shared_expert(layer_idx):
+                # Shared expert: a dense gated MLP over all tokens — its
+                # own Type-I solve at the shared intermediate's rank.
+                s_rank = compress_ranks_for_layer(spec, keep_ratio, "shared")
+                sp_ = layer_params["shared"]
+                C = jnp.asarray(np.asarray(calib.cov_shared[layer_idx]), dtype=dt)
+                f = nystrom_mlp(
+                    C,
+                    jnp.asarray(np.asarray(sp_["up"]["kernel"]).T, dtype=dt),
+                    jnp.asarray(np.asarray(sp_["gate"]["kernel"]).T, dtype=dt),
+                    jnp.asarray(np.asarray(sp_["down"]["kernel"]).T, dtype=dt),
+                    keep_ratio,
+                    config.nystrom_ridge,
+                    rank=s_rank,
+                )
+                out["mlp"]["shared_up"] = np.asarray(f.up)
+                out["mlp"]["shared_gate"] = np.asarray(f.gate)
+                out["mlp"]["shared_down"] = np.asarray(f.down)
+                out["mlp"]["shared_idx"] = np.asarray(f.idx)
+                logger.info(
+                    "[MLP-shared] layer %d: shared expert compressed to rank %d",
+                    layer_idx, s_rank,
+                )
             logger.info(
                 "[MLP-MoE] layer %d: %d experts compressed to rank %d",
                 layer_idx, spec.n_experts, rank,
@@ -138,6 +161,16 @@ def solve_layer(
                     "k": np.asarray(f.k),
                     "rotary_mask": np.asarray(f.rotary_mask),
                 }
+                if "bias" in layer_params["q"]:
+                    # qwen2_moe: RoPE arch with qkv biases — slice the bias
+                    # entries through the same per-head frequency mask.
+                    H, Hk, hd = spec.n_heads, spec.n_kv_heads, spec.head_dim
+                    masks = np.asarray(f.rotary_mask)
+                    bq = np.asarray(layer_params["q"]["bias"]).reshape(H, hd)
+                    bk = np.asarray(layer_params["k"]["bias"]).reshape(Hk, hd)
+                    mq = np.repeat(masks, spec.group_size, axis=0)
+                    out["qk"]["q_bias"] = np.concatenate([bq[h][mq[h]] for h in range(H)])
+                    out["qk"]["k_bias"] = np.concatenate([bk[h][masks[h]] for h in range(Hk)])
             else:
                 bq = jnp.asarray(np.asarray(layer_params["q"]["bias"]), dtype=dt)
                 bk = jnp.asarray(np.asarray(layer_params["k"]["bias"]), dtype=dt)
@@ -158,12 +191,18 @@ def solve_layer(
             f = compress_vo_layer(C, W_v, W_o, rank, spec.n_heads, spec.n_kv_heads, config.ridge_vo)
             out["vo"] = {"v": np.asarray(f.v), "o": np.asarray(f.o)}
             if "bias" in layer_params.get("v", {}):
-                # OPT v/o biases: attention weights sum to 1, so a constant
-                # value bias contributes exactly W_o @ b_v to every output
-                # token — fold it into the o bias (exact; the reference
-                # instead drops both biases in its surgery,
-                # model_adapter.py:199-207).
+                # OPT/qwen2_moe v biases: attention weights sum to 1, so a
+                # constant value bias contributes exactly W_o @ b_v to every
+                # output token — fold it into the o bias (exact; the
+                # reference instead drops both biases in its surgery,
+                # model_adapter.py:199-207). GQA repeats each kv head's
+                # bias across its query group first.
                 b_v = np.asarray(layer_params["v"]["bias"], dtype=np.float64)
+                if spec.n_kv_heads != spec.n_heads:
+                    hd_v = b_v.shape[0] // spec.n_kv_heads
+                    b_v = np.repeat(
+                        b_v.reshape(spec.n_kv_heads, hd_v), spec.group_size, axis=0
+                    ).reshape(-1)
                 W_o_np = np.asarray(_hf_weight(layer_params, "o"), dtype=np.float64)
                 b_o = np.asarray(
                     layer_params["o"].get("bias", np.zeros(spec.d_model)), dtype=np.float64
@@ -392,6 +431,11 @@ def run_compression(
                             calib.cov_q.update(part.cov_q)
                             calib.cov_k.update(part.cov_k)
                             calib.cov_x.update(part.cov_x)
+                            if part.cov_shared:
+                                if calib.cov_shared:
+                                    calib.cov_shared.update(part.cov_shared)
+                                else:
+                                    calib.cov_shared = part.cov_shared
                 keep_ratios, max_sp = allocate_keep_ratios(
                     calib.bi_scores,
                     config.compression_ratio,
@@ -440,6 +484,11 @@ def run_compression(
         "v_ranks": list(comp_spec.v_ranks),
         "o_ranks": list(comp_spec.o_ranks),
         "gate_ranks": list(comp_spec.gate_ranks),
+        **(
+            {"shared_gate_ranks": list(comp_spec.shared_gate_ranks)}
+            if comp_spec.shared_gate_ranks
+            else {}
+        ),
     }
     results["params_before"] = n_before
     results["params_after"] = n_after

@@ -29,11 +29,14 @@ def compress_ranks_for_layer(spec: ModelSpec, keep_ratio: float, kind: str) -> i
     """Per-layer rank from a keep ratio, with the reference's rounding rules.
 
     kind='mlp':  rank = int(d_int * keep)            (compress_mlp.py:37)
+    kind='shared': same rule on the shared expert's own intermediate dim
     kind='qk':   per-head, even for RoPE archs       (compress_qk.py:177-182)
     kind='vo':   per-head, even for RoPE archs       (compress_vo.py:36-41)
     """
     if kind == "mlp":
         return max(1, int(spec.d_int * keep_ratio))
+    if kind == "shared":
+        return max(1, int(spec.shared_d_int * keep_ratio))
     rank = int(spec.head_dim * keep_ratio)
     rank = max(1, min(rank, spec.head_dim))
     if spec.uses_rope:
@@ -83,6 +86,8 @@ def apply_factors(
     v_ranks = list(spec.v_ranks)
     o_ranks = list(spec.o_ranks)
     gate_ranks = list(spec.gate_ranks)
+    shared_ranks = [spec.shared_rank(l) for l in range(spec.n_layers)]
+    any_shared_change = bool(spec.shared_gate_ranks)
 
     model_dtype = params["embed_tokens"].dtype
 
@@ -110,6 +115,16 @@ def apply_factors(
                     "down": {"kernel": _ek(f["down"])},
                 }
                 gate_ranks[l] = int(f["up"].shape[1])
+                if f.get("shared_up") is not None:
+                    # DeepSeek/qwen2_moe shared expert: its own Type-I
+                    # factors (the sigmoid scalar gate is untouched).
+                    lp["shared"] = {
+                        "gate": {"kernel": _as_kernel(f["shared_gate"], model_dtype)},
+                        "up": {"kernel": _as_kernel(f["shared_up"], model_dtype)},
+                        "down": {"kernel": _as_kernel(f["shared_down"], model_dtype)},
+                    }
+                    shared_ranks[l] = int(f["shared_up"].shape[0])
+                    any_shared_change = True
             else:
                 lp["up"] = {"kernel": _as_kernel(f["up"], model_dtype)}
                 if spec.gated_mlp:
@@ -156,5 +171,6 @@ def apply_factors(
         o_ranks=o_ranks,
         gate_ranks=gate_ranks,
         has_rotary_masks=any_mask or spec.has_rotary_masks,
+        shared_gate_ranks=shared_ranks if any_shared_change else None,
     )
     return new_spec, new_params

@@ -49,11 +49,14 @@ _HI = lax.Precision.HIGHEST
 class CalibStats(NamedTuple):
     """Per-batch Gram statistics for `stats_layers` (stacked on axis 0)."""
 
-    cov_mlp: jax.Array  # [n_t, D_int, D_int]
+    cov_mlp: jax.Array  # [n_t, D_int, D_int] (MoE: [n_t, E, D, D])
     cov_q: jax.Array  # [n_t, n_heads, hd, hd]
     cov_k: jax.Array  # [n_t, n_kv_heads, hd, hd]
     cov_x: jax.Array  # [n_t, d_model, d_model]
     bi_acc: jax.Array  # [n_layers]
+    # Shared-expert intermediate Gram [n_t, Ds, Ds]; None unless the spec
+    # has DeepSeek/qwen2_moe-style shared experts (spec.shared_d_int > 0).
+    cov_shared: Optional[jax.Array] = None
 
 
 def _norm(x, p, kind: str, eps: float):
@@ -120,11 +123,19 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     overhead is the price of MXU-friendly uniformity; a capacity-based
     dispatch kernel is the serving-scale follow-up.
 
-    Returns (y, h_routed): h_routed [B, T, E, D] is the per-expert
-    down-projection input masked to the tokens actually ROUTED to that
-    expert (0/1, not weight-scaled) — exactly the rows the expert's
-    down projection sees in a sparse execution, which is what the
-    per-expert Type-I Gram must accumulate. None when collect=False.
+    DeepSeek-style shared experts (spec.shared_d_int > 0, the qwen2_moe
+    family): one dense gated MLP over ALL tokens is added to the routed
+    output — scaled by a per-token sigmoid scalar gate when
+    spec.shared_expert_gate (HF Qwen2MoeSparseMoeBlock.forward), added
+    plainly otherwise (DeepSeek semantics).
+
+    Returns (y, h_routed, h_shared): h_routed [B, T, E, D] is the
+    per-expert down-projection input masked to the tokens actually ROUTED
+    to that expert (0/1, not weight-scaled) — exactly the rows the
+    expert's down projection sees in a sparse execution, which is what
+    the per-expert Type-I Gram must accumulate; h_shared [B, T, Ds] is
+    the shared expert's down-projection input (all tokens). Both None
+    when collect=False (h_shared also None without shared experts).
     """
     E, k = spec.n_experts, spec.experts_per_tok
     logits = x @ p["router"]["kernel"]  # [B, T, E]
@@ -152,10 +163,25 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     else:
         y = jnp.einsum("btef,efd,bte->btd", h, down["kernel"], w_full)
 
+    h_shared = None
+    if "shared" in p:
+        sp = p["shared"]
+        hs = _act(_linear(x, sp["gate"]), spec.act) * _linear(x, sp["up"])
+        ys = _linear(hs, sp["down"])
+        if "shared_gate" in p:
+            # qwen2_moe: sigmoid scalar gate on the shared expert output
+            # (HF computes the sigmoid in model dtype; f32 here — exact
+            # for f32 models, sub-ulp for bf16).
+            gate_logit = _linear(x, p["shared_gate"]).astype(jnp.float32)
+            ys = ys * jax.nn.sigmoid(gate_logit).astype(ys.dtype)
+        y = y + ys
+        if collect:
+            h_shared = hs
+
     if collect:
         routed = jnp.sum(hot, axis=2).astype(h.dtype)  # 0/1 membership [B, T, E]
-        return y, h * routed[..., None]
-    return y, None
+        return y, h * routed[..., None], h_shared
+    return y, None, None
 
 
 def _moe_gram(h_routed: jax.Array) -> jax.Array:
@@ -263,9 +289,11 @@ def _layer(
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     if spec.is_moe_layer(layer_idx):
-        y, h_routed = _moe_mlp(spec, p, x_ln2, collect)
+        y, h_routed, h_shared = _moe_mlp(spec, p, x_ln2, collect)
         if collect:
             taps["cov_mlp"] = _moe_gram(h_routed)
+            if h_shared is not None:
+                taps["cov_shared"] = _gram(h_shared.reshape(-1, h_shared.shape[-1]))
         x = residual + y
     else:
         if spec.gated_mlp:
@@ -365,12 +393,16 @@ def forward(
 
     stats = None
     if collect:
+        has_shared = all("cov_shared" in taps_by_layer[l] for l in stats_layers)
         stats = CalibStats(
             cov_mlp=jnp.stack([taps_by_layer[l]["cov_mlp"] for l in stats_layers]),
             cov_q=jnp.stack([taps_by_layer[l]["cov_q"] for l in stats_layers]),
             cov_k=jnp.stack([taps_by_layer[l]["cov_k"] for l in stats_layers]),
             cov_x=jnp.stack([taps_by_layer[l]["cov_x"] for l in stats_layers]),
             bi_acc=jnp.stack(bi),
+            cov_shared=jnp.stack([taps_by_layer[l]["cov_shared"] for l in stats_layers])
+            if has_shared
+            else None,
         )
     if return_hidden:
         return logits, stats, hidden

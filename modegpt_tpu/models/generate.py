@@ -112,7 +112,7 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
     if spec.is_moe_layer(layer_idx):
         from modegpt_tpu.models.forward import _moe_mlp
 
-        y, _ = _moe_mlp(spec, p, x_ln2, False)
+        y, _, _ = _moe_mlp(spec, p, x_ln2, False)
         x = residual + y
     else:
         if spec.gated_mlp:

@@ -115,8 +115,10 @@ def params_from_state_dict(
                 # Stack the per-expert kernels into [E, in, out] (one
                 # batched einsum per projection on-device). Key layouts:
                 # mixtral: block_sparse_moe.gate + experts.{e}.w1/w3/w2;
-                # qwen3_moe: mlp.gate + mlp.experts.{e}.{gate,up,down}_proj.
-                if spec.arch == "qwen3_moe":
+                # qwen3_moe/qwen2_moe: mlp.gate + mlp.experts.{e}.
+                # {gate,up,down}_proj (+ qwen2_moe's mlp.shared_expert.* and
+                # mlp.shared_expert_gate).
+                if spec.arch in ("qwen3_moe", "qwen2_moe"):
                     moe = b + "mlp."
                     names = ("gate_proj", "up_proj", "down_proj")
                 else:
@@ -137,6 +139,14 @@ def params_from_state_dict(
                     "up": {"kernel": EW(names[1])},
                     "down": {"kernel": EW(names[2])},
                 }
+                if spec.shared_d_int:
+                    lp["shared"] = {
+                        "gate": {"kernel": W(moe + "shared_expert.gate_proj.weight")},
+                        "up": {"kernel": W(moe + "shared_expert.up_proj.weight")},
+                        "down": {"kernel": W(moe + "shared_expert.down_proj.weight")},
+                    }
+                    if spec.shared_expert_gate:
+                        lp["shared_gate"] = {"kernel": W(moe + "shared_expert_gate.weight")}
             else:
                 lp["gate"] = {"kernel": W(b + "mlp.gate_proj.weight")}
                 lp["up"] = {"kernel": W(b + "mlp.up_proj.weight")}

@@ -64,6 +64,15 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
                 "up": {"kernel": dense((E, spec.d_model, rg))},
                 "down": {"kernel": dense((E, rg, spec.d_model))},
             }
+            if spec.shared_d_int:
+                rs = spec.shared_rank(l)
+                lp["shared"] = {
+                    "gate": {"kernel": dense((spec.d_model, rs))},
+                    "up": {"kernel": dense((spec.d_model, rs))},
+                    "down": {"kernel": dense((rs, spec.d_model))},
+                }
+                if spec.shared_expert_gate:
+                    lp["shared_gate"] = {"kernel": dense((spec.d_model, 1))}
         else:
             lp["up"] = linear(
                 (spec.d_model, spec.gate_ranks[l]), spec.mlp_bias or spec.arch == "opt"

@@ -170,6 +170,18 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
                 "up": {"kernel": _pad_tail(ek["up"]["kernel"], rg, Rg, 2)},
                 "down": {"kernel": _pad_tail(ek["down"]["kernel"], rg, Rg, 1)},
             }
+            if "shared" in p:
+                # shared expert: a dense gated MLP — pad its intermediate
+                # like the dense path (zero pads are exact)
+                rs = spec.shared_rank(l)
+                Rs = max(spec.shared_rank(j) for j in range(L))
+                q["shared"] = {
+                    "gate": _pad_linear(p["shared"]["gate"], pad_out=lambda x, ax: _pad_tail(x, rs, Rs, ax)),
+                    "up": _pad_linear(p["shared"]["up"], pad_out=lambda x, ax: _pad_tail(x, rs, Rs, ax)),
+                    "down": _pad_linear(p["shared"]["down"], pad_in=lambda x, ax: _pad_tail(x, rs, Rs, ax)),
+                }
+                if "shared_gate" in p:
+                    q["shared_gate"] = p["shared_gate"]
         else:
             q["up"] = _pad_linear(p["up"], pad_out=g_out)
             q["down"] = _pad_linear(p["down"], pad_in=g_in)
@@ -207,6 +219,9 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
         v_ranks=(Hk * Rv,) * L,
         o_ranks=(H * Rv,) * L,
         gate_ranks=(Rg,) * L,
+        shared_gate_ranks=(max(spec.shared_rank(j) for j in range(L)),) * L
+        if spec.shared_d_int
+        else None,
     )
     q_hd_true = jnp.asarray([spec.q_ranks[l] / H for l in range(L)], jnp.float32)
     return PaddedModel(spec=pspec, layers=stacked, other=other, q_hd_true=q_hd_true)
@@ -342,7 +357,7 @@ def _layer_padded(
     if spec.n_experts:
         from modegpt_tpu.models.forward import _moe_mlp
 
-        y, _ = _moe_mlp(spec, p, x_ln2, False)
+        y, _, _ = _moe_mlp(spec, p, x_ln2, False)
         x = residual + y
     else:
         if spec.gated_mlp:

@@ -49,10 +49,10 @@ def _quantize_layer(lp: Dict) -> Dict:
     for name, sub in lp.items():
         if name in ("q", "k", "v", "o", "up", "gate", "down"):
             out[name] = quantize_linear(sub)
-        elif name == "experts":
+        elif name in ("experts", "shared"):
             out[name] = {k: quantize_linear(v) for k, v in sub.items()}
         else:
-            out[name] = sub  # norms, router, rotary_mask
+            out[name] = sub  # norms, router, shared_gate, rotary_mask
     return out
 
 

@@ -113,10 +113,12 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
 
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    h_shared = None
     if spec.n_experts:
         # h is the routed-masked per-expert intermediate [B, T, E, D] —
-        # exactly what the per-expert Type-I Gram accumulates.
-        y, h = _moe_mlp(spec, p, x_ln2, True)
+        # exactly what the per-expert Type-I Gram accumulates; h_shared
+        # [B, T, Ds] is the shared expert's down input when present.
+        y, h, h_shared = _moe_mlp(spec, p, x_ln2, True)
         x = residual + y
     elif spec.gated_mlp:
         h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
@@ -126,7 +128,7 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
         x = residual + _linear(h, p["down"])
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
-    return x, taps_src, h
+    return x, taps_src, (h, h_shared)
 
 
 @partial(jax.jit, static_argnames=("spec", "stats_layers", "attn_impl"))
@@ -178,6 +180,9 @@ def forward_scan(
             cov_k=jnp.zeros((n_t, Hk, q_hd, q_hd), jnp.float32),
             cov_x=jnp.zeros((n_t, spec.d_model, spec.d_model), jnp.float32),
             bi_acc=jnp.zeros((spec.n_layers,), jnp.float32),
+            cov_shared=jnp.zeros((n_t, spec.shared_d_int, spec.shared_d_int), jnp.float32)
+            if (spec.n_experts and spec.shared_d_int)
+            else None,
         )
     else:
         acc0 = None
@@ -186,7 +191,7 @@ def forward_scan(
         x, acc = carry
         p, l_idx = inputs
         h_in = x
-        x_out, taps_src, h_mlp = _one_layer(spec, p, x, cos, sin, attn_impl)
+        x_out, taps_src, (h_mlp, h_shared) = _one_layer(spec, p, x, cos, sin, attn_impl)
         if acc is not None:
             x_ln, q, k = taps_src
             within = (l_idx >= start) & (l_idx < start + n_t)
@@ -204,6 +209,11 @@ def forward_scan(
                     cov_k=a.cov_k.at[slot].add(_head_gram(k.reshape(B, T, Hk, q_hd))),
                     cov_x=a.cov_x.at[slot].add(_gram(x_ln.reshape(-1, spec.d_model))),
                     bi_acc=a.bi_acc,
+                    cov_shared=a.cov_shared.at[slot].add(
+                        _gram(h_shared.reshape(-1, spec.shared_d_int))
+                    )
+                    if a.cov_shared is not None
+                    else None,
                 )
 
             acc = lax.cond(within, with_taps, lambda a: a, acc)

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
-ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe")
+ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe")
 
 
 @dataclass(frozen=True)
@@ -75,14 +75,36 @@ class ModelSpec:
     # RoPE frequency scaling (hashable tuple; see ops/rope.rope_cos_sin):
     # ("linear", factor) or ("llama3", factor, low_f, high_f, orig_len).
     rope_scaling: Optional[Tuple] = None
+    # DeepSeek-style shared experts (qwen2_moe family; the reference's
+    # vestigial DeepSeek/Mixtral branches hint at this shape,
+    # src/patchers/patch.py:41-53): every MoE layer also runs one dense
+    # gated MLP of intermediate size `shared_d_int` over ALL tokens, added
+    # to the routed output. qwen2_moe additionally scales it by a sigmoid
+    # scalar gate (`shared_expert_gate=True`); DeepSeek adds it plainly.
+    shared_d_int: int = 0  # 0 = no shared expert
+    shared_expert_gate: bool = False
+    # Per-layer compressed shared-expert intermediate dims (the shared
+    # expert is a dense MLP, so it gets its own Type-I rank). EMPTY means
+    # dense (= shared_d_int on every MoE layer).
+    shared_gate_ranks: Tuple[int, ...] = ()
 
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe")
+        return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe")
 
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
+
+    def has_shared_expert(self, layer: int) -> bool:
+        return self.shared_d_int > 0 and self.is_moe_layer(layer)
+
+    def shared_rank(self, layer: int) -> int:
+        """Compressed shared-expert intermediate dim for a layer (dense
+        when no compressed ranks are recorded)."""
+        if self.shared_gate_ranks:
+            return self.shared_gate_ranks[layer]
+        return self.shared_d_int
 
     @property
     def group_size(self) -> int:
@@ -100,7 +122,14 @@ class ModelSpec:
         """True when all layers share the same shapes (scan-friendly)."""
         return all(
             len(set(r)) <= 1
-            for r in (self.q_ranks, self.k_ranks, self.v_ranks, self.o_ranks, self.gate_ranks)
+            for r in (
+                self.q_ranks,
+                self.k_ranks,
+                self.v_ranks,
+                self.o_ranks,
+                self.gate_ranks,
+                self.shared_gate_ranks,
+            )
         ) and not self.has_rotary_masks
 
     @property
@@ -113,6 +142,7 @@ class ModelSpec:
             and all(r == kv for r in self.v_ranks)
             and all(r == qk for r in self.o_ranks)
             and all(r == self.d_int for r in self.gate_ranks)
+            and all(r == self.shared_d_int for r in self.shared_gate_ranks)
             and not self.has_rotary_masks
         )
 
@@ -124,8 +154,11 @@ class ModelSpec:
         o_ranks=None,
         gate_ranks=None,
         has_rotary_masks=None,
+        shared_gate_ranks=None,
     ) -> "ModelSpec":
         kw = {}
+        if shared_gate_ranks is not None:
+            kw["shared_gate_ranks"] = tuple(shared_gate_ranks)
         if q_ranks is not None:
             kw["q_ranks"] = tuple(q_ranks)
         if k_ranks is not None:
@@ -147,7 +180,7 @@ class ModelSpec:
     def from_dict(d: dict) -> "ModelSpec":
         d = dict(d)
         for k in ("q_ranks", "k_ranks", "v_ranks", "o_ranks", "gate_ranks", "layer_types",
-                  "rope_scaling", "moe_layers"):
+                  "rope_scaling", "moe_layers", "shared_gate_ranks"):
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
         return ModelSpec(**d)
@@ -221,18 +254,22 @@ def spec_from_hf_config(config) -> ModelSpec:
             word_embed_proj_dim=wepd if wepd != config.hidden_size else None,
             **ranks,
         )
-    elif model_type in ("llama", "qwen3", "mixtral", "qwen3_moe") or "qwen3" in model_type:
-        if model_type == "qwen3_moe":
-            arch = "qwen3_moe"
+    elif (
+        model_type in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe")
+        or "qwen3" in model_type
+    ):
+        if model_type in ("qwen3_moe", "qwen2_moe"):
+            arch = model_type
         elif "qwen3" in model_type:
             arch = "qwen3"
         else:
             arch = model_type
-        is_moe = arch in ("mixtral", "qwen3_moe")
+        is_moe = arch in ("mixtral", "qwen3_moe", "qwen2_moe")
         moe_layer_ids = ()
-        if arch == "qwen3_moe":
-            # HF rule (Qwen3MoeDecoderLayer.__init__): layer l is sparse iff
-            # l not in mlp_only_layers and (l+1) % decoder_sparse_step == 0.
+        if arch in ("qwen3_moe", "qwen2_moe"):
+            # HF rule (Qwen3MoeDecoderLayer.__init__, same in Qwen2Moe):
+            # layer l is sparse iff l not in mlp_only_layers and
+            # (l+1) % decoder_sparse_step == 0.
             only = set(getattr(config, "mlp_only_layers", []) or [])
             step_ = getattr(config, "decoder_sparse_step", 1)
             moe_layer_ids = tuple(
@@ -241,7 +278,7 @@ def spec_from_hf_config(config) -> ModelSpec:
                 if l not in only and (l + 1) % step_ == 0
             )
             if not moe_layer_ids:
-                raise ValueError("qwen3_moe config with no sparse layers")
+                raise ValueError(f"{arch} config with no sparse layers")
             d_int = config.moe_intermediate_size
         else:
             d_int = config.intermediate_size
@@ -250,7 +287,7 @@ def spec_from_hf_config(config) -> ModelSpec:
         head_dim = getattr(config, "head_dim", None) or config.hidden_size // n_heads
         n_layers = config.num_hidden_layers
         ranks = _dense_ranks(n_layers, n_heads * head_dim, n_kv * head_dim, d_int)
-        if arch == "qwen3_moe" and len(moe_layer_ids) != n_layers:
+        if arch in ("qwen3_moe", "qwen2_moe") and len(moe_layer_ids) != n_layers:
             # mixed stack: dense layers use the DENSE intermediate size
             ranks["gate_ranks"] = tuple(
                 d_int if l in moe_layer_ids else config.intermediate_size
@@ -270,13 +307,17 @@ def spec_from_hf_config(config) -> ModelSpec:
             norm="rmsnorm",
             norm_eps=config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
-            attention_bias=getattr(config, "attention_bias", False),
+            # qwen2_moe hardcodes q/k/v biases (o bias-free) in its
+            # attention module rather than exposing a config flag.
+            attention_bias=True
+            if arch == "qwen2_moe"
+            else getattr(config, "attention_bias", False),
             mlp_bias=getattr(config, "mlp_bias", False),
             tie_word_embeddings=config.tie_word_embeddings,
             qk_norm=arch in ("qwen3", "qwen3_moe"),
             gated_mlp=True,
-            # qwen3 gates its window behind use_sliding_window; mixtral
-            # applies config.sliding_window whenever it is set (HF
+            # qwen3/qwen2_moe gate their window behind use_sliding_window;
+            # mixtral applies config.sliding_window whenever it is set (HF
             # modeling_mixtral mask_function selection).
             sliding_window=getattr(config, "sliding_window", None)
             if (getattr(config, "use_sliding_window", False) or arch == "mixtral")
@@ -290,15 +331,21 @@ def spec_from_hf_config(config) -> ModelSpec:
                 getattr(config, "num_local_experts", 0)
                 if arch == "mixtral"
                 else getattr(config, "num_experts", 0)
-                if arch == "qwen3_moe"
+                if arch in ("qwen3_moe", "qwen2_moe")
                 else 0
             ),
             experts_per_tok=getattr(config, "num_experts_per_tok", 2),
             norm_topk_prob=bool(getattr(config, "norm_topk_prob", True))
-            if arch == "qwen3_moe"
+            if arch in ("qwen3_moe", "qwen2_moe")
             else True,
-            moe_layers=moe_layer_ids if (arch == "qwen3_moe" and len(moe_layer_ids) != n_layers) else (),
+            moe_layers=moe_layer_ids
+            if (arch in ("qwen3_moe", "qwen2_moe") and len(moe_layer_ids) != n_layers)
+            else (),
             rope_scaling=_parse_rope_scaling(getattr(config, "rope_scaling", None)),
+            shared_d_int=getattr(config, "shared_expert_intermediate_size", 0)
+            if arch == "qwen2_moe"
+            else 0,
+            shared_expert_gate=arch == "qwen2_moe",
             **ranks,
         )
     else:
@@ -313,5 +360,6 @@ def spec_from_hf_config(config) -> ModelSpec:
             o_ranks=config.o_ranks,
             gate_ranks=config.gate_ranks,
             has_rotary_masks=getattr(config, "mask_path", None) is not None,
+            shared_gate_ranks=getattr(config, "shared_gate_ranks", None),
         )
     return spec

@@ -106,6 +106,13 @@ def param_shardings(mesh: Mesh, spec, params) -> Dict:
                     out[name]["bias"] = rep
             elif name == "experts" and spec.n_experts % n_model == 0:
                 out[name] = {k: {"kernel": ep} for k in sub}
+            elif name == "shared":
+                # shared expert = dense MLP: Megatron column/row split
+                out[name] = {
+                    "gate": {"kernel": col},
+                    "up": {"kernel": col},
+                    "down": {"kernel": row},
+                }
             else:
                 out[name] = jax.tree_util.tree_map(lambda _: rep, sub)
         return out

@@ -164,7 +164,7 @@ def calibrate_pp(
 
             def body(x, p):
                 h_in = x
-                x_out, taps_src, h_mlp = _one_layer(spec, p, x, cos, sin, attn_impl)
+                x_out, taps_src, (h_mlp, _) = _one_layer(spec, p, x, cos, sin, attn_impl)
                 x_ln, q, k = taps_src
                 piece = (
                     _gram(h_mlp.reshape(-1, d_int)),

@@ -306,3 +306,125 @@ def test_qwen3_moe_mixed_compression_end_to_end(tmp_path, rng):
     out = generate(cspec, cparams, rng.integers(1, 128, size=(1, 5)).astype(np.int32),
                    max_new_tokens=4, temperature=0.0)
     assert out.shape == (1, 9)
+
+
+# ---- qwen2_moe: DeepSeek-style shared experts (+ sigmoid shared gate) ----
+
+
+def _tiny_qwen2_moe(n_layers=2, **kw):
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, moe_intermediate_size=48,
+        shared_expert_intermediate_size=80, num_hidden_layers=n_layers,
+        num_attention_heads=4, num_key_value_heads=2, num_experts=4,
+        num_experts_per_tok=2, max_position_embeddings=128, decoder_sparse_step=1,
+        mlp_only_layers=[], **kw,
+    )
+    torch.manual_seed(0)
+    return transformers.Qwen2MoeForCausalLM(cfg).eval()
+
+
+def test_qwen2_moe_forward_matches_hf(rng):
+    """qwen2_moe: shared expert + sigmoid gate + qkv biases + GQA RoPE."""
+    m = _tiny_qwen2_moe()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "qwen2_moe" and spec.shared_d_int == 80
+    assert spec.shared_expert_gate and spec.attention_bias and not spec.qk_norm
+    assert not spec.norm_topk_prob  # qwen2_moe default
+    assert "shared" in params["layers"][0] and "shared_gate" in params["layers"][0]
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_moe_shared_gram_covers_all_tokens(rng):
+    """cov_shared accumulates the shared expert's intermediate over ALL
+    tokens (it is dense): matches an HF-side recomputation exactly."""
+    m = _tiny_qwen2_moe(n_layers=1)
+    spec, params = params_from_hf_model(m)
+    ids = rng.integers(0, spec.vocab_size, size=(1, 12)).astype(np.int32)
+    _, stats = forward(spec, params, ids, stats_layers=(0,))
+    assert stats.cov_shared.shape == (1, 80, 80)
+
+    moe = m.model.layers[0].mlp
+    with torch.no_grad():
+        hs = m.model.layers[0].post_attention_layernorm(
+            _hf_hidden_before_mlp(m, ids)
+        ).reshape(-1, spec.d_model)
+        he = torch.nn.functional.silu(moe.shared_expert.gate_proj(hs)) * moe.shared_expert.up_proj(hs)
+        ref = (he.T @ he).numpy()
+    np.testing.assert_allclose(np.asarray(stats.cov_shared[0]), ref, rtol=1e-3, atol=1e-3)
+
+
+def test_qwen2_moe_scan_matches_unrolled(rng):
+    from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
+
+    spec, params = params_from_hf_model(_tiny_qwen2_moe())
+    assert supports_scan(spec, (0, 1))
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    ref, ref_stats = forward(spec, params, ids, stats_layers=(0, 1))
+    got, got_stats = forward_scan(spec, params, ids, stats_layers=(0, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_stats.cov_shared), np.asarray(ref_stats.cov_shared),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_qwen2_moe_compression_end_to_end(tmp_path, rng):
+    """Shared expert gets its own Type-I solve; q/k biases slice through
+    the rotary mask; the GQA v bias folds into the o bias; artifact
+    roundtrip; padded execution and generation on the compressed model."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+
+    spec, params = params_from_hf_model(_tiny_qwen2_moe())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = results["compressed_spec"], results["compressed_params"]
+    assert np.isfinite(results["compressed_ppl"])
+    assert cspec.shared_gate_ranks and max(cspec.shared_gate_ranks) < spec.shared_d_int
+    lp0 = cparams["layers"][0]
+    assert lp0["shared"]["up"]["kernel"].shape[1] == cspec.shared_gate_ranks[0]
+    # q/k keep (sliced) biases; v bias folded into o
+    assert "bias" in lp0["q"] and lp0["q"]["bias"].shape[0] == cspec.q_ranks[0]
+    assert "bias" not in lp0["v"] and "bias" in lp0["o"]
+
+    ids = rng.integers(0, cspec.vocab_size, size=(2, 12)).astype(np.int32)
+    ref, _ = forward(cspec, cparams, ids)
+    pm = pad_to_uniform(cspec, cparams)
+    got = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    out = generate(cspec, cparams, ids[:1, :5], max_new_tokens=4, temperature=0.0)
+    assert out.shape == (1, 9)
+
+
+def test_qwen2_moe_batched_solver_matches_per_layer(rng):
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    spec, params = params_from_hf_model(_tiny_qwen2_moe())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1])
+    config = CompressionConfig(compression_ratio=0.3, sparsity_smoothing=0.2)
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, smoothing=0.2, max_sparsity=0.8)
+
+    batched = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp,qk,vo")
+    for l in (0, 1):
+        ref = solve_layer(spec, params["layers"][l], l, keep[l], calib, config, "mlp,qk,vo")
+        for k in ("shared_up", "shared_gate", "shared_down"):
+            np.testing.assert_allclose(
+                batched["mlp"][l][k], ref["mlp"][k], rtol=1e-6, atol=1e-8
+            )
+        np.testing.assert_array_equal(batched["mlp"][l]["shared_idx"], ref["mlp"]["shared_idx"])
+        for k in ("q_bias", "k_bias"):
+            np.testing.assert_allclose(batched["qk"][l][k], ref["qk"][k], rtol=1e-6)
+        np.testing.assert_allclose(batched["vo"][l]["o_bias"], ref["vo"]["o_bias"], rtol=1e-6)
