@@ -190,6 +190,91 @@ def _moe_gram(h_routed: jax.Array) -> jax.Array:
     return jnp.einsum("btef,bteg->efg", hf, hf, precision=_HI)
 
 
+def _moe_mlp_dispatch(spec: ModelSpec, p: Dict, x: jax.Array, capacity_factor: float):
+    """Capacity-based sparse-MoE dispatch — the serving-scale execution of
+    the same math as `_moe_mlp` (which runs every expert on every token
+    and zeroes non-selected outputs: exact but E/k-times the FLOPs).
+
+    TPU-native token dispatch with STATIC shapes: sort the N*k
+    (token, expert) assignments by expert, give each expert a fixed
+    capacity C = ceil(capacity_factor * N * k / E) slots, gather its
+    tokens into an [E, C, d] buffer, run ONE batched einsum per
+    projection over the expert stack, and weighted-scatter the results
+    back. Per-expert FLOPs scale with C instead of N — for E=60 experts
+    top-4 (Qwen1.5-MoE) at capacity_factor=2 that is ~13% of the
+    dense-all-experts cost.
+
+    Assignments beyond an expert's capacity are DROPPED (their routing
+    weight contributes nothing — standard capacity-factor semantics,
+    e.g. Switch Transformer). capacity_factor >= E/k guarantees no
+    drops, making this bit-exact with `_moe_mlp` up to float
+    reassociation. Shared experts (qwen2_moe) are dense and unaffected.
+    """
+    B, T, d = x.shape
+    N = B * T
+    E, k = spec.n_experts, spec.experts_per_tok
+    import math
+
+    C = max(1, min(N, int(math.ceil(capacity_factor * N * k / E))))
+
+    xf = x.reshape(N, d)
+    logits = xf @ p["router"]["kernel"]  # [N, E]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    w, idx = lax.top_k(probs, k)  # [N, k]
+    if spec.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    expert_of = idx.reshape(-1)  # [N*k]
+    token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), k)
+    w_flat = w.reshape(-1).astype(x.dtype)
+
+    # Stable sort by expert id; rank-within-expert = position - segment
+    # start. Earlier tokens win capacity slots (deterministic drops).
+    order = jnp.argsort(expert_of, stable=True)
+    sorted_e = expert_of[order]
+    counts = jnp.zeros((E,), jnp.int32).at[expert_of].add(1)
+    starts = jnp.cumsum(counts) - counts
+    pos = jnp.arange(N * k, dtype=jnp.int32) - starts[sorted_e]
+    keep = pos < C
+    slot = jnp.clip(pos, 0, C - 1)
+    tok_sorted = token_of[order]
+
+    # Scatter-ADD into the dispatch buffer: kept assignments target unique
+    # (expert, slot) pairs; dropped ones add zeros at slot C-1 (safe).
+    buf = jnp.zeros((E, C, d), x.dtype)
+    vals = jnp.where(keep[:, None], xf[tok_sorted], jnp.zeros((), x.dtype))
+    buf = buf.at[sorted_e, slot].add(vals)
+
+    def expert_mm(xx, ep, eq):
+        if "kernel_q" in ep:
+            # int8 per-(expert, out-channel) scales [E, f] broadcast over
+            # the capacity axis of the [E, C, f] output.
+            out = jnp.einsum(eq, xx, ep["kernel_q"].astype(xx.dtype))
+            return out * ep["scale"][:, None, :].astype(xx.dtype)
+        return jnp.einsum(eq, xx, ep["kernel"])
+
+    g = expert_mm(buf, p["experts"]["gate"], "ecd,edf->ecf")
+    u = expert_mm(buf, p["experts"]["up"], "ecd,edf->ecf")
+    h = _act(g, spec.act) * u  # [E, C, D]
+    y_e = expert_mm(h, p["experts"]["down"], "ecf,efd->ecd")
+
+    # Combine: gather each assignment's expert output, weight, scatter-add
+    # back to its token.
+    picked = y_e[sorted_e, slot]  # [N*k, d]
+    picked = jnp.where(keep[:, None], picked * w_flat[order][:, None], jnp.zeros((), x.dtype))
+    y = jnp.zeros((N, d), x.dtype).at[tok_sorted].add(picked).reshape(B, T, d)
+
+    if "shared" in p:
+        sp = p["shared"]
+        hs = _act(_linear(x, sp["gate"]), spec.act) * _linear(x, sp["up"])
+        ys = _linear(hs, sp["down"])
+        if "shared_gate" in p:
+            gate_logit = _linear(x, p["shared_gate"]).astype(jnp.float32)
+            ys = ys * jax.nn.sigmoid(gate_logit).astype(ys.dtype)
+        y = y + ys
+    return y
+
+
 def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"):
     """Causal (optionally sliding-window) dot-product attention.
 

@@ -278,6 +278,8 @@ def _layer_padded(
     attn_impl: str,
     cache_kv=None,
     pos=None,
+    moe: str = "dense",
+    moe_capacity: float = 2.0,
 ):
     """One padded layer. Without a cache: full causal self-attention.
     With cache_kv=(ck, cv) and pos: incremental step reading/writing the
@@ -355,9 +357,15 @@ def _layer_padded(
     residual = x
     x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
     if spec.n_experts:
-        from modegpt_tpu.models.forward import _moe_mlp
+        from modegpt_tpu.models.forward import _moe_mlp, _moe_mlp_dispatch
 
-        y, _, _ = _moe_mlp(spec, p, x_ln2, False)
+        if moe == "dispatch":
+            # Capacity-based token dispatch: per-expert FLOPs scale with
+            # capacity instead of every-token (the serving-scale MoE path;
+            # see forward._moe_mlp_dispatch for drop semantics).
+            y = _moe_mlp_dispatch(spec, p, x_ln2, moe_capacity)
+        else:
+            y, _, _ = _moe_mlp(spec, p, x_ln2, False)
         x = residual + y
     else:
         if spec.gated_mlp:
@@ -404,7 +412,7 @@ def _resolve_attn_impl(attn_impl: str) -> str:
     return attn_impl
 
 
-@partial(jax.jit, static_argnames=("spec", "attn_impl"))
+@partial(jax.jit, static_argnames=("spec", "attn_impl", "moe", "moe_capacity"))
 def forward_padded(
     spec: ModelSpec,
     layers: Dict,
@@ -412,6 +420,8 @@ def forward_padded(
     q_hd_true: jax.Array,
     input_ids: jax.Array,
     attn_impl: str = "auto",
+    moe: str = "dense",
+    moe_capacity: float = 2.0,
 ):
     """Full causal forward over the padded stack; returns logits.
     Same numerics as `forward(orig_spec, orig_params, ...)`."""
@@ -428,7 +438,8 @@ def forward_padded(
 
     def body(x, inputs):
         p, r_true = inputs
-        x, _ = _layer_padded(spec, p, r_true, x, cos, sin, attn_impl)
+        x, _ = _layer_padded(spec, p, r_true, x, cos, sin, attn_impl, moe=moe,
+                             moe_capacity=moe_capacity)
         return x, None
 
     x, _ = lax.scan(body, x, (layers, q_hd_true))
@@ -446,9 +457,14 @@ def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float
     return k, v, jnp.asarray(0, jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("spec",), donate_argnames=("cache_k", "cache_v"))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "moe", "moe_capacity"),
+    donate_argnames=("cache_k", "cache_v"),
+)
 def _model_step_padded(
-    spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length
+    spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length,
+    moe: str = "dense", moe_capacity: float = 2.0,
 ):
     """New tokens [B, S] through the padded stack with a stacked cache.
 
@@ -472,7 +488,8 @@ def _model_step_padded(
     def body(x, inputs):
         p, r_true, ck, cv = inputs
         x, (ck, cv) = _layer_padded(
-            spec, p, r_true, x, cos, sin, "xla", cache_kv=(ck, cv), pos=pos
+            spec, p, r_true, x, cos, sin, "xla", cache_kv=(ck, cv), pos=pos,
+            moe=moe, moe_capacity=moe_capacity,
         )
         return x, (ck, cv)
 

@@ -63,10 +63,15 @@ def init_serve_state(pm: PaddedModel, slots: int, max_len: int, dtype=jnp.float3
     )
 
 
-@partial(jax.jit, static_argnames=("spec", "temperature"), donate_argnames=("state",))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "temperature", "moe", "moe_capacity"),
+    donate_argnames=("state",),
+)
 def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: jax.Array,
                        chunk: jax.Array, pos0: jax.Array, real_len: jax.Array,
-                       commit: jax.Array, temperature: float, key: jax.Array):
+                       commit: jax.Array, temperature: float, key: jax.Array,
+                       moe: str = "dense", moe_capacity: float = 2.0):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
@@ -77,7 +82,8 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
     cv = lax.dynamic_slice_in_dim(state.cache_v, slot, 1, axis=1)
     logits, ck, cv, _ = _model_step_padded.__wrapped__(
-        spec, layers, other, q_hd_true, chunk, ck, cv, pos0
+        spec, layers, other, q_hd_true, chunk, ck, cv, pos0, moe=moe,
+        moe_capacity=moe_capacity,
     )
     nxt = _sample(logits[0, real_len - 1][None], key, temperature, None)[0].astype(jnp.int32)
     return ServeState(
@@ -90,9 +96,14 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     )
 
 
-@partial(jax.jit, static_argnames=("spec", "temperature", "top_k"), donate_argnames=("state",))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "temperature", "top_k", "moe", "moe_capacity"),
+    donate_argnames=("state",),
+)
 def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
-                      temperature: float, top_k, key):
+                      temperature: float, top_k, key,
+                      moe: str = "dense", moe_capacity: float = 2.0):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
@@ -102,7 +113,8 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
     # [L, slots, ...] pools are the padded step's cache layout; per-row
     # lengths make the step ragged (models/padded.py _model_step_padded)
     logits, ck, cv, _ = _model_step_padded.__wrapped__(
-        spec, layers, other, q_hd_true, tokens, state.cache_k, state.cache_v, state.lengths
+        spec, layers, other, q_hd_true, tokens, state.cache_k, state.cache_v, state.lengths,
+        moe=moe, moe_capacity=moe_capacity,
     )
     nxt = _sample(logits[:, -1, :], key, temperature, top_k).astype(jnp.int32)
     new_len = jnp.where(active, state.lengths + 1, state.lengths)
@@ -112,7 +124,8 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
 
 def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.ndarray,
                  bucket: int, temperature: float = 0.0,
-                 key: Optional[jax.Array] = None) -> ServeState:
+                 key: Optional[jax.Array] = None, moe: str = "dense",
+                 moe_capacity: float = 2.0) -> ServeState:
     """Admit a prompt into `slot`. Prompts longer than `bucket` are
     CHUNKED: each bucket-sized piece runs through the same compiled
     program at its offset, so arbitrarily long prompts reuse one program
@@ -135,19 +148,21 @@ def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.n
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, slot_i,
             jnp.asarray(padded), jnp.asarray(c * bucket, jnp.int32),
             jnp.asarray(real, jnp.int32), jnp.asarray(c == n_chunks - 1),
-            temperature, key,
+            temperature, key, moe=moe, moe_capacity=moe_capacity,
         )
     return state
 
 
 def decode_slots(pm: PaddedModel, state: ServeState, active: np.ndarray,
-                 temperature: float = 0.0, top_k=None, key=None):
+                 temperature: float = 0.0, top_k=None, key=None,
+                 moe: str = "dense", moe_capacity: float = 2.0):
     """One decode step across all slots. Returns (state, tokens [slots])."""
     if key is None:
         key = jax.random.key(0)
     return _decode_slots_jit(
         pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
-        jnp.asarray(active), temperature, top_k, key,
+        jnp.asarray(active), temperature, top_k, key, moe=moe,
+        moe_capacity=moe_capacity,
     )
 
 
@@ -162,13 +177,19 @@ class ContinuousBatcher:
 
     def __init__(self, pm: PaddedModel, slots: int = 8, max_len: int = 512,
                  prefill_bucket: int = 64, eos_token_id: Optional[int] = None,
-                 temperature: float = 0.0):
+                 temperature: float = 0.0, moe: str = "dense",
+                 moe_capacity: float = 2.0):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
         self.bucket = prefill_bucket
         self.eos = eos_token_id
         self.temperature = temperature
+        # MoE execution: "dense" (all experts on all tokens; exact) or
+        # "dispatch" (capacity-based token dispatch; per-expert FLOPs
+        # scale with capacity — see forward._moe_mlp_dispatch).
+        self.moe = moe
+        self.moe_capacity = moe_capacity
         self.state = init_serve_state(pm, slots, max_len, dtype=pm.other["embed_tokens"].dtype)
         self.queue: List[Tuple[int, np.ndarray, int]] = []  # (req_id, prompt, max_new)
         self.slot_req: List[Optional[int]] = [None] * slots
@@ -201,7 +222,8 @@ class ContinuousBatcher:
                 rid, prompt, budget = self.queue.pop(0)
                 key, sub = jax.random.split(key)
                 self.state = prefill_slot(
-                    self.pm, self.state, s, prompt, self.bucket, self.temperature, sub
+                    self.pm, self.state, s, prompt, self.bucket, self.temperature, sub,
+                    moe=self.moe, moe_capacity=self.moe_capacity,
                 )
                 tok = int(self.state.last_token[s])
                 self.slot_req[s] = rid
@@ -236,7 +258,8 @@ class ContinuousBatcher:
                 continue
             key, sub = jax.random.split(key)
             self.state, toks = decode_slots(
-                self.pm, self.state, active_mask, self.temperature, None, sub
+                self.pm, self.state, active_mask, self.temperature, None, sub,
+                moe=self.moe, moe_capacity=self.moe_capacity,
             )
             toks = np.asarray(toks)
             for s in range(self.slots):

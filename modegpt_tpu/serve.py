@@ -36,6 +36,19 @@ def main(argv=None):
         help="serve with int8-resident weights (per-channel weight-only "
         "quantization; halves weight HBM traffic vs bf16)",
     )
+    parser.add_argument(
+        "--moe_exec", choices=("dense", "dispatch"), default="dense",
+        help="MoE execution: 'dense' runs every expert on every token "
+        "(exact); 'dispatch' gathers each expert's tokens into a fixed "
+        "capacity buffer — per-expert FLOPs scale with capacity instead "
+        "of batch (the serving-scale path for many-expert models)",
+    )
+    parser.add_argument(
+        "--moe_capacity", type=float, default=2.0,
+        help="dispatch capacity factor: each expert processes up to "
+        "ceil(capacity * tokens * top_k / n_experts) tokens; >= "
+        "n_experts/top_k guarantees no drops (exact)",
+    )
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -68,7 +81,8 @@ def main(argv=None):
     eos = getattr(tokenizer, "eos_token_id", None)
     batcher = ContinuousBatcher(
         pm, slots=args.slots, max_len=args.max_len, prefill_bucket=args.prefill_bucket,
-        eos_token_id=eos, temperature=args.temperature,
+        eos_token_id=eos, temperature=args.temperature, moe=args.moe_exec,
+        moe_capacity=args.moe_capacity,
     )
     rid_to_idx = {}
     prompt_lens = {}

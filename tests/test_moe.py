@@ -428,3 +428,54 @@ def test_qwen2_moe_batched_solver_matches_per_layer(rng):
         for k in ("q_bias", "k_bias"):
             np.testing.assert_allclose(batched["qk"][l][k], ref["qk"][k], rtol=1e-6)
         np.testing.assert_allclose(batched["vo"][l]["o_bias"], ref["vo"]["o_bias"], rtol=1e-6)
+
+
+# ---- capacity-based MoE dispatch (serving-scale execution) ----
+
+
+@pytest.mark.parametrize("family", ["mixtral", "qwen2_moe"])
+def test_moe_dispatch_matches_dense_at_full_capacity(rng, family):
+    """The capacity dispatch runs the same math as dense-all-experts via
+    gather/scatter; at capacity_factor >= E/k no assignment is dropped,
+    so outputs match to float reassociation."""
+    import jax.numpy as jnp
+
+    from modegpt_tpu.models.forward import _moe_mlp, _moe_mlp_dispatch
+
+    m = _tiny_mixtral() if family == "mixtral" else _tiny_qwen2_moe()
+    spec, params = params_from_hf_model(m)
+    x = jnp.asarray(rng.standard_normal((2, 16, spec.d_model)).astype(np.float32))
+    y_dense, _, _ = _moe_mlp(spec, params["layers"][0], x, False)
+    full = spec.n_experts / spec.experts_per_tok
+    y_disp = _moe_mlp_dispatch(spec, params["layers"][0], x, capacity_factor=full)
+    np.testing.assert_allclose(np.asarray(y_disp), np.asarray(y_dense), rtol=1e-5, atol=1e-6)
+    # tight capacity drops assignments deterministically but stays finite
+    y_tight = _moe_mlp_dispatch(spec, params["layers"][0], x, capacity_factor=1.0)
+    assert np.isfinite(np.asarray(y_tight)).all()
+
+
+def test_moe_dispatch_serving_matches_dense_generate(rng):
+    """Serving with moe='dispatch' at no-drop capacity emits exactly the
+    dense greedy continuation (int8-resident weights included)."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+    from modegpt_tpu.models.quantize import quantize_padded
+    from modegpt_tpu.models.serving import ContinuousBatcher
+
+    spec, params = params_from_hf_model(_tiny_qwen2_moe())
+    pm = pad_to_uniform(spec, params)
+    full = spec.n_experts / spec.experts_per_tok
+    ids = rng.integers(1, spec.vocab_size, size=(6,)).astype(np.int32)
+    ref = np.asarray(
+        generate(spec, params, ids[None], max_new_tokens=5, temperature=0.0)
+    )[0].tolist()
+    b = ContinuousBatcher(pm, slots=2, max_len=32, prefill_bucket=8,
+                          moe="dispatch", moe_capacity=full)
+    rid = b.submit(ids, max_new_tokens=5)
+    assert b.run()[rid] == ref
+
+    pq = quantize_padded(pm)
+    r8 = forward_padded(pq.spec, pq.layers, pq.other, pq.q_hd_true, ids[None])
+    g8 = forward_padded(pq.spec, pq.layers, pq.other, pq.q_hd_true, ids[None],
+                        moe="dispatch", moe_capacity=full)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(r8), rtol=1e-5, atol=1e-5)
