@@ -152,10 +152,14 @@ def params_from_state_dict(
                 lp["up"] = {"kernel": W(b + "mlp.up_proj.weight")}
                 lp["down"] = {"kernel": W(b + "mlp.down_proj.weight")}
             if spec.attention_bias:
+                # o bias is absent in the dense archs but appears in our
+                # compressed exports (the v bias folds into it — see
+                # compress/pipeline.py VO bias handling).
                 for ours, theirs in [
                     ("q", "self_attn.q_proj"),
                     ("k", "self_attn.k_proj"),
                     ("v", "self_attn.v_proj"),
+                    ("o", "self_attn.o_proj"),
                 ]:
                     if has(b + theirs + ".bias"):
                         lp[ours]["bias"] = V(b + theirs + ".bias")

@@ -48,11 +48,16 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "tie_word_embeddings": spec.tie_word_embeddings,
         }
     else:
+        arch_cls = {
+            "llama": "LlamaForCausalLM",
+            "qwen3": "Qwen3ForCausalLM",
+            "mixtral": "MixtralForCausalLM",
+            "qwen3_moe": "Qwen3MoeForCausalLM",
+            "qwen2_moe": "Qwen2MoeForCausalLM",
+        }
         cfg = {
             "model_type": spec.arch,
-            "architectures": [
-                "LlamaForCausalLM" if spec.arch == "llama" else "Qwen3ForCausalLM"
-            ],
+            "architectures": [arch_cls[spec.arch]],
             "vocab_size": spec.vocab_size,
             "hidden_size": spec.d_model,
             "intermediate_size": spec.d_int,
@@ -68,10 +73,34 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "mlp_bias": spec.mlp_bias,
             "tie_word_embeddings": spec.tie_word_embeddings,
         }
-        if spec.layer_types:
+        if spec.layer_types and spec.arch != "mixtral":
             cfg["layer_types"] = list(spec.layer_types)
             cfg["sliding_window"] = spec.sliding_window
             cfg["use_sliding_window"] = spec.sliding_window is not None
+        elif spec.arch == "mixtral":
+            cfg["sliding_window"] = spec.sliding_window
+        if spec.arch == "mixtral":
+            cfg["num_local_experts"] = spec.n_experts
+            cfg["num_experts_per_tok"] = spec.experts_per_tok
+        elif spec.arch in ("qwen3_moe", "qwen2_moe"):
+            # HF MoE configs carry BOTH the dense intermediate (used by
+            # mlp_only_layers) and the per-expert moe intermediate; our
+            # spec.d_int is the latter, dense layers' size lives in their
+            # gate_ranks entries.
+            cfg["moe_intermediate_size"] = spec.d_int
+            dense_layers = [
+                l for l in range(spec.n_layers) if not spec.is_moe_layer(l)
+            ]
+            cfg["intermediate_size"] = (
+                spec.gate_ranks[dense_layers[0]] if dense_layers else spec.d_int
+            )
+            cfg["mlp_only_layers"] = dense_layers
+            cfg["decoder_sparse_step"] = 1
+            cfg["num_experts"] = spec.n_experts
+            cfg["num_experts_per_tok"] = spec.experts_per_tok
+            cfg["norm_topk_prob"] = spec.norm_topk_prob
+            if spec.arch == "qwen2_moe":
+                cfg["shared_expert_intermediate_size"] = spec.shared_d_int
     # Compressed rank lists (reference: LlamaAdapter.py:286-292) + the
     # ffn_dim=-1 canary the reference sets (LlamaAdapter.py:287).
     cfg["q_ranks"] = list(spec.q_ranks)
@@ -79,6 +108,8 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
     cfg["v_ranks"] = list(spec.v_ranks)
     cfg["o_ranks"] = list(spec.o_ranks)
     cfg["gate_ranks"] = list(spec.gate_ranks)
+    if spec.shared_gate_ranks:
+        cfg["shared_gate_ranks"] = list(spec.shared_gate_ranks)
     cfg["torch_dtype"] = "bfloat16"
     return cfg
 
@@ -91,11 +122,6 @@ def export_to_hf(
     dtype=np.float32,
 ) -> str:
     """Write an HF-layout checkpoint directory from (spec, params)."""
-    if spec.n_experts:
-        raise NotImplementedError(
-            "HF export covers the reference's archs (opt/llama/qwen3); "
-            "MoE artifacts load via modegpt_tpu.compress.artifact"
-        )
     from safetensors.numpy import save_file
 
     os.makedirs(out_dir, exist_ok=True)
@@ -149,6 +175,29 @@ def export_to_hf(
         if "q_norm" in lp:
             sd[b + "self_attn.q_norm.weight"] = V(lp["q_norm"]["scale"])
             sd[b + "self_attn.k_norm.weight"] = V(lp["k_norm"]["scale"])
+        if spec.is_moe_layer(l):
+            # MoE layer: HF key layouts (see models/hf.py importer) —
+            # mixtral block_sparse_moe.gate + experts.{e}.w1/w3/w2;
+            # qwen3_moe/qwen2_moe mlp.gate + experts.{e}.{gate,up,down}_proj
+            # (+ qwen2_moe shared_expert.* and shared_expert_gate).
+            if spec.arch == "mixtral":
+                moe_pre, enames = b + "block_sparse_moe.", ("w1", "w3", "w2")
+            else:
+                moe_pre, enames = b + "mlp.", ("gate_proj", "up_proj", "down_proj")
+            sd[moe_pre + "gate.weight"] = W(lp["router"])
+            ek = lp["experts"]
+            for e in range(spec.n_experts):
+                for ours, theirs in zip(("gate", "up", "down"), enames):
+                    sd[f"{moe_pre}experts.{e}.{theirs}.weight"] = np.ascontiguousarray(
+                        np.asarray(ek[ours]["kernel"][e], dtype=dtype).T
+                    )
+            if "shared" in lp:
+                for ours, theirs in (
+                    ("gate", "gate_proj"), ("up", "up_proj"), ("down", "down_proj"),
+                ):
+                    sd[moe_pre + f"shared_expert.{theirs}.weight"] = W(lp["shared"][ours])
+                if "shared_gate" in lp:
+                    sd[moe_pre + "shared_expert_gate.weight"] = W(lp["shared_gate"])
         if "rotary_mask" in lp:
             masks[l] = np.asarray(lp["rotary_mask"])
 
