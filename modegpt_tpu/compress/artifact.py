@@ -110,6 +110,77 @@ def _quantize_int8(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale.reshape(scale.shape[-1])
 
 
+def _pack_nibbles(codes: np.ndarray) -> np.ndarray:
+    """Flatten unsigned 4-bit codes [0, 15] and pack two per byte."""
+    flat = codes.reshape(-1).astype(np.uint8)
+    if flat.size % 2:
+        flat = np.concatenate([flat, np.zeros(1, np.uint8)])
+    return (flat[0::2] | (flat[1::2] << 4)).astype(np.uint8)
+
+
+def _unpack_nibbles(packed: np.ndarray, size: int) -> np.ndarray:
+    lo = packed & 0x0F
+    hi = packed >> 4
+    flat = np.empty(packed.size * 2, np.uint8)
+    flat[0::2] = lo
+    flat[1::2] = hi
+    return flat[:size]
+
+
+def _quantize_int4(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
+    """Symmetric per-output-channel int4 in [-7, 7], packed two codes per
+    byte. ~8x smaller than f32; dequantized (or kept int4-resident) at
+    load."""
+    af = np.asarray(a, dtype=np.float32)
+    amax = np.max(np.abs(af), axis=tuple(range(af.ndim - 1)), keepdims=True)
+    scale = (amax / 7.0).astype(np.float32)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    q = np.clip(np.rint(af / scale), -7, 7).astype(np.int8)
+    return _pack_nibbles((q + 8).astype(np.uint8)), scale.reshape(scale.shape[-1]), af.shape
+
+
+# The QLoRA NF4 codebook: 16 quantiles of a standard normal, normalised
+# to [-1, 1] (Dettmers et al., 2023 "QLoRA", Appendix E) — information-
+# theoretically optimal for normally-distributed weights.
+_NF4_CODE = np.array(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    dtype=np.float32,
+)
+_NF4_BLOCK = 64
+
+
+def _quantize_nf4(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
+    """Blockwise NF4: absmax-scale each 64-value block to [-1, 1], map to
+    the nearest NF4 quantile, pack two codes per byte (QLoRA storage
+    scheme). Always dequantized at load (the codebook lookup has no
+    matmul-resident form)."""
+    af = np.asarray(a, dtype=np.float32)
+    flat = af.reshape(-1)
+    pad = (-flat.size) % _NF4_BLOCK
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.float32)])
+    blocks = flat.reshape(-1, _NF4_BLOCK)
+    absmax = np.max(np.abs(blocks), axis=1, keepdims=True)
+    absmax = np.where(absmax == 0.0, 1.0, absmax)
+    normed = blocks / absmax
+    codes = np.argmin(np.abs(normed[..., None] - _NF4_CODE), axis=-1).astype(np.uint8)
+    return _pack_nibbles(codes), absmax.reshape(-1).astype(np.float32), af.shape
+
+
+def _dequantize_nf4(packed: np.ndarray, scale: np.ndarray, shape) -> np.ndarray:
+    size = int(np.prod(shape))
+    padded = scale.size * _NF4_BLOCK
+    codes = _unpack_nibbles(packed, padded)
+    vals = _NF4_CODE[codes].reshape(-1, _NF4_BLOCK) * scale[:, None]
+    return vals.reshape(-1)[:size].reshape(shape).astype(np.float32)
+
+
 def save_compressed_model(
     save_dir: str,
     spec: ModelSpec,
@@ -121,10 +192,13 @@ def save_compressed_model(
 ) -> str:
     """Write the final artifact: spec.json + params.npz + tokenizer_source.txt.
 
-    dtype: "float32" | "bfloat16" | "int8". int8 stores the projection
-    kernels and embeddings as symmetric per-channel int8 with a float32
-    scale sidecar leaf (weight-only quantization; ~4x smaller than f32);
-    everything else stays float32.
+    dtype: "float32" | "bfloat16" | "int8" | "int4" | "nf4". The
+    quantized dtypes store projection kernels and embeddings weight-only
+    with float32 scale sidecar leaves, everything else float32:
+    int8 = symmetric per-out-channel (~4x smaller than f32);
+    int4 = symmetric per-out-channel in [-7, 7], two codes per byte
+    (~8x); nf4 = blockwise (64) absmax + the QLoRA normal-float
+    codebook (~8x, better tails than int4 for normal-ish weights).
 
     backend: "npz" (single-file, default) or "orbax" — Orbax's
     OCDBT/tensorstore format supports async multi-host writes and
@@ -134,8 +208,8 @@ def save_compressed_model(
     os.makedirs(save_dir, exist_ok=True)
 
     if backend == "orbax":
-        if dtype == "int8":
-            raise ValueError("int8 quantization is supported by the npz backend only")
+        if dtype in ("int8", "int4", "nf4"):
+            raise ValueError(f"{dtype} quantization is supported by the npz backend only")
         import orbax.checkpoint as ocp
 
         target = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -167,11 +241,21 @@ def save_compressed_model(
     stored, dtypes = {}, {}
     for k, v in flat.items():
         is_float = np.issubdtype(v.dtype, np.floating) or v.dtype == jnp.bfloat16
-        if is_float and dtype == "int8" and _is_weight_key(k):
-            q, scale = _quantize_int8(np.asarray(jnp.asarray(v).astype(np.float32)))
+        if is_float and dtype in ("int8", "int4", "nf4") and _is_weight_key(k):
+            vf = np.asarray(jnp.asarray(v).astype(np.float32))
+            if dtype == "int8":
+                q, scale = _quantize_int8(vf)
+            elif dtype == "int4":
+                q, scale, shape = _quantize_int4(vf)
+                stored[k + "::shape"] = np.asarray(shape, np.int64)
+                dtypes[k + "::shape"] = "int64"
+            else:
+                q, scale, shape = _quantize_nf4(vf)
+                stored[k + "::shape"] = np.asarray(shape, np.int64)
+                dtypes[k + "::shape"] = "int64"
             stored[k] = q
             stored[k + "::scale"] = scale
-            dtypes[k] = "int8"
+            dtypes[k] = dtype
             dtypes[k + "::scale"] = "float32"
             continue
         if is_float:
@@ -225,10 +309,12 @@ def load_compressed_model(save_dir: str, resident_int8: bool = False):
     shape is re-derivable from the spec; mismatches raise with the
     parameter name.
 
-    resident_int8: for int8 artifacts, keep projection kernels as int8
-    ``kernel_q`` + ``scale`` leaves instead of dequantizing — the forward
-    consumes them directly (models/quantize.py), halving weight HBM
-    traffic vs bf16. Embeddings always dequantize (they are gathers).
+    resident_int8: for int8/int4 artifacts, keep projection kernels
+    quantized as ``kernel_q`` + ``scale`` leaves (int8, or native jax
+    int4) instead of dequantizing — the forward consumes them directly
+    (models/quantize.py), cutting weight HBM traffic 2x/4x vs bf16.
+    Embeddings always dequantize (they are gathers); nf4 always
+    dequantizes (codebook lookup has no matmul-resident form).
     """
     with open(os.path.join(save_dir, "spec.json")) as f:
         sidecar = json.load(f)
@@ -252,15 +338,27 @@ def load_compressed_model(save_dir: str, resident_int8: bool = False):
     with np.load(os.path.join(save_dir, "params.npz")) as z:
         raw = {k: z[k] for k in z.files}
     for k, a in raw.items():
-        if k.endswith("::scale"):
+        if k.endswith("::scale") or k.endswith("::shape"):
             continue
-        if sidecar["dtypes"].get(k) == "int8":
+        kdt = sidecar["dtypes"].get(k)
+        if kdt == "int8":
             if resident_int8 and k.rsplit("/", 1)[-1] == "kernel":
                 flat[k[: -len("kernel")] + "kernel_q"] = a
                 flat[k[: -len("kernel")] + "scale"] = raw[k + "::scale"]
                 continue
             a = (a.astype(np.float32) * raw[k + "::scale"]).astype(np.float32)
-        elif sidecar["dtypes"].get(k) == "bfloat16":
+        elif kdt == "int4":
+            shape = tuple(int(s) for s in raw[k + "::shape"])
+            codes = _unpack_nibbles(a, int(np.prod(shape))).astype(np.int8) - 8
+            codes = codes.reshape(shape)
+            if resident_int8 and k.rsplit("/", 1)[-1] == "kernel":
+                flat[k[: -len("kernel")] + "kernel_q"] = jnp.asarray(codes).astype(jnp.int4)
+                flat[k[: -len("kernel")] + "scale"] = raw[k + "::scale"]
+                continue
+            a = codes.astype(np.float32) * raw[k + "::scale"]
+        elif kdt == "nf4":
+            a = _dequantize_nf4(a, raw[k + "::scale"], tuple(int(s) for s in raw[k + "::shape"]))
+        elif kdt == "bfloat16":
             a = a.view(jnp.bfloat16)
         flat[k] = a
 

@@ -70,7 +70,7 @@ class CompressionConfig:
     # (layer-count-independent compile, see models/padded.py); 'auto'
     # picks padded when the FLOP overhead is small.
     compressed_exec: str = "auto"
-    # Artifact storage: '' follows model_dtype; 'int8' = weight-only
+    # Artifact storage: '' follows model_dtype; int8/int4/nf4 = weight-only
     # symmetric per-channel quantization (~4x smaller than f32).
     artifact_dtype: str = ""
     # 'npz' (single file) or 'orbax' (async multi-host tensorstore).
@@ -142,9 +142,9 @@ class CompressionConfig:
             raise ValueError(
                 f"compressed_exec must be auto, unrolled or padded, got {self.compressed_exec!r}"
             )
-        if self.artifact_dtype not in ("", "float32", "bfloat16", "int8"):
+        if self.artifact_dtype not in ("", "float32", "bfloat16", "int8", "int4", "nf4"):
             raise ValueError(
-                f"artifact_dtype must be float32, bfloat16, int8 or empty, "
+                f"artifact_dtype must be float32, bfloat16, int8, int4, nf4 or empty, "
                 f"got {self.artifact_dtype!r}"
             )
         if self.artifact_backend not in ("npz", "orbax"):
