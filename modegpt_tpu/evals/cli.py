@@ -67,6 +67,12 @@ def main(argv=None):
         "--model becomes the verified target (greedy output is the target's own)",
     )
     parser.add_argument("--n_draft", type=int, default=4, help="draft tokens per round")
+    parser.add_argument(
+        "--prompt_lookup", action="store_true",
+        help="draft-model-free speculative decoding: drafts come from "
+        "n-gram matches against the sequence's own history (greedy-exact)",
+    )
+    parser.add_argument("--lookup_ngram", type=int, default=3, help="prompt-lookup match length")
     parser.add_argument("--mesh_shape", default="")
     parser.add_argument(
         "--compressed_exec", default="auto", choices=("auto", "unrolled", "padded"),
@@ -120,7 +126,24 @@ def main(argv=None):
             raise SystemExit("--generate requires a tokenizer")
         ids = np.asarray([tokenizer(args.generate)["input_ids"]], dtype=np.int32)
         eos = getattr(tokenizer, "eos_token_id", None)
-        if args.speculative_draft:
+        if args.prompt_lookup:
+            from modegpt_tpu.models.padded import pad_to_uniform
+            from modegpt_tpu.models.speculative import prompt_lookup_generate
+
+            out, stats = prompt_lookup_generate(
+                pad_to_uniform(spec, params), ids,
+                max_new_tokens=args.max_new_tokens, n_draft=args.n_draft,
+                ngram=args.lookup_ngram, eos_token_id=eos, return_stats=True,
+            )
+            results["prompt_lookup"] = {
+                "rounds": int(stats.rounds.sum()),
+                "drafted": int(stats.drafted.sum()),
+                "accepted": int(stats.accepted.sum()),
+                "acceptance_rate": float(stats.accepted.sum())
+                / max(float(stats.drafted.sum()), 1.0),
+            }
+            logger.info("prompt-lookup decode: %s", results["prompt_lookup"])
+        elif args.speculative_draft:
             from modegpt_tpu.models.padded import pad_to_uniform
             from modegpt_tpu.models.speculative import speculative_generate
 

@@ -44,7 +44,7 @@ from jax import lax
 
 from modegpt_tpu.models.padded import PaddedModel, _model_step_padded
 
-__all__ = ["speculative_generate", "SpecDecodeStats"]
+__all__ = ["speculative_generate", "prompt_lookup_generate", "SpecDecodeStats"]
 
 
 class SpecDecodeStats(NamedTuple):
@@ -174,6 +174,159 @@ def _spec_generate_jit(
         return tokens, SpecDecodeStats(rounds=rounds, drafted=drafted, accepted=accepted)
 
     return jax.vmap(one)(prompt_ids)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "max_new_tokens", "n_draft", "ngram", "max_len"),
+)
+def _prompt_lookup_jit(
+    spec,
+    arrays,  # (layers, other, q_hd_true)
+    prompt_ids: jax.Array,  # [B, P]
+    max_new_tokens: int,
+    n_draft: int,
+    ngram: int,
+    max_len: int,
+    eos_token_id: Optional[jax.Array],
+):
+    """Prompt-lookup decoding (Saxena 2023; vLLM/TGI 'prompt lookup'):
+    draft tokens are read from the SEQUENCE ITSELF — match the last
+    `ngram` committed tokens against earlier positions and propose the
+    continuation after the most recent match. No draft model: the only
+    cost per round is the target's (k+1)-position verify forward, which
+    replaces k+1 single-token decode steps when text repeats (code,
+    retrieval-grounded generation, summarisation). Greedy-exact."""
+    k, ng = n_draft, ngram
+    dtype = arrays[1]["embed_tokens"].dtype
+    P = prompt_ids.shape[1]
+    H = P + max_new_tokens + k + 1  # history buffer length
+
+    def tstep(tokens, cache):
+        layers, other, qhd = arrays
+        logits, ck, cv, length = _model_step_padded.__wrapped__(
+            spec, layers, other, qhd, tokens, *cache
+        )
+        return logits, (ck, cv, length)
+
+    def one(prompt):  # [P] — vmapped over the batch
+        Rq = spec.q_ranks[0] // spec.n_heads
+        Rv = spec.v_ranks[0] // spec.n_kv_heads
+        cache = (
+            jnp.zeros((spec.n_layers, 1, spec.n_kv_heads, max_len, Rq), dtype=dtype),
+            jnp.zeros((spec.n_layers, 1, spec.n_kv_heads, max_len, Rv), dtype=dtype),
+            jnp.asarray(0, jnp.int32),
+        )
+        tlogits, cache = tstep(prompt[None], cache)
+        first = jnp.argmax(tlogits[0, -1, :]).astype(prompt.dtype)
+
+        hist = jnp.zeros((H,), prompt.dtype)
+        hist = lax.dynamic_update_slice(hist, prompt, (0,))
+        hist = hist.at[P].set(first)
+        h_len0 = jnp.asarray(P + 1, jnp.int32)
+        done0 = (first == eos_token_id) if eos_token_id is not None else jnp.asarray(False)
+
+        pos = jnp.arange(H - ng, dtype=jnp.int32)
+        win_idx = pos[:, None] + jnp.arange(ng, dtype=jnp.int32)[None, :]
+
+        def cond(state):
+            n_gen, done = state[0], state[1]
+            return (n_gen < max_new_tokens) & ~done
+
+        def body(state):
+            n_gen, done, last, hist, h_len, cache, rounds, drafted, accepted = state
+
+            # ---- draft from history: most recent earlier match of the
+            # last `ng` committed tokens, excluding the window itself.
+            window = lax.dynamic_slice(hist, (h_len - ng,), (ng,))
+            wins = hist[win_idx]  # [H-ng, ng]
+            ok = jnp.all(wins == window[None, :], axis=1)
+            valid = ok & (pos < h_len - ng)
+            j = jnp.max(jnp.where(valid, pos, -1))
+            found = j >= 0
+            dtoks = lax.dynamic_slice(hist, (jnp.where(found, j + ng, 0),), (k,))
+            # no match: propose repeats of the last token (verify round
+            # then degenerates to one ordinary decode step)
+            dtoks = jnp.where(found, dtoks, jnp.broadcast_to(last, (k,)))
+
+            # ---- target verifies [last, d_0..d_{k-1}] in one forward
+            window_t = jnp.concatenate([last[None], dtoks])[None]
+            tlogits, cache = tstep(window_t, cache)
+            ttoks = jnp.argmax(tlogits[0], axis=-1).astype(last.dtype)  # [k+1]
+            tlen_base = cache[2] - (k + 1)
+
+            match = dtoks == ttoks[:k]
+            a = jnp.sum(jnp.cumprod(match.astype(jnp.int32)), dtype=jnp.int32)
+            adv = a + 1
+            if eos_token_id is not None:
+                is_eos = ttoks == eos_token_id
+                eos_pos = jnp.argmax(is_eos).astype(jnp.int32)
+                has_eos = jnp.any(is_eos & (jnp.arange(k + 1, dtype=jnp.int32) < adv))
+                adv = jnp.where(has_eos, jnp.minimum(adv, eos_pos + 1), adv)
+                done = done | has_eos
+
+            hist = lax.dynamic_update_slice(hist, ttoks, (h_len,))
+            new_last = ttoks[adv - 1]
+            cache = (cache[0], cache[1], tlen_base + adv)
+            n_gen = jnp.minimum(n_gen + adv, jnp.asarray(max_new_tokens, jnp.int32))
+            return (
+                n_gen, done, new_last, hist, h_len + adv, cache,
+                rounds + 1, drafted + k, accepted + a,
+            )
+
+        zero = jnp.asarray(0, jnp.int32)
+        state = (
+            jnp.minimum(jnp.asarray(1, jnp.int32), max_new_tokens),
+            done0, first, hist, h_len0, cache, zero, zero, zero,
+        )
+        n_gen, done, last, hist, h_len, cache, rounds, drafted, accepted = lax.while_loop(
+            cond, body, state
+        )
+        tokens = lax.dynamic_slice(hist, (P,), (max_new_tokens,))
+        if eos_token_id is not None:
+            has = jnp.any(tokens == eos_token_id)
+            first_eos = jnp.argmax(tokens == eos_token_id)
+            idx = jnp.arange(max_new_tokens)
+            tokens = jnp.where(has & (idx > first_eos), eos_token_id, tokens)
+        return tokens, SpecDecodeStats(rounds=rounds, drafted=drafted, accepted=accepted)
+
+    return jax.vmap(one)(prompt_ids)
+
+
+def prompt_lookup_generate(
+    pm: PaddedModel,
+    prompt_ids,
+    max_new_tokens: int = 32,
+    n_draft: int = 8,
+    ngram: int = 3,
+    eos_token_id: Optional[int] = None,
+    max_len: Optional[int] = None,
+    return_stats: bool = False,
+):
+    """Draft-model-free greedy speculative decoding: drafts come from
+    n-gram matches against the sequence's own history (prompt lookup).
+    One compiled dispatch, batched; output identical to the model's own
+    greedy decode. Shines on repetitive continuations (code, extraction,
+    RAG answers quoting context) where acceptance approaches n_draft."""
+    prompt_ids = jnp.asarray(prompt_ids)
+    B, P = prompt_ids.shape
+    if ngram >= P:
+        raise ValueError(f"ngram ({ngram}) must be shorter than the prompt ({P})")
+    if max_len is None:
+        max_len = P + max_new_tokens + n_draft + 1
+    eos = None if eos_token_id is None else jnp.asarray(eos_token_id, prompt_ids.dtype)
+    tokens, stats = _prompt_lookup_jit(
+        pm.spec,
+        (pm.layers, pm.other, pm.q_hd_true),
+        prompt_ids,
+        max_new_tokens,
+        n_draft,
+        ngram,
+        max_len,
+        eos,
+    )
+    out = jnp.concatenate([prompt_ids, tokens], axis=1)
+    return (out, stats) if return_stats else out
 
 
 def speculative_generate(

@@ -102,3 +102,46 @@ def test_speculative_batched_matches_per_row(tmp_path, rng):
     )
     np.testing.assert_array_equal(np.asarray(out), ref)
     assert stats.accepted.shape == (3,)
+
+
+def test_prompt_lookup_matches_greedy(tmp_path, rng):
+    """Prompt-lookup decoding (no draft model) emits exactly the model's
+    greedy continuation; on a repetitive prompt it accepts drafts."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.models.speculative import prompt_lookup_generate
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+
+    # repetitive prompt: the continuation repeats the cycle, so n-gram
+    # lookup should accept aggressively
+    cycle = rng.integers(1, spec.vocab_size, size=(6,)).astype(np.int32)
+    prompt = np.concatenate([cycle, cycle, cycle])[None]
+    ref = np.asarray(generate(spec, params, prompt, max_new_tokens=10, temperature=0.0))
+    out, stats = prompt_lookup_generate(
+        pm, prompt, max_new_tokens=10, n_draft=6, ngram=3, return_stats=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert int(stats.rounds[0]) >= 1 and int(stats.drafted[0]) > 0
+
+    # random prompt: still exact, just low acceptance
+    prompt2 = rng.integers(1, spec.vocab_size, size=(1, 9)).astype(np.int32)
+    ref2 = np.asarray(generate(spec, params, prompt2, max_new_tokens=7, temperature=0.0))
+    out2 = prompt_lookup_generate(pm, prompt2, max_new_tokens=7, n_draft=4, ngram=3)
+    np.testing.assert_array_equal(np.asarray(out2), ref2)
+
+
+def test_prompt_lookup_batched_and_eos(rng):
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.models.speculative import prompt_lookup_generate
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = rng.integers(1, spec.vocab_size, size=(3, 8)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, prompts, max_new_tokens=6, temperature=0.0,
+                              eos_token_id=5))
+    out = prompt_lookup_generate(pm, prompts, max_new_tokens=6, n_draft=4, ngram=3,
+                                 eos_token_id=5)
+    np.testing.assert_array_equal(np.asarray(out), ref)
