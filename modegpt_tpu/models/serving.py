@@ -173,12 +173,19 @@ class ContinuousBatcher:
     all active slots each iteration, and returns finished sequences.
     The device programs (one prefill per bucket + one decode step) are
     compiled once and reused for the server's lifetime.
+
+    Prefill OVERLAPS decode: admission only records a slot's pending
+    prompt chunks; each run() iteration processes at most
+    ``prefill_chunks_per_step`` chunks (round-robin across admitting
+    slots) before the decode step for already-active slots. A long
+    prompt therefore never head-of-line-blocks decoding — the classic
+    chunked-prefill scheduling (Sarathi/vLLM) on the slot table.
     """
 
     def __init__(self, pm: PaddedModel, slots: int = 8, max_len: int = 512,
                  prefill_bucket: int = 64, eos_token_id: Optional[int] = None,
                  temperature: float = 0.0, moe: str = "dense",
-                 moe_capacity: float = 2.0):
+                 moe_capacity: float = 2.0, prefill_chunks_per_step: int = 1):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -190,11 +197,15 @@ class ContinuousBatcher:
         # scale with capacity — see forward._moe_mlp_dispatch).
         self.moe = moe
         self.moe_capacity = moe_capacity
+        self.prefill_chunks_per_step = prefill_chunks_per_step
         self.state = init_serve_state(pm, slots, max_len, dtype=pm.other["embed_tokens"].dtype)
         self.queue: List[Tuple[int, np.ndarray, int]] = []  # (req_id, prompt, max_new)
         self.slot_req: List[Optional[int]] = [None] * slots
         self.slot_out: List[List[int]] = [[] for _ in range(slots)]
         self.slot_budget = [0] * slots
+        # pending prompt chunks per slot: list of (piece, pos0, is_last);
+        # non-empty = the slot is still PREFILLING (not decode-active)
+        self.slot_chunks: List[List] = [[] for _ in range(slots)]
         self._next_id = 0
 
     def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
@@ -210,27 +221,60 @@ class ContinuousBatcher:
         return rid
 
     def _slot_finished(self, s: int) -> bool:
+        if self.slot_chunks[s]:
+            return False  # still prefilling
         return self.slot_budget[s] <= 0 or (
             self.eos is not None
             and bool(self.slot_out[s])
             and self.slot_out[s][-1] == self.eos
         )
 
-    def _admit(self, key):
+    def _admit(self):
+        """Assign queued requests to free slots — host bookkeeping only;
+        the device work happens chunk-by-chunk in `_prefill_step`."""
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
                 rid, prompt, budget = self.queue.pop(0)
+                self.slot_req[s] = rid
+                self.slot_out[s] = list(prompt.tolist())
+                self.slot_budget[s] = budget
+                n_chunks = max(1, -(-prompt.shape[0] // self.bucket))
+                self.slot_chunks[s] = [
+                    (prompt[c * self.bucket : (c + 1) * self.bucket],
+                     c * self.bucket, c == n_chunks - 1)
+                    for c in range(n_chunks)
+                ]
+
+    def _prefill_step(self, key):
+        """Process up to `prefill_chunks_per_step` pending chunks,
+        round-robin over prefilling slots. Returns the advanced key."""
+        done_budget = self.prefill_chunks_per_step
+        while done_budget > 0:
+            pending = [s for s in range(self.slots) if self.slot_chunks[s]]
+            if not pending:
+                break
+            for s in pending:
+                if done_budget <= 0:
+                    break
+                piece, pos0, is_last = self.slot_chunks[s].pop(0)
+                real = piece.shape[0]
+                padded = np.zeros((1, self.bucket), np.int32)
+                padded[0, :real] = piece
                 key, sub = jax.random.split(key)
-                self.state = prefill_slot(
-                    self.pm, self.state, s, prompt, self.bucket, self.temperature, sub,
+                self.state = _prefill_chunk_jit(
+                    self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                    self.state, jnp.asarray(s, jnp.int32), jnp.asarray(padded),
+                    jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
+                    jnp.asarray(is_last), self.temperature, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
                 )
-                tok = int(self.state.last_token[s])
-                self.slot_req[s] = rid
-                self.slot_out[s] = list(prompt.tolist()) + [tok]
-                self.slot_budget[s] = budget - 1
-                if self.eos is not None and tok == self.eos:
-                    self.slot_budget[s] = 0
+                done_budget -= 1
+                if is_last:
+                    tok = int(self.state.last_token[s])
+                    self.slot_out[s].append(tok)
+                    self.slot_budget[s] -= 1
+                    if self.eos is not None and tok == self.eos:
+                        self.slot_budget[s] = 0
         return key
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
@@ -243,17 +287,25 @@ class ContinuousBatcher:
                 if self.slot_req[s] is not None and self._slot_finished(s):
                     finished[self.slot_req[s]] = self.slot_out[s]
                     self.slot_req[s] = None
-            key = self._admit(key)
-            # a slot that finished AT prefill (eos first token, or a
-            # max_new_tokens=1 budget) must not take a decode step
+            self._admit()
+            key = self._prefill_step(key)
+            # decode-active: fully prefilled, unfinished slots only (a slot
+            # that finished AT prefill — eos first token or budget 1 —
+            # must not take a decode step; prefilling slots wait)
             active_mask = np.asarray(
                 [
-                    self.slot_req[s] is not None and not self._slot_finished(s)
+                    self.slot_req[s] is not None
+                    and not self.slot_chunks[s]
+                    and not self._slot_finished(s)
                     for s in range(self.slots)
                 ]
             )
             if not active_mask.any():
-                if not self.queue and all(r is None for r in self.slot_req):
+                if (
+                    not self.queue
+                    and all(r is None for r in self.slot_req)
+                    and not any(self.slot_chunks)
+                ):
                     return finished
                 continue
             key, sub = jax.random.split(key)

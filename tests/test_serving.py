@@ -147,3 +147,35 @@ def test_batcher_eos_at_prefill(rng):
     rid = b.submit(prompt, max_new_tokens=10)
     done = b.run()
     assert done[rid] == ref  # prompt + eos, nothing after
+
+
+def test_chunked_prefill_overlaps_decode(rng):
+    """A long (multi-chunk) prompt admitted while another slot is
+    decoding must not corrupt either sequence: decode steps interleave
+    with prefill chunks (the masked decode write at a prefilling slot's
+    position is overwritten by its next chunk). Both outputs stay
+    greedy-exact."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.models.serving import ContinuousBatcher
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+
+    short = rng.integers(1, spec.vocab_size, size=(5,)).astype(np.int32)
+    long = rng.integers(1, spec.vocab_size, size=(29,)).astype(np.int32)  # 4 chunks @ 8
+
+    ref_short = np.asarray(
+        generate(spec, params, short[None], max_new_tokens=8, temperature=0.0)
+    )[0].tolist()
+    ref_long = np.asarray(
+        generate(spec, params, long[None], max_new_tokens=6, temperature=0.0)
+    )[0].tolist()
+
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          prefill_chunks_per_step=1)
+    r1 = b.submit(short, max_new_tokens=8)
+    r2 = b.submit(long, max_new_tokens=6)
+    done = b.run()
+    assert done[r1] == ref_short
+    assert done[r2] == ref_long
