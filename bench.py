@@ -27,17 +27,28 @@ import time
 import numpy as np
 
 # ---- workload size (fits comfortably in one v5e chip and in host RAM) ----
-# MODEGPT_BENCH_PRESET=medium scales to a ~0.5B model (longer runtime).
+# MODEGPT_BENCH_PRESET: small (default, ~0.1B), medium (~0.5B),
+# large (7B-proxy layer geometry, 4 layers).
 import os as _os
 
-if _os.environ.get("MODEGPT_BENCH_PRESET", "small") == "medium":
+_PRESET = _os.environ.get("MODEGPT_BENCH_PRESET", "small")
+if _PRESET == "large":
+    # Llama-2-7B layer geometry (d_model 4096, d_int 11008, GQA 32/8),
+    # truncated to 4 layers so the dense model + Gram stats fit one chip.
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 4096, 32, 8, 128
+    D_INT, N_LAYERS, VOCAB = 11008, 4, 32000
+    SEQ, CALIB_SEQS, BATCH = 2048, 8, 4
+    _LABEL = "7Bproxy"
+elif _PRESET == "medium":
     D_MODEL, N_HEADS, N_KV, HEAD_DIM = 2048, 16, 8, 128
     D_INT, N_LAYERS, VOCAB = 5504, 8, 16384
     SEQ, CALIB_SEQS, BATCH = 1024, 8, 4
+    _LABEL = "0.5B"
 else:
     D_MODEL, N_HEADS, N_KV, HEAD_DIM = 1024, 16, 8, 64
     D_INT, N_LAYERS, VOCAB = 2816, 4, 8192
     SEQ, CALIB_SEQS, BATCH = 512, 8, 4
+    _LABEL = "0.1B"
 RATIO = 0.3
 
 
@@ -123,16 +134,22 @@ def bench_jax() -> float:
     return elapsed
 
 
-def bench_torch_reference() -> float:
+def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
     """Reference-equivalent computation in torch on CPU: hooked forward
-    calibration (f64 Gram accumulation) + f64 closed-form solvers."""
+    calibration (f64 Gram accumulation) + f64 closed-form solvers.
+
+    `n_layers` sizes the measured model — main() uses two-point (1- and
+    2-layer) extrapolation for the medium/large presets so the CPU
+    baseline cannot blow the bench's time budget (the workload is
+    per-layer uniform: fixed = embed/lm_head cost, slope = one layer's
+    forward + solver cost)."""
     import torch
     import transformers
 
     torch.manual_seed(0)
     cfg = transformers.LlamaConfig(
         vocab_size=VOCAB, hidden_size=D_MODEL, intermediate_size=D_INT,
-        num_hidden_layers=N_LAYERS, num_attention_heads=N_HEADS,
+        num_hidden_layers=n_layers, num_attention_heads=N_HEADS,
         num_key_value_heads=N_KV, max_position_embeddings=SEQ * 2,
         tie_word_embeddings=False,
     )
@@ -143,10 +160,10 @@ def bench_torch_reference() -> float:
         rng.integers(0, VOCAB, size=(CALIB_SEQS, SEQ)), dtype=torch.long
     )
 
-    cov_mlp = [torch.zeros(D_INT, D_INT, dtype=torch.float64) for _ in range(N_LAYERS)]
-    cov_q = [torch.zeros(N_HEADS, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(N_LAYERS)]
-    cov_k = [torch.zeros(N_KV, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(N_LAYERS)]
-    cov_x = [torch.zeros(D_MODEL, D_MODEL, dtype=torch.float64) for _ in range(N_LAYERS)]
+    cov_mlp = [torch.zeros(D_INT, D_INT, dtype=torch.float64) for _ in range(n_layers)]
+    cov_q = [torch.zeros(N_HEADS, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(n_layers)]
+    cov_k = [torch.zeros(N_KV, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(n_layers)]
+    cov_x = [torch.zeros(D_MODEL, D_MODEL, dtype=torch.float64) for _ in range(n_layers)]
 
     def mlp_hook(l):
         def hook(mod, inp):
@@ -178,14 +195,14 @@ def bench_torch_reference() -> float:
         w = (w + ridge).clamp(min=0).sqrt()
         return (V * w) @ V.T
 
-    bi = torch.zeros(N_LAYERS, dtype=torch.float64)
+    bi = torch.zeros(n_layers, dtype=torch.float64)
 
     def run_calibration():
         with torch.no_grad():
             for i in range(0, CALIB_SEQS, BATCH):
                 out = model(tokens[i : i + BATCH], output_hidden_states=True)
                 hs = out.hidden_states
-                for l in range(N_LAYERS):
+                for l in range(n_layers):
                     cs = torch.cosine_similarity(hs[l].double(), hs[l + 1].double(), dim=2)
                     bi[l] += (1 - cs).sum(0).mean()
 
@@ -250,13 +267,28 @@ def bench_torch_reference() -> float:
 
 def main():
     ours = bench_jax()
-    baseline = bench_torch_reference()
+    full_baseline = (
+        _PRESET == "small" or _os.environ.get("MODEGPT_BENCH_FULL_BASELINE") == "1"
+    )
+    if full_baseline:
+        baseline = bench_torch_reference()
+    else:
+        # Two-point extrapolation keeps the CPU baseline inside the time
+        # budget at medium/large scale: t(L) = fixed + L * per_layer is
+        # exact for this per-layer-uniform workload, so measure L=1, 2
+        # and evaluate at N_LAYERS.
+        t1 = bench_torch_reference(1)
+        t2 = bench_torch_reference(2)
+        per_layer = max(t2 - t1, 0.0)
+        baseline = t1 + per_layer * (N_LAYERS - 1)
+        log(
+            f"torch baseline extrapolated: t(1)={t1:.2f}s t(2)={t2:.2f}s "
+            f"-> t({N_LAYERS})={baseline:.2f}s"
+        )
     print(
         json.dumps(
             {
-                "metric": "e2e_compress_seconds_synthetic_llama_"
-                + (_os.environ.get("MODEGPT_BENCH_PRESET", "small") == "medium" and "0.5B" or "0.1B")
-                + "@30%",
+                "metric": f"e2e_compress_seconds_synthetic_llama_{_LABEL}@30%",
                 "value": round(ours, 3),
                 "unit": "s",
                 "vs_baseline": round(baseline / ours, 3),
