@@ -88,6 +88,32 @@ def sqrt_and_inv_sqrt_psd(
     return (V * sw) @ V.T, (V * isw) @ V.T
 
 
+# XLA's TPU triangular_solve keeps the shrinking remainder of the RHS
+# live across its internal 128-column update steps — for an [n, n] solve
+# that is ~n^3/64 bytes of simultaneously-live HBM (20 GB at n=11008,
+# the 7B d_int). Solving the RHS in independent column blocks under a
+# lax.scan bounds live memory to one block's working set and is EXACT
+# (triangular solves are columnwise-independent).
+_TRI_SOLVE_BLOCK = 1024
+
+
+def _tri_solve_blocked(L: jax.Array, B: jax.Array, lower: bool) -> jax.Array:
+    n, m = B.shape
+    block = _TRI_SOLVE_BLOCK
+    if m <= 2 * block:
+        return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
+    pad = (-m) % block
+    Bp = jnp.pad(B, ((0, 0), (0, pad)))
+    nb = Bp.shape[1] // block
+    blocks = jnp.moveaxis(Bp.reshape(n, nb, block), 1, 0)  # [nb, n, block]
+
+    def body(_, rhs):
+        return None, jax.scipy.linalg.solve_triangular(L, rhs, lower=lower)
+
+    _, out = jax.lax.scan(body, None, blocks)
+    return jnp.moveaxis(out, 0, 1).reshape(n, nb * block)[:, :m]
+
+
 @jax.jit
 def ridge_inverse_diag(C: jax.Array, ridge: float = 1e-2) -> jax.Array:
     """diag((C + ridge*I)^-1) via Cholesky — the Type-I ridge leverage score.
@@ -95,24 +121,42 @@ def ridge_inverse_diag(C: jax.Array, ridge: float = 1e-2) -> jax.Array:
     Columns with the *smallest* inverse-diagonal entries are the most
     informative and are kept (reference:
     src/compression/compress_mlp.py:13-25,45).
+
+    diag(A^-1)_j = ||L^-1 e_j||^2; the identity RHS is solved in column
+    blocks (see `_tri_solve_blocked`) so large d_int (7B: 11008) stays
+    within one chip's HBM.
     """
     n = C.shape[0]
     eye = jnp.eye(n, dtype=C.dtype)
     C_ridge = C + jnp.asarray(ridge, dtype=C.dtype) * eye
     L = jnp.linalg.cholesky(C_ridge)
-    # diag(A^-1) = sum_k (L^-T)_{ik}^2 ; solve L X = I then sum columns of X^2.
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
-    return jnp.sum(Linv * Linv, axis=0)
+    block = _TRI_SOLVE_BLOCK
+    if n <= 2 * block:
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return jnp.sum(Linv * Linv, axis=0)
+
+    nb = -(-n // block)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
+
+    def body(_, b):
+        cols = b * block + jax.lax.broadcasted_iota(jnp.int32, (n, block), 1)
+        rhs = (rows == cols).astype(C.dtype)  # identity columns [b*B, (b+1)*B)
+        X = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return None, jnp.sum(X * X, axis=0)
+
+    _, pieces = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
+    return pieces.reshape(-1)[:n]
 
 
 def cholesky_solve_ridged(A: jax.Array, B: jax.Array, ridge: float = 1e-6) -> jax.Array:
     """Solve ``(A + ridge*I) X = B`` for PSD ``A`` via Cholesky.
 
     Used by the Nyström down-projection re-solve
-    (reference: src/compression/compress_mlp.py:56-57).
+    (reference: src/compression/compress_mlp.py:56-57). Wide RHS solves
+    in column blocks (memory-exactness note at `_tri_solve_blocked`).
     """
     n = A.shape[0]
     A_ridge = A + jnp.asarray(ridge, dtype=A.dtype) * jnp.eye(n, dtype=A.dtype)
     L = jnp.linalg.cholesky(A_ridge)
-    y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    y = _tri_solve_blocked(L, B, lower=True)
+    return _tri_solve_blocked(L.T, y, lower=False)

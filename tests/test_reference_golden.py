@@ -298,3 +298,79 @@ def test_vo_mha_golden(ref_modules, make_psd, rng):
         ref_map = ref_v.T @ ref_o.T
         got_map = gv[h].T @ go[h].T
         np.testing.assert_allclose(got_map, ref_map, rtol=1e-7, atol=1e-9)
+
+
+def test_calibration_golden(ref_modules, rng):
+    """END-TO-END calibration parity: the reference's hooked HF loop
+    (src/calibration.py load_calibs + LlamaAdapter hooks) is the oracle
+    for our functional-tap engine on the same tiny Llama and the same
+    token batches — cov_mlp / cov_q / cov_k / cov_x and BI scores.
+
+    The reference hooks compute the Gram matmuls in float64; ours run
+    f32-on-device with f64 host accumulation, so agreement is at f32
+    matmul precision (~1e-5 relative), well inside the 1e-4 factor
+    north star."""
+    import transformers
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    model = transformers.LlamaForCausalLM(cfg).eval()
+
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int64) for _ in range(2)]
+    T = batches[0].shape[1]
+
+    # ---- reference side: hooked calibration loop (device literals in the
+    # hooks are hardcoded "cuda"; route them to cpu for the oracle run)
+    import importlib
+
+    calibration = importlib.import_module("src.calibration")
+    la = importlib.import_module("src.adapters.LlamaAdapter")
+    adapter = la.LlamaAdapter(model, None)
+    adapter.calibs = [torch.from_numpy(b) for b in batches]
+
+    orig_to = torch.Tensor.to
+
+    def cpu_to(self, *args, **kwargs):
+        args = tuple(
+            "cpu" if (isinstance(a, str) and "cuda" in a) else a for a in args
+        )
+        if isinstance(kwargs.get("device"), str) and "cuda" in kwargs["device"]:
+            kwargs["device"] = "cpu"
+        return orig_to(self, *args, **kwargs)
+
+    torch.Tensor.to = cpu_to
+    try:
+        ref_mlp, ref_q, ref_k, ref_x, ref_bi = calibration.load_calibs(
+            adapter, n_samples=4, batch_size=2, target_layers=[0, 1]
+        )
+    finally:
+        torch.Tensor.to = orig_to
+
+    # ---- our side: functional taps, host-f64 accumulation
+    from modegpt_tpu.calib.engine import calibrate
+    from modegpt_tpu.models import params_from_hf_model
+
+    spec, params = params_from_hf_model(model)
+    calib = calibrate(spec, params, [b.astype(np.int32) for b in batches], [0, 1])
+
+    # The reference normalises by a hardcoded 2048 tokens/sequence
+    # (calibration.py:141); ours by the actual seq_len — rescale.
+    scale = 2048.0 / T
+    for l in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(calib.cov_mlp[l]), ref_mlp[l].numpy() * scale, rtol=2e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(calib.cov_q[l]), ref_q[l].numpy() * scale, rtol=2e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(calib.cov_k[l]), ref_k[l].numpy() * scale, rtol=2e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(calib.cov_x[l]), ref_x[l].numpy() * scale, rtol=2e-5, atol=1e-7
+        )
+    np.testing.assert_allclose(calib.bi_scores, ref_bi, rtol=1e-5, atol=1e-7)
