@@ -99,15 +99,19 @@ def _is_weight_key(key: str) -> bool:
 
 
 def _quantize_int8(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Symmetric per-output-channel int8: scale over the LAST axis
-    (out-features of [in, out] kernels; rows broadcast). Weight-only
-    quantization — dequantized to the compute dtype at load."""
+    """Symmetric per-output-channel int8: the max-abs reduction runs over
+    the IN axis only (axis -2 of [..., in, out] kernels), so stacked
+    expert kernels [E, in, out] keep per-(expert, channel) scales —
+    matching models/quantize.quantize_linear. Stored with keepdims so
+    ``codes * scale`` broadcasts at any rank; 1-D vectors scale whole.
+    Weight-only quantization — dequantized to the compute dtype at load."""
     af = np.asarray(a, dtype=np.float32)
-    amax = np.max(np.abs(af), axis=tuple(range(af.ndim - 1)), keepdims=True)
+    axis = -2 if af.ndim >= 2 else 0
+    amax = np.max(np.abs(af), axis=axis, keepdims=True)
     scale = (amax / 127.0).astype(np.float32)
     scale = np.where(scale == 0.0, 1.0, scale)
     q = np.clip(np.rint(af / scale), -127, 127).astype(np.int8)
-    return q, scale.reshape(scale.shape[-1])
+    return q, scale
 
 
 def _pack_nibbles(codes: np.ndarray) -> np.ndarray:
@@ -129,14 +133,15 @@ def _unpack_nibbles(packed: np.ndarray, size: int) -> np.ndarray:
 
 def _quantize_int4(a: np.ndarray) -> Tuple[np.ndarray, np.ndarray, Tuple[int, ...]]:
     """Symmetric per-output-channel int4 in [-7, 7], packed two codes per
-    byte. ~8x smaller than f32; dequantized (or kept int4-resident) at
-    load."""
+    byte (scale axes as `_quantize_int8`). ~8x smaller than f32;
+    dequantized (or kept int4-resident) at load."""
     af = np.asarray(a, dtype=np.float32)
-    amax = np.max(np.abs(af), axis=tuple(range(af.ndim - 1)), keepdims=True)
+    axis = -2 if af.ndim >= 2 else 0
+    amax = np.max(np.abs(af), axis=axis, keepdims=True)
     scale = (amax / 7.0).astype(np.float32)
     scale = np.where(scale == 0.0, 1.0, scale)
     q = np.clip(np.rint(af / scale), -7, 7).astype(np.int8)
-    return _pack_nibbles((q + 8).astype(np.uint8)), scale.reshape(scale.shape[-1]), af.shape
+    return _pack_nibbles((q + 8).astype(np.uint8)), scale, af.shape
 
 
 # The QLoRA NF4 codebook: 16 quantiles of a standard normal, normalised
@@ -341,10 +346,17 @@ def load_compressed_model(save_dir: str, resident_int8: bool = False):
         if k.endswith("::scale") or k.endswith("::shape"):
             continue
         kdt = sidecar["dtypes"].get(k)
+
+        def resident_scale(s):
+            # stored keepdims ([..., 1, out]) -> the forward's expected
+            # shape ([out] for 2-D kernels, [E, out] for expert stacks);
+            # flat [out] scales from older artifacts pass through.
+            return np.squeeze(s, axis=-2) if s.ndim >= 2 else s
+
         if kdt == "int8":
             if resident_int8 and k.rsplit("/", 1)[-1] == "kernel":
                 flat[k[: -len("kernel")] + "kernel_q"] = a
-                flat[k[: -len("kernel")] + "scale"] = raw[k + "::scale"]
+                flat[k[: -len("kernel")] + "scale"] = resident_scale(raw[k + "::scale"])
                 continue
             a = (a.astype(np.float32) * raw[k + "::scale"]).astype(np.float32)
         elif kdt == "int4":
@@ -353,7 +365,7 @@ def load_compressed_model(save_dir: str, resident_int8: bool = False):
             codes = codes.reshape(shape)
             if resident_int8 and k.rsplit("/", 1)[-1] == "kernel":
                 flat[k[: -len("kernel")] + "kernel_q"] = jnp.asarray(codes).astype(jnp.int4)
-                flat[k[: -len("kernel")] + "scale"] = raw[k + "::scale"]
+                flat[k[: -len("kernel")] + "scale"] = resident_scale(raw[k + "::scale"])
                 continue
             a = codes.astype(np.float32) * raw[k + "::scale"]
         elif kdt == "nf4":

@@ -138,7 +138,7 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     when collect=False (h_shared also None without shared experts).
     """
     E, k = spec.n_experts, spec.experts_per_tok
-    logits = x @ p["router"]["kernel"]  # [B, T, E]
+    logits = _linear(x, p["router"])  # [B, T, E] (int8-resident safe)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     w, idx = lax.top_k(probs, k)  # [B, T, k]
     if spec.norm_topk_prob:  # mixtral always; qwen3_moe behind the flag
@@ -165,15 +165,7 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
 
     h_shared = None
     if "shared" in p:
-        sp = p["shared"]
-        hs = _act(_linear(x, sp["gate"]), spec.act) * _linear(x, sp["up"])
-        ys = _linear(hs, sp["down"])
-        if "shared_gate" in p:
-            # qwen2_moe: sigmoid scalar gate on the shared expert output
-            # (HF computes the sigmoid in model dtype; f32 here — exact
-            # for f32 models, sub-ulp for bf16).
-            gate_logit = _linear(x, p["shared_gate"]).astype(jnp.float32)
-            ys = ys * jax.nn.sigmoid(gate_logit).astype(ys.dtype)
+        ys, hs = _shared_expert(spec, p, x)
         y = y + ys
         if collect:
             h_shared = hs
@@ -184,13 +176,33 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     return y, None, None
 
 
+def _shared_expert(spec: ModelSpec, p: Dict, x: jax.Array):
+    """DeepSeek/qwen2_moe shared expert: dense gated MLP over all tokens,
+    optionally scaled by a per-token sigmoid scalar gate (HF
+    Qwen2MoeSparseMoeBlock.forward; sigmoid in f32 — exact for f32
+    models, sub-ulp for bf16). Returns (y_shared, h_intermediate)."""
+    sp = p["shared"]
+    hs = _act(_linear(x, sp["gate"]), spec.act) * _linear(x, sp["up"])
+    ys = _linear(hs, sp["down"])
+    if "shared_gate" in p:
+        gate_logit = _linear(x, p["shared_gate"]).astype(jnp.float32)
+        ys = ys * jax.nn.sigmoid(gate_logit).astype(ys.dtype)
+    return ys, hs
+
+
 def _moe_gram(h_routed: jax.Array) -> jax.Array:
     """[B,T,E,D] routed-masked intermediates -> per-expert Gram [E,D,D]."""
     hf = h_routed.astype(jnp.float32)
     return jnp.einsum("btef,bteg->efg", hf, hf, precision=_HI)
 
 
-def _moe_mlp_dispatch(spec: ModelSpec, p: Dict, x: jax.Array, capacity_factor: float):
+def _moe_mlp_dispatch(
+    spec: ModelSpec,
+    p: Dict,
+    x: jax.Array,
+    capacity_factor: float,
+    token_valid: Optional[jax.Array] = None,
+):
     """Capacity-based sparse-MoE dispatch — the serving-scale execution of
     the same math as `_moe_mlp` (which runs every expert on every token
     and zeroes non-selected outputs: exact but E/k-times the FLOPs).
@@ -209,6 +221,12 @@ def _moe_mlp_dispatch(spec: ModelSpec, p: Dict, x: jax.Array, capacity_factor: f
     e.g. Switch Transformer). capacity_factor >= E/k guarantees no
     drops, making this bit-exact with `_moe_mlp` up to float
     reassociation. Shared experts (qwen2_moe) are dense and unaffected.
+
+    token_valid [B, T] (optional): tokens marked False (masked serving
+    slots mid-prefill, padded prefill tails) are routed to a VIRTUAL
+    overflow expert — they never compete with real tokens for capacity
+    (without this, a batch of mostly-garbage rows could evict a real
+    token's assignment and silently corrupt its output).
     """
     B, T, d = x.shape
     N = B * T
@@ -218,13 +236,18 @@ def _moe_mlp_dispatch(spec: ModelSpec, p: Dict, x: jax.Array, capacity_factor: f
     C = max(1, min(N, int(math.ceil(capacity_factor * N * k / E))))
 
     xf = x.reshape(N, d)
-    logits = xf @ p["router"]["kernel"]  # [N, E]
+    logits = _linear(xf, p["router"])  # [N, E] (int8-resident safe)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     w, idx = lax.top_k(probs, k)  # [N, k]
     if spec.norm_topk_prob:
         w = w / jnp.sum(w, axis=-1, keepdims=True)
 
     expert_of = idx.reshape(-1)  # [N*k]
+    if token_valid is not None:
+        # invalid tokens -> virtual expert E: sorts after every real
+        # expert, scatters out of bounds (dropped), gathers masked.
+        tv = jnp.repeat(token_valid.reshape(-1), k)
+        expert_of = jnp.where(tv, expert_of, E)
     token_of = jnp.repeat(jnp.arange(N, dtype=jnp.int32), k)
     w_flat = w.reshape(-1).astype(x.dtype)
 
@@ -232,25 +255,29 @@ def _moe_mlp_dispatch(spec: ModelSpec, p: Dict, x: jax.Array, capacity_factor: f
     # start. Earlier tokens win capacity slots (deterministic drops).
     order = jnp.argsort(expert_of, stable=True)
     sorted_e = expert_of[order]
-    counts = jnp.zeros((E,), jnp.int32).at[expert_of].add(1)
+    counts = jnp.zeros((E + 1,), jnp.int32).at[expert_of].add(1)
     starts = jnp.cumsum(counts) - counts
     pos = jnp.arange(N * k, dtype=jnp.int32) - starts[sorted_e]
-    keep = pos < C
+    keep = (pos < C) & (sorted_e < E)
     slot = jnp.clip(pos, 0, C - 1)
     tok_sorted = token_of[order]
 
     # Scatter-ADD into the dispatch buffer: kept assignments target unique
-    # (expert, slot) pairs; dropped ones add zeros at slot C-1 (safe).
+    # (expert, slot) pairs; dropped/invalid ones add zeros (out-of-bounds
+    # scatter indices from the virtual expert are dropped by jax).
     buf = jnp.zeros((E, C, d), x.dtype)
     vals = jnp.where(keep[:, None], xf[tok_sorted], jnp.zeros((), x.dtype))
     buf = buf.at[sorted_e, slot].add(vals)
 
     def expert_mm(xx, ep, eq):
         if "kernel_q" in ep:
-            # int8 per-(expert, out-channel) scales [E, f] broadcast over
-            # the capacity axis of the [E, C, f] output.
+            # int8/int4 scales: per-(expert, out-channel) [E, f] from the
+            # in-memory quantizer, or flat [f] from older artifacts —
+            # align either to the [E, C, f] output.
             out = jnp.einsum(eq, xx, ep["kernel_q"].astype(xx.dtype))
-            return out * ep["scale"][:, None, :].astype(xx.dtype)
+            scale = ep["scale"]
+            scale = scale[:, None, :] if scale.ndim == 2 else scale
+            return out * scale.astype(xx.dtype)
         return jnp.einsum(eq, xx, ep["kernel"])
 
     g = expert_mm(buf, p["experts"]["gate"], "ecd,edf->ecf")
@@ -259,18 +286,13 @@ def _moe_mlp_dispatch(spec: ModelSpec, p: Dict, x: jax.Array, capacity_factor: f
     y_e = expert_mm(h, p["experts"]["down"], "ecf,efd->ecd")
 
     # Combine: gather each assignment's expert output, weight, scatter-add
-    # back to its token.
-    picked = y_e[sorted_e, slot]  # [N*k, d]
+    # back to its token (virtual-expert gathers clip but are masked out).
+    picked = y_e[jnp.minimum(sorted_e, E - 1), slot]  # [N*k, d]
     picked = jnp.where(keep[:, None], picked * w_flat[order][:, None], jnp.zeros((), x.dtype))
     y = jnp.zeros((N, d), x.dtype).at[tok_sorted].add(picked).reshape(B, T, d)
 
     if "shared" in p:
-        sp = p["shared"]
-        hs = _act(_linear(x, sp["gate"]), spec.act) * _linear(x, sp["up"])
-        ys = _linear(hs, sp["down"])
-        if "shared_gate" in p:
-            gate_logit = _linear(x, p["shared_gate"]).astype(jnp.float32)
-            ys = ys * jax.nn.sigmoid(gate_logit).astype(ys.dtype)
+        ys, _ = _shared_expert(spec, p, x)
         y = y + ys
     return y
 

@@ -280,6 +280,7 @@ def _layer_padded(
     pos=None,
     moe: str = "dense",
     moe_capacity: float = 2.0,
+    token_valid=None,
 ):
     """One padded layer. Without a cache: full causal self-attention.
     With cache_kv=(ck, cv) and pos: incremental step reading/writing the
@@ -362,8 +363,9 @@ def _layer_padded(
         if moe == "dispatch":
             # Capacity-based token dispatch: per-expert FLOPs scale with
             # capacity instead of every-token (the serving-scale MoE path;
-            # see forward._moe_mlp_dispatch for drop semantics).
-            y = _moe_mlp_dispatch(spec, p, x_ln2, moe_capacity)
+            # see forward._moe_mlp_dispatch for drop semantics and the
+            # token_valid masking contract).
+            y = _moe_mlp_dispatch(spec, p, x_ln2, moe_capacity, token_valid=token_valid)
         else:
             y, _, _ = _moe_mlp(spec, p, x_ln2, False)
         x = residual + y
@@ -464,13 +466,17 @@ def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float
 )
 def _model_step_padded(
     spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length,
-    moe: str = "dense", moe_capacity: float = 2.0,
+    moe: str = "dense", moe_capacity: float = 2.0, token_valid=None,
 ):
     """New tokens [B, S] through the padded stack with a stacked cache.
 
     `length` is a scalar (all rows at the same offset — plain generation)
     or a [B] vector (per-row offsets — the ragged serving path); the
     returned length has the same shape, advanced by S.
+
+    token_valid [B, S]: rows/positions whose compute is masked out by the
+    caller (inactive serving slots, padded prefill tails) — consumed by
+    the dispatch-MoE path so garbage tokens never claim expert capacity.
     """
     B, S = tokens.shape
     pos = jnp.broadcast_to(jnp.atleast_1d(length), (B,)).astype(jnp.int32)
@@ -489,7 +495,7 @@ def _model_step_padded(
         p, r_true, ck, cv = inputs
         x, (ck, cv) = _layer_padded(
             spec, p, r_true, x, cos, sin, "xla", cache_kv=(ck, cv), pos=pos,
-            moe=moe, moe_capacity=moe_capacity,
+            moe=moe, moe_capacity=moe_capacity, token_valid=token_valid,
         )
         return x, (ck, cv)
 

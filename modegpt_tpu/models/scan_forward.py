@@ -51,7 +51,14 @@ def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
     contiguous stats window."""
     uniform_shapes = all(
         len(set(r)) <= 1
-        for r in (spec.q_ranks, spec.k_ranks, spec.v_ranks, spec.o_ranks, spec.gate_ranks)
+        for r in (
+            spec.q_ranks,
+            spec.k_ranks,
+            spec.v_ranks,
+            spec.o_ranks,
+            spec.gate_ranks,
+            spec.shared_gate_ranks,
+        )
     )
     if not uniform_shapes:
         return False

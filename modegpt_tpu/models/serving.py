@@ -81,9 +81,12 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
 
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
     cv = lax.dynamic_slice_in_dim(state.cache_v, slot, 1, axis=1)
+    # padded tail positions beyond the chunk's real length must not claim
+    # dispatch-MoE expert capacity
+    tail_valid = (jnp.arange(chunk.shape[1], dtype=jnp.int32) < real_len)[None, :]
     logits, ck, cv, _ = _model_step_padded.__wrapped__(
         spec, layers, other, q_hd_true, chunk, ck, cv, pos0, moe=moe,
-        moe_capacity=moe_capacity,
+        moe_capacity=moe_capacity, token_valid=tail_valid,
     )
     nxt = _sample(logits[0, real_len - 1][None], key, temperature, None)[0].astype(jnp.int32)
     return ServeState(
@@ -111,10 +114,11 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
 
     tokens = state.last_token[:, None]
     # [L, slots, ...] pools are the padded step's cache layout; per-row
-    # lengths make the step ragged (models/padded.py _model_step_padded)
+    # lengths make the step ragged (models/padded.py _model_step_padded);
+    # inactive slots' rows must not claim dispatch-MoE expert capacity
     logits, ck, cv, _ = _model_step_padded.__wrapped__(
         spec, layers, other, q_hd_true, tokens, state.cache_k, state.cache_v, state.lengths,
-        moe=moe, moe_capacity=moe_capacity,
+        moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
     )
     nxt = _sample(logits[:, -1, :], key, temperature, top_k).astype(jnp.int32)
     new_len = jnp.where(active, state.lengths + 1, state.lengths)

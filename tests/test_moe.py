@@ -479,3 +479,86 @@ def test_moe_dispatch_serving_matches_dense_generate(rng):
     g8 = forward_padded(pq.spec, pq.layers, pq.other, pq.q_hd_true, ids[None],
                         moe="dispatch", moe_capacity=full)
     np.testing.assert_allclose(np.asarray(g8), np.asarray(r8), rtol=1e-5, atol=1e-5)
+
+
+def test_dispatch_masked_rows_do_not_steal_capacity(rng):
+    """Invalid rows (masked serving slots, padded prefill tails) must not
+    evict real tokens' expert assignments at tight capacity: with
+    token_valid set they route to a virtual overflow expert, so the one
+    real row's output equals the dense path even when 7 garbage rows
+    would otherwise overflow every expert."""
+    from modegpt_tpu.models.forward import _moe_mlp, _moe_mlp_dispatch
+
+    spec, params = params_from_hf_model(_tiny_qwen2_moe())
+    lp = params["layers"][0]
+    x = jnp.asarray(rng.standard_normal((8, 1, spec.d_model)).astype(np.float32))
+    valid = jnp.asarray(np.array([False] * 7 + [True])[:, None])
+
+    # capacity C = ceil(1.0 * 8*2/4) = 4: a real row's 2 assignments fit
+    # trivially, but 7 garbage rows (14 assignments over 4 experts) would
+    # exceed C on some expert and, sorting before row 7, evict it.
+    y_dense, _, _ = _moe_mlp(spec, lp, x, False)
+    y_masked = _moe_mlp_dispatch(spec, lp, x, capacity_factor=1.0, token_valid=valid)
+    np.testing.assert_allclose(
+        np.asarray(y_masked[7]), np.asarray(y_dense[7]), rtol=1e-5, atol=1e-6
+    )
+    # masked rows contribute only the (dense) shared expert — their routed
+    # component is exactly zero
+    from modegpt_tpu.models.forward import _shared_expert
+
+    ys, _ = _shared_expert(spec, lp, x)
+    np.testing.assert_allclose(
+        np.asarray(y_masked[:7]), np.asarray(ys[:7]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_int8_resident_moe_artifact_and_dispatch(tmp_path, rng):
+    """int8 MoE artifacts carry per-(expert, channel) scales; loaded
+    resident they run the unrolled forward matching the dequantized
+    load, and the serve workflow (pad, then quantize in memory) runs
+    dispatch == dense on quantized expert kernels."""
+    from modegpt_tpu.compress.artifact import load_compressed_model, save_compressed_model
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+    from modegpt_tpu.models.quantize import quantize_padded
+
+    spec, params = params_from_hf_model(_tiny_qwen2_moe())
+    d = str(tmp_path / "a8")
+    save_compressed_model(d, spec, params, dtype="int8")
+    s_res, p_res, _ = load_compressed_model(d, resident_int8=True)
+    assert p_res["layers"][0]["experts"]["up"]["kernel_q"].dtype == np.int8
+    assert p_res["layers"][0]["experts"]["up"]["scale"].shape == (4, 48)
+    assert "shared" in p_res["layers"][0] and "kernel_q" in p_res["layers"][0]["shared"]["up"]
+
+    ids = rng.integers(0, 128, size=(2, 12)).astype(np.int32)
+    s_deq, p_deq, _ = load_compressed_model(d)
+    ref, _ = forward(s_deq, p_deq, ids)
+    got, _ = forward(s_res, p_res, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # serve workflow: pad the full-precision params, quantize the padded
+    # stack, then dispatch == dense on the int8-resident expert kernels
+    pm = quantize_padded(pad_to_uniform(spec, params))
+    dense = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids)
+    disp = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids,
+                          moe="dispatch", moe_capacity=2.0)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+
+def test_supports_scan_rejects_ragged_shared_ranks():
+    """Uniform q/k/v/o/gate but per-layer shared ranks must NOT scan
+    (stacking the ragged shared kernels would fail)."""
+    import dataclasses
+
+    from modegpt_tpu.models.scan_forward import supports_scan
+
+    spec, _ = params_from_hf_model.__wrapped__(_tiny_qwen2_moe()) if hasattr(
+        params_from_hf_model, "__wrapped__"
+    ) else (None, None)
+    if spec is None:
+        from modegpt_tpu.models import params_from_hf_model as pfm
+
+        spec, _ = pfm(_tiny_qwen2_moe())
+    ragged = dataclasses.replace(spec, shared_gate_ranks=(60, 64))
+    assert not supports_scan(ragged, ())
+    uniform = dataclasses.replace(spec, shared_gate_ranks=(64, 64))
+    assert supports_scan(uniform, ())
