@@ -73,6 +73,13 @@ def main(argv=None):
         "n-gram matches against the sequence's own history (greedy-exact)",
     )
     parser.add_argument("--lookup_ngram", type=int, default=3, help="prompt-lookup match length")
+    parser.add_argument(
+        "--streaming_window", type=int, default=0,
+        help="generate with an attention-sink ring cache of this many "
+        "tokens (unbounded stream length, O(window) memory; lossy beyond "
+        "the window — StreamingLLM semantics)",
+    )
+    parser.add_argument("--streaming_sinks", type=int, default=4)
     parser.add_argument("--mesh_shape", default="")
     parser.add_argument(
         "--compressed_exec", default="auto", choices=("auto", "unrolled", "padded"),
@@ -126,7 +133,16 @@ def main(argv=None):
             raise SystemExit("--generate requires a tokenizer")
         ids = np.asarray([tokenizer(args.generate)["input_ids"]], dtype=np.int32)
         eos = getattr(tokenizer, "eos_token_id", None)
-        if args.prompt_lookup:
+        if args.streaming_window:
+            from modegpt_tpu.models.padded import pad_to_uniform
+            from modegpt_tpu.models.streaming import streaming_generate
+
+            out = streaming_generate(
+                pad_to_uniform(spec, params), ids,
+                max_new_tokens=args.max_new_tokens, window=args.streaming_window,
+                n_sink=args.streaming_sinks, eos_token_id=eos,
+            )
+        elif args.prompt_lookup:
             from modegpt_tpu.models.padded import pad_to_uniform
             from modegpt_tpu.models.speculative import prompt_lookup_generate
 
