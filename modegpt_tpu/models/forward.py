@@ -65,6 +65,13 @@ def _norm(x, p, kind: str, eps: float):
         var = jnp.mean(xf * xf, axis=-1, keepdims=True)
         out = (xf * lax.rsqrt(var + eps)).astype(x.dtype)
         return out * p["scale"]
+    if kind == "rmsnorm_1p":
+        # gemma: scale by (1 + weight), everything in f32 before the cast
+        # (HF GemmaRMSNorm.forward)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * lax.rsqrt(var + eps) * (1.0 + p["scale"].astype(jnp.float32))
+        return out.astype(x.dtype)
     # layernorm
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -93,9 +100,19 @@ def _act(x, kind: str):
         return jax.nn.silu(x)
     if kind == "relu":
         return jax.nn.relu(x)
-    if kind in ("gelu", "gelu_new"):
-        return jax.nn.gelu(x)
+    if kind == "gelu":
+        return jax.nn.gelu(x, approximate=False)  # HF "gelu" is exact erf
+    if kind in ("gelu_new", "gelu_pytorch_tanh"):
+        return jax.nn.gelu(x, approximate=True)
     raise ValueError(f"unknown activation {kind}")
+
+
+def _scale_embed(spec: ModelSpec, x: jax.Array) -> jax.Array:
+    """gemma scales token embeddings by sqrt(d_model), with the
+    normaliser rounded through the model dtype (HF GemmaModel.forward)."""
+    if spec.arch == "gemma":
+        return x * jnp.asarray(spec.d_model**0.5, x.dtype)
+    return x
 
 
 def _gram(x2d: jax.Array) -> jax.Array:
@@ -451,7 +468,7 @@ def forward(
         stats_layers is non-empty.
     """
     B, T = input_ids.shape
-    x = params["embed_tokens"][input_ids]
+    x = _scale_embed(spec, params["embed_tokens"][input_ids])
     if spec.arch == "opt":
         # OPT learned positions with hardcoded offset 2
         # (HF OPTLearnedPositionalEmbedding; reference: OPTRebuild.py:58-84).

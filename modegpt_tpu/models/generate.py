@@ -130,7 +130,9 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
     """Run new tokens [B, S] through the model, updating the cache."""
     B, S = tokens.shape
     pos = cache.length
-    x = params["embed_tokens"][tokens]
+    from modegpt_tpu.models.forward import _scale_embed
+
+    x = _scale_embed(spec, params["embed_tokens"][tokens])
     if spec.arch == "opt":
         if "project_in" in params:
             x = _linear(x, params["project_in"])

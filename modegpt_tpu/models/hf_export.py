@@ -54,6 +54,7 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "mixtral": "MixtralForCausalLM",
             "qwen3_moe": "Qwen3MoeForCausalLM",
             "qwen2_moe": "Qwen2MoeForCausalLM",
+            "gemma": "GemmaForCausalLM",
         }
         cfg = {
             "model_type": spec.arch,
@@ -79,6 +80,8 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             cfg["use_sliding_window"] = spec.sliding_window is not None
         elif spec.arch == "mixtral":
             cfg["sliding_window"] = spec.sliding_window
+        if spec.arch == "gemma":
+            cfg["hidden_activation"] = spec.act
         if spec.arch == "mixtral":
             cfg["num_local_experts"] = spec.n_experts
             cfg["num_experts_per_tok"] = spec.experts_per_tok

@@ -382,7 +382,9 @@ def _layer_padded(
 
 def _embed(spec: ModelSpec, other: Dict, tokens, pos0=None):
     """pos0: None, a scalar offset, or a per-row [B] offset vector."""
-    x = other["embed_tokens"][tokens]
+    from modegpt_tpu.models.forward import _scale_embed
+
+    x = _scale_embed(spec, other["embed_tokens"][tokens])
     if spec.arch == "opt":
         if "project_in" in other:
             x = _linear(x, other["project_in"])

@@ -153,7 +153,9 @@ def forward_scan(
     H, Hk = spec.n_heads, spec.n_kv_heads
     q_hd = spec.q_ranks[0] // H
 
-    x = params["embed_tokens"][input_ids]
+    from modegpt_tpu.models.forward import _scale_embed
+
+    x = _scale_embed(spec, params["embed_tokens"][input_ids])
     if spec.arch == "opt":
         if "project_in" in params:
             x = _linear(x, params["project_in"])

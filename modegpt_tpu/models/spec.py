@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
-ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe")
+ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma")
 
 
 @dataclass(frozen=True)
@@ -91,7 +91,7 @@ class ModelSpec:
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe")
+        return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma")
 
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
@@ -255,7 +255,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             **ranks,
         )
     elif (
-        model_type in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe")
+        model_type in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma")
         or "qwen3" in model_type
     ):
         if model_type in ("qwen3_moe", "qwen2_moe"):
@@ -293,6 +293,12 @@ def spec_from_hf_config(config) -> ModelSpec:
                 d_int if l in moe_layer_ids else config.intermediate_size
                 for l in range(n_layers)
             )
+        if arch == "gemma":
+            # HF forces the tanh GELU regardless of older configs saying
+            # "gelu" (modeling_gemma GemmaMLP + config.hidden_activation).
+            act = getattr(config, "hidden_activation", None) or "gelu_pytorch_tanh"
+        else:
+            act = config.hidden_act
         spec = ModelSpec(
             arch=arch,
             vocab_size=config.vocab_size,
@@ -303,8 +309,9 @@ def spec_from_hf_config(config) -> ModelSpec:
             head_dim=head_dim,
             d_int=d_int,
             max_position_embeddings=config.max_position_embeddings,
-            act=config.hidden_act,
-            norm="rmsnorm",
+            act=act,
+            # gemma's RMSNorm multiplies by (1 + weight) in float32
+            norm="rmsnorm_1p" if arch == "gemma" else "rmsnorm",
             norm_eps=config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
             # qwen2_moe hardcodes q/k/v biases (o bias-free) in its

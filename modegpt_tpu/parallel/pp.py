@@ -151,7 +151,9 @@ def calibrate_pp(
             )
 
         def embed_fn(tokens):
-            x = embed_params["embed_tokens"][tokens]
+            from modegpt_tpu.models.forward import _scale_embed
+
+            x = _scale_embed(spec, embed_params["embed_tokens"][tokens])
             if spec.arch == "opt":
                 if "project_in" in embed_params:
                     x = _linear(x, embed_params["project_in"])

@@ -1,0 +1,85 @@
+"""Gemma family (beyond the reference's archs): (1+w)-RMSNorm, tanh-GELU,
+sqrt(d_model) embedding scaling, decoupled head_dim, MQA, tied embeddings."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from modegpt_tpu.compress.pipeline import run_compression
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.models import forward, params_from_hf_model
+
+
+def _tiny_gemma(n_kv=1):
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=n_kv, head_dim=32,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    return transformers.GemmaForCausalLM(cfg).eval()
+
+
+@pytest.mark.parametrize("n_kv", [1, 2])
+def test_gemma_forward_matches_hf(rng, n_kv):
+    m = _tiny_gemma(n_kv)
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "gemma" and spec.norm == "rmsnorm_1p"
+    assert spec.act == "gelu_pytorch_tanh" and spec.head_dim == 32
+    assert spec.tie_word_embeddings and spec.n_kv_heads == n_kv
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gemma_compression_end_to_end(tmp_path, rng):
+    """MQA compression (group = n_heads): the grouped QK/VO solvers,
+    padded execution, generation and scan all handle n_kv_heads=1."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+    from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
+
+    spec, params = params_from_hf_model(_tiny_gemma())
+    assert supports_scan(spec, (0, 1))
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    ref, _ = forward(spec, params, ids)
+    got, _ = forward_scan(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = results["compressed_spec"], results["compressed_params"]
+    assert np.isfinite(results["compressed_ppl"])
+    assert max(cspec.gate_ranks) < spec.d_int and cspec.has_rotary_masks
+
+    pm = pad_to_uniform(cspec, cparams)
+    ref2, _ = forward(cspec, cparams, ids[:, :12])
+    got2 = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids[:, :12])
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), rtol=2e-4, atol=2e-4)
+
+    out = generate(cspec, cparams, ids[:1, :5], max_new_tokens=4, temperature=0.0)
+    assert out.shape == (1, 9)
+
+
+def test_gemma_export_reloads_via_hf(tmp_path, rng):
+    from modegpt_tpu.models.hf_export import export_to_hf
+
+    m = _tiny_gemma()
+    spec, params = params_from_hf_model(m)
+    out = export_to_hf(spec, params, str(tmp_path / "export"), tokenizer_source="src")
+    reloaded = transformers.GemmaForCausalLM.from_pretrained(out).eval()
+    ids = rng.integers(0, spec.vocab_size, size=(2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.tensor(ids)).logits.numpy()
+        got = reloaded(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
