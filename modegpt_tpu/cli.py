@@ -21,10 +21,17 @@ def main(argv=None):
         enable_x64()
 
     from modegpt_tpu.compress.pipeline import run_compression
-    from modegpt_tpu.parallel.mesh import make_mesh
+    from modegpt_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
     from modegpt_tpu.utils.memory import start_memory_watchdog
 
     start_memory_watchdog()
+    if maybe_initialize_distributed():
+        import jax
+
+        logger.info(
+            "jax.distributed: process %d/%d, %d global devices",
+            jax.process_index(), jax.process_count(), len(jax.devices()),
+        )
     mesh = make_mesh(config.mesh_shape)
     logger.info("config: %s", config.to_dict())
     if mesh is not None:

@@ -108,11 +108,18 @@ def _act(x, kind: str):
 
 
 def _scale_embed(spec: ModelSpec, x: jax.Array) -> jax.Array:
-    """gemma scales token embeddings by sqrt(d_model), with the
+    """gemma/gemma2 scale token embeddings by sqrt(d_model), with the
     normaliser rounded through the model dtype (HF GemmaModel.forward)."""
-    if spec.arch == "gemma":
+    if spec.arch in ("gemma", "gemma2"):
         return x * jnp.asarray(spec.d_model**0.5, x.dtype)
     return x
+
+
+def _softcap(x: jax.Array, cap: Optional[float]) -> jax.Array:
+    """gemma2 logit soft-capping: cap * tanh(x / cap); identity when None."""
+    if cap is None:
+        return x
+    return jnp.tanh(x / cap) * cap
 
 
 def _gram(x2d: jax.Array) -> jax.Array:
@@ -314,11 +321,17 @@ def _moe_mlp_dispatch(
     return y
 
 
-def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"):
+def _attention(
+    q, k, v, scaling: float, window: Optional[int], impl: str = "xla",
+    softcap: Optional[float] = None,
+):
     """Causal (optionally sliding-window) dot-product attention.
 
     q: [B, H, T, r], k/v: [B, Hk, T, r_k] — kv heads are repeated to H.
     Softmax in float32 (reference: LlamaRebuild.py:241).
+    softcap: gemma2 attention-score capping (applied pre-mask, as HF's
+    eager path does) — forces the XLA path (the Pallas kernel's online
+    softmax has no capping hook).
 
     impl="flash" routes to the Pallas online-softmax kernel
     (modegpt_tpu/kernels/flash_attention.py) — used on TPU where it
@@ -327,7 +340,7 @@ def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"
     """
     B, H, T, _ = q.shape
     Hk = k.shape[1]
-    if impl == "flash" and T >= 128:
+    if impl == "flash" and T >= 128 and softcap is None:
         from modegpt_tpu.kernels.flash_attention import flash_attention, flash_attention_hbm
 
         if T > 8192:
@@ -341,12 +354,13 @@ def _attention(q, k, v, scaling: float, window: Optional[int], impl: str = "xla"
         k = jnp.repeat(k, rep, axis=1)
         v = jnp.repeat(v, rep, axis=1)
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HI) * scaling
+    scores = _softcap(scores.astype(jnp.float32), softcap)
     qi = jnp.arange(T, dtype=jnp.int32)[:, None]
     ki = jnp.arange(T, dtype=jnp.int32)[None, :]
     mask = ki <= qi
     if window is not None:
         mask = mask & (ki > qi - window)
-    scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=_HI)
 
@@ -402,10 +416,19 @@ def _layer(
     if spec.layer_types and spec.layer_types[layer_idx] == "sliding_attention":
         window = spec.sliding_window
 
-    scaling = q_hd**-0.5  # compressed-head-dim scaling (reference: LlamaRebuild.py:282)
-    attn = _attention(q, k, v, scaling, window, attn_impl)
+    # compressed-head-dim scaling (reference: LlamaRebuild.py:282);
+    # gemma2 fixes the scale at query_pre_attn_scalar regardless of dim
+    scaling = (
+        spec.query_pre_attn_scalar**-0.5
+        if spec.query_pre_attn_scalar is not None
+        else q_hd**-0.5
+    )
+    attn = _attention(q, k, v, scaling, window, attn_impl, spec.attn_logit_softcap)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
-    x = residual + _linear(attn, p["o"])
+    a_out = _linear(attn, p["o"])
+    if spec.post_norms:  # gemma2 post-attention sandwich norm
+        a_out = _norm(a_out, p["post_attn_norm"], spec.norm, spec.norm_eps)
+    x = residual + a_out
     if not pre_ln:
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
@@ -426,7 +449,10 @@ def _layer(
             h = _act(_linear(x_ln2, p["up"]), spec.act)
         if collect:
             taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]))
-        x = residual + _linear(h, p["down"])
+        m_out = _linear(h, p["down"])
+        if spec.post_norms:  # gemma2 post-feedforward sandwich norm
+            m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+        x = residual + m_out
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
 
@@ -514,6 +540,7 @@ def forward(
         logits = _linear(x, params["lm_head"])
     else:
         logits = x @ params["embed_tokens"].T  # tied embeddings
+    logits = _softcap(logits, spec.final_logit_softcap)
 
     stats = None
     if collect:

@@ -93,17 +93,28 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
     if Hk != H:
         k_all = jnp.repeat(k_all, H // Hk, axis=1)
         v_all = jnp.repeat(v_all, H // Hk, axis=1)
-    scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all) * (q_hd**-0.5)
+    scaling = (
+        spec.query_pre_attn_scalar**-0.5
+        if spec.query_pre_attn_scalar is not None
+        else q_hd**-0.5
+    )
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all) * scaling
+    from modegpt_tpu.models.forward import _softcap
+
+    scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
     t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, :]
     s_ids = pos + jnp.arange(S, dtype=jnp.int32)[:, None]
     mask = t_ids <= s_ids  # causal within cache coordinates
     if spec.layer_types and spec.layer_types[layer_idx] == "sliding_attention":
         mask = mask & (t_ids > s_ids - spec.sliding_window)
-    scores = jnp.where(mask[None, None], scores.astype(jnp.float32), -jnp.inf)
+    scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * v_hd)
-    x = residual + _linear(attn, p["o"])
+    a_out = _linear(attn, p["o"])
+    if spec.post_norms:
+        a_out = _norm(a_out, p["post_attn_norm"], spec.norm, spec.norm_eps)
+    x = residual + a_out
     if not pre_ln:
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
@@ -119,7 +130,10 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
             h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
         else:
             h = _act(_linear(x_ln2, p["up"]), spec.act)
-        x = residual + _linear(h, p["down"])
+        m_out = _linear(h, p["down"])
+        if spec.post_norms:
+            m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+        x = residual + m_out
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, cache_k, cache_v
@@ -162,6 +176,9 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
         logits = _linear(x, params["lm_head"])
     else:
         logits = x @ params["embed_tokens"].T
+    from modegpt_tpu.models.forward import _softcap
+
+    logits = _softcap(logits, spec.final_logit_softcap)
     return logits, KVCache(k=tuple(new_k), v=tuple(new_v), length=pos + S)
 
 

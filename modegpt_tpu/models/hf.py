@@ -103,9 +103,22 @@ def params_from_state_dict(
         layers = []
         for l in range(spec.n_layers):
             b = f"{pre}layers.{l}."
+            if spec.post_norms:
+                # gemma2 sandwich norms: post_attention_layernorm normalises
+                # the attention OUTPUT; the MLP gets pre+post norms.
+                norms = {
+                    "attn_norm": {"scale": V(b + "input_layernorm.weight")},
+                    "post_attn_norm": {"scale": V(b + "post_attention_layernorm.weight")},
+                    "mlp_norm": {"scale": V(b + "pre_feedforward_layernorm.weight")},
+                    "post_mlp_norm": {"scale": V(b + "post_feedforward_layernorm.weight")},
+                }
+            else:
+                norms = {
+                    "attn_norm": {"scale": V(b + "input_layernorm.weight")},
+                    "mlp_norm": {"scale": V(b + "post_attention_layernorm.weight")},
+                }
             lp = {
-                "attn_norm": {"scale": V(b + "input_layernorm.weight")},
-                "mlp_norm": {"scale": V(b + "post_attention_layernorm.weight")},
+                **norms,
                 "q": {"kernel": W(b + "self_attn.q_proj.weight")},
                 "k": {"kernel": W(b + "self_attn.k_proj.weight")},
                 "v": {"kernel": W(b + "self_attn.v_proj.weight")},

@@ -55,6 +55,7 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "qwen3_moe": "Qwen3MoeForCausalLM",
             "qwen2_moe": "Qwen2MoeForCausalLM",
             "gemma": "GemmaForCausalLM",
+            "gemma2": "Gemma2ForCausalLM",
         }
         cfg = {
             "model_type": spec.arch,
@@ -80,8 +81,14 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             cfg["use_sliding_window"] = spec.sliding_window is not None
         elif spec.arch == "mixtral":
             cfg["sliding_window"] = spec.sliding_window
-        if spec.arch == "gemma":
+        if spec.arch in ("gemma", "gemma2"):
             cfg["hidden_activation"] = spec.act
+        if spec.arch == "gemma2":
+            cfg["query_pre_attn_scalar"] = spec.query_pre_attn_scalar
+            cfg["attn_logit_softcapping"] = spec.attn_logit_softcap
+            cfg["final_logit_softcapping"] = spec.final_logit_softcap
+            cfg["sliding_window"] = spec.sliding_window
+            cfg["layer_types"] = list(spec.layer_types)
         if spec.arch == "mixtral":
             cfg["num_local_experts"] = spec.n_experts
             cfg["num_experts_per_tok"] = spec.experts_per_tok
@@ -161,7 +168,18 @@ def export_to_hf(
             "o": "self_attn.o_proj", "gate": "mlp.gate_proj", "up": "mlp.up_proj",
             "down": "mlp.down_proj",
         }
-        norm_names = {"attn_norm": "input_layernorm", "mlp_norm": "post_attention_layernorm"}
+        if spec.post_norms:
+            norm_names = {
+                "attn_norm": "input_layernorm",
+                "post_attn_norm": "post_attention_layernorm",
+                "mlp_norm": "pre_feedforward_layernorm",
+                "post_mlp_norm": "post_feedforward_layernorm",
+            }
+        else:
+            norm_names = {
+                "attn_norm": "input_layernorm",
+                "mlp_norm": "post_attention_layernorm",
+            }
 
     for l, lp in enumerate(params["layers"]):
         b = f"{pre}layers.{l}."

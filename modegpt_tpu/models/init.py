@@ -51,6 +51,7 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
         lp = {
             "attn_norm": norm_p(),
             "mlp_norm": norm_p(),
+            **({"post_attn_norm": norm_p(), "post_mlp_norm": norm_p()} if spec.post_norms else {}),
             "q": linear((spec.d_model, spec.q_ranks[l]), ab),
             "k": linear((spec.d_model, spec.k_ranks[l]), ab),
             "v": linear((spec.d_model, spec.v_ranks[l]), ab),

@@ -155,6 +155,7 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
         q = {
             "attn_norm": p["attn_norm"],
             "mlp_norm": p["mlp_norm"],
+            **{k_: p[k_] for k_ in ("post_attn_norm", "post_mlp_norm") if k_ in p},
             "q": _pad_linear(p["q"], pad_out=qk_out_q),
             "k": _pad_linear(p["k"], pad_out=qk_out_k),
             "v": _pad_linear(p["v"], pad_out=v_out),
@@ -313,18 +314,24 @@ def _layer_padded(
         spec.layer_types and spec.layer_types[0] == "sliding_attention"
     ) else None
 
+    # true-rank scaling per layer; gemma2 fixes it at query_pre_attn_scalar
+    q_scale = (
+        jnp.asarray(spec.query_pre_attn_scalar, jnp.float32)
+        if spec.query_pre_attn_scalar is not None
+        else q_hd_true
+    )
     new_cache = None
     if cache_kv is None:
         if spec.uses_rope:
             q, k = apply_rope(q, k, cos, sin, rotary_mask)
-        q = q * lax.rsqrt(q_hd_true).astype(q.dtype)
-        attn = _attention(q, k, v, 1.0, window, attn_impl)
+        q = q * lax.rsqrt(q_scale).astype(q.dtype)
+        attn = _attention(q, k, v, 1.0, window, attn_impl, spec.attn_logit_softcap)
     else:
         # Decode/prefill into the cache at PER-ROW offsets pos [B] (the
         # serving path; uniform generation passes a broadcast scalar).
         if spec.uses_rope:
             q, k = apply_rope_ragged(q, k, cos, sin, rotary_mask, spec.group_size)
-        q = q * lax.rsqrt(q_hd_true).astype(q.dtype)
+        q = q * lax.rsqrt(q_scale).astype(q.dtype)
         ck, cv = cache_kv
         max_len = ck.shape[2]
 
@@ -341,17 +348,23 @@ def _layer_padded(
             k_all = jnp.repeat(k_all, H // Hk, axis=1)
             v_all = jnp.repeat(v_all, H // Hk, axis=1)
         scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
+        from modegpt_tpu.models.forward import _softcap
+
+        scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
         t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
         s_ids = pos[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
         mask = t_ids <= s_ids  # [B, S, max_len]
         if window is not None:
             mask = mask & (t_ids > s_ids - window)
-        scores = jnp.where(mask[:, None], scores.astype(jnp.float32), -jnp.inf)
+        scores = jnp.where(mask[:, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
 
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Rv)
-    x = residual + _linear(attn, p["o"])
+    a_out = _linear(attn, p["o"])
+    if spec.post_norms:
+        a_out = _norm(a_out, p["post_attn_norm"], spec.norm, spec.norm_eps)
+    x = residual + a_out
     if not pre_ln:
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
@@ -374,7 +387,10 @@ def _layer_padded(
             h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
         else:
             h = _act(_linear(x_ln2, p["up"]), spec.act)
-        x = residual + _linear(h, p["down"])
+        m_out = _linear(h, p["down"])
+        if spec.post_norms:
+            m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+        x = residual + m_out
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, new_cache
@@ -400,13 +416,15 @@ def _embed(spec: ModelSpec, other: Dict, tokens, pos0=None):
 
 
 def _unembed(spec: ModelSpec, other: Dict, x):
+    from modegpt_tpu.models.forward import _softcap
+
     if other.get("final_norm") is not None:
         x = _norm(x, other["final_norm"], spec.norm, spec.norm_eps)
     if "project_out" in other:
         x = _linear(x, other["project_out"])
     if other.get("lm_head") is not None:
-        return _linear(x, other["lm_head"])
-    return x @ other["embed_tokens"].T
+        return _softcap(_linear(x, other["lm_head"]), spec.final_logit_softcap)
+    return _softcap(x @ other["embed_tokens"].T, spec.final_logit_softcap)
 
 
 def _resolve_attn_impl(attn_impl: str) -> str:

@@ -112,9 +112,17 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
         q, k = apply_rope(q, k, cos, sin, rotary_mask)
 
     window = spec.sliding_window if (spec.layer_types and spec.layer_types[0] == "sliding_attention") else None
-    attn = _attention(q, k, v, q_hd**-0.5, window, attn_impl)
+    scaling = (
+        spec.query_pre_attn_scalar**-0.5
+        if spec.query_pre_attn_scalar is not None
+        else q_hd**-0.5
+    )
+    attn = _attention(q, k, v, scaling, window, attn_impl, spec.attn_logit_softcap)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
-    x = residual + _linear(attn, p["o"])
+    a_out = _linear(attn, p["o"])
+    if spec.post_norms:
+        a_out = _norm(a_out, p["post_attn_norm"], spec.norm, spec.norm_eps)
+    x = residual + a_out
     if not pre_ln:
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
@@ -129,7 +137,10 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
         x = residual + y
     elif spec.gated_mlp:
         h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
-        x = residual + _linear(h, p["down"])
+        m_out = _linear(h, p["down"])
+        if spec.post_norms:
+            m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+        x = residual + m_out
     else:
         h = _act(_linear(x_ln2, p["up"]), spec.act)
         x = residual + _linear(h, p["down"])
@@ -241,4 +252,7 @@ def forward_scan(
         logits = _linear(x, params["lm_head"])
     else:
         logits = x @ params["embed_tokens"].T
+    from modegpt_tpu.models.forward import _softcap
+
+    logits = _softcap(logits, spec.final_logit_softcap)
     return logits, acc

@@ -20,7 +20,7 @@ from typing import Optional, Tuple
 
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
-ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma")
+ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma", "gemma2")
 
 
 @dataclass(frozen=True)
@@ -87,11 +87,21 @@ class ModelSpec:
     # expert is a dense MLP, so it gets its own Type-I rank). EMPTY means
     # dense (= shared_d_int on every MoE layer).
     shared_gate_ranks: Tuple[int, ...] = ()
+    # gemma2: sandwich norms (post_attention + pre/post_feedforward),
+    # attention-score and final-logit soft-capping (cap * tanh(x / cap)),
+    # and a config-fixed attention scale (query_pre_attn_scalar**-0.5
+    # instead of head_dim**-0.5 — kept fixed under compression).
+    post_norms: bool = False
+    attn_logit_softcap: Optional[float] = None
+    final_logit_softcap: Optional[float] = None
+    query_pre_attn_scalar: Optional[float] = None
 
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma")
+        return self.arch in (
+            "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma", "gemma2",
+        )
 
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
@@ -255,7 +265,8 @@ def spec_from_hf_config(config) -> ModelSpec:
             **ranks,
         )
     elif (
-        model_type in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma")
+        model_type
+        in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma", "gemma2")
         or "qwen3" in model_type
     ):
         if model_type in ("qwen3_moe", "qwen2_moe"):
@@ -293,7 +304,7 @@ def spec_from_hf_config(config) -> ModelSpec:
                 d_int if l in moe_layer_ids else config.intermediate_size
                 for l in range(n_layers)
             )
-        if arch == "gemma":
+        if arch in ("gemma", "gemma2"):
             # HF forces the tanh GELU regardless of older configs saying
             # "gelu" (modeling_gemma GemmaMLP + config.hidden_activation).
             act = getattr(config, "hidden_activation", None) or "gelu_pytorch_tanh"
@@ -311,7 +322,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             max_position_embeddings=config.max_position_embeddings,
             act=act,
             # gemma's RMSNorm multiplies by (1 + weight) in float32
-            norm="rmsnorm_1p" if arch == "gemma" else "rmsnorm",
+            norm="rmsnorm_1p" if arch in ("gemma", "gemma2") else "rmsnorm",
             norm_eps=config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
             # qwen2_moe hardcodes q/k/v biases (o bias-free) in its
@@ -325,9 +336,13 @@ def spec_from_hf_config(config) -> ModelSpec:
             gated_mlp=True,
             # qwen3/qwen2_moe gate their window behind use_sliding_window;
             # mixtral applies config.sliding_window whenever it is set (HF
-            # modeling_mixtral mask_function selection).
+            # modeling_mixtral mask_function selection); gemma2 alternates
+            # sliding/full layers via layer_types with the window always on.
             sliding_window=getattr(config, "sliding_window", None)
-            if (getattr(config, "use_sliding_window", False) or arch == "mixtral")
+            if (
+                getattr(config, "use_sliding_window", False)
+                or arch in ("mixtral", "gemma2")
+            )
             else None,
             layer_types=tuple(getattr(config, "layer_types", ()) or ())
             if arch != "mixtral"
@@ -353,6 +368,16 @@ def spec_from_hf_config(config) -> ModelSpec:
             if arch == "qwen2_moe"
             else 0,
             shared_expert_gate=arch == "qwen2_moe",
+            post_norms=arch == "gemma2",
+            attn_logit_softcap=getattr(config, "attn_logit_softcapping", None)
+            if arch == "gemma2"
+            else None,
+            final_logit_softcap=getattr(config, "final_logit_softcapping", None)
+            if arch == "gemma2"
+            else None,
+            query_pre_attn_scalar=float(config.query_pre_attn_scalar)
+            if arch == "gemma2"
+            else None,
             **ranks,
         )
     else:

@@ -149,15 +149,24 @@ def _stream_step(
         if Hk != H:
             k_all = jnp.repeat(k_all, H // Hk, axis=1)
             v_all = jnp.repeat(v_all, H // Hk, axis=1)
-        q = q * lax.rsqrt(r_true).astype(q.dtype)
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
-        scores = jnp.where(
-            valid[None, None, None, :], scores.astype(jnp.float32), -jnp.inf
+        q_scale = (
+            jnp.asarray(spec.query_pre_attn_scalar, jnp.float32)
+            if spec.query_pre_attn_scalar is not None
+            else r_true
         )
+        q = q * lax.rsqrt(q_scale).astype(q.dtype)
+        scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
+        from modegpt_tpu.models.forward import _softcap
+
+        scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
+        scores = jnp.where(valid[None, None, None, :], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Rv)
-        x = residual + _linear(attn, p["o"])
+        a_out = _linear(attn, p["o"])
+        if spec.post_norms:
+            a_out = _norm(a_out, p["post_attn_norm"], spec.norm, spec.norm_eps)
+        x = residual + a_out
         if not pre_ln:
             x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
@@ -170,7 +179,10 @@ def _stream_step(
             x = residual + y
         elif spec.gated_mlp:
             h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
-            x = residual + _linear(h, p["down"])
+            m_out = _linear(h, p["down"])
+            if spec.post_norms:
+                m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+            x = residual + m_out
         else:
             h = _act(_linear(x_ln2, p["up"]), spec.act)
             x = residual + _linear(h, p["down"])

@@ -26,7 +26,45 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["parse_mesh_shape", "make_mesh", "shard_batch", "param_shardings"]
+__all__ = [
+    "maybe_initialize_distributed",
+    "parse_mesh_shape",
+    "make_mesh",
+    "shard_batch",
+    "param_shardings",
+]
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize `jax.distributed` for multi-host meshes when a
+    coordinator is configured; silently a no-op on a single host.
+
+    TPU pods auto-detect peers from the pod metadata, so
+    ``jax.distributed.initialize()`` needs no arguments there; other
+    transports use the standard JAX coordinator env vars. Gated behind
+    explicit configuration (MODEGPT_DISTRIBUTED=1 or a coordinator
+    address) so single-host runs never pay the handshake. After
+    initialization `jax.devices()` spans every host and `make_mesh`
+    shapes can use the global device count; collectives ride ICI within
+    a slice and DCN across slices (put "data" on the outer axis).
+    """
+    import os
+
+    import jax
+
+    want = (
+        os.environ.get("MODEGPT_DISTRIBUTED", "") == "1"
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+        or bool(os.environ.get("COORDINATOR_ADDRESS"))
+    )
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return True
+    except RuntimeError:
+        # already initialized (idempotent callers)
+        return jax.process_count() > 1
 
 
 def parse_mesh_shape(mesh_shape: str) -> Dict[str, int]:

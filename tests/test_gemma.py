@@ -83,3 +83,86 @@ def test_gemma_export_reloads_via_hf(tmp_path, rng):
         ref = m(torch.tensor(ids)).logits.numpy()
         got = reloaded(torch.tensor(ids)).logits.numpy()
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+# ---- gemma2: sandwich norms, softcapping, fixed attention scale ----
+
+
+def _tiny_gemma2():
+    cfg = transformers.Gemma2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        max_position_embeddings=128, sliding_window=8,
+        query_pre_attn_scalar=32, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+    )
+    torch.manual_seed(0)
+    return transformers.Gemma2ForCausalLM(cfg).eval()
+
+
+def test_gemma2_forward_matches_hf(rng):
+    """gemma2: post-attention/pre+post-feedforward norms, attention and
+    final-logit soft-capping, query_pre_attn_scalar scale, alternating
+    sliding/full layers."""
+    m = _tiny_gemma2()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "gemma2" and spec.post_norms
+    assert spec.attn_logit_softcap == 50.0 and spec.final_logit_softcap == 30.0
+    assert spec.query_pre_attn_scalar == 32.0
+    assert spec.layer_types[:2] == ("sliding_attention", "full_attention")
+    assert "post_attn_norm" in params["layers"][0]
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_gemma2_compression_and_generation(tmp_path, rng):
+    """The softcapped/sandwich-norm stack compresses end to end; the
+    KV-cache decode path (softcap + post norms + fixed scale) matches the
+    full forward position by position."""
+    import jax.numpy as jnp
+
+    from modegpt_tpu.models.generate import decode_step, init_cache, prefill
+
+    spec, params = params_from_hf_model(_tiny_gemma2())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams = results["compressed_spec"], results["compressed_params"]
+    assert np.isfinite(results["compressed_ppl"])
+    assert cspec.attn_logit_softcap == 50.0 and cspec.post_norms
+
+    B, P, steps = 1, 6, 3
+    ids = rng.integers(0, cspec.vocab_size, size=(B, P)).astype(np.int32)
+    cache = init_cache(cspec, B, P + steps, dtype=cparams["embed_tokens"].dtype)
+    logits_inc, cache = prefill(cspec, cparams, jnp.asarray(ids), cache)
+    seq = ids
+    for _ in range(steps):
+        full_logits, _ = forward(cspec, cparams, jnp.asarray(seq))
+        np.testing.assert_allclose(
+            np.asarray(logits_inc), np.asarray(full_logits[:, -1, :]), rtol=2e-4, atol=2e-4
+        )
+        nxt = np.asarray(jnp.argmax(logits_inc, axis=-1))[:, None].astype(np.int32)
+        seq = np.concatenate([seq, nxt], axis=1)
+        logits_inc, cache = decode_step(cspec, cparams, jnp.asarray(nxt), cache)
+
+
+def test_gemma2_export_reloads_via_hf(tmp_path, rng):
+    from modegpt_tpu.models.hf_export import export_to_hf
+
+    m = _tiny_gemma2()
+    spec, params = params_from_hf_model(m)
+    out = export_to_hf(spec, params, str(tmp_path / "export"), tokenizer_source="src")
+    reloaded = transformers.Gemma2ForCausalLM.from_pretrained(out).eval()
+    ids = rng.integers(0, spec.vocab_size, size=(2, 12)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.tensor(ids)).logits.numpy()
+        got = reloaded(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
