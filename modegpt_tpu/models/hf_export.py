@@ -50,6 +50,8 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
     else:
         arch_cls = {
             "llama": "LlamaForCausalLM",
+            "mistral": "MistralForCausalLM",
+            "qwen2": "Qwen2ForCausalLM",
             "qwen3": "Qwen3ForCausalLM",
             "mixtral": "MixtralForCausalLM",
             "qwen3_moe": "Qwen3MoeForCausalLM",

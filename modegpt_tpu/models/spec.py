@@ -20,7 +20,10 @@ from typing import Optional, Tuple
 
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
-ARCHS = ("opt", "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma", "gemma2")
+ARCHS = (
+    "opt", "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
+    "qwen2_moe", "gemma", "gemma2",
+)
 
 
 @dataclass(frozen=True)
@@ -99,9 +102,7 @@ class ModelSpec:
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch in (
-            "llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma", "gemma2",
-        )
+        return self.arch != "opt"  # every supported non-OPT arch is rotary
 
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
@@ -266,7 +267,10 @@ def spec_from_hf_config(config) -> ModelSpec:
         )
     elif (
         model_type
-        in ("llama", "qwen3", "mixtral", "qwen3_moe", "qwen2_moe", "gemma", "gemma2")
+        in (
+            "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
+            "qwen2_moe", "gemma", "gemma2",
+        )
         or "qwen3" in model_type
     ):
         if model_type in ("qwen3_moe", "qwen2_moe"):
@@ -325,30 +329,35 @@ def spec_from_hf_config(config) -> ModelSpec:
             norm="rmsnorm_1p" if arch in ("gemma", "gemma2") else "rmsnorm",
             norm_eps=config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
-            # qwen2_moe hardcodes q/k/v biases (o bias-free) in its
-            # attention module rather than exposing a config flag.
+            # qwen2/qwen2_moe hardcode q/k/v biases (o bias-free) in their
+            # attention modules rather than exposing a config flag.
             attention_bias=True
-            if arch == "qwen2_moe"
+            if arch in ("qwen2", "qwen2_moe")
             else getattr(config, "attention_bias", False),
             mlp_bias=getattr(config, "mlp_bias", False),
             tie_word_embeddings=config.tie_word_embeddings,
             qk_norm=arch in ("qwen3", "qwen3_moe"),
             gated_mlp=True,
-            # qwen3/qwen2_moe gate their window behind use_sliding_window;
-            # mixtral applies config.sliding_window whenever it is set (HF
-            # modeling_mixtral mask_function selection); gemma2 alternates
-            # sliding/full layers via layer_types with the window always on.
+            # qwen2/qwen3/qwen2_moe gate their window behind
+            # use_sliding_window; mistral/mixtral apply
+            # config.sliding_window whenever it is set (HF mask_function
+            # selection); gemma2 alternates sliding/full layers via
+            # layer_types with the window always on.
             sliding_window=getattr(config, "sliding_window", None)
             if (
                 getattr(config, "use_sliding_window", False)
-                or arch in ("mixtral", "gemma2")
+                or arch in ("mistral", "mixtral", "gemma2")
             )
             else None,
+            # explicit config.layer_types wins; mistral/mixtral without one
+            # slide on EVERY layer when a window is set
             layer_types=tuple(getattr(config, "layer_types", ()) or ())
-            if arch != "mixtral"
-            else ("sliding_attention",) * n_layers
-            if getattr(config, "sliding_window", None)
-            else (),
+            or (
+                ("sliding_attention",) * n_layers
+                if arch in ("mistral", "mixtral")
+                and getattr(config, "sliding_window", None)
+                else ()
+            ),
             n_experts=(
                 getattr(config, "num_local_experts", 0)
                 if arch == "mixtral"

@@ -300,3 +300,61 @@ def test_llama31_rope_scaling_matches_hf(rng):
         out = generate(spec, params, ids[:1, :8], max_new_tokens=4, temperature=0.0)
         full, _ = forward(spec, params, out[:, :-1])
         assert int(out[0, -1]) == int(jnp.argmax(full[0, -1]))
+
+
+# ---- qwen2 / mistral dense families ----
+
+
+def test_qwen2_forward_and_compression(tmp_path, rng):
+    """qwen2: llama-shaped with hardcoded qkv biases (sliced through the
+    rotary mask under QK compression, v folded into o)."""
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.config import CompressionConfig
+
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.Qwen2ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "qwen2" and spec.attention_bias and not spec.qk_norm
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(r["compressed_ppl"])
+    lp0 = r["compressed_params"]["layers"][0]
+    assert "bias" in lp0["q"] and "bias" not in lp0["v"] and "bias" in lp0["o"]
+
+
+def test_mistral_forward_with_sliding_window(rng):
+    """mistral: sliding window applies to every layer whenever set."""
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        sliding_window=8, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.MistralForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "mistral" and spec.sliding_window == 8
+    assert set(spec.layer_types) == {"sliding_attention"}
+
+    # long enough that the window actually masks (T > window)
+    ids = rng.integers(0, spec.vocab_size, size=(2, 24)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
