@@ -24,7 +24,8 @@ def main(argv=None):
     from modegpt_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
     from modegpt_tpu.utils.memory import start_memory_watchdog
 
-    start_memory_watchdog()
+    # distributed init MUST precede anything that touches jax devices —
+    # the watchdog thread queries device memory stats
     if maybe_initialize_distributed():
         import jax
 
@@ -32,6 +33,7 @@ def main(argv=None):
             "jax.distributed: process %d/%d, %d global devices",
             jax.process_index(), jax.process_count(), len(jax.devices()),
         )
+    start_memory_watchdog()
     mesh = make_mesh(config.mesh_shape)
     logger.info("config: %s", config.to_dict())
     if mesh is not None:

@@ -88,6 +88,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logger = setup_logging()
+    from modegpt_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     spec, params, tokenizer = _load_any(args.model)
     logger.info("loaded %s: %s layers, dense=%s", args.model, spec.n_layers, spec.is_dense)
 

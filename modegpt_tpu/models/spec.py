@@ -350,12 +350,19 @@ def spec_from_hf_config(config) -> ModelSpec:
             )
             else None,
             # explicit config.layer_types wins; mistral/mixtral without one
-            # slide on EVERY layer when a window is set
+            # slide on EVERY layer when a window is set; gemma2 alternates
+            # (even layers slide — HF pre-layer_types rule
+            # `not bool(layer_idx % 2)`)
             layer_types=tuple(getattr(config, "layer_types", ()) or ())
             or (
                 ("sliding_attention",) * n_layers
                 if arch in ("mistral", "mixtral")
                 and getattr(config, "sliding_window", None)
+                else tuple(
+                    "sliding_attention" if l % 2 == 0 else "full_attention"
+                    for l in range(n_layers)
+                )
+                if arch == "gemma2" and getattr(config, "sliding_window", None)
                 else ()
             ),
             n_experts=(

@@ -73,7 +73,7 @@ def _rel_positions(g, C: int, n_sink: int, ring_len: int):
     ring_start = g + 1 - n_ring
     rel = jnp.where(is_sink, slots, n_sink + (p - ring_start))
     rel = jnp.where(valid, rel, 0)
-    return rel, valid
+    return rel, valid, p
 
 
 def _stream_step(
@@ -93,7 +93,11 @@ def _stream_step(
     Rv = spec.v_ranks[0] // Hk
 
     slot = _slot_of(g, n_sink, ring_len)
-    rel, valid = _rel_positions(g, C, n_sink, ring_len)
+    rel, valid, p_global = _rel_positions(g, C, n_sink, ring_len)
+    # a model's OWN sliding window masks by GLOBAL distance (layer_types
+    # are uniform here — pad_to_uniform refuses mixed stacks)
+    if spec.layer_types and spec.layer_types[0] == "sliding_attention":
+        valid = valid & (g - p_global < spec.sliding_window)
     q_rel = jnp.minimum(g, jnp.asarray(C - 1, jnp.int32))
 
     # positions embed at the query's RELATIVE position (OPT positions too)

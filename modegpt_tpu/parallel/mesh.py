@@ -62,9 +62,13 @@ def maybe_initialize_distributed() -> bool:
     try:
         jax.distributed.initialize()
         return True
-    except RuntimeError:
-        # already initialized (idempotent callers)
-        return jax.process_count() > 1
+    except RuntimeError as e:
+        # idempotent callers: "already initialized" is fine; anything else
+        # (unreachable coordinator, backends already created) must FAIL
+        # loudly — silently running single-host would compute wrong results
+        if "already" in str(e).lower():
+            return jax.process_count() > 1
+        raise
 
 
 def parse_mesh_shape(mesh_shape: str) -> Dict[str, int]:

@@ -333,7 +333,9 @@ def perplexity_pp(
             )
 
         def embed_fn(tokens):
-            x = head_params["embed_tokens"][tokens]
+            from modegpt_tpu.models.forward import _scale_embed
+
+            x = _scale_embed(spec, head_params["embed_tokens"][tokens])
             if spec.arch == "opt":
                 if "project_in" in head_params:
                     x = _linear(x, head_params["project_in"])
@@ -342,6 +344,8 @@ def perplexity_pp(
             return x
 
         def nll_fn(x, tokens):
+            from modegpt_tpu.models.forward import _softcap
+
             if "final_norm" in head_params:
                 x = _fnorm(x, head_params["final_norm"], spec.norm, spec.norm_eps)
             if "project_out" in head_params:
@@ -350,6 +354,7 @@ def perplexity_pp(
                 logits = _linear(x, head_params["lm_head"])
             else:
                 logits = x @ head_params["embed_tokens"].T
+            logits = _softcap(logits, spec.final_logit_softcap)
             logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
             nll = -jnp.take_along_axis(logp, tokens[:, 1:, None], axis=-1)
             return jnp.sum(nll)

@@ -551,13 +551,7 @@ def test_supports_scan_rejects_ragged_shared_ranks():
 
     from modegpt_tpu.models.scan_forward import supports_scan
 
-    spec, _ = params_from_hf_model.__wrapped__(_tiny_qwen2_moe()) if hasattr(
-        params_from_hf_model, "__wrapped__"
-    ) else (None, None)
-    if spec is None:
-        from modegpt_tpu.models import params_from_hf_model as pfm
-
-        spec, _ = pfm(_tiny_qwen2_moe())
+    spec, _ = params_from_hf_model(_tiny_qwen2_moe())
     ragged = dataclasses.replace(spec, shared_gate_ranks=(60, 64))
     assert not supports_scan(ragged, ())
     uniform = dataclasses.replace(spec, shared_gate_ranks=(64, 64))

@@ -87,3 +87,24 @@ def test_streaming_validations(rng):
         streaming_generate(pm, prompt, window=8, n_sink=8)
     with pytest.raises(ValueError, match="max_position_embeddings"):
         streaming_generate(pm, prompt, window=4096, n_sink=4)
+
+
+def test_streaming_respects_model_sliding_window(rng):
+    """A model with its OWN sliding window (mistral) must stream exactly
+    like plain generation within the cache window: the ring attention
+    masks by GLOBAL distance, not just cache validity."""
+    cfg = transformers.MistralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        sliding_window=8, tie_word_embeddings=False,
+    )
+    torch.manual_seed(0)
+    m = transformers.MistralForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.layer_types and spec.layer_types[0] == "sliding_attention"
+    pm = pad_to_uniform(spec, params)
+    # prompt longer than the model's window so the mask actually bites
+    prompt = rng.integers(1, spec.vocab_size, size=(1, 14)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, prompt, max_new_tokens=8, temperature=0.0))
+    got = streaming_generate(pm, prompt, max_new_tokens=8, window=64, n_sink=4)
+    np.testing.assert_array_equal(got, ref)
