@@ -117,13 +117,26 @@ def params_from_state_dict(
                     "attn_norm": {"scale": V(b + "input_layernorm.weight")},
                     "mlp_norm": {"scale": V(b + "post_attention_layernorm.weight")},
                 }
-            lp = {
-                **norms,
-                "q": {"kernel": W(b + "self_attn.q_proj.weight")},
-                "k": {"kernel": W(b + "self_attn.k_proj.weight")},
-                "v": {"kernel": W(b + "self_attn.v_proj.weight")},
-                "o": {"kernel": W(b + "self_attn.o_proj.weight")},
-            }
+            if spec.arch == "phi3":
+                # phi3 fuses q/k/v into qkv_proj [(H+2Hk)*hd, d] — split by
+                # the spec's rank lists so compressed re-imports work too
+                qkv = _t2n(sd[b + "self_attn.qkv_proj.weight"], dtype)
+                qd, kd = spec.q_ranks[l], spec.k_ranks[l]
+                lp = {
+                    **norms,
+                    "q": {"kernel": jnp.asarray(qkv[:qd].T)},
+                    "k": {"kernel": jnp.asarray(qkv[qd : qd + kd].T)},
+                    "v": {"kernel": jnp.asarray(qkv[qd + kd :].T)},
+                    "o": {"kernel": W(b + "self_attn.o_proj.weight")},
+                }
+            else:
+                lp = {
+                    **norms,
+                    "q": {"kernel": W(b + "self_attn.q_proj.weight")},
+                    "k": {"kernel": W(b + "self_attn.k_proj.weight")},
+                    "v": {"kernel": W(b + "self_attn.v_proj.weight")},
+                    "o": {"kernel": W(b + "self_attn.o_proj.weight")},
+                }
             if spec.is_moe_layer(l):
                 # Stack the per-expert kernels into [E, in, out] (one
                 # batched einsum per projection on-device). Key layouts:
@@ -160,6 +173,13 @@ def params_from_state_dict(
                     }
                     if spec.shared_expert_gate:
                         lp["shared_gate"] = {"kernel": W(moe + "shared_expert_gate.weight")}
+            elif spec.arch == "phi3":
+                # phi3 fuses [gate; up] into gate_up_proj [2*D, d]
+                gu = _t2n(sd[b + "mlp.gate_up_proj.weight"], dtype)
+                gd = spec.gate_ranks[l]
+                lp["gate"] = {"kernel": jnp.asarray(gu[:gd].T)}
+                lp["up"] = {"kernel": jnp.asarray(gu[gd:].T)}
+                lp["down"] = {"kernel": W(b + "mlp.down_proj.weight")}
             else:
                 lp["gate"] = {"kernel": W(b + "mlp.gate_proj.weight")}
                 lp["up"] = {"kernel": W(b + "mlp.up_proj.weight")}

@@ -58,6 +58,7 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "qwen2_moe": "Qwen2MoeForCausalLM",
             "gemma": "GemmaForCausalLM",
             "gemma2": "Gemma2ForCausalLM",
+            "phi3": "Phi3ForCausalLM",
         }
         cfg = {
             "model_type": spec.arch,
@@ -185,12 +186,26 @@ def export_to_hf(
 
     for l, lp in enumerate(params["layers"]):
         b = f"{pre}layers.{l}."
-        for ours, theirs in names.items():
-            if ours not in lp:
-                continue
-            sd[b + theirs + ".weight"] = W(lp[ours])
-            if "bias" in lp[ours]:
-                sd[b + theirs + ".bias"] = V(lp[ours]["bias"])
+        if spec.arch == "phi3":
+            # re-fuse to phi3's native layout: qkv_proj = [q; k; v] rows,
+            # gate_up_proj = [gate; up] rows (the importer re-splits by
+            # the exported rank lists)
+            sd[b + "self_attn.qkv_proj.weight"] = np.concatenate(
+                [W(lp["q"]), W(lp["k"]), W(lp["v"])], axis=0
+            )
+            sd[b + "self_attn.o_proj.weight"] = W(lp["o"])
+            if "gate" in lp:
+                sd[b + "mlp.gate_up_proj.weight"] = np.concatenate(
+                    [W(lp["gate"]), W(lp["up"])], axis=0
+                )
+                sd[b + "mlp.down_proj.weight"] = W(lp["down"])
+        else:
+            for ours, theirs in names.items():
+                if ours not in lp:
+                    continue
+                sd[b + theirs + ".weight"] = W(lp[ours])
+                if "bias" in lp[ours]:
+                    sd[b + theirs + ".bias"] = V(lp[ours]["bias"])
         for ours, theirs in norm_names.items():
             sd[b + theirs + ".weight"] = V(lp[ours]["scale"])
             if "bias" in lp[ours]:

@@ -22,7 +22,7 @@ __all__ = ["ModelSpec", "spec_from_hf_config"]
 
 ARCHS = (
     "opt", "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
-    "qwen2_moe", "gemma", "gemma2",
+    "qwen2_moe", "gemma", "gemma2", "phi3",
 )
 
 
@@ -269,7 +269,7 @@ def spec_from_hf_config(config) -> ModelSpec:
         model_type
         in (
             "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
-            "qwen2_moe", "gemma", "gemma2",
+            "qwen2_moe", "gemma", "gemma2", "phi3",
         )
         or "qwen3" in model_type
     ):
@@ -346,7 +346,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             sliding_window=getattr(config, "sliding_window", None)
             if (
                 getattr(config, "use_sliding_window", False)
-                or arch in ("mistral", "mixtral", "gemma2")
+                or arch in ("mistral", "mixtral", "gemma2", "phi3")
             )
             else None,
             # explicit config.layer_types wins; mistral/mixtral without one
@@ -356,7 +356,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             layer_types=tuple(getattr(config, "layer_types", ()) or ())
             or (
                 ("sliding_attention",) * n_layers
-                if arch in ("mistral", "mixtral")
+                if arch in ("mistral", "mixtral", "phi3")
                 and getattr(config, "sliding_window", None)
                 else tuple(
                     "sliding_attention" if l % 2 == 0 else "full_attention"

@@ -358,3 +358,70 @@ def test_mistral_forward_with_sliding_window(rng):
         ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
     got, _ = forward(spec, params, ids)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_phi3_forward_compression_and_export(tmp_path, rng):
+    """phi3: fused qkv_proj/gate_up_proj split by the spec's rank lists
+    on import, re-fused on export (stock-HF reloadable); every-layer
+    sliding window when set."""
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models.hf_export import export_to_hf
+
+    cfg = transformers.Phi3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        sliding_window=8, tie_word_embeddings=False, pad_token_id=0,
+        eos_token_id=1, bos_token_id=2,
+    )
+    torch.manual_seed(0)
+    m = transformers.Phi3ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "phi3" and spec.sliding_window == 8
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 24)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    # dense export re-fuses and reloads through stock transformers
+    out = export_to_hf(spec, params, str(tmp_path / "export"), tokenizer_source="src")
+    import json
+
+    c = json.load(open(tmp_path / "export" / "config.json"))
+    c["pad_token_id"] = 0
+    json.dump(c, open(tmp_path / "export" / "config.json", "w"))
+    reloaded = transformers.Phi3ForCausalLM.from_pretrained(out).eval()
+    with torch.no_grad():
+        got2 = reloaded(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-5)
+
+    # compression end to end; compressed export splits back via rank lists
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(r["compressed_ppl"])
+    cspec, cparams = r["compressed_spec"], r["compressed_params"]
+
+    from modegpt_tpu.models.hf import params_from_state_dict
+    from modegpt_tpu.models.spec import spec_from_hf_config
+    from safetensors.numpy import load_file
+    from transformers import AutoConfig
+
+    d2 = str(tmp_path / "cexport")
+    export_to_hf(cspec, cparams, d2, tokenizer_source="src")
+    cfgj = json.load(open(d2 + "/config.json"))
+    masks = torch.load(cfgj["mask_path"])
+    spec2 = spec_from_hf_config(AutoConfig.from_pretrained(d2))
+    params2 = params_from_state_dict(
+        spec2, load_file(d2 + "/model.safetensors"),
+        rotary_masks={i: np.asarray(mk) for i, mk in enumerate(masks)},
+    )
+    a, _ = forward(cspec, cparams, ids[:1, :12])
+    b2, _ = forward(spec2, params2, ids[:1, :12])
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(a), rtol=1e-5, atol=1e-5)
