@@ -495,12 +495,13 @@ def forward(
     """
     B, T = input_ids.shape
     x = _scale_embed(spec, params["embed_tokens"][input_ids])
-    if spec.arch == "opt":
-        # OPT learned positions with hardcoded offset 2
-        # (HF OPTLearnedPositionalEmbedding; reference: OPTRebuild.py:58-84).
+    if spec.arch in ("opt", "gpt2"):
+        # learned positions: OPT hardcodes offset 2 (HF
+        # OPTLearnedPositionalEmbedding; reference: OPTRebuild.py:58-84),
+        # GPT-2 none.
         if "project_in" in params:  # OPT-350m-style word_embed_proj_dim
             x = _linear(x, params["project_in"])
-        pos = jnp.arange(T, dtype=jnp.int32) + 2
+        pos = jnp.arange(T, dtype=jnp.int32) + spec.position_offset
         x = x + params["embed_positions"][pos][None, :, :]
 
     cos = sin = None

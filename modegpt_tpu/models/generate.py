@@ -147,10 +147,10 @@ def _model_step(spec: ModelSpec, params: Dict, tokens: jax.Array, cache: KVCache
     from modegpt_tpu.models.forward import _scale_embed
 
     x = _scale_embed(spec, params["embed_tokens"][tokens])
-    if spec.arch == "opt":
+    if spec.arch in ("opt", "gpt2"):
         if "project_in" in params:
             x = _linear(x, params["project_in"])
-        positions = pos + jnp.arange(S, dtype=jnp.int32) + 2
+        positions = pos + jnp.arange(S, dtype=jnp.int32) + spec.position_offset
         x = x + params["embed_positions"][positions][None, :, :]
 
     cos = sin = None

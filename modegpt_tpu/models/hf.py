@@ -49,7 +49,51 @@ def params_from_state_dict(
         return name in sd
 
     params: Dict = {}
-    if spec.arch == "opt":
+    if spec.arch == "gpt2":
+        # GPT-2 Conv1D weights are ALREADY [in, out] — no transposes; the
+        # fused c_attn [d, 3d] splits by the spec's rank lists (so
+        # compressed re-imports work), c_fc/c_proj are up/down.
+        pre = "transformer."
+        params["embed_tokens"] = V(pre + "wte.weight")
+        params["embed_positions"] = V(pre + "wpe.weight")
+        params["final_norm"] = {
+            "scale": V(pre + "ln_f.weight"),
+            "bias": V(pre + "ln_f.bias"),
+        }
+        layers = []
+        for l in range(spec.n_layers):
+            b = f"{pre}h.{l}."
+            ca = _t2n(sd[b + "attn.c_attn.weight"], dtype)
+            cb = _t2n(sd[b + "attn.c_attn.bias"], dtype)
+            qd, kd = spec.q_ranks[l], spec.k_ranks[l]
+            lp = {
+                "attn_norm": {"scale": V(b + "ln_1.weight"), "bias": V(b + "ln_1.bias")},
+                "mlp_norm": {"scale": V(b + "ln_2.weight"), "bias": V(b + "ln_2.bias")},
+                "q": {"kernel": jnp.asarray(ca[:, :qd]), "bias": jnp.asarray(cb[:qd])},
+                "k": {
+                    "kernel": jnp.asarray(ca[:, qd : qd + kd]),
+                    "bias": jnp.asarray(cb[qd : qd + kd]),
+                },
+                "v": {
+                    "kernel": jnp.asarray(ca[:, qd + kd :]),
+                    "bias": jnp.asarray(cb[qd + kd :]),
+                },
+                "o": {
+                    "kernel": jnp.asarray(_t2n(sd[b + "attn.c_proj.weight"], dtype)),
+                    "bias": V(b + "attn.c_proj.bias"),
+                },
+                "up": {
+                    "kernel": jnp.asarray(_t2n(sd[b + "mlp.c_fc.weight"], dtype)),
+                    "bias": V(b + "mlp.c_fc.bias"),
+                },
+                "down": {
+                    "kernel": jnp.asarray(_t2n(sd[b + "mlp.c_proj.weight"], dtype)),
+                    "bias": V(b + "mlp.c_proj.bias"),
+                },
+            }
+            layers.append(lp)
+        params["layers"] = layers
+    elif spec.arch == "opt":
         pre = "model.decoder."
         params["embed_tokens"] = V(pre + "embed_tokens.weight")
         params["embed_positions"] = V(pre + "embed_positions.weight")

@@ -31,7 +31,22 @@ __all__ = ["export_to_hf"]
 
 
 def _hf_config_dict(spec: ModelSpec) -> Dict:
-    if spec.arch == "opt":
+    if spec.arch == "gpt2":
+        cfg = {
+            "model_type": "gpt2",
+            "architectures": ["GPT2LMHeadModel"],
+            "vocab_size": spec.vocab_size,
+            "n_embd": spec.d_model,
+            "n_inner": spec.d_int,
+            "n_layer": spec.n_layers,
+            "n_head": spec.n_heads,
+            "n_positions": spec.max_position_embeddings,
+            "n_ctx": spec.max_position_embeddings,
+            "activation_function": spec.act,
+            "layer_norm_epsilon": spec.norm_eps,
+            "tie_word_embeddings": spec.tie_word_embeddings,
+        }
+    elif spec.arch == "opt":
         cfg = {
             "model_type": "opt",
             "architectures": ["OPTForCausalLM"],
@@ -147,6 +162,51 @@ def export_to_hf(
 
     sd: Dict[str, np.ndarray] = {}
     masks = {}
+    if spec.arch == "gpt2":
+        # Conv1D layout is [in, out] — our kernels verbatim; c_attn
+        # re-fuses [q | k | v] along the out axis (the importer re-splits
+        # by the exported rank lists).
+        def K(p):
+            return np.ascontiguousarray(np.asarray(p["kernel"], dtype=dtype))
+
+        pre = "transformer."
+        sd[pre + "wte.weight"] = V(params["embed_tokens"])
+        sd[pre + "wpe.weight"] = V(params["embed_positions"])
+        sd[pre + "ln_f.weight"] = V(params["final_norm"]["scale"])
+        sd[pre + "ln_f.bias"] = V(params["final_norm"]["bias"])
+        for l, lp in enumerate(params["layers"]):
+            b = f"{pre}h.{l}."
+            sd[b + "ln_1.weight"] = V(lp["attn_norm"]["scale"])
+            sd[b + "ln_1.bias"] = V(lp["attn_norm"]["bias"])
+            sd[b + "ln_2.weight"] = V(lp["mlp_norm"]["scale"])
+            sd[b + "ln_2.bias"] = V(lp["mlp_norm"]["bias"])
+            sd[b + "attn.c_attn.weight"] = np.concatenate(
+                [K(lp["q"]), K(lp["k"]), K(lp["v"])], axis=1
+            )
+            def _bias_or_zeros(p):
+                # compressed models fold the v bias into o (exact); emit
+                # zeros in its c_attn slot
+                if "bias" in p:
+                    return V(p["bias"])
+                return np.zeros(p["kernel"].shape[1], dtype=dtype)
+
+            sd[b + "attn.c_attn.bias"] = np.concatenate(
+                [_bias_or_zeros(lp["q"]), _bias_or_zeros(lp["k"]), _bias_or_zeros(lp["v"])]
+            )
+            sd[b + "attn.c_proj.weight"] = K(lp["o"])
+            sd[b + "attn.c_proj.bias"] = V(lp["o"]["bias"])
+            sd[b + "mlp.c_fc.weight"] = K(lp["up"])
+            sd[b + "mlp.c_fc.bias"] = V(lp["up"]["bias"])
+            sd[b + "mlp.c_proj.weight"] = K(lp["down"])
+            sd[b + "mlp.c_proj.bias"] = V(lp["down"]["bias"])
+        save_file(sd, os.path.join(out_dir, "model.safetensors"))
+        cfg = _hf_config_dict(spec)
+        cfg["mask_path"] = None
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=2)
+        with open(os.path.join(out_dir, "tokenizer_source.txt"), "w") as f:
+            f.write(tokenizer_source.strip())
+        return out_dir
     if spec.arch == "opt":
         pre = "model.decoder."
         sd[pre + "embed_tokens.weight"] = V(params["embed_tokens"])

@@ -401,14 +401,15 @@ def _embed(spec: ModelSpec, other: Dict, tokens, pos0=None):
     from modegpt_tpu.models.forward import _scale_embed
 
     x = _scale_embed(spec, other["embed_tokens"][tokens])
-    if spec.arch == "opt":
+    if spec.arch in ("opt", "gpt2"):
+        off = spec.position_offset
         if "project_in" in other:
             x = _linear(x, other["project_in"])
         S = tokens.shape[1]
         if pos0 is not None and jnp.ndim(pos0) == 1:
-            pos = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] + 2
+            pos = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :] + off
             return x + other["embed_positions"][pos]
-        pos = jnp.arange(S, dtype=jnp.int32) + 2
+        pos = jnp.arange(S, dtype=jnp.int32) + off
         if pos0 is not None:
             pos = pos + pos0
         x = x + other["embed_positions"][pos][None, :, :]

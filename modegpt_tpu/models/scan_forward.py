@@ -167,10 +167,10 @@ def forward_scan(
     from modegpt_tpu.models.forward import _scale_embed
 
     x = _scale_embed(spec, params["embed_tokens"][input_ids])
-    if spec.arch == "opt":
+    if spec.arch in ("opt", "gpt2"):
         if "project_in" in params:
             x = _linear(x, params["project_in"])
-        pos = jnp.arange(T, dtype=jnp.int32) + 2
+        pos = jnp.arange(T, dtype=jnp.int32) + spec.position_offset
         x = x + params["embed_positions"][pos][None, :, :]
 
     cos = sin = None

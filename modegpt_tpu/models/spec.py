@@ -21,7 +21,7 @@ from typing import Optional, Tuple
 __all__ = ["ModelSpec", "spec_from_hf_config"]
 
 ARCHS = (
-    "opt", "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
+    "opt", "gpt2", "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
     "qwen2_moe", "gemma", "gemma2", "phi3",
 )
 
@@ -102,7 +102,13 @@ class ModelSpec:
     # ---- derived helpers ----
     @property
     def uses_rope(self) -> bool:
-        return self.arch != "opt"  # every supported non-OPT arch is rotary
+        # learned-position archs; everything else is rotary
+        return self.arch not in ("opt", "gpt2")
+
+    @property
+    def position_offset(self) -> int:
+        """Learned-position index offset (OPT hardcodes 2, GPT-2 none)."""
+        return 2 if self.arch == "opt" else 0
 
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
@@ -236,7 +242,37 @@ def spec_from_hf_config(config) -> ModelSpec:
     framework or by the reference's patch_config), they are honoured.
     """
     model_type = getattr(config, "model_type", "")
-    if model_type == "opt":
+    if model_type == "gpt2":
+        # GPT-2: learned positions (no offset), pre-LN LayerNorm blocks,
+        # fused Conv1D projections (split by the loader), gelu_new,
+        # biases everywhere, MHA, tied embeddings. The reference carries
+        # only a dead GPT-2 branch (compression_utils.py:58-76).
+        n_heads = config.n_head
+        head_dim = config.n_embd // n_heads
+        n_layers = config.n_layer
+        d_int = config.n_inner or 4 * config.n_embd
+        ranks = _dense_ranks(n_layers, n_heads * head_dim, n_heads * head_dim, d_int)
+        spec = ModelSpec(
+            arch="gpt2",
+            vocab_size=config.vocab_size,
+            d_model=config.n_embd,
+            n_layers=n_layers,
+            n_heads=n_heads,
+            n_kv_heads=n_heads,
+            head_dim=head_dim,
+            d_int=d_int,
+            max_position_embeddings=config.n_positions,
+            act=config.activation_function,
+            norm="layernorm",
+            norm_eps=config.layer_norm_epsilon,
+            rope_theta=None,
+            attention_bias=True,
+            mlp_bias=True,
+            tie_word_embeddings=config.tie_word_embeddings,
+            gated_mlp=False,
+            **ranks,
+        )
+    elif model_type == "opt":
         n_heads = config.num_attention_heads
         head_dim = config.hidden_size // n_heads
         n_layers = config.num_hidden_layers

@@ -154,10 +154,10 @@ def calibrate_pp(
             from modegpt_tpu.models.forward import _scale_embed
 
             x = _scale_embed(spec, embed_params["embed_tokens"][tokens])
-            if spec.arch == "opt":
+            if spec.arch in ("opt", "gpt2"):
                 if "project_in" in embed_params:
                     x = _linear(x, embed_params["project_in"])
-                pos = jnp.arange(T, dtype=jnp.int32) + 2
+                pos = jnp.arange(T, dtype=jnp.int32) + spec.position_offset
                 x = x + embed_params["embed_positions"][pos][None, :, :]
             return x
 
@@ -336,10 +336,10 @@ def perplexity_pp(
             from modegpt_tpu.models.forward import _scale_embed
 
             x = _scale_embed(spec, head_params["embed_tokens"][tokens])
-            if spec.arch == "opt":
+            if spec.arch in ("opt", "gpt2"):
                 if "project_in" in head_params:
                     x = _linear(x, head_params["project_in"])
-                pos = jnp.arange(T, dtype=jnp.int32) + 2
+                pos = jnp.arange(T, dtype=jnp.int32) + spec.position_offset
                 x = x + head_params["embed_positions"][pos][None, :, :]
             return x
 

@@ -425,3 +425,60 @@ def test_phi3_forward_compression_and_export(tmp_path, rng):
     a, _ = forward(cspec, cparams, ids[:1, :12])
     b2, _ = forward(spec2, params2, ids[:1, :12])
     np.testing.assert_allclose(np.asarray(b2), np.asarray(a), rtol=1e-5, atol=1e-5)
+
+
+def test_gpt2_forward_compression_and_export(tmp_path, rng):
+    """gpt2: Conv1D [in, out] weights (no transposes), fused c_attn split
+    by rank lists, learned positions WITHOUT OPT's +2 offset, gelu_new,
+    biases everywhere — the reference's dead GPT-2 branch implemented."""
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models.hf import params_from_state_dict
+    from modegpt_tpu.models.hf_export import export_to_hf
+    from modegpt_tpu.models.spec import spec_from_hf_config
+
+    cfg = transformers.GPT2Config(
+        n_layer=2, n_embd=64, n_head=4, vocab_size=128, n_positions=128
+    )
+    torch.manual_seed(0)
+    m = transformers.GPT2LMHeadModel(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "gpt2" and spec.position_offset == 0
+    assert spec.act == "gelu_new" and not spec.gated_mlp and spec.tie_word_embeddings
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    # dense export reloads bit-exactly through stock transformers
+    out = export_to_hf(spec, params, str(tmp_path / "export"), tokenizer_source="src")
+    reloaded = transformers.GPT2LMHeadModel.from_pretrained(out).eval()
+    with torch.no_grad():
+        got2 = reloaded(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got2, ref, rtol=1e-6, atol=1e-6)
+
+    # compression (OPT-style solvers: bias slicing, v-bias fold) + roundtrip
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(r["compressed_ppl"])
+    cspec, cparams = r["compressed_spec"], r["compressed_params"]
+    lp0 = cparams["layers"][0]
+    assert "bias" in lp0["q"] and "bias" not in lp0["v"] and "bias" in lp0["o"]
+
+    from safetensors.numpy import load_file
+    from transformers import AutoConfig
+
+    d2 = str(tmp_path / "cexport")
+    export_to_hf(cspec, cparams, d2, tokenizer_source="src")
+    spec2 = spec_from_hf_config(AutoConfig.from_pretrained(d2))
+    params2 = params_from_state_dict(spec2, load_file(d2 + "/model.safetensors"))
+    a, _ = forward(cspec, cparams, ids[:1, :12])
+    b2, _ = forward(spec2, params2, ids[:1, :12])
+    np.testing.assert_allclose(np.asarray(b2), np.asarray(a), rtol=1e-5, atol=1e-5)
