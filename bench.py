@@ -59,6 +59,10 @@ def log(*a):
 def bench_jax() -> float:
     import jax
 
+    from modegpt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from modegpt_tpu.calib.data import load_calibration_batches
     from modegpt_tpu.calib.engine import calibrate
     from modegpt_tpu.compress.batched import solve_chunk_batched

@@ -15,6 +15,9 @@ def main(argv=None):
     from modegpt_tpu.utils.logging import setup_logging
     from modegpt_tpu.utils.precision import enable_x64
 
+    from modegpt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     config = CompressionConfig.from_args(argv)
     logger = setup_logging(level=logging.DEBUG if config.debug else logging.INFO)
     if config.solver_precision == "f64_cpu":

@@ -88,6 +88,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logger = setup_logging()
+    from modegpt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from modegpt_tpu.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()

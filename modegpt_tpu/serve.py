@@ -52,6 +52,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     logger = setup_logging()
+    from modegpt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     texts = list(args.prompt)
     if args.prompts:

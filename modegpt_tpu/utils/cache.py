@@ -1,0 +1,32 @@
+"""Persistent XLA compilation cache.
+
+Compiles on this environment's tunneled TPU backend cost minutes of
+round-trip latency (measured 2-7 min for the bench program); JAX's
+on-disk executable cache eliminates repeat compiles across processes —
+including on the remote-compile (axon) backend, verified. Enabled by
+every CLI entry point and the bench; opt out with
+``MODEGPT_NO_COMPILE_CACHE=1``.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["enable_compilation_cache"]
+
+_DEFAULT = "~/.cache/modegpt_tpu/jax_cache"
+
+
+def enable_compilation_cache(path: str = _DEFAULT) -> bool:
+    """Point jax at an on-disk compilation cache. Safe to call multiple
+    times; returns False when disabled by env."""
+    if os.environ.get("MODEGPT_NO_COMPILE_CACHE") == "1":
+        return False
+    import jax
+
+    p = os.path.expanduser(path)
+    os.makedirs(p, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", p)
+    # only persist compiles that actually cost something
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    return True
