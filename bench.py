@@ -118,23 +118,28 @@ def bench_jax() -> float:
     sync(wparams["layers"])
     log(f"jax warmup (compile): {time.perf_counter() - t:.2f}s")
 
-    t0 = time.perf_counter()
-    calib = calibrate(spec, params, batches, target_layers, accumulate="device")
-    t1 = time.perf_counter()
-    log(f"  calibrate: {t1 - t0:.2f}s")
-    keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)
-    # fetch="device": factors stay in HBM and the surgery consumes them
-    # there — the in-memory compress-then-serve job never pays the
-    # HBM->host link (persistence is a separate, explicitly-IO step).
-    f = solve_chunk_batched(
-        spec, params, target_layers, keep, calib, config, "mlp,qk,vo", fetch="device"
+    # min of 3 timed passes: the tunneled backend adds multi-hundred-ms
+    # dispatch jitter per pass; min is the steady-state compute.
+    times = []
+    cspec = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        calib = calibrate(spec, params, batches, target_layers, accumulate="device")
+        keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)
+        # fetch="device": factors stay in HBM and the surgery consumes
+        # them there — the in-memory compress-then-serve job never pays
+        # the HBM->host link (persistence is a separate, explicit step).
+        f = solve_chunk_batched(
+            spec, params, target_layers, keep, calib, config, "mlp,qk,vo", fetch="device"
+        )
+        cspec, cparams = apply_factors(spec, params, f["mlp"], f["qk"], f["vo"])
+        sync(cparams["layers"])
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    log(
+        f"jax e2e compress: {elapsed:.2f}s (runs: {[round(t, 2) for t in times]}); "
+        f"gate_ranks={cspec.gate_ranks}"
     )
-    t2 = time.perf_counter()
-    log(f"  solve (enqueue): {t2 - t1:.2f}s")
-    cspec, cparams = apply_factors(spec, params, f["mlp"], f["qk"], f["vo"])
-    sync(cparams["layers"])
-    elapsed = time.perf_counter() - t0
-    log(f"jax e2e compress: {elapsed:.2f}s; gate_ranks={cspec.gate_ranks}")
     return elapsed
 
 

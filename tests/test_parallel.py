@@ -272,3 +272,35 @@ def test_pipeline_parallel_perplexity_padded_compressed(tmp_path):
         padded=pad_to_uniform(cspec, cparams),
     )
     np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_pipeline_parallel_eval_gemma_scaled_embeddings(rng):
+    """perplexity_pp must apply gemma's sqrt(d_model) embedding scaling
+    (regression: the staged eval's embed_fn once skipped it)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    transformers = pytest.importorskip("transformers")
+    torch = pytest.importorskip("torch")
+
+    from modegpt_tpu.evals.perplexity import compute_perplexity
+    from modegpt_tpu.models import params_from_hf_model
+    from modegpt_tpu.parallel.mesh import make_mesh
+    from modegpt_tpu.parallel.pp import perplexity_pp, supports_pp
+
+    cfg = transformers.GemmaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    m = transformers.GemmaForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    mesh = make_mesh("stage:2")
+    assert supports_pp(spec, mesh)
+
+    tokens = rng.integers(0, spec.vocab_size, size=(4, 32)).astype(np.int32)
+    ref = compute_perplexity(spec, params, tokens, batch_size=2)
+    got = perplexity_pp(spec, params, tokens, mesh, batch_size=2)
+    np.testing.assert_allclose(got, ref, rtol=1e-4)
