@@ -83,14 +83,14 @@ def compute_perplexity(
         # stage-only (pipeline) meshes have no data axis to shard eval over
         mesh = None
 
-    uniform_windows = not spec.layer_types or len(set(spec.layer_types)) <= 1
+    # mixed sliding/full stacks pad fine now (per-layer window is a
+    # scanned leaf, models/padded.py); only mixed dense/MoE stays unrolled
     mixed_moe = bool(spec.n_experts and spec.moe_layers)
     if exec_mode == "auto":
         from modegpt_tpu.models.padded import padding_overhead
 
         use_padded = (
             not spec.is_uniform
-            and uniform_windows
             and not mixed_moe
             and padding_overhead(spec) < 1.5
         )

@@ -323,7 +323,7 @@ def _moe_mlp_dispatch(
 
 def _attention(
     q, k, v, scaling: float, window: Optional[int], impl: str = "xla",
-    softcap: Optional[float] = None,
+    softcap: Optional[float] = None, window_arr: Optional[jax.Array] = None,
 ):
     """Causal (optionally sliding-window) dot-product attention.
 
@@ -340,7 +340,7 @@ def _attention(
     """
     B, H, T, _ = q.shape
     Hk = k.shape[1]
-    if impl == "flash" and T >= 128 and softcap is None:
+    if impl == "flash" and T >= 128 and softcap is None and window_arr is None:
         from modegpt_tpu.kernels.flash_attention import flash_attention, flash_attention_hbm
 
         if T > 8192:
@@ -360,6 +360,9 @@ def _attention(
     mask = ki <= qi
     if window is not None:
         mask = mask & (ki > qi - window)
+    if window_arr is not None:
+        # traced per-layer window from a scanned stack (0 = full)
+        mask = mask & jnp.where(window_arr > 0, ki > qi - window_arr, True)
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=_HI)

@@ -118,12 +118,10 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
             "padded-uniform execution requires an all-MoE or all-dense "
             "stack (mixed qwen3_moe stacks run unrolled)"
         )
-    if spec.layer_types and len(set(spec.layer_types)) > 1:
-        raise NotImplementedError(
-            "padded-uniform execution requires uniform layer_types (the "
-            "scanned body applies one attention window to every layer); "
-            "use the unrolled forward for mixed sliding/full stacks"
-        )
+    # Mixed sliding/full stacks (gemma2 alternates): the per-layer window
+    # becomes a SCANNED leaf ("window", 0 = full attention) consumed by
+    # _layer_padded — one scanned body still serves every layer.
+    mixed_windows = bool(spec.layer_types) and len(set(spec.layer_types)) > 1
     H, Hk = spec.n_heads, spec.n_kv_heads
     L = spec.n_layers
     rope = spec.uses_rope
@@ -212,6 +210,16 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
         padded_layers.append(q)
 
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded_layers)
+    if mixed_windows:
+        stacked["window"] = jnp.asarray(
+            [
+                spec.sliding_window
+                if spec.layer_types[l] == "sliding_attention"
+                else 0
+                for l in range(L)
+            ],
+            jnp.int32,
+        )
     other = {k: v for k, v in params.items() if k != "layers"}
 
     pspec = spec.with_ranks(
@@ -310,9 +318,13 @@ def _layer_padded(
     q = q.transpose(0, 2, 1, 3)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
-    window = spec.sliding_window if (
-        spec.layer_types and spec.layer_types[0] == "sliding_attention"
-    ) else None
+    win_arr = p.get("window")  # traced per-layer window (0 = full) or None
+    if win_arr is not None:
+        window = None  # masking via win_arr below
+    else:
+        window = spec.sliding_window if (
+            spec.layer_types and spec.layer_types[0] == "sliding_attention"
+        ) else None
 
     # true-rank scaling per layer; gemma2 fixes it at query_pre_attn_scalar
     q_scale = (
@@ -325,7 +337,10 @@ def _layer_padded(
         if spec.uses_rope:
             q, k = apply_rope(q, k, cos, sin, rotary_mask)
         q = q * lax.rsqrt(q_scale).astype(q.dtype)
-        attn = _attention(q, k, v, 1.0, window, attn_impl, spec.attn_logit_softcap)
+        attn = _attention(
+            q, k, v, 1.0, window, attn_impl, spec.attn_logit_softcap,
+            window_arr=win_arr,
+        )
     else:
         # Decode/prefill into the cache at PER-ROW offsets pos [B] (the
         # serving path; uniform generation passes a broadcast scalar).
@@ -356,6 +371,8 @@ def _layer_padded(
         mask = t_ids <= s_ids  # [B, S, max_len]
         if window is not None:
             mask = mask & (t_ids > s_ids - window)
+        if win_arr is not None:
+            mask = mask & jnp.where(win_arr > 0, t_ids > s_ids - win_arr, True)
         scores = jnp.where(mask[:, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)

@@ -94,9 +94,15 @@ def _stream_step(
 
     slot = _slot_of(g, n_sink, ring_len)
     rel, valid, p_global = _rel_positions(g, C, n_sink, ring_len)
-    # a model's OWN sliding window masks by GLOBAL distance (layer_types
-    # are uniform here — pad_to_uniform refuses mixed stacks)
-    if spec.layer_types and spec.layer_types[0] == "sliding_attention":
+    # a model's OWN sliding window masks by GLOBAL distance; uniform
+    # stacks use the static spec window, mixed (gemma2) stacks carry a
+    # per-layer scanned "window" leaf handled inside the body
+    uniform_sliding = (
+        spec.layer_types
+        and len(set(spec.layer_types)) == 1
+        and spec.layer_types[0] == "sliding_attention"
+    )
+    if uniform_sliding:
         valid = valid & (g - p_global < spec.sliding_window)
     q_rel = jnp.minimum(g, jnp.asarray(C - 1, jnp.int32))
 
@@ -163,7 +169,11 @@ def _stream_step(
         from modegpt_tpu.models.forward import _softcap
 
         scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
-        scores = jnp.where(valid[None, None, None, :], scores, -jnp.inf)
+        v_mask = valid
+        win = p.get("window")  # per-layer scanned window (mixed stacks)
+        if win is not None:
+            v_mask = v_mask & jnp.where(win > 0, g - p_global < win, True)
+        scores = jnp.where(v_mask[None, None, None, :], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Rv)

@@ -166,3 +166,33 @@ def test_gemma2_export_reloads_via_hf(tmp_path, rng):
         ref = m(torch.tensor(ids)).logits.numpy()
         got = reloaded(torch.tensor(ids)).logits.numpy()
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_gemma2_padded_serving_streaming(rng):
+    """Mixed sliding/full stacks (gemma2 alternates) run on the padded
+    scanned stack, the continuous batcher and the streaming ring cache —
+    the per-layer window rides the layer pytree as a scanned leaf."""
+    from modegpt_tpu.models.generate import generate
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+    from modegpt_tpu.models.serving import ContinuousBatcher
+    from modegpt_tpu.models.streaming import streaming_generate
+
+    spec, params = params_from_hf_model(_tiny_gemma2())
+    assert len(set(spec.layer_types)) > 1
+    pm = pad_to_uniform(spec, params)
+    assert "window" in pm.layers
+
+    ids = rng.integers(1, spec.vocab_size, size=(2, 24)).astype(np.int32)
+    ref, _ = forward(spec, params, ids)
+    got = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    refgen = np.asarray(
+        generate(spec, params, ids[:1, :14], max_new_tokens=6, temperature=0.0)
+    )[0].tolist()
+    b = ContinuousBatcher(pm, slots=2, max_len=40, prefill_bucket=8)
+    rid = b.submit(ids[0, :14], max_new_tokens=6)
+    assert b.run()[rid] == refgen
+
+    s_out = streaming_generate(pm, ids[:1, :14], max_new_tokens=6, window=64, n_sink=4)
+    assert np.asarray(s_out)[0].tolist() == refgen
