@@ -64,8 +64,8 @@ def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
         return False
     if spec.n_experts and spec.moe_layers:
         return False  # mixed dense/MoE stacks run unrolled
-    if spec.layer_types and len(set(spec.layer_types)) > 1:
-        return False
+    # mixed sliding/full layer_types are fine: the per-layer window is a
+    # scanned input (see forward_scan)
     if stats_layers:
         if spec.has_rotary_masks:
             return False  # calibration runs on the dense model only
@@ -81,9 +81,9 @@ def stack_layer_params(params: Dict) -> Dict:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
-    """Uniform layer (mirrors forward._layer; per-layer rotary masks are
-    scanned inputs when present)."""
+def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str, win_arr=None):
+    """Uniform layer (mirrors forward._layer; per-layer rotary masks and
+    windows are scanned inputs when present)."""
     B, T, _ = x.shape
     H, Hk = spec.n_heads, spec.n_kv_heads
     q_hd = spec.q_ranks[0] // H
@@ -111,13 +111,21 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str):
     if spec.uses_rope:
         q, k = apply_rope(q, k, cos, sin, rotary_mask)
 
-    window = spec.sliding_window if (spec.layer_types and spec.layer_types[0] == "sliding_attention") else None
+    if win_arr is not None:
+        window = None  # traced per-layer window masks inside _attention
+    else:
+        window = spec.sliding_window if (
+            spec.layer_types and spec.layer_types[0] == "sliding_attention"
+        ) else None
     scaling = (
         spec.query_pre_attn_scalar**-0.5
         if spec.query_pre_attn_scalar is not None
         else q_hd**-0.5
     )
-    attn = _attention(q, k, v, scaling, window, attn_impl, spec.attn_logit_softcap)
+    attn = _attention(
+        q, k, v, scaling, window, attn_impl, spec.attn_logit_softcap,
+        window_arr=win_arr,
+    )
     attn = attn.transpose(0, 2, 1, 3).reshape(B, T, H * v_hd)
     a_out = _linear(attn, p["o"])
     if spec.post_norms:
@@ -207,11 +215,27 @@ def forward_scan(
     else:
         acc0 = None
 
+    mixed_windows = bool(spec.layer_types) and len(set(spec.layer_types)) > 1
+    window_leaf = (
+        jnp.asarray(
+            [
+                spec.sliding_window if t == "sliding_attention" else 0
+                for t in spec.layer_types
+            ],
+            jnp.int32,
+        )
+        if mixed_windows
+        else jnp.zeros((spec.n_layers,), jnp.int32)
+    )
+
     def body(carry, inputs):
         x, acc = carry
-        p, l_idx = inputs
+        p, l_idx, win = inputs
         h_in = x
-        x_out, taps_src, (h_mlp, h_shared) = _one_layer(spec, p, x, cos, sin, attn_impl)
+        x_out, taps_src, (h_mlp, h_shared) = _one_layer(
+            spec, p, x, cos, sin, attn_impl,
+            win_arr=win if mixed_windows else None,
+        )
         if acc is not None:
             x_ln, q, k = taps_src
             within = (l_idx >= start) & (l_idx < start + n_t)
@@ -241,7 +265,9 @@ def forward_scan(
         return (x_out, acc), None
 
     (x, acc), _ = lax.scan(
-        body, (x, acc0), (stacked, jnp.arange(spec.n_layers, dtype=jnp.int32))
+        body,
+        (x, acc0),
+        (stacked, jnp.arange(spec.n_layers, dtype=jnp.int32), window_leaf),
     )
 
     if params.get("final_norm") is not None:

@@ -196,3 +196,22 @@ def test_gemma2_padded_serving_streaming(rng):
 
     s_out = streaming_generate(pm, ids[:1, :14], max_new_tokens=6, window=64, n_sink=4)
     assert np.asarray(s_out)[0].tolist() == refgen
+
+
+def test_gemma2_scan_calibration_matches_unrolled(rng):
+    """Mixed sliding/full stacks scan for calibration too (per-layer
+    window as a scanned input): logits and Gram taps match unrolled."""
+    from modegpt_tpu.models.scan_forward import forward_scan, supports_scan
+
+    spec, params = params_from_hf_model(_tiny_gemma2())
+    assert supports_scan(spec, (0, 1, 2, 3))
+    ids = rng.integers(1, spec.vocab_size, size=(2, 24)).astype(np.int32)
+    ref, rs = forward(spec, params, ids, stats_layers=(0, 1, 2, 3))
+    got, gs = forward_scan(spec, params, ids, stats_layers=(0, 1, 2, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(gs.cov_x), np.asarray(rs.cov_x), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gs.bi_acc), np.asarray(rs.bi_acc), rtol=1e-4, atol=1e-5
+    )
