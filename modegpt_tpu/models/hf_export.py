@@ -174,6 +174,13 @@ def export_to_hf(
         sd[pre + "wpe.weight"] = V(params["embed_positions"])
         sd[pre + "ln_f.weight"] = V(params["final_norm"]["scale"])
         sd[pre + "ln_f.bias"] = V(params["final_norm"]["bias"])
+        def _bias_or_zeros(p):
+            # compressed models fold the v bias into o (exact); emit
+            # zeros in its c_attn slot
+            if "bias" in p:
+                return V(p["bias"])
+            return np.zeros(p["kernel"].shape[1], dtype=dtype)
+
         for l, lp in enumerate(params["layers"]):
             b = f"{pre}h.{l}."
             sd[b + "ln_1.weight"] = V(lp["attn_norm"]["scale"])
@@ -183,13 +190,6 @@ def export_to_hf(
             sd[b + "attn.c_attn.weight"] = np.concatenate(
                 [K(lp["q"]), K(lp["k"]), K(lp["v"])], axis=1
             )
-            def _bias_or_zeros(p):
-                # compressed models fold the v bias into o (exact); emit
-                # zeros in its c_attn slot
-                if "bias" in p:
-                    return V(p["bias"])
-                return np.zeros(p["kernel"].shape[1], dtype=dtype)
-
             sd[b + "attn.c_attn.bias"] = np.concatenate(
                 [_bias_or_zeros(lp["q"]), _bias_or_zeros(lp["k"]), _bias_or_zeros(lp["v"])]
             )
@@ -199,6 +199,8 @@ def export_to_hf(
             sd[b + "mlp.c_fc.bias"] = V(lp["up"]["bias"])
             sd[b + "mlp.c_proj.weight"] = K(lp["down"])
             sd[b + "mlp.c_proj.bias"] = V(lp["down"]["bias"])
+        if params.get("lm_head") is not None:  # untied variants
+            sd["lm_head.weight"] = W(params["lm_head"])
         save_file(sd, os.path.join(out_dir, "model.safetensors"))
         cfg = _hf_config_dict(spec)
         cfg["mask_path"] = None

@@ -44,6 +44,8 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
     }
     if spec.arch == "opt":
         params["embed_positions"] = dense((spec.max_position_embeddings + 2, spec.d_model))
+    elif spec.arch == "gpt2":
+        params["embed_positions"] = dense((spec.max_position_embeddings, spec.d_model))
 
     layers = []
     for l in range(spec.n_layers):
@@ -55,7 +57,7 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
             "q": linear((spec.d_model, spec.q_ranks[l]), ab),
             "k": linear((spec.d_model, spec.k_ranks[l]), ab),
             "v": linear((spec.d_model, spec.v_ranks[l]), ab),
-            "o": linear((spec.o_ranks[l], spec.d_model), ab and spec.arch == "opt"),
+            "o": linear((spec.o_ranks[l], spec.d_model), ab and spec.arch in ("opt", "gpt2")),
         }
         if spec.is_moe_layer(l):
             E, rg = spec.n_experts, spec.gate_ranks[l]
@@ -75,12 +77,9 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
                 if spec.shared_expert_gate:
                     lp["shared_gate"] = {"kernel": dense((spec.d_model, 1))}
         else:
-            lp["up"] = linear(
-                (spec.d_model, spec.gate_ranks[l]), spec.mlp_bias or spec.arch == "opt"
-            )
-            lp["down"] = linear(
-                (spec.gate_ranks[l], spec.d_model), spec.mlp_bias or spec.arch == "opt"
-            )
+            mb = spec.mlp_bias or spec.arch in ("opt", "gpt2")
+            lp["up"] = linear((spec.d_model, spec.gate_ranks[l]), mb)
+            lp["down"] = linear((spec.gate_ranks[l], spec.d_model), mb)
             if spec.gated_mlp:
                 lp["gate"] = linear((spec.d_model, spec.gate_ranks[l]), spec.mlp_bias)
         if spec.qk_norm:

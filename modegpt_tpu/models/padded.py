@@ -121,7 +121,7 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     # Mixed sliding/full stacks (gemma2 alternates): the per-layer window
     # becomes a SCANNED leaf ("window", 0 = full attention) consumed by
     # _layer_padded — one scanned body still serves every layer.
-    mixed_windows = bool(spec.layer_types) and len(set(spec.layer_types)) > 1
+    mixed_windows = spec.mixed_windows
     H, Hk = spec.n_heads, spec.n_kv_heads
     L = spec.n_layers
     rope = spec.uses_rope
@@ -211,15 +211,7 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
 
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded_layers)
     if mixed_windows:
-        stacked["window"] = jnp.asarray(
-            [
-                spec.sliding_window
-                if spec.layer_types[l] == "sliding_attention"
-                else 0
-                for l in range(L)
-            ],
-            jnp.int32,
-        )
+        stacked["window"] = jnp.asarray(spec.window_per_layer(), jnp.int32)
     other = {k: v for k, v in params.items() if k != "layers"}
 
     pspec = spec.with_ranks(

@@ -46,9 +46,9 @@ __all__ = ["stack_layer_params", "forward_scan", "supports_scan"]
 
 
 def supports_scan(spec: ModelSpec, stats_layers: Tuple[int, ...]) -> bool:
-    """Scan path requires uniform layer SHAPES (rotary masks are fine —
-    they become scanned inputs), a uniform attention window, and a
-    contiguous stats window."""
+    """Scan path requires uniform layer SHAPES (rotary masks and
+    per-layer attention windows are fine — both become scanned inputs)
+    and a contiguous stats window."""
     uniform_shapes = all(
         len(set(r)) <= 1
         for r in (
@@ -215,15 +215,9 @@ def forward_scan(
     else:
         acc0 = None
 
-    mixed_windows = bool(spec.layer_types) and len(set(spec.layer_types)) > 1
+    mixed_windows = spec.mixed_windows
     window_leaf = (
-        jnp.asarray(
-            [
-                spec.sliding_window if t == "sliding_attention" else 0
-                for t in spec.layer_types
-            ],
-            jnp.int32,
-        )
+        jnp.asarray(spec.window_per_layer(), jnp.int32)
         if mixed_windows
         else jnp.zeros((spec.n_layers,), jnp.int32)
     )

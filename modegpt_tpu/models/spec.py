@@ -110,6 +110,22 @@ class ModelSpec:
         """Learned-position index offset (OPT hardcodes 2, GPT-2 none)."""
         return 2 if self.arch == "opt" else 0
 
+    @property
+    def mixed_windows(self) -> bool:
+        """True when layers disagree on sliding vs full attention
+        (gemma2 alternates) — the scanned paths then carry the window
+        as a per-layer input."""
+        return bool(self.layer_types) and len(set(self.layer_types)) > 1
+
+    def window_per_layer(self) -> Tuple[int, ...]:
+        """Per-layer attention window, 0 = full attention. A sliding
+        layer_type without a configured window degrades to full (matches
+        the unrolled forward's `window = sliding_window if ...` -> None)."""
+        w = self.sliding_window or 0
+        return tuple(
+            w if t == "sliding_attention" else 0 for t in self.layer_types
+        )
+
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
 
@@ -247,6 +263,12 @@ def spec_from_hf_config(config) -> ModelSpec:
         # fused Conv1D projections (split by the loader), gelu_new,
         # biases everywhere, MHA, tied embeddings. The reference carries
         # only a dead GPT-2 branch (compression_utils.py:58-76).
+        # fail loudly on attention variants we don't implement rather
+        # than silently producing wrong logits
+        if not getattr(config, "scale_attn_weights", True):
+            raise ValueError("gpt2 with scale_attn_weights=False is unsupported")
+        if getattr(config, "scale_attn_by_inverse_layer_idx", False):
+            raise ValueError("gpt2 with scale_attn_by_inverse_layer_idx is unsupported")
         n_heads = config.n_head
         head_dim = config.n_embd // n_heads
         n_layers = config.n_layer
@@ -350,6 +372,8 @@ def spec_from_hf_config(config) -> ModelSpec:
             act = getattr(config, "hidden_activation", None) or "gelu_pytorch_tanh"
         else:
             act = config.hidden_act
+        if arch == "phi3" and getattr(config, "partial_rotary_factor", 1.0) != 1.0:
+            raise ValueError("phi3 with partial_rotary_factor != 1.0 is unsupported")
         spec = ModelSpec(
             arch=arch,
             vocab_size=config.vocab_size,

@@ -99,8 +99,9 @@ def _stream_step(
     # per-layer scanned "window" leaf handled inside the body
     uniform_sliding = (
         spec.layer_types
-        and len(set(spec.layer_types)) == 1
+        and not spec.mixed_windows
         and spec.layer_types[0] == "sliding_attention"
+        and spec.sliding_window
     )
     if uniform_sliding:
         valid = valid & (g - p_global < spec.sliding_window)
