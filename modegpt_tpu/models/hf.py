@@ -144,6 +144,8 @@ def params_from_state_dict(
         pre = "model."
         params["embed_tokens"] = V(pre + "embed_tokens.weight")
         params["final_norm"] = {"scale": V(pre + "norm.weight")}
+        if has(pre + "norm.bias"):  # starcoder2: biased LayerNorm
+            params["final_norm"]["bias"] = V(pre + "norm.bias")
         layers = []
         for l in range(spec.n_layers):
             b = f"{pre}layers.{l}."
@@ -161,6 +163,9 @@ def params_from_state_dict(
                     "attn_norm": {"scale": V(b + "input_layernorm.weight")},
                     "mlp_norm": {"scale": V(b + "post_attention_layernorm.weight")},
                 }
+                if has(b + "input_layernorm.bias"):  # starcoder2 LayerNorm
+                    norms["attn_norm"]["bias"] = V(b + "input_layernorm.bias")
+                    norms["mlp_norm"]["bias"] = V(b + "post_attention_layernorm.bias")
             if spec.arch == "phi3":
                 # phi3 fuses q/k/v into qkv_proj [(H+2Hk)*hd, d] — split by
                 # the spec's rank lists so compressed re-imports work too
@@ -224,6 +229,13 @@ def params_from_state_dict(
                 lp["gate"] = {"kernel": jnp.asarray(gu[:gd].T)}
                 lp["up"] = {"kernel": jnp.asarray(gu[gd:].T)}
                 lp["down"] = {"kernel": W(b + "mlp.down_proj.weight")}
+            elif spec.arch == "starcoder2":
+                # non-gated biased MLP under GPT-2-style names
+                lp["up"] = {"kernel": W(b + "mlp.c_fc.weight"), "bias": V(b + "mlp.c_fc.bias")}
+                lp["down"] = {
+                    "kernel": W(b + "mlp.c_proj.weight"),
+                    "bias": V(b + "mlp.c_proj.bias"),
+                }
             else:
                 lp["gate"] = {"kernel": W(b + "mlp.gate_proj.weight")}
                 lp["up"] = {"kernel": W(b + "mlp.up_proj.weight")}

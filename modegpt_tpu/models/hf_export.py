@@ -74,6 +74,7 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "gemma": "GemmaForCausalLM",
             "gemma2": "Gemma2ForCausalLM",
             "phi3": "Phi3ForCausalLM",
+            "starcoder2": "Starcoder2ForCausalLM",
         }
         cfg = {
             "model_type": spec.arch,
@@ -101,6 +102,10 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             cfg["sliding_window"] = spec.sliding_window
         if spec.arch in ("gemma", "gemma2"):
             cfg["hidden_activation"] = spec.act
+        if spec.arch == "starcoder2":
+            cfg["norm_epsilon"] = spec.norm_eps
+            cfg["use_bias"] = spec.attention_bias
+            del cfg["rms_norm_eps"]
         if spec.arch == "gemma2":
             cfg["query_pre_attn_scalar"] = spec.query_pre_attn_scalar
             cfg["attn_logit_softcapping"] = spec.attn_logit_softcap
@@ -228,11 +233,21 @@ def export_to_hf(
         pre = "model."
         sd[pre + "embed_tokens.weight"] = V(params["embed_tokens"])
         sd[pre + "norm.weight"] = V(params["final_norm"]["scale"])
-        names = {
-            "q": "self_attn.q_proj", "k": "self_attn.k_proj", "v": "self_attn.v_proj",
-            "o": "self_attn.o_proj", "gate": "mlp.gate_proj", "up": "mlp.up_proj",
-            "down": "mlp.down_proj",
-        }
+        if "bias" in params["final_norm"]:  # starcoder2 LayerNorm
+            sd[pre + "norm.bias"] = V(params["final_norm"]["bias"])
+        if spec.arch == "starcoder2":
+            names = {
+                "q": "self_attn.q_proj", "k": "self_attn.k_proj",
+                "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+                "up": "mlp.c_fc", "down": "mlp.c_proj",
+            }
+        else:
+            names = {
+                "q": "self_attn.q_proj", "k": "self_attn.k_proj",
+                "v": "self_attn.v_proj", "o": "self_attn.o_proj",
+                "gate": "mlp.gate_proj", "up": "mlp.up_proj",
+                "down": "mlp.down_proj",
+            }
         if spec.post_norms:
             norm_names = {
                 "attn_norm": "input_layernorm",

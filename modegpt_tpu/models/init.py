@@ -57,7 +57,10 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
             "q": linear((spec.d_model, spec.q_ranks[l]), ab),
             "k": linear((spec.d_model, spec.k_ranks[l]), ab),
             "v": linear((spec.d_model, spec.v_ranks[l]), ab),
-            "o": linear((spec.o_ranks[l], spec.d_model), ab and spec.arch in ("opt", "gpt2")),
+            "o": linear(
+                (spec.o_ranks[l], spec.d_model),
+                ab and spec.arch in ("opt", "gpt2", "starcoder2"),
+            ),
         }
         if spec.is_moe_layer(l):
             E, rg = spec.n_experts, spec.gate_ranks[l]

@@ -327,7 +327,7 @@ def spec_from_hf_config(config) -> ModelSpec:
         model_type
         in (
             "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
-            "qwen2_moe", "gemma", "gemma2", "phi3",
+            "qwen2_moe", "gemma", "gemma2", "phi3", "starcoder2",
         )
         or "qwen3" in model_type
     ):
@@ -385,19 +385,31 @@ def spec_from_hf_config(config) -> ModelSpec:
             d_int=d_int,
             max_position_embeddings=config.max_position_embeddings,
             act=act,
-            # gemma's RMSNorm multiplies by (1 + weight) in float32
-            norm="rmsnorm_1p" if arch in ("gemma", "gemma2") else "rmsnorm",
-            norm_eps=config.rms_norm_eps,
+            # gemma's RMSNorm multiplies by (1 + weight) in float32;
+            # starcoder2 is the one rotary arch with biased LayerNorm
+            norm="rmsnorm_1p"
+            if arch in ("gemma", "gemma2")
+            else "layernorm"
+            if arch == "starcoder2"
+            else "rmsnorm",
+            norm_eps=getattr(config, "norm_epsilon", None) or config.rms_norm_eps
+            if arch == "starcoder2"
+            else config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),
             # qwen2/qwen2_moe hardcode q/k/v biases (o bias-free) in their
-            # attention modules rather than exposing a config flag.
+            # attention modules rather than exposing a config flag;
+            # starcoder2's use_bias covers attention AND mlp (incl. o).
             attention_bias=True
             if arch in ("qwen2", "qwen2_moe")
+            else getattr(config, "use_bias", True)
+            if arch == "starcoder2"
             else getattr(config, "attention_bias", False),
-            mlp_bias=getattr(config, "mlp_bias", False),
+            mlp_bias=getattr(config, "use_bias", True)
+            if arch == "starcoder2"
+            else getattr(config, "mlp_bias", False),
             tie_word_embeddings=config.tie_word_embeddings,
             qk_norm=arch in ("qwen3", "qwen3_moe"),
-            gated_mlp=True,
+            gated_mlp=arch != "starcoder2",
             # qwen2/qwen3/qwen2_moe gate their window behind
             # use_sliding_window; mistral/mixtral apply
             # config.sliding_window whenever it is set (HF mask_function
@@ -406,7 +418,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             sliding_window=getattr(config, "sliding_window", None)
             if (
                 getattr(config, "use_sliding_window", False)
-                or arch in ("mistral", "mixtral", "gemma2", "phi3")
+                or arch in ("mistral", "mixtral", "gemma2", "phi3", "starcoder2")
             )
             else None,
             # explicit config.layer_types wins; mistral/mixtral without one
@@ -416,7 +428,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             layer_types=tuple(getattr(config, "layer_types", ()) or ())
             or (
                 ("sliding_attention",) * n_layers
-                if arch in ("mistral", "mixtral", "phi3")
+                if arch in ("mistral", "mixtral", "phi3", "starcoder2")
                 and getattr(config, "sliding_window", None)
                 else tuple(
                     "sliding_attention" if l % 2 == 0 else "full_attention"

@@ -482,3 +482,48 @@ def test_gpt2_forward_compression_and_export(tmp_path, rng):
     a, _ = forward(cspec, cparams, ids[:1, :12])
     b2, _ = forward(spec2, params2, ids[:1, :12])
     np.testing.assert_allclose(np.asarray(b2), np.asarray(a), rtol=1e-5, atol=1e-5)
+
+
+def test_starcoder2_forward_compression_and_export(tmp_path, rng):
+    """starcoder2: the one rotary arch with biased LayerNorm and a
+    non-gated biased MLP under GPT-2-style names (c_fc/c_proj)."""
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models.hf_export import export_to_hf
+
+    cfg = transformers.Starcoder2Config(
+        num_hidden_layers=2, hidden_size=64, intermediate_size=256,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    m = transformers.Starcoder2ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "starcoder2" and spec.norm == "layernorm"
+    assert not spec.gated_mlp and spec.attention_bias and spec.uses_rope
+    assert "bias" in params["layers"][0]["attn_norm"]
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    out = export_to_hf(spec, params, str(tmp_path / "export"), tokenizer_source="src")
+    reloaded = transformers.Starcoder2ForCausalLM.from_pretrained(out).eval()
+    with torch.no_grad():
+        got2 = reloaded(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got2, ref, rtol=1e-6, atol=1e-6)
+
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(r["compressed_ppl"])
+    lp0 = r["compressed_params"]["layers"][0]
+    # rope qk biases slice through the mask; v folds into o; fc biases kept
+    assert "bias" in lp0["q"] and "bias" not in lp0["v"]
+    assert "bias" in lp0["o"] and "bias" in lp0["up"] and "bias" in lp0["down"]
