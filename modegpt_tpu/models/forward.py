@@ -390,7 +390,11 @@ def _layer(
 
     # ---- attention ----
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    x_ln = (
+        _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
     q = _linear(x_ln, p["q"])  # [B, T, H*q_hd]
     k = _linear(x_ln, p["k"])
     v = _linear(x_ln, p["v"])
@@ -399,6 +403,18 @@ def _layer(
         taps["cov_x"] = _gram(x_ln.reshape(-1, spec.d_model))
         taps["cov_q"] = _head_gram(q.reshape(B, T, H, q_hd))
         taps["cov_k"] = _head_gram(k.reshape(B, T, Hk, q_hd))
+
+    if spec.flat_qk_norm:
+        # olmo2: one RMSNorm over the whole projection output
+        from modegpt_tpu.ops.rope import masked_flat_rms_norm
+
+        q = masked_flat_rms_norm(
+            q, p["q_norm"]["scale"], rotary_mask, H, spec.head_dim,
+            spec.group_size, spec.norm_eps,
+        )
+        k = masked_flat_rms_norm(
+            k, p["k_norm"]["scale"], rotary_mask, Hk, spec.head_dim, 1, spec.norm_eps
+        )
 
     q = q.reshape(B, T, H, q_hd)
     k = k.reshape(B, T, Hk, q_hd)
@@ -437,7 +453,11 @@ def _layer(
 
     # ---- MLP ----
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    x_ln2 = (
+        _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
     if spec.is_moe_layer(layer_idx):
         y, h_routed, h_shared = _moe_mlp(spec, p, x_ln2, collect)
         if collect:

@@ -67,10 +67,27 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
 
     pre_ln = spec.do_layer_norm_before
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    q = _linear(x_ln, p["q"]).reshape(B, S, H, q_hd)
-    k = _linear(x_ln, p["k"]).reshape(B, S, Hk, q_hd)
-    v = _linear(x_ln, p["v"]).reshape(B, S, Hk, v_hd)
+    x_ln = (
+        _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
+    q = _linear(x_ln, p["q"])
+    k = _linear(x_ln, p["k"])
+    v = _linear(x_ln, p["v"])
+    if spec.flat_qk_norm:
+        from modegpt_tpu.ops.rope import masked_flat_rms_norm
+
+        q = masked_flat_rms_norm(
+            q, p["q_norm"]["scale"], rotary_mask, H, spec.head_dim,
+            spec.group_size, spec.norm_eps,
+        )
+        k = masked_flat_rms_norm(
+            k, p["k_norm"]["scale"], rotary_mask, Hk, spec.head_dim, 1, spec.norm_eps
+        )
+    q = q.reshape(B, S, H, q_hd)
+    k = k.reshape(B, S, Hk, q_hd)
+    v = v.reshape(B, S, Hk, v_hd)
 
     if spec.qk_norm:
         q = masked_head_rms_norm(q, p["q_norm"]["scale"], rotary_mask, spec.group_size, spec.norm_eps)
@@ -119,7 +136,11 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    x_ln2 = (
+        _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
     if spec.is_moe_layer(layer_idx):
         from modegpt_tpu.models.forward import _moe_mlp
 

@@ -149,7 +149,13 @@ def params_from_state_dict(
         layers = []
         for l in range(spec.n_layers):
             b = f"{pre}layers.{l}."
-            if spec.post_norms:
+            if spec.post_norms and not spec.pre_norms:
+                # olmo2: ONLY post-sublayer norms (before the residual add)
+                norms = {
+                    "post_attn_norm": {"scale": V(b + "post_attention_layernorm.weight")},
+                    "post_mlp_norm": {"scale": V(b + "post_feedforward_layernorm.weight")},
+                }
+            elif spec.post_norms:
                 # gemma2 sandwich norms: post_attention_layernorm normalises
                 # the attention OUTPUT; the MLP gets pre+post norms.
                 norms = {
@@ -252,7 +258,7 @@ def params_from_state_dict(
                 ]:
                     if has(b + theirs + ".bias"):
                         lp[ours]["bias"] = V(b + theirs + ".bias")
-            if spec.qk_norm:
+            if spec.qk_norm or spec.flat_qk_norm:
                 lp["q_norm"] = {"scale": V(b + "self_attn.q_norm.weight")}
                 lp["k_norm"] = {"scale": V(b + "self_attn.k_norm.weight")}
             if rotary_masks is not None and l in rotary_masks:

@@ -75,6 +75,7 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
             "gemma2": "Gemma2ForCausalLM",
             "phi3": "Phi3ForCausalLM",
             "starcoder2": "Starcoder2ForCausalLM",
+            "olmo2": "Olmo2ForCausalLM",
         }
         cfg = {
             "model_type": spec.arch,
@@ -248,7 +249,12 @@ def export_to_hf(
                 "gate": "mlp.gate_proj", "up": "mlp.up_proj",
                 "down": "mlp.down_proj",
             }
-        if spec.post_norms:
+        if spec.post_norms and not spec.pre_norms:  # olmo2
+            norm_names = {
+                "post_attn_norm": "post_attention_layernorm",
+                "post_mlp_norm": "post_feedforward_layernorm",
+            }
+        elif spec.post_norms:
             norm_names = {
                 "attn_norm": "input_layernorm",
                 "post_attn_norm": "post_attention_layernorm",

@@ -51,8 +51,7 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
     for l in range(spec.n_layers):
         ab = spec.attention_bias
         lp = {
-            "attn_norm": norm_p(),
-            "mlp_norm": norm_p(),
+            **({"attn_norm": norm_p(), "mlp_norm": norm_p()} if spec.pre_norms or not spec.do_layer_norm_before else {}),
             **({"post_attn_norm": norm_p(), "post_mlp_norm": norm_p()} if spec.post_norms else {}),
             "q": linear((spec.d_model, spec.q_ranks[l]), ab),
             "k": linear((spec.d_model, spec.k_ranks[l]), ab),
@@ -88,6 +87,9 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32, scale: float
         if spec.qk_norm:
             lp["q_norm"] = {"scale": jnp.ones((spec.head_dim,), dtype=dtype)}
             lp["k_norm"] = {"scale": jnp.ones((spec.head_dim,), dtype=dtype)}
+        elif spec.flat_qk_norm:
+            lp["q_norm"] = {"scale": jnp.ones((spec.n_heads * spec.head_dim,), dtype=dtype)}
+            lp["k_norm"] = {"scale": jnp.ones((spec.n_kv_heads * spec.head_dim,), dtype=dtype)}
         layers.append(lp)
     params["layers"] = layers
     return params

@@ -151,9 +151,11 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
         g_in = lambda x, ax: _pad_tail(x, rg, Rg, ax)
 
         q = {
-            "attn_norm": p["attn_norm"],
-            "mlp_norm": p["mlp_norm"],
-            **{k_: p[k_] for k_ in ("post_attn_norm", "post_mlp_norm") if k_ in p},
+            **{
+                k_: p[k_]
+                for k_ in ("attn_norm", "mlp_norm", "post_attn_norm", "post_mlp_norm")
+                if k_ in p
+            },
             "q": _pad_linear(p["q"], pad_out=qk_out_q),
             "k": _pad_linear(p["k"], pad_out=qk_out_k),
             "v": _pad_linear(p["v"], pad_out=v_out),
@@ -186,7 +188,7 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
             q["down"] = _pad_linear(p["down"], pad_in=g_in)
             if spec.gated_mlp:
                 q["gate"] = _pad_linear(p["gate"], pad_out=g_out)
-        if spec.qk_norm:
+        if spec.qk_norm or spec.flat_qk_norm:
             q["q_norm"] = p["q_norm"]
             q["k_norm"] = p["k_norm"]
         if "rotary_mask" in p:
@@ -294,10 +296,30 @@ def _layer_padded(
 
     pre_ln = spec.do_layer_norm_before
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-    q = _linear(x_ln, p["q"]).reshape(B, S, H, Rq)
-    k = _linear(x_ln, p["k"]).reshape(B, S, Hk, Rq)
-    v = _linear(x_ln, p["v"]).reshape(B, S, Hk, Rv)
+    x_ln = (
+        _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
+    q = _linear(x_ln, p["q"])
+    k = _linear(x_ln, p["k"])
+    v = _linear(x_ln, p["v"])
+    if spec.flat_qk_norm:
+        # olmo2 whole-projection q/k norm: zero pads keep sums exact,
+        # the variance divides by the TRUE total dim
+        from modegpt_tpu.ops.rope import masked_flat_rms_norm
+
+        q = masked_flat_rms_norm(
+            q, p["q_norm"]["scale"], rotary_mask, H, spec.head_dim,
+            spec.group_size, spec.norm_eps, true_dim=H * q_hd_true,
+        )
+        k = masked_flat_rms_norm(
+            k, p["k_norm"]["scale"], rotary_mask, Hk, spec.head_dim, 1,
+            spec.norm_eps, true_dim=Hk * q_hd_true,
+        )
+    q = q.reshape(B, S, H, Rq)
+    k = k.reshape(B, S, Hk, Rq)
+    v = v.reshape(B, S, Hk, Rv)
 
     if spec.qk_norm:
         q = _masked_rms_norm_truerank(
@@ -378,7 +400,11 @@ def _layer_padded(
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    x_ln2 = (
+        _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
     if spec.n_experts:
         from modegpt_tpu.models.forward import _moe_mlp, _moe_mlp_dispatch
 

@@ -92,12 +92,27 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str, win_arr=No
 
     pre_ln = spec.do_layer_norm_before
     residual = x
-    x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    x_ln = (
+        _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
     q = _linear(x_ln, p["q"])
     k = _linear(x_ln, p["k"])
     v = _linear(x_ln, p["v"])
 
     taps_src = (x_ln, q, k)
+
+    if spec.flat_qk_norm:
+        from modegpt_tpu.ops.rope import masked_flat_rms_norm
+
+        q = masked_flat_rms_norm(
+            q, p["q_norm"]["scale"], rotary_mask, H, spec.head_dim,
+            spec.group_size, spec.norm_eps,
+        )
+        k = masked_flat_rms_norm(
+            k, p["k_norm"]["scale"], rotary_mask, Hk, spec.head_dim, 1, spec.norm_eps
+        )
 
     q = q.reshape(B, T, H, q_hd)
     k = k.reshape(B, T, Hk, q_hd)
@@ -135,7 +150,11 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str, win_arr=No
         x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
     residual = x
-    x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+    x_ln2 = (
+        _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+        if (pre_ln and spec.pre_norms)
+        else x
+    )
     h_shared = None
     if spec.n_experts:
         # h is the routed-masked per-expert intermediate [B, T, E, D] —

@@ -22,7 +22,7 @@ __all__ = ["ModelSpec", "spec_from_hf_config"]
 
 ARCHS = (
     "opt", "gpt2", "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
-    "qwen2_moe", "gemma", "gemma2", "phi3",
+    "qwen2_moe", "gemma", "gemma2", "phi3", "starcoder2", "olmo2",
 )
 
 
@@ -90,6 +90,13 @@ class ModelSpec:
     # expert is a dense MLP, so it gets its own Type-I rank). EMPTY means
     # dense (= shared_d_int on every MoE layer).
     shared_gate_ranks: Tuple[int, ...] = ()
+    # olmo2: NO pre-norms — attention/MLP consume the raw residual
+    # stream and only the post-sublayer norms (before the residual add)
+    # exist; combined with post_norms=True this is the olmo2 wiring.
+    pre_norms: bool = True
+    # olmo2: q/k RMSNorm over the WHOLE projection output ([H*hd] /
+    # [Hk*hd]) rather than per head (qwen3's qk_norm).
+    flat_qk_norm: bool = False
     # gemma2: sandwich norms (post_attention + pre/post_feedforward),
     # attention-score and final-logit soft-capping (cap * tanh(x / cap)),
     # and a config-fixed attention scale (query_pre_attn_scalar**-0.5
@@ -327,7 +334,7 @@ def spec_from_hf_config(config) -> ModelSpec:
         model_type
         in (
             "llama", "mistral", "qwen2", "qwen3", "mixtral", "qwen3_moe",
-            "qwen2_moe", "gemma", "gemma2", "phi3", "starcoder2",
+            "qwen2_moe", "gemma", "gemma2", "phi3", "starcoder2", "olmo2",
         )
         or "qwen3" in model_type
     ):
@@ -456,7 +463,9 @@ def spec_from_hf_config(config) -> ModelSpec:
             if arch == "qwen2_moe"
             else 0,
             shared_expert_gate=arch == "qwen2_moe",
-            post_norms=arch == "gemma2",
+            post_norms=arch in ("gemma2", "olmo2"),
+            pre_norms=arch != "olmo2",
+            flat_qk_norm=arch == "olmo2",
             attn_logit_softcap=getattr(config, "attn_logit_softcapping", None)
             if arch == "gemma2"
             else None,

@@ -124,10 +124,29 @@ def _stream_step(
         p, r_true, ck_l, cv_l = inputs
         pre_ln = spec.do_layer_norm_before
         residual = x
-        x_ln = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps) if pre_ln else x
-        q = _linear(x_ln, p["q"]).reshape(B, 1, H, Rq)
-        k = _linear(x_ln, p["k"]).reshape(B, 1, Hk, Rq)
-        v = _linear(x_ln, p["v"]).reshape(B, 1, Hk, Rv)
+        x_ln = (
+            _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
+            if (pre_ln and spec.pre_norms)
+            else x
+        )
+        q = _linear(x_ln, p["q"])
+        k = _linear(x_ln, p["k"])
+        v = _linear(x_ln, p["v"])
+        if spec.flat_qk_norm:
+            from modegpt_tpu.ops.rope import masked_flat_rms_norm
+
+            rm_ = p.get("rotary_mask")
+            q = masked_flat_rms_norm(
+                q, p["q_norm"]["scale"], rm_, H, spec.head_dim,
+                spec.group_size, spec.norm_eps, true_dim=H * r_true,
+            )
+            k = masked_flat_rms_norm(
+                k, p["k_norm"]["scale"], rm_, Hk, spec.head_dim, 1,
+                spec.norm_eps, true_dim=Hk * r_true,
+            )
+        q = q.reshape(B, 1, H, Rq)
+        k = k.reshape(B, 1, Hk, Rq)
+        v = v.reshape(B, 1, Hk, Rv)
         if spec.qk_norm:
             from modegpt_tpu.models.padded import _masked_rms_norm_truerank
 
@@ -186,7 +205,11 @@ def _stream_step(
             x = _norm(x, p["attn_norm"], spec.norm, spec.norm_eps)
 
         residual = x
-        x_ln2 = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps) if pre_ln else x
+        x_ln2 = (
+            _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
+            if (pre_ln and spec.pre_norms)
+            else x
+        )
         if spec.is_moe_layer(0):
             from modegpt_tpu.models.forward import _moe_mlp
 

@@ -26,7 +26,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["rope_cos_sin", "apply_rope", "masked_head_rms_norm"]
+__all__ = ["rope_cos_sin", "apply_rope", "masked_head_rms_norm", "masked_flat_rms_norm"]
 
 
 def rope_cos_sin(
@@ -132,6 +132,46 @@ def apply_rope_ragged(
         sq = jnp.repeat(sin_h, group, axis=1)
         ck, sk = cos_h, sin_h
     return q * cq + _rotate_half(q) * sq, k * ck + _rotate_half(k) * sk
+
+
+def masked_flat_rms_norm(
+    x: jax.Array,
+    weight: jax.Array,
+    rotary_mask: Optional[jax.Array],
+    n_heads: int,
+    head_dim: int,
+    group: int,
+    eps: float,
+    true_dim=None,
+) -> jax.Array:
+    """Whole-projection q/k RMSNorm (olmo2: one RMSNorm over [H*hd],
+    HF Olmo2Attention.q_norm/k_norm) with the weight gathered through the
+    rotary mask for compressed models.
+
+    Args:
+      x: [B, T, H*r] flat projection output (r = compressed head dim).
+      weight: [H*head_dim] learned weight at the ORIGINAL dims.
+      rotary_mask: [Hk, r] kept indices per kv head, or None (dense).
+      group: heads per kv head for the q side (1 for k).
+      true_dim: normalisation denominator (sum(x^2)/true_dim); defaults
+        to x's last dim — padded execution passes H * r_true so zero
+        pads don't dilute the variance.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    denom = jnp.asarray(true_dim if true_dim is not None else x.shape[-1], jnp.float32)
+    var = jnp.sum(xf * xf, axis=-1, keepdims=True) / denom
+    normed = xf * jax.lax.rsqrt(var + eps)
+    if rotary_mask is None:
+        w = weight.astype(jnp.float32)
+    else:
+        mask = jnp.repeat(rotary_mask, group, axis=0) if group > 1 else rotary_mask
+        r = mask.shape[1]
+        idx = (
+            jnp.arange(n_heads, dtype=mask.dtype)[:, None] * head_dim + mask
+        ).reshape(n_heads * r)
+        w = weight.astype(jnp.float32)[idx]
+    return (normed * w).astype(dtype)
 
 
 def masked_head_rms_norm(

@@ -527,3 +527,52 @@ def test_starcoder2_forward_compression_and_export(tmp_path, rng):
     # rope qk biases slice through the mask; v folds into o; fc biases kept
     assert "bias" in lp0["q"] and "bias" not in lp0["v"]
     assert "bias" in lp0["o"] and "bias" in lp0["up"] and "bias" in lp0["down"]
+
+
+def test_olmo2_forward_compression_and_export(tmp_path, rng):
+    """olmo2: post-sublayer norms only (no pre-norms), whole-projection
+    q/k RMSNorm (gathered through the rotary mask under compression)."""
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.config import CompressionConfig
+    from modegpt_tpu.models.hf_export import export_to_hf
+    from modegpt_tpu.models.padded import forward_padded, pad_to_uniform
+
+    cfg = transformers.Olmo2Config(
+        num_hidden_layers=2, hidden_size=64, intermediate_size=128,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    torch.manual_seed(0)
+    m = transformers.Olmo2ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    assert spec.arch == "olmo2" and not spec.pre_norms and spec.post_norms
+    assert spec.flat_qk_norm and not spec.qk_norm
+    assert "attn_norm" not in params["layers"][0]
+    assert params["layers"][0]["q_norm"]["scale"].shape == (64,)
+
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    with torch.no_grad():
+        ref = m(torch.from_numpy(ids.astype(np.int64))).logits.numpy()
+    got, _ = forward(spec, params, ids)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    out = export_to_hf(spec, params, str(tmp_path / "export"), tokenizer_source="src")
+    reloaded = transformers.Olmo2ForCausalLM.from_pretrained(out).eval()
+    with torch.no_grad():
+        got2 = reloaded(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(got2, ref, rtol=1e-6, atol=1e-6)
+
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.3, sparsity_smoothing=0.2,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    assert np.isfinite(r["compressed_ppl"])
+    cspec, cparams = r["compressed_spec"], r["compressed_params"]
+    # padded execution stays exact with the masked flat norm
+    pm = pad_to_uniform(cspec, cparams)
+    ref3, _ = forward(cspec, cparams, ids[:, :12])
+    got3 = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids[:, :12])
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3), rtol=2e-4, atol=2e-4)
