@@ -236,12 +236,13 @@ def params_from_state_dict(
                 lp["up"] = {"kernel": jnp.asarray(gu[gd:].T)}
                 lp["down"] = {"kernel": W(b + "mlp.down_proj.weight")}
             elif spec.arch == "starcoder2":
-                # non-gated biased MLP under GPT-2-style names
-                lp["up"] = {"kernel": W(b + "mlp.c_fc.weight"), "bias": V(b + "mlp.c_fc.bias")}
-                lp["down"] = {
-                    "kernel": W(b + "mlp.c_proj.weight"),
-                    "bias": V(b + "mlp.c_proj.bias"),
-                }
+                # non-gated MLP under GPT-2-style names (biases follow
+                # use_bias, like the attention projections)
+                lp["up"] = {"kernel": W(b + "mlp.c_fc.weight")}
+                lp["down"] = {"kernel": W(b + "mlp.c_proj.weight")}
+                if has(b + "mlp.c_fc.bias"):
+                    lp["up"]["bias"] = V(b + "mlp.c_fc.bias")
+                    lp["down"]["bias"] = V(b + "mlp.c_proj.bias")
             else:
                 lp["gate"] = {"kernel": W(b + "mlp.gate_proj.weight")}
                 lp["up"] = {"kernel": W(b + "mlp.up_proj.weight")}

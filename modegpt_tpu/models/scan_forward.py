@@ -170,7 +170,10 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str, win_arr=No
         x = residual + m_out
     else:
         h = _act(_linear(x_ln2, p["up"]), spec.act)
-        x = residual + _linear(h, p["down"])
+        m_out = _linear(h, p["down"])
+        if spec.post_norms:
+            m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+        x = residual + m_out
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, taps_src, (h, h_shared)

@@ -399,7 +399,7 @@ def spec_from_hf_config(config) -> ModelSpec:
             else "layernorm"
             if arch == "starcoder2"
             else "rmsnorm",
-            norm_eps=getattr(config, "norm_epsilon", None) or config.rms_norm_eps
+            norm_eps=getattr(config, "norm_epsilon", 1e-5)
             if arch == "starcoder2"
             else config.rms_norm_eps,
             rope_theta=getattr(config, "rope_theta", 10000.0),

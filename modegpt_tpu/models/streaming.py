@@ -223,7 +223,10 @@ def _stream_step(
             x = residual + m_out
         else:
             h = _act(_linear(x_ln2, p["up"]), spec.act)
-            x = residual + _linear(h, p["down"])
+            m_out = _linear(h, p["down"])
+            if spec.post_norms:
+                m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
+            x = residual + m_out
         if not pre_ln:
             x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
         return x, (ck_l, cv_l)
