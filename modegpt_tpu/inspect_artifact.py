@@ -32,6 +32,7 @@ def main(argv=None):
         v_ranks=(spec.n_kv_heads * spec.head_dim,) * spec.n_layers,
         o_ranks=(spec.n_heads * spec.head_dim,) * spec.n_layers,
         gate_ranks=(spec.d_int,) * spec.n_layers,
+        shared_gate_ranks=(),  # dense = shared_d_int on every MoE layer
         has_rotary_masks=False,
     )
     with jax.default_device(jax.devices("cpu")[0]):
@@ -48,6 +49,11 @@ def main(argv=None):
         "dense_params": n_dense,
         "achieved_compression": round(1 - n / max(n_dense, 1), 4),
         "has_rotary_masks": spec.has_rotary_masks,
+        **(
+            {"n_experts": spec.n_experts, "experts_per_tok": spec.experts_per_tok}
+            if spec.n_experts
+            else {}
+        ),
         "per_layer": [
             {
                 "layer": l,
@@ -56,6 +62,11 @@ def main(argv=None):
                 "v": spec.v_ranks[l],
                 "o": spec.o_ranks[l],
                 "mlp": spec.gate_ranks[l],
+                **(
+                    {"shared": spec.shared_rank(l)}
+                    if spec.has_shared_expert(l)
+                    else {}
+                ),
             }
             for l in range(spec.n_layers)
         ],
