@@ -197,3 +197,10 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _console() -> int:
+    """Console-script entry: `main` returns a results dict for library
+    callers; setuptools passes the return value to sys.exit, so wrap it."""
+    main()
+    return 0
