@@ -142,6 +142,13 @@ def _hf_config_dict(spec: ModelSpec) -> Dict:
     cfg["v_ranks"] = list(spec.v_ranks)
     cfg["o_ranks"] = list(spec.o_ranks)
     cfg["gate_ranks"] = list(spec.gate_ranks)
+    if spec.arch == "opt":
+        # The reference's OPTRebuild consumes qk_ranks/vo_ranks
+        # (OPTRebuild.py:126-127) while its own writers only ever emit
+        # q_ranks/... (LlamaAdapter.py:288-292) — emit BOTH key sets so
+        # exports load through the reference's actual consumer.
+        cfg["qk_ranks"] = list(spec.q_ranks)
+        cfg["vo_ranks"] = list(spec.v_ranks)
     if spec.shared_gate_ranks:
         cfg["shared_gate_ranks"] = list(spec.shared_gate_ranks)
     cfg["torch_dtype"] = "bfloat16"
@@ -289,6 +296,14 @@ def export_to_hf(
                 sd[b + theirs + ".weight"] = W(lp[ours])
                 if "bias" in lp[ours]:
                     sd[b + theirs + ".bias"] = V(lp[ours]["bias"])
+                elif spec.arch == "opt" and spec.attention_bias and ours == "v":
+                    # Compression folds the v bias exactly into the o bias;
+                    # OPT consumers (incl. the reference's OPTRebuild) build
+                    # every Linear with bias=enable_bias, so emit the
+                    # now-redundant v bias as zeros (identical function).
+                    sd[b + theirs + ".bias"] = np.zeros(
+                        lp[ours]["kernel"].shape[1], dtype=dtype
+                    )
         for ours, theirs in norm_names.items():
             sd[b + theirs + ".weight"] = V(lp[ours]["scale"])
             if "bias" in lp[ours]:
