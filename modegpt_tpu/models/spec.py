@@ -442,6 +442,19 @@ def spec_from_hf_config(config) -> ModelSpec:
                     for l in range(n_layers)
                 )
                 if arch == "gemma2" and getattr(config, "sliding_window", None)
+                # older qwen-family configs (pre-layer_types transformers)
+                # gate the window per layer: l >= max_window_layers slides
+                # (modern Qwen*Config synthesizes this same list in
+                # __init__; reproduce it when only the knobs are present)
+                else tuple(
+                    "sliding_attention"
+                    if l >= getattr(config, "max_window_layers", 0)
+                    else "full_attention"
+                    for l in range(n_layers)
+                )
+                if arch in ("qwen2", "qwen2_moe", "qwen3", "qwen3_moe")
+                and getattr(config, "use_sliding_window", False)
+                and getattr(config, "sliding_window", None)
                 else ()
             ),
             n_experts=(

@@ -308,6 +308,20 @@ def streaming_generate(
             f"window ({window}) exceeds max_position_embeddings "
             f"({pm.spec.max_position_embeddings})"
         )
+    if not pm.spec.uses_rope and prompt_ids.shape[1] + max_new_tokens > window:
+        # RoPE caches are position-free (keys re-roped at cache-relative
+        # positions each step), so eviction keeps one consistent frame.
+        # Learned-position archs (opt/gpt2) bake absolute positions into
+        # the cached activations at feed time; after eviction the cache
+        # would mix position frames. Exact within the window, so only
+        # streams that can evict are rejected.
+        raise ValueError(
+            f"streaming beyond the window is unsupported for learned-position "
+            f"arch {pm.spec.arch!r}: cached activations embed absolute "
+            f"positions, which cannot be re-based after eviction "
+            f"(prompt {prompt_ids.shape[1]} + max_new_tokens {max_new_tokens} "
+            f"> window {window})"
+        )
     eos = None if eos_token_id is None else jnp.asarray(eos_token_id, prompt_ids.dtype)
     tokens = _streaming_generate_jit(
         pm.spec, pm.layers, pm.other, pm.q_hd_true, prompt_ids,

@@ -576,3 +576,21 @@ def test_olmo2_forward_compression_and_export(tmp_path, rng):
     ref3, _ = forward(cspec, cparams, ids[:, :12])
     got3 = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids[:, :12])
     np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3), rtol=2e-4, atol=2e-4)
+
+
+def test_qwen2_sliding_window_layer_types_synthesis():
+    """Older qwen2 configs (pre-layer_types transformers) carry only
+    use_sliding_window/sliding_window/max_window_layers; the spec must
+    synthesize HF's per-layer rule (l >= max_window_layers slides)."""
+    cfg = transformers.Qwen2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        use_sliding_window=True, sliding_window=8, max_window_layers=2,
+    )
+    delattr(cfg, "layer_types")  # simulate the older config surface
+    from modegpt_tpu.models.spec import spec_from_hf_config
+
+    spec = spec_from_hf_config(cfg)
+    assert spec.sliding_window == 8
+    assert spec.layer_types == ("full_attention", "full_attention",
+                                "sliding_attention", "sliding_attention")

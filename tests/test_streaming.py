@@ -108,3 +108,14 @@ def test_streaming_respects_model_sliding_window(rng):
     ref = np.asarray(generate(spec, params, prompt, max_new_tokens=8, temperature=0.0))
     got = streaming_generate(pm, prompt, max_new_tokens=8, window=64, n_sink=4)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_streaming_rejects_learned_position_eviction(rng):
+    """Learned-position archs (OPT) bake absolute positions into cached
+    activations; eviction would mix position frames, so streams that can
+    evict are rejected (within-window streams stay exact — tested above)."""
+    spec, params = params_from_hf_model(_tiny_opt())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(1, 12)).astype(np.int32)
+    with pytest.raises(ValueError, match="learned-position"):
+        streaming_generate(pm, prompt, max_new_tokens=40, window=16, n_sink=4)
