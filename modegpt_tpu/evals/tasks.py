@@ -11,7 +11,22 @@ task for offline testing.
 Scoring follows lm_eval's convention: pick the choice with the highest
 total log-likelihood of the continuation tokens given the context
 (`acc`), and also report the byte-length-normalised variant (`acc_norm`)
-that lm_eval reports for arc/hellasag/piqa.
+that lm_eval reports for arc/hellaswag/piqa.
+
+Two scoring modes, matching lm_eval's two request shapes:
+
+* shared context (arc/piqa/hellaswag): score choice i as
+  ``LL(" " + choice_i | context)``;
+* partial scoring (winogrande): per-choice CONTEXTS with one shared
+  continuation — context i = sentence prefix with option i substituted
+  for the blank, continuation = the suffix after the blank, and ONLY the
+  suffix log-likelihood is compared (the option tokens' own likelihood
+  never enters the score).
+
+The doc -> example converters (``winogrande_doc``/``hellaswag_doc``/…)
+are pure functions unit-tested against lm_eval's documented
+preprocessing so accuracies are comparable with the reference's
+lm_eval runs (reference: tests.sh:107-113).
 """
 
 from __future__ import annotations
@@ -29,7 +44,14 @@ from modegpt_tpu.models.spec import ModelSpec
 
 logger = logging.getLogger("modegpt_tpu")
 
-__all__ = ["MCExample", "evaluate_multiple_choice", "load_task", "TASK_LOADERS"]
+__all__ = [
+    "MCExample",
+    "evaluate_multiple_choice",
+    "load_task",
+    "TASK_LOADERS",
+    "hellaswag_doc",
+    "winogrande_doc",
+]
 
 
 @dataclass
@@ -37,6 +59,17 @@ class MCExample:
     context: str
     choices: List[str]
     answer: int
+    # Partial-scoring mode (lm_eval winogrande): when ``contexts`` is set,
+    # choice i is scored as LL(continuation | contexts[i]) and ``choices``
+    # is ignored.
+    contexts: Optional[List[str]] = None
+    continuation: str = ""
+
+    def pairs(self) -> List[Tuple[str, str]]:
+        """(context, continuation) per choice, in lm_eval request shape."""
+        if self.contexts is not None:
+            return [(ctx, self.continuation) for ctx in self.contexts]
+        return [(self.context, choice) for choice in self.choices]
 
 
 def _pad_batch(seqs: List[np.ndarray], pad_id: int, width: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -55,6 +88,7 @@ def evaluate_multiple_choice(
     tokenizer,
     batch_size: int = 16,
     max_len: int = 512,
+    return_scores: bool = False,
 ) -> Dict[str, float]:
     """Zero-shot accuracy over multiple-choice examples."""
 
@@ -67,15 +101,15 @@ def evaluate_multiple_choice(
     # Flatten (example, choice) pairs.
     flat: List[Tuple[int, int, np.ndarray, int, int]] = []
     for ei, ex in enumerate(examples):
-        ctx_ids = tokenizer(ex.context, add_special_tokens=False)["input_ids"]
-        for ci, choice in enumerate(ex.choices):
-            cont_ids = tokenizer(choice, add_special_tokens=False)["input_ids"]
+        for ci, (context, cont) in enumerate(ex.pairs()):
+            ctx_ids = tokenizer(context, add_special_tokens=False)["input_ids"]
+            cont_ids = tokenizer(cont, add_special_tokens=False)["input_ids"]
             ids = np.asarray(ctx_ids + cont_ids, dtype=np.int32)[-max_len:]
             cont_len = min(len(cont_ids), len(ids) - 1)
-            flat.append((ei, ci, ids, cont_len, len(choice.encode("utf-8"))))
+            flat.append((ei, ci, ids, cont_len, len(cont.encode("utf-8"))))
 
     n_ex = len(examples)
-    scores = np.full((n_ex, max(len(e.choices) for e in examples)), -np.inf)
+    scores = np.full((n_ex, max(len(e.pairs()) for e in examples)), -np.inf)
     scores_norm = np.full_like(scores, -np.inf)
 
     pad_id = 0
@@ -93,7 +127,11 @@ def evaluate_multiple_choice(
     answers = np.asarray([ex.answer for ex in examples])
     acc = float((scores.argmax(axis=1) == answers).mean())
     acc_norm = float((scores_norm.argmax(axis=1) == answers).mean())
-    return {"acc": acc, "acc_norm": acc_norm, "n": n_ex}
+    out = {"acc": acc, "acc_norm": acc_norm, "n": n_ex}
+    if return_scores:
+        out["scores"] = scores
+        out["scores_norm"] = scores_norm
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -140,22 +178,59 @@ def _piqa(limit):
     return out
 
 
+def _hellaswag_preprocess(text: str) -> str:
+    """lm_eval's hellaswag text cleanup (tasks/hellaswag `preprocess`):
+    strip, turn WikiHow ' [title]' artifacts into sentence breaks, drop
+    remaining bracket artifacts, collapse double spaces."""
+    import re
+
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub(r"\[.*?\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
+def hellaswag_doc(doc: Dict) -> MCExample:
+    """lm_eval's hellaswag `process_docs`: query is
+    ``activity_label + ': ' + ctx_a + ' ' + ctx_b.capitalize()`` run
+    through the preprocessor; each ending is preprocessed and scored as
+    a ' '-prefixed continuation."""
+    ctx = doc["ctx_a"] + " " + doc["ctx_b"].capitalize()
+    return MCExample(
+        context=_hellaswag_preprocess(doc["activity_label"] + ": " + ctx),
+        choices=[" " + _hellaswag_preprocess(e) for e in doc["endings"]],
+        answer=int(doc["label"]),
+    )
+
+
 def _hellaswag(limit):
     from datasets import load_dataset
 
     ds = load_dataset("hellaswag", split="validation")
     out = []
     for ex in ds:
-        out.append(
-            MCExample(
-                context=ex["ctx"],
-                choices=[" " + e for e in ex["endings"]],
-                answer=int(ex["label"]),
-            )
-        )
+        out.append(hellaswag_doc(ex))
         if limit and len(out) >= limit:
             break
     return out
+
+
+def winogrande_doc(doc: Dict) -> MCExample:
+    """lm_eval's winogrande partial scoring (tasks/winogrande
+    `partial_context`/`partial_target`): context i = sentence prefix with
+    option i substituted for the blank; the shared continuation is
+    ``' ' + suffix.strip()``; only the suffix log-likelihood is compared."""
+    cut = doc["sentence"].index("_")
+    prefix = doc["sentence"][:cut]
+    target = " " + doc["sentence"][cut + 1 :].strip()
+    return MCExample(
+        context="",
+        choices=[],
+        answer=int(doc["answer"]) - 1,
+        contexts=[prefix + doc["option1"], prefix + doc["option2"]],
+        continuation=target,
+    )
 
 
 def _winogrande(limit):
@@ -164,17 +239,7 @@ def _winogrande(limit):
     ds = load_dataset("winogrande", "winogrande_xl", split="validation")
     out = []
     for ex in ds:
-        # lm_eval convention: fill the blank, score the completion after it.
-        cut = ex["sentence"].index("_")
-        prefix = ex["sentence"][:cut]
-        suffix = ex["sentence"][cut + 1 :]
-        out.append(
-            MCExample(
-                context="",
-                choices=[prefix + ex["option1"] + suffix, prefix + ex["option2"] + suffix],
-                answer=int(ex["answer"]) - 1,
-            )
-        )
+        out.append(winogrande_doc(ex))
         if limit and len(out) >= limit:
             break
     return out

@@ -117,3 +117,90 @@ def test_staged_search_with_proxy(tmp_path):
     # the winner's proxy score is among the finalists' (top-2) proxy scores
     proxy_sorted = sorted(v for _, v in history)
     assert any(abs(best[k] - p[k]) < 1e-12 for p, v in history for k in best if v in proxy_sorted[:2])
+
+
+# ---- lm_eval-faithful adapters (VERDICT round-1 weak #2) ----
+
+
+def test_winogrande_partial_scoring_shape():
+    """lm_eval winogrande: context i = prefix + option i, continuation =
+    ' ' + suffix.strip(); the option tokens are context, never scored."""
+    from modegpt_tpu.evals.tasks import winogrande_doc
+
+    doc = {
+        "sentence": "The trophy doesn't fit in the suitcase because _ is too big.",
+        "option1": "the trophy",
+        "option2": "the suitcase",
+        "answer": "1",
+    }
+    ex = winogrande_doc(doc)
+    assert ex.contexts == [
+        "The trophy doesn't fit in the suitcase because the trophy",
+        "The trophy doesn't fit in the suitcase because the suitcase",
+    ]
+    assert ex.continuation == " is too big."
+    assert ex.answer == 0
+    assert ex.pairs() == [(c, " is too big.") for c in ex.contexts]
+
+
+def test_hellaswag_lm_eval_preprocessing():
+    """lm_eval hellaswag: query = preprocess(activity_label + ': ' +
+    ctx_a + ' ' + ctx_b.capitalize()); bracket artifacts dropped,
+    ' [title]' becomes a sentence break."""
+    from modegpt_tpu.evals.tasks import hellaswag_doc
+
+    doc = {
+        "activity_label": "Removing ice from car",
+        "ctx_a": "Then, the man writes over the snow covering the window.",
+        "ctx_b": "then",
+        "endings": [
+            "cleans the window. [title] Then he drives [step] away.",
+            "uses a squeegee  to clean the window.",
+        ],
+        "label": "1",
+    }
+    ex = hellaswag_doc(doc)
+    assert ex.context == (
+        "Removing ice from car: Then, the man writes over the snow "
+        "covering the window. Then"
+    )
+    # ' [title]' -> '. ', '[step]' dropped, double spaces collapsed
+    assert ex.choices[0] == " cleans the window.. Then he drives away."
+    assert ex.choices[1] == " uses a squeegee to clean the window."
+    assert ex.answer == 1
+
+
+def test_partial_scoring_only_suffix_ll_counts(rng):
+    """Partial scoring vs an independent torch-HF oracle: the harness
+    score for each winogrande-style choice must equal the suffix-only
+    log-likelihood given (prefix + option) — computed here with the HF
+    model directly — and NOT the full-sentence likelihood."""
+    import torch.nn.functional as F
+
+    from modegpt_tpu.evals.tasks import MCExample, evaluate_multiple_choice
+
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    tok = ToyTokenizer()
+    ex = MCExample(
+        context="", choices=[], answer=0,
+        contexts=["aaa bb ccc dd x", "aaa bb ccc dd yyyyyyyyyy"],
+        continuation=" end.",
+    )
+    res = evaluate_multiple_choice(spec, params, [ex], tok, return_scores=True)
+
+    for ci, (ctx, cont) in enumerate(ex.pairs()):
+        ctx_ids = tok(ctx)["input_ids"]
+        cont_ids = tok(cont)["input_ids"]
+        ids = torch.tensor([ctx_ids + cont_ids])
+        with torch.no_grad():
+            logits = m(ids).logits[0]
+        logp = F.log_softmax(logits[:-1].float(), dim=-1)
+        tgt = ids[0, 1:]
+        suffix_ll = logp[-len(cont_ids):].gather(
+            1, tgt[-len(cont_ids):, None]
+        ).sum().item()
+        np.testing.assert_allclose(res["scores"][0, ci], suffix_ll, rtol=2e-4, atol=2e-4)
+
+    # equal-continuation byte norm is a monotone transform: acc == acc_norm
+    assert res["acc"] == res["acc_norm"]
