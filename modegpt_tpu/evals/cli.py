@@ -59,6 +59,12 @@ def main(argv=None):
     parser.add_argument("--seq_len", type=int, default=2048)
     parser.add_argument("--eval_batch_size", type=int, default=16)
     parser.add_argument("--eval_max_samples", type=int, default=512)
+    parser.add_argument(
+        "--alpaca_per_sample", action="store_true",
+        help="per-sample truncated-window alpaca PPL (reference "
+        "evaluate_perplexity_alpaca, eval.py:257-295) instead of the "
+        "joined-window harness",
+    )
     parser.add_argument("--generate", default="", help="prompt to generate from")
     parser.add_argument("--max_new_tokens", type=int, default=64)
     parser.add_argument(
@@ -101,6 +107,18 @@ def main(argv=None):
 
     mesh = make_mesh(args.mesh_shape)
     results = {}
+
+    if args.alpaca_per_sample:
+        from modegpt_tpu.evals.perplexity import compute_perplexity_alpaca
+
+        if tokenizer is None:
+            raise SystemExit("--alpaca_per_sample requires a tokenizer")
+        ppl = compute_perplexity_alpaca(
+            spec, params, tokenizer, max_length=args.seq_len,
+            batch_size=args.eval_batch_size,
+        )
+        results["ppl-alpaca-per-sample"] = ppl
+        logger.info("ppl-alpaca-per-sample: %.4f", ppl)
 
     if args.dataset:
         from modegpt_tpu.calib.data import load_eval_tokens

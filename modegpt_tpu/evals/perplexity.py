@@ -27,7 +27,7 @@ from modegpt_tpu.models.spec import ModelSpec
 
 logger = logging.getLogger("modegpt_tpu")
 
-__all__ = ["compute_perplexity"]
+__all__ = ["compute_perplexity", "compute_perplexity_alpaca"]
 
 
 @partial(jax.jit, static_argnames=("spec", "attn_impl"))
@@ -169,3 +169,91 @@ def compute_perplexity(
 
     # exp(sum_nll / (n * (seq_len - 1)))  (reference: eval.py:220)
     return math.exp(total_nll / (n_samples * (seq_len - 1)))
+
+
+@partial(jax.jit, static_argnames=("spec", "attn_impl"))
+def _per_sample_nll(spec: ModelSpec, params, batch, lens, attn_impl: str = "auto"):
+    """Per-row (sum shifted NLL, valid position count) with tail masking.
+
+    Rows are right-padded; causal attention means pad tokens cannot leak
+    into valid positions, so only the loss is masked.
+    """
+    fwd = forward_scan if supports_scan(spec, ()) else forward
+    logits, _ = fwd(spec, params, batch, attn_impl=attn_impl)
+    logits = logits[:, :-1, :].astype(jnp.float32)
+    labels = batch[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]  # [B, T-1]
+    counts = jnp.maximum(lens - 1, 0)
+    mask = jnp.arange(nll.shape[1])[None, :] < counts[:, None]
+    return jnp.sum(nll * mask, axis=1), counts
+
+
+def compute_perplexity_alpaca(
+    spec: ModelSpec,
+    params: Dict,
+    tokenizer,
+    texts=None,
+    max_length: int = 2048,
+    batch_size: int = 8,
+    progress: bool = True,
+) -> float:
+    """Per-sample truncated-window alpaca perplexity.
+
+    Reproduces the reference's ``evaluate_perplexity_alpaca``
+    (eval.py:257-295) exactly: each held-out alpaca text is tokenized
+    independently WITH special tokens and truncated to ``max_length``;
+    per text, the loss is the MEAN shifted cross-entropy over its own
+    window; texts are combined token-weighted by their FULL length
+    (``total += loss_i * L_i; ppl = exp(total / sum L_i)`` — the
+    reference weights by L, not L-1), and non-finite per-text losses are
+    skipped. This differs from ``compute_perplexity``'s joined-window
+    harness, which concatenates the corpus before chunking.
+
+    TPU mapping: texts are sorted by length and right-padded to
+    power-of-two buckets so one jitted program per bucket computes
+    masked per-row NLLs for a whole batch.
+    """
+    if texts is None:
+        from modegpt_tpu.calib.data import _alpaca_texts
+
+        texts = _alpaca_texts(tokenizer, calib=False)
+
+    seqs = []
+    for t in texts:
+        ids = tokenizer(t, truncation=True, max_length=max_length)["input_ids"]
+        seqs.append(np.asarray(ids, dtype=np.int32))
+
+    # Sort by length (stable): per-text losses are independent, so order
+    # doesn't change the result, but bucketed batches pad far less.
+    order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+    total_loss = 0.0
+    total_tokens = 0
+    done = 0
+    for start in range(0, len(order), batch_size):
+        chunk = [seqs[i] for i in order[start : start + batch_size]]
+        lens = np.asarray([len(s) for s in chunk], dtype=np.int32)
+        width = 1 << max(int(np.ceil(np.log2(max(int(lens.max()), 2)))), 1)
+        width = min(width, max_length)
+        batch = np.zeros((len(chunk), width), dtype=np.int32)
+        for r, s in enumerate(chunk):
+            batch[r, : len(s)] = s
+        sums, counts = _per_sample_nll(spec, params, jnp.asarray(batch), jnp.asarray(lens))
+        sums, counts = np.asarray(sums), np.asarray(counts)
+        for r in range(len(chunk)):
+            if counts[r] == 0:
+                continue  # single-token text: loss undefined (ref: isfinite skip)
+            loss = sums[r] / counts[r]
+            if not np.isfinite(loss):
+                logger.warning("non-finite loss on a sample; skipping (ref: eval.py:279)")
+                continue
+            total_loss += float(loss) * int(lens[r])
+            total_tokens += int(lens[r])
+        done += len(chunk)
+        if progress:
+            print(f"\ralpaca sample {done}/{len(order)}   ", end="", flush=True)
+    if progress:
+        print()
+    if total_tokens == 0:
+        return float("inf")
+    return math.exp(total_loss / total_tokens)
