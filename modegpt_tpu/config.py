@@ -83,48 +83,46 @@ class CompressionConfig:
     }
 
     @classmethod
-    def _resolve_type(cls, tp):
-        """Unwrap Optional[X] -> X, leave primitives unchanged."""
-        if isinstance(tp, str):  # postponed annotations
-            tp = {"str": str, "int": int, "float": float, "bool": bool,
-                  "Optional[str]": Optional[str]}.get(tp, str)
-        origin = get_origin(tp)
-        if origin is type(None):
-            return None
-        if origin is not None:
-            inner = [a for a in get_args(tp) if a is not type(None)]
-            return inner[0] if inner else str
-        return tp
+    def _cli_spec(cls) -> dict:
+        """Field name -> argparse add_argument kwargs, derived once from
+        the dataclass's resolved type hints. Bools become paired
+        ``--flag/--no-flag`` switches; Optional[X] unwraps to X; a field
+        without a default becomes a required flag."""
+        import typing
+
+        hints = typing.get_type_hints(cls)
+        spec: dict = {}
+        for f in fields(cls):
+            if not f.init or f.name.startswith("_"):
+                continue
+            hint = hints.get(f.name, str)
+            union_members = [a for a in get_args(hint) if a is not type(None)]
+            if union_members:
+                hint = union_members[0]
+            if hint is bool:
+                kwargs = {"action": argparse.BooleanOptionalAction, "default": f.default}
+            elif f.default is MISSING:
+                kwargs = {"type": hint, "required": True}
+            else:
+                kwargs = {"type": hint, "default": f.default}
+            help_text = cls._FIELD_HELP.get(f.name)
+            if help_text:
+                kwargs["help"] = help_text
+            spec[f.name] = kwargs
+        return spec
 
     @classmethod
     def make_parser(cls, parser: Optional[argparse.ArgumentParser] = None):
         parser = parser or argparse.ArgumentParser(prog="modegpt-tpu")
-        for f in fields(cls):
-            if f.name.startswith("_"):
-                continue
-            flag = f"--{f.name}"
-            resolved = cls._resolve_type(f.type)
-            if resolved is bool:
-                parser.add_argument(flag, action="store_true", default=f.default)
-            else:
-                kwargs = {"type": resolved}
-                if f.default is not MISSING:
-                    kwargs["default"] = f.default
-                else:
-                    kwargs["required"] = True
-                if f.name in cls._FIELD_HELP:
-                    kwargs["help"] = cls._FIELD_HELP[f.name]
-                parser.add_argument(flag, **kwargs)
+        for name, kwargs in cls._cli_spec().items():
+            parser.add_argument(f"--{name}", **kwargs)
         return parser
 
     @classmethod
     def from_args(cls, args=None) -> "CompressionConfig":
-        parser = cls.make_parser()
-        parsed = parser.parse_args(args)
-        init_fields = {f.name for f in fields(cls) if f.init}
-        cfg = cls(**{k: v for k, v in vars(parsed).items() if k in init_fields})
-        cfg.validate()
-        return cfg
+        namespace = cls.make_parser().parse_args(args)
+        values = {name: getattr(namespace, name) for name in cls._cli_spec()}
+        return cls(**values).validate()
 
     def validate(self) -> "CompressionConfig":
         """Fail fast on invalid knob combinations."""
