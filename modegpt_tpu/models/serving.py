@@ -22,6 +22,16 @@ TPU-native serving shape for compressed models:
 from a queue into free slots, step all active slots together, emit
 finished sequences. Greedy or temperature sampling.
 
+Speculative serving (greedy-exact) runs INSIDE the batcher: with
+``spec_decode="prompt_lookup"`` each slot drafts from its own history
+(host n-gram match, no draft model); with ``spec_decode="draft"`` a
+second slot-table pool runs a draft model (typically the
+MoDeGPT-compressed child of the served dense model) with k scanned
+draft steps per round. Either way one ragged (k+1)-position verify
+forward commits 1..k+1 tokens per active slot per step — output is
+identical to plain greedy serving, with per-request acceptance
+telemetry in ``batcher.stats``.
+
 Cache sharding over a mesh follows the params: with Megatron TP the
 Hk axis of the pool shards over "model" like the K/V projections, and
 GSPMD propagates it through the decode step.
@@ -40,7 +50,14 @@ from jax import lax
 from modegpt_tpu.models.padded import PaddedModel, _model_step_padded
 from modegpt_tpu.models.spec import ModelSpec
 
-__all__ = ["ServeState", "init_serve_state", "prefill_slot", "decode_slots", "ContinuousBatcher"]
+__all__ = [
+    "ServeState",
+    "init_serve_state",
+    "prefill_slot",
+    "decode_slots",
+    "lookup_draft",
+    "ContinuousBatcher",
+]
 
 
 class ServeState(NamedTuple):
@@ -126,6 +143,118 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
     return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last), nxt
 
 
+@partial(
+    jax.jit,
+    static_argnames=("spec", "moe", "moe_capacity"),
+    donate_argnames=("state",),
+)
+def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
+                      drafts: jax.Array, max_adv: jax.Array, eos,
+                      moe: str = "dense", moe_capacity: float = 2.0):
+    """One speculative VERIFY step for all slots: each active slot checks
+    its k drafted tokens in a single ragged (k+1)-position forward
+    (greedy; the accepted prefix is exactly what plain decode would have
+    emitted, so serving output is unchanged — only steps/token drops).
+
+    drafts [slots, k]; max_adv [slots] caps the commit at the slot's
+    remaining budget. Returns (state, ttoks [slots, k+1], adv [slots],
+    acc [slots]). Inactive slots do not advance; their cache writes land
+    beyond their length and are overwritten before ever being attended
+    (same argument as _decode_slots_jit)."""
+    k = drafts.shape[1]
+    window = jnp.concatenate([state.last_token[:, None], drafts], axis=1)  # [S, k+1]
+    logits, ck, cv, _ = _model_step_padded.__wrapped__(
+        spec, layers, other, q_hd_true, window, state.cache_k, state.cache_v,
+        state.lengths, moe=moe, moe_capacity=moe_capacity,
+        token_valid=jnp.broadcast_to(active[:, None], window.shape),
+    )
+    ttoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, k+1]
+    match = drafts == ttoks[:, :k]
+    acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [S]
+    adv = acc + 1
+    if eos is not None:
+        is_eos = ttoks == eos
+        eos_pos = jnp.argmax(is_eos, axis=1).astype(jnp.int32)
+        in_prefix = jnp.any(
+            is_eos & (jnp.arange(k + 1, dtype=jnp.int32)[None, :] < adv[:, None]), axis=1
+        )
+        adv = jnp.where(in_prefix, jnp.minimum(adv, eos_pos + 1), adv)
+    adv = jnp.where(active, jnp.minimum(adv, max_adv), 0)
+    last = jnp.take_along_axis(ttoks, jnp.maximum(adv - 1, 0)[:, None], axis=1)[:, 0]
+    return (
+        ServeState(
+            cache_k=ck, cache_v=cv,
+            lengths=state.lengths + adv,
+            last_token=jnp.where(adv > 0, last, state.last_token),
+        ),
+        ttoks, adv, jnp.where(active, acc, 0),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "k", "moe", "moe_capacity"),
+    donate_argnames=("state",),
+)
+def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
+                     k: int, moe: str = "dense", moe_capacity: float = 2.0):
+    """k greedy draft steps for all slots (lax.scan over the slot table)
+    plus one cache-fill step so every drafted token's K/V is present
+    (speculative.py invariant). Returns (state', dtoks [slots, k]) with
+    state'.lengths UNCHANGED (= len0); the caller commits len0 + adv
+    after verification."""
+    len0 = state.lengths
+
+    def step(carry, _):
+        tok, ck, cv, lens = carry
+        logits, ck, cv, _ = _model_step_padded.__wrapped__(
+            spec, layers, other, q_hd_true, tok[:, None], ck, cv, lens,
+            moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
+        )
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        return (nxt, ck, cv, lens + 1), nxt
+
+    carry = (state.last_token, state.cache_k, state.cache_v, len0)
+    (last, ck, cv, lens), dtoks = lax.scan(step, carry, None, length=k)
+    _, ck, cv, _ = _model_step_padded.__wrapped__(
+        spec, layers, other, q_hd_true, last[:, None], ck, cv, lens,
+        moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
+    )
+    return (
+        ServeState(cache_k=ck, cache_v=cv, lengths=len0, last_token=state.last_token),
+        dtoks.T,
+    )
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def _commit_draft_cache_jit(state: ServeState, adv: jax.Array, last: jax.Array):
+    """Roll the draft pool forward to the verified commit point."""
+    return ServeState(
+        cache_k=state.cache_k, cache_v=state.cache_v,
+        lengths=state.lengths + adv,
+        last_token=jnp.where(adv > 0, last, state.last_token),
+    )
+
+
+def lookup_draft(history, k: int, ngram: int) -> np.ndarray:
+    """Host-side prompt-lookup drafting (Saxena 2023) over one slot's
+    committed history: continuation after the most recent earlier match
+    of the last `ngram` tokens; repeats of the last token when no match
+    (the verify round then degenerates to one ordinary decode step)."""
+    h = np.asarray(history, dtype=np.int32)
+    n = h.shape[0]
+    out = np.full((k,), h[-1] if n else 0, dtype=np.int32)
+    if n <= ngram:
+        return out
+    tail = h[n - ngram :]
+    for j in range(n - ngram - 1, -1, -1):
+        if np.array_equal(h[j : j + ngram], tail):
+            cont = h[j + ngram : j + ngram + k]
+            out[: cont.shape[0]] = cont
+            break
+    return out
+
+
 def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.ndarray,
                  bucket: int, temperature: float = 0.0,
                  key: Optional[jax.Array] = None, moe: str = "dense",
@@ -189,7 +318,9 @@ class ContinuousBatcher:
     def __init__(self, pm: PaddedModel, slots: int = 8, max_len: int = 512,
                  prefill_bucket: int = 64, eos_token_id: Optional[int] = None,
                  temperature: float = 0.0, moe: str = "dense",
-                 moe_capacity: float = 2.0, prefill_chunks_per_step: int = 1):
+                 moe_capacity: float = 2.0, prefill_chunks_per_step: int = 1,
+                 spec_decode: str = "off", n_draft: int = 4,
+                 lookup_ngram: int = 3, draft_pm: Optional[PaddedModel] = None):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -202,7 +333,29 @@ class ContinuousBatcher:
         self.moe = moe
         self.moe_capacity = moe_capacity
         self.prefill_chunks_per_step = prefill_chunks_per_step
+        # Speculative decode inside the batcher: "prompt_lookup" drafts
+        # from each slot's own history (no draft model), "draft" runs a
+        # second slot-table pool for draft_pm. Greedy-exact: each verify
+        # round commits exactly the tokens plain decode would have
+        # emitted, it just commits up to n_draft+1 of them per step.
+        if spec_decode not in ("off", "prompt_lookup", "draft"):
+            raise ValueError(f"spec_decode must be off/prompt_lookup/draft, got {spec_decode!r}")
+        if spec_decode != "off" and temperature != 0.0:
+            raise ValueError("speculative serving is greedy-only (temperature 0)")
+        if spec_decode == "draft" and draft_pm is None:
+            raise ValueError("spec_decode='draft' needs draft_pm")
+        self.spec_decode = spec_decode
+        self.n_draft = n_draft
+        self.lookup_ngram = lookup_ngram
+        self.draft_pm = draft_pm
         self.state = init_serve_state(pm, slots, max_len, dtype=pm.other["embed_tokens"].dtype)
+        self.draft_state = (
+            init_serve_state(draft_pm, slots, max_len,
+                             dtype=draft_pm.other["embed_tokens"].dtype)
+            if spec_decode == "draft" else None
+        )
+        # per-request speculative telemetry {rid: {rounds, drafted, accepted}}
+        self.stats: Dict[int, Dict[str, int]] = {}
         self.queue: List[Tuple[int, np.ndarray, int]] = []  # (req_id, prompt, max_new)
         self.slot_req: List[Optional[int]] = [None] * slots
         self.slot_out: List[List[int]] = [[] for _ in range(slots)]
@@ -214,9 +367,13 @@ class ContinuousBatcher:
 
     def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
-        if prompt.shape[0] + max_new_tokens > self.max_len:
+        # speculative verify windows write n_draft+1 cache positions past
+        # the commit point; reserve that margin so writes never clamp
+        margin = self.n_draft + 1 if self.spec_decode != "off" else 0
+        if prompt.shape[0] + max_new_tokens + margin > self.max_len:
             raise ValueError(
-                f"prompt ({prompt.shape[0]}) + max_new_tokens ({max_new_tokens}) "
+                f"prompt ({prompt.shape[0]}) + max_new_tokens ({max_new_tokens})"
+                f"{f' + draft margin ({margin})' if margin else ''} "
                 f"exceeds max_len ({self.max_len})"
             )
         rid = self._next_id
@@ -242,6 +399,8 @@ class ContinuousBatcher:
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
+                if self.spec_decode != "off":
+                    self.stats[rid] = {"rounds": 0, "drafted": 0, "accepted": 0}
                 n_chunks = max(1, -(-prompt.shape[0] // self.bucket))
                 self.slot_chunks[s] = [
                     (prompt[c * self.bucket : (c + 1) * self.bucket],
@@ -272,9 +431,24 @@ class ContinuousBatcher:
                     jnp.asarray(is_last), self.temperature, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
                 )
+                if self.draft_state is not None:
+                    # mirror the chunk into the draft pool (its own sampled
+                    # commit is discarded — the TARGET decides tokens)
+                    self.draft_state = _prefill_chunk_jit(
+                        self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
+                        self.draft_pm.q_hd_true, self.draft_state,
+                        jnp.asarray(s, jnp.int32), jnp.asarray(padded),
+                        jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
+                        jnp.asarray(False), self.temperature, sub,
+                        moe=self.moe, moe_capacity=self.moe_capacity,
+                    )
                 done_budget -= 1
                 if is_last:
                     tok = int(self.state.last_token[s])
+                    if self.draft_state is not None:
+                        self.draft_state = self.draft_state._replace(
+                            last_token=self.draft_state.last_token.at[s].set(tok)
+                        )
                     self.slot_out[s].append(tok)
                     self.slot_budget[s] -= 1
                     if self.eos is not None and tok == self.eos:
@@ -313,13 +487,62 @@ class ContinuousBatcher:
                     return finished
                 continue
             key, sub = jax.random.split(key)
-            self.state, toks = decode_slots(
-                self.pm, self.state, active_mask, self.temperature, None, sub,
+            if self.spec_decode == "off":
+                self.state, toks = decode_slots(
+                    self.pm, self.state, active_mask, self.temperature, None, sub,
+                    moe=self.moe, moe_capacity=self.moe_capacity,
+                )
+                toks = np.asarray(toks)
+                for s in range(self.slots):
+                    if active_mask[s]:
+                        self.slot_out[s].append(int(toks[s]))
+                        self.slot_budget[s] -= 1
+            else:
+                self._speculative_step(active_mask)
+        raise RuntimeError(f"serving loop did not drain in {max_steps} steps")
+
+    def _speculative_step(self, active_mask: np.ndarray) -> None:
+        """One draft+verify round across all decode-active slots: commit
+        1..n_draft+1 greedy-exact tokens per active slot."""
+        k = self.n_draft
+        active = jnp.asarray(active_mask)
+        if self.spec_decode == "draft":
+            self.draft_state, dtoks = _draft_slots_jit(
+                self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
+                self.draft_pm.q_hd_true, self.draft_state, active, k,
                 moe=self.moe, moe_capacity=self.moe_capacity,
             )
-            toks = np.asarray(toks)
-            for s in range(self.slots):
-                if active_mask[s]:
-                    self.slot_out[s].append(int(toks[s]))
-                    self.slot_budget[s] -= 1
-        raise RuntimeError("max_steps exceeded")
+            drafts = dtoks
+        else:
+            drafts = jnp.asarray(
+                np.stack([
+                    lookup_draft(self.slot_out[s], k, self.lookup_ngram)
+                    if active_mask[s] else np.zeros(k, np.int32)
+                    for s in range(self.slots)
+                ])
+            )
+        max_adv = jnp.asarray(
+            [self.slot_budget[s] if active_mask[s] else 0 for s in range(self.slots)],
+            jnp.int32,
+        )
+        eos = None if self.eos is None else jnp.asarray(self.eos, jnp.int32)
+        self.state, ttoks, adv, acc = _verify_slots_jit(
+            self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+            self.state, active, drafts, max_adv, eos,
+            moe=self.moe, moe_capacity=self.moe_capacity,
+        )
+        if self.draft_state is not None:
+            self.draft_state = _commit_draft_cache_jit(
+                self.draft_state, adv, self.state.last_token
+            )
+        ttoks, adv, acc = np.asarray(ttoks), np.asarray(adv), np.asarray(acc)
+        for s in range(self.slots):
+            if not active_mask[s]:
+                continue
+            a = int(adv[s])
+            self.slot_out[s].extend(int(t) for t in ttoks[s, :a])
+            self.slot_budget[s] -= a
+            st = self.stats[self.slot_req[s]]
+            st["rounds"] += 1
+            st["drafted"] += k
+            st["accepted"] += int(acc[s])

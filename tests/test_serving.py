@@ -179,3 +179,132 @@ def test_chunked_prefill_overlaps_decode(rng):
     done = b.run()
     assert done[r1] == ref_short
     assert done[r2] == ref_long
+
+
+# ---- speculative decoding inside the batcher (ROADMAP item 4) ----
+
+
+def test_batcher_prompt_lookup_matches_plain(rng):
+    """Slots decoding with prompt-lookup drafts must emit EXACTLY the
+    plain batcher's greedy output, with acceptance telemetry per request
+    and fewer verify rounds than tokens on repetitive prompts."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=11))
+    pm = pad_to_uniform(spec, params)
+    prompts = [
+        np.tile(rng.integers(1, 100, size=4).astype(np.int32), 5),  # repetitive
+        rng.integers(1, 128, size=(12,)).astype(np.int32),
+        np.tile(rng.integers(1, 100, size=3).astype(np.int32), 6),
+    ]
+
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16)
+    ids_plain = [plain.submit(p, max_new_tokens=14) for p in prompts]
+    ref = plain.run()
+
+    spec_b = ContinuousBatcher(
+        pm, slots=2, max_len=96, prefill_bucket=16,
+        spec_decode="prompt_lookup", n_draft=4, lookup_ngram=3,
+    )
+    ids_spec = [spec_b.submit(p, max_new_tokens=14) for p in prompts]
+    got = spec_b.run()
+
+    for rp, rs in zip(ids_plain, ids_spec):
+        assert got[rs] == ref[rp]
+    for rid in ids_spec:
+        st = spec_b.stats[rid]
+        assert st["rounds"] >= 1 and st["drafted"] == st["rounds"] * 4
+        assert 0 <= st["accepted"] <= st["drafted"]
+    # the repetitive prompts must actually accept drafts (fewer verify
+    # rounds than emitted tokens)
+    assert spec_b.stats[ids_spec[0]]["accepted"] > 0
+    assert spec_b.stats[ids_spec[0]]["rounds"] < 14
+
+
+def test_batcher_draft_model_spec_matches_plain(tmp_path, rng):
+    """A compressed draft model speculating for its dense parent inside
+    the batcher: outputs equal plain serving of the TARGET; per-slot
+    acceptance telemetry is recorded."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=13))
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2, seq_len=48,
+        compression_ratio=0.2, sparsity_smoothing=0.5,
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"), skip_baseline_eval=True, skip_final_eval=True,
+    )
+    r = run_compression(config, spec=spec, params=params, tokenizer=None)
+    target_pm = pad_to_uniform(spec, params)
+    draft_pm = pad_to_uniform(r["compressed_spec"], r["compressed_params"])
+
+    prompts = [
+        rng.integers(1, 128, size=(10,)).astype(np.int32),
+        rng.integers(1, 128, size=(21,)).astype(np.int32),
+        rng.integers(1, 128, size=(6,)).astype(np.int32),
+    ]
+    plain = ContinuousBatcher(target_pm, slots=2, max_len=96, prefill_bucket=16)
+    ids_plain = [plain.submit(p, max_new_tokens=12) for p in prompts]
+    ref = plain.run()
+
+    spec_b = ContinuousBatcher(
+        target_pm, slots=2, max_len=96, prefill_bucket=16,
+        spec_decode="draft", n_draft=3, draft_pm=draft_pm,
+    )
+    ids_spec = [spec_b.submit(p, max_new_tokens=12) for p in prompts]
+    got = spec_b.run()
+
+    for rp, rs in zip(ids_plain, ids_spec):
+        assert got[rs] == ref[rp]
+    for rid in ids_spec:
+        st = spec_b.stats[rid]
+        assert st["rounds"] >= 1 and st["drafted"] == st["rounds"] * 3
+
+
+def test_batcher_selfdraft_full_acceptance(rng):
+    """Target drafting for itself must accept every draft (greedy
+    determinism): rounds == ceil(tokens / (n_draft+1)) exactly."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=17))
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, 128, size=(8,)).astype(np.int32)
+    b = ContinuousBatcher(
+        pm, slots=1, max_len=96, prefill_bucket=16,
+        spec_decode="draft", n_draft=3, draft_pm=pm,
+    )
+    rid = b.submit(prompt, max_new_tokens=13)
+    out = b.run()
+    st = b.stats[rid]
+    assert len(out[rid]) == 8 + 13
+    # 1 token at prefill, then 12 tokens at up to 4/round, all accepted
+    assert st["rounds"] == -(-12 // 4)
+    assert st["accepted"] == st["drafted"] or st["accepted"] >= 12 - 4
+
+
+def test_batcher_spec_eos_stops(rng):
+    """EOS inside an accepted draft prefix must stop the request there,
+    matching the plain batcher's eos behavior."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=19))
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, 128, size=(9,)).astype(np.int32)
+    plain = ContinuousBatcher(pm, slots=1, max_len=96, prefill_bucket=16)
+    rp = plain.submit(prompt, max_new_tokens=20)
+    ref = plain.run()[rp]
+    # pick the token the model actually emits mid-stream as the eos
+    eos = ref[len(prompt) + 4]
+    plain2 = ContinuousBatcher(pm, slots=1, max_len=96, prefill_bucket=16,
+                               eos_token_id=int(eos))
+    r2 = plain2.submit(prompt, max_new_tokens=20)
+    want = plain2.run()[r2]
+    b = ContinuousBatcher(pm, slots=1, max_len=96, prefill_bucket=16,
+                          eos_token_id=int(eos), spec_decode="prompt_lookup", n_draft=4)
+    rs = b.submit(prompt, max_new_tokens=20)
+    got = b.run()[rs]
+    assert got == want
+
+
+def test_batcher_spec_validations():
+    spec, params = params_from_hf_model(_tiny_llama(seed=23))
+    pm = pad_to_uniform(spec, params)
+    with pytest.raises(ValueError, match="greedy-only"):
+        ContinuousBatcher(pm, spec_decode="prompt_lookup", temperature=0.7)
+    with pytest.raises(ValueError, match="draft_pm"):
+        ContinuousBatcher(pm, spec_decode="draft")
+    b = ContinuousBatcher(pm, slots=1, max_len=32, spec_decode="prompt_lookup", n_draft=4)
+    with pytest.raises(ValueError, match="draft margin"):
+        b.submit(np.arange(1, 20, dtype=np.int32), max_new_tokens=10)
