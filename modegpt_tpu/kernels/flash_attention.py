@@ -314,8 +314,8 @@ def flash_attention_hbm(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, hd_p), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # K stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # V stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # K stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # V stays in HBM
         ],
         out_specs=pl.BlockSpec((1, block_q, hd_v_p), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, t_pad, hd_v_p), q.dtype),

@@ -49,6 +49,19 @@ def main(argv=None):
         "ceil(capacity * tokens * top_k / n_experts) tokens; >= "
         "n_experts/top_k guarantees no drops (exact)",
     )
+    parser.add_argument(
+        "--spec_decode", choices=("off", "prompt_lookup", "draft"), default="off",
+        help="speculative serving (greedy-exact): 'prompt_lookup' drafts "
+        "from each slot's own history; 'draft' runs --draft_model in a "
+        "second slot-table pool",
+    )
+    parser.add_argument("--n_draft", type=int, default=4, help="draft tokens per verify round")
+    parser.add_argument("--lookup_ngram", type=int, default=3, help="prompt-lookup match length")
+    parser.add_argument(
+        "--draft_model", default="",
+        help="artifact/checkpoint dir drafting for --model (typically its "
+        "compressed child)",
+    )
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -81,11 +94,20 @@ def main(argv=None):
         args.model, spec.n_layers, args.slots, args.max_len, args.prefill_bucket,
     )
 
+    draft_pm = None
+    if args.spec_decode == "draft":
+        if not args.draft_model:
+            raise SystemExit("--spec_decode draft needs --draft_model")
+        dspec, dparams, _ = _load_any(args.draft_model)
+        draft_pm = pad_to_uniform(dspec, dparams)
+        logger.info("draft model %s: %d layers", args.draft_model, dspec.n_layers)
+
     eos = getattr(tokenizer, "eos_token_id", None)
     batcher = ContinuousBatcher(
         pm, slots=args.slots, max_len=args.max_len, prefill_bucket=args.prefill_bucket,
         eos_token_id=eos, temperature=args.temperature, moe=args.moe_exec,
-        moe_capacity=args.moe_capacity,
+        moe_capacity=args.moe_capacity, spec_decode=args.spec_decode,
+        n_draft=args.n_draft, lookup_ngram=args.lookup_ngram, draft_pm=draft_pm,
     )
     rid_to_idx = {}
     prompt_lens = {}
@@ -117,6 +139,14 @@ def main(argv=None):
         "served %d requests, %d new tokens in %.2fs (%.0f tok/s)",
         len(done), total_new, elapsed, total_new / max(elapsed, 1e-9),
     )
+    if args.spec_decode != "off" and batcher.stats:
+        drafted = sum(s["drafted"] for s in batcher.stats.values())
+        accepted = sum(s["accepted"] for s in batcher.stats.values())
+        rounds = sum(s["rounds"] for s in batcher.stats.values())
+        logger.info(
+            "speculative: %d rounds, %d/%d drafts accepted (%.0f%%)",
+            rounds, accepted, drafted, 100.0 * accepted / max(drafted, 1),
+        )
     print(
         json.dumps(
             {"requests": len(done), "new_tokens": total_new, "tok_per_s": total_new / max(elapsed, 1e-9)}
