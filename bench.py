@@ -32,7 +32,15 @@ import numpy as np
 import os as _os
 
 _PRESET = _os.environ.get("MODEGPT_BENCH_PRESET", "small")
-if _PRESET == "large":
+if _PRESET == "large32":
+    # Llama-2-7B geometry at FULL depth on one chip: 13.5 GB bf16 weights
+    # + per-chunk Gram stats inside 16 GB HBM via layers_per_step
+    # chunking (the reference's own memory strategy, run_modegpt.py:107).
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 4096, 32, 8, 128
+    D_INT, N_LAYERS, VOCAB = 11008, 32, 32000
+    SEQ, CALIB_SEQS, BATCH = 2048, 8, 4
+    _LABEL = "7B-32L"
+elif _PRESET == "large":
     # Llama-2-7B layer geometry (d_model 4096, d_int 11008, GQA 32/8),
     # truncated to 4 layers so the dense model + Gram stats fit one chip.
     D_MODEL, N_HEADS, N_KV, HEAD_DIM = 4096, 32, 8, 128
@@ -50,10 +58,93 @@ else:
     SEQ, CALIB_SEQS, BATCH = 512, 8, 4
     _LABEL = "0.1B"
 RATIO = 0.3
+if _PRESET == "large32":
+    # chunked calibration bounds per-chunk Gram memory (2 layers -> ~1 GB
+    # of f32 covs next to 11.8 GB of bf16 weights); batch 2 halves the
+    # activation transients at seq 2048.
+    BATCH = 2
+    LAYERS_PER_STEP = 2
+else:
+    LAYERS_PER_STEP = N_LAYERS
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+# ---- analytic workload FLOPs (MFU numerator) ----
+
+def workload_flops() -> float:
+    """Analytic FLOPs of one timed pass (calibration forward + Gram taps
+    + BI + the three solvers), counting matmuls as 2mnk and decomposition
+    kernels at their standard constants. Causal attention is counted at
+    the average attended length (T+1)/2. A lower bound: padding, masking
+    and elementwise work are excluded, so MFU is conservative."""
+    d, H, Hk, hd, di, L, V = D_MODEL, N_HEADS, N_KV, HEAD_DIM, D_INT, N_LAYERS, VOCAB
+    T = SEQ
+    toks = CALIB_SEQS * SEQ
+    # forward: projections + gated MLP per token-layer, attention at the
+    # causal average length, lm_head once per token
+    proj = 2 * d * H * hd + 2 * 2 * d * Hk * hd + 2 * H * hd * d
+    mlp = 3 * 2 * d * di
+    attn = 2 * 2 * H * hd * (T + 1) / 2
+    fwd = toks * (L * (proj + mlp + attn) + 2 * d * V)
+    # calibration runs the FULL forward once per layer chunk
+    n_chunks = -(-L // LAYERS_PER_STEP)
+    fwd *= n_chunks
+    # Gram taps per token-layer: cov_mlp [di,di], cov_x [d,d], per-head q/k
+    gram = toks * L * (2 * di * di + 2 * d * d + 2 * H * hd * hd + 2 * Hk * hd * hd)
+    # solvers per layer (f32 device): MLP cholesky+inverse+solve, QK
+    # ridged-diagonal scoring (no eigh on the hot path), VO eigh + SVDs
+    r_mlp = int(di * (1 - RATIO))
+    r_hd = int(hd * (1 - RATIO)) // 2 * 2
+    mlp_s = di**3 / 3 + di**3 + 2 * r_mlp * di * d + r_mlp**3 / 3 + 2 * r_mlp**2 * d
+    vo_s = 10 * d**3 + Hk * (2 * d * d * hd + 6 * d * hd**2 + 2 * d * d * r_hd) \
+        + H * (2 * r_hd * hd * d)
+    qk_s = H * hd * hd + Hk * hd * hd  # diagonal scoring only
+    solv = L * (mlp_s + vo_s + qk_s)
+    return float(fwd + gram + solv)
+
+
+def device_peak_flops():
+    """(peak_flops_bf16, device_kind): nominal dense bf16 peak for the
+    attached accelerator; None on CPU (MFU is only meaningful on TPU)."""
+    import jax
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    if dev.platform not in ("tpu", "axon"):
+        return None, kind
+    peaks = {  # dense bf16 peak per chip
+        "v4": 275e12,
+        "v5lite": 197e12, "v5e": 197e12,
+        "v5p": 459e12, "v5": 459e12,
+        "v6e": 918e12, "trillium": 918e12,
+    }
+    k = str(kind).lower().replace(" ", "")
+    for name, peak in peaks.items():
+        if name in k:
+            return peak, kind
+    return 197e12, kind  # conservative default (v5e)
+
+
+def dispatch_floor(n: int = 30) -> float:
+    """Round-trip floor of one dispatch + 1-element fetch on this
+    backend (the tunnel latency component of every host-synced step)."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    x = f(x)
+    np.asarray(x[:1])
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        x = f(x)
+        np.asarray(x[:1])
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def bench_jax() -> float:
@@ -105,34 +196,50 @@ def bench_jax() -> float:
         np.asarray(leaves[0].ravel()[:1])
         np.asarray(leaves[-1].ravel()[:1])
 
+    def one_pass(keep_fixed=None):
+        """One e2e compress pass. layers_per_step chunking (the
+        reference's memory strategy, run_modegpt.py:107) bounds Gram
+        memory: the large32 preset runs 7B geometry at full depth on one
+        chip with 2-layer chunks. keep_fixed (host array) skips the
+        per-pass allocation fetch — used by the async on-chip probe."""
+        factors = {"mlp": {}, "qk": {}, "vo": {}}
+        keep = keep_fixed
+        for start in range(0, N_LAYERS, LAYERS_PER_STEP):
+            chunk = list(range(start, min(start + LAYERS_PER_STEP, N_LAYERS)))
+            calib = calibrate(spec, params, batches, chunk, accumulate="device")
+            if keep is None:
+                keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)
+            # fetch="device": factors stay in HBM and the surgery consumes
+            # them there — the in-memory compress-then-serve job never
+            # pays the HBM->host link (persistence is separate).
+            f = solve_chunk_batched(
+                spec, params, chunk, keep, calib, config, "mlp,qk,vo", fetch="device"
+            )
+            for s in factors:
+                factors[s].update(f[s])
+            del calib
+        cspec, cparams = apply_factors(
+            spec, params, factors["mlp"], factors["qk"], factors["vo"]
+        )
+        return cspec, cparams, keep
+
     # Warmup: one full pass (calibrate + solve + surgery) compiles every
     # program with the exact shapes/ranks of the timed pass; the sync
     # keeps warmup work from spilling into the timed region.
     t = time.perf_counter()
-    warm = calibrate(spec, params, batches, target_layers, accumulate="device")
-    keep_w, _ = allocate_keep_ratios(warm.bi_scores, RATIO, 0.5, 0.8)
-    fw = solve_chunk_batched(
-        spec, params, target_layers, keep_w, warm, config, "mlp,qk,vo", fetch="device"
-    )
-    _, wparams = apply_factors(spec, params, fw["mlp"], fw["qk"], fw["vo"])
+    _, wparams, keep_w = one_pass()
     sync(wparams["layers"])
     log(f"jax warmup (compile): {time.perf_counter() - t:.2f}s")
+    keep_host = np.asarray(keep_w)
 
-    # min of 3 timed passes: the tunneled backend adds multi-hundred-ms
+    # min of N timed passes: the tunneled backend adds multi-hundred-ms
     # dispatch jitter per pass; min is the steady-state compute.
+    n_runs = 1 if _PRESET == "large32" else 3
     times = []
     cspec = None
-    for _ in range(3):
+    for _ in range(n_runs):
         t0 = time.perf_counter()
-        calib = calibrate(spec, params, batches, target_layers, accumulate="device")
-        keep, _ = allocate_keep_ratios(calib.bi_scores, RATIO, 0.5, 0.8)
-        # fetch="device": factors stay in HBM and the surgery consumes
-        # them there — the in-memory compress-then-serve job never pays
-        # the HBM->host link (persistence is a separate, explicit step).
-        f = solve_chunk_batched(
-            spec, params, target_layers, keep, calib, config, "mlp,qk,vo", fetch="device"
-        )
-        cspec, cparams = apply_factors(spec, params, f["mlp"], f["qk"], f["vo"])
+        cspec, cparams, _ = one_pass()
         sync(cparams["layers"])
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
@@ -140,7 +247,31 @@ def bench_jax() -> float:
         f"jax e2e compress: {elapsed:.2f}s (runs: {[round(t, 2) for t in times]}); "
         f"gate_ranks={cspec.gate_ranks}"
     )
-    return elapsed
+
+    # On-chip estimate: run passes back-to-back with NO intermediate host
+    # syncs (ranks pinned from warmup so nothing forces a fetch), then one
+    # sync — the host enqueues ahead of the device, so per-dispatch tunnel
+    # latency amortizes out and (total / n) approaches pure device time.
+    n_async = 1 if _PRESET == "large32" else 3
+    t0 = time.perf_counter()
+    for _ in range(n_async):
+        cspec, cparams, _ = one_pass(keep_fixed=keep_host)
+    sync(cparams["layers"])
+    on_chip = (time.perf_counter() - t0) / n_async
+    log(f"jax on-chip estimate (queue-amortised): {on_chip:.2f}s")
+
+    hbm_peak = None
+    try:
+        from modegpt_tpu.utils.memory import device_memory_stats
+
+        stats = device_memory_stats()
+        peaks = [s.get("peak_bytes_in_use", 0) for s in stats.values()]
+        if peaks and max(peaks):
+            hbm_peak = max(peaks) / 2**30
+            log(f"peak HBM: {hbm_peak:.2f} GiB")
+    except Exception:
+        pass
+    return elapsed, min(on_chip, elapsed), hbm_peak
 
 
 def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
@@ -236,11 +367,17 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
             C_SS = C[topk][:, topk]
             cross = C[topk, :] @ W_d.T
             Lr = torch.linalg.cholesky(C_SS + 1e-6 * torch.eye(rank_mlp, dtype=torch.float64))
-            torch.cholesky_solve(cross, Lr)
-            _ = blk.mlp.up_proj.weight.double()[topk, :]
-            _ = blk.mlp.gate_proj.weight.double()[topk, :]
+            # materialise the factors the reference persists, at its bf16
+            # save dtype (compress_mlp.py:59-63)
+            mlp_down = torch.cholesky_solve(cross, Lr).to(torch.bfloat16)
+            mlp_up = blk.mlp.up_proj.weight.double()[topk, :].contiguous().to(torch.bfloat16)
+            mlp_gate = blk.mlp.gate_proj.weight.double()[topk, :].contiguous().to(torch.bfloat16)
 
-            # QK: per-head sqrt + pair scores + slicing
+            # QK: per-head sqrt + pair scores + row slicing (the reference
+            # slices Q rows for every head in the group plus the K rows
+            # and saves bf16, compress_qk.py:369-380,298-301)
+            W_q_all = blk.self_attn.q_proj.weight.double()
+            W_k_all = blk.self_attn.k_proj.weight.double()
             for kv in range(N_KV):
                 sk = sqrt_m(cov_k[l][kv] / total_tokens, 1e-6)
                 score = torch.zeros(HEAD_DIM // 2, dtype=torch.float64)
@@ -249,9 +386,15 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
                     e_q = (sq * sq).sum(0)
                     e_k = (sk * sk).sum(0)
                     score += e_q[: HEAD_DIM // 2] * e_k[: HEAD_DIM // 2] + e_q[HEAD_DIM // 2 :] * e_k[HEAD_DIM // 2 :]
-                torch.topk(score.sqrt(), rank_hd // 2)
+                pairs = torch.topk(score.sqrt(), rank_hd // 2).indices
+                mask = torch.cat([pairs, pairs + HEAD_DIM // 2])
+                _k_rows = W_k_all[kv * HEAD_DIM : (kv + 1) * HEAD_DIM][mask].contiguous().to(torch.bfloat16)
+                for g in range(group):
+                    h = kv * group + g
+                    _q_rows = W_q_all[h * HEAD_DIM : (h + 1) * HEAD_DIM][mask].contiguous().to(torch.bfloat16)
 
-            # VO: whitening + per-head SVDs
+            # VO: whitening + per-head SVDs, factors materialised bf16
+            # (compress_vo.py:89-92)
             Cx = cov_x[l] / total_tokens
             w, V = torch.linalg.eigh(Cx)
             sw = (w + 1e-4).clamp(min=0).sqrt()
@@ -262,11 +405,11 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
             for kv in range(N_KV):
                 Vh_w = W_v[kv * HEAD_DIM : (kv + 1) * HEAD_DIM, :]
                 U, S, Vh = torch.linalg.svd(sqrt_C @ Vh_w.T, full_matrices=False)
-                _ = inv_sqrt_C @ U[:, :rank_hd]
+                _v_new = (inv_sqrt_C @ U[:, :rank_hd]).T.contiguous().to(torch.bfloat16)
                 for g in range(group):
                     h = kv * group + g
                     O_h = W_o[:, h * HEAD_DIM : (h + 1) * HEAD_DIM]
-                    _ = torch.diag(S[:rank_hd]) @ Vh[:rank_hd, :] @ O_h.T
+                    _o_new = (torch.diag(S[:rank_hd]) @ Vh[:rank_hd, :] @ O_h.T).to(torch.bfloat16)
     elapsed = time.perf_counter() - t0
     for h in handles:
         h.remove()
@@ -275,7 +418,10 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
 
 
 def main():
-    ours = bench_jax()
+    ours, on_chip, hbm_peak = bench_jax()
+    floor = dispatch_floor()
+    flops = workload_flops()
+    peak, device_kind = device_peak_flops()
     full_baseline = (
         _PRESET == "small" or _os.environ.get("MODEGPT_BENCH_FULL_BASELINE") == "1"
     )
@@ -294,16 +440,24 @@ def main():
             f"torch baseline extrapolated: t(1)={t1:.2f}s t(2)={t2:.2f}s "
             f"-> t({N_LAYERS})={baseline:.2f}s"
         )
-    print(
-        json.dumps(
-            {
-                "metric": f"e2e_compress_seconds_synthetic_llama_{_LABEL}@30%",
-                "value": round(ours, 3),
-                "unit": "s",
-                "vs_baseline": round(baseline / ours, 3),
-            }
-        )
-    )
+    out = {
+        "metric": f"e2e_compress_seconds_synthetic_llama_{_LABEL}@30%",
+        "value": round(ours, 3),
+        "unit": "s",
+        "vs_baseline": round(baseline / ours, 3),
+        # analytic workload FLOPs / queue-amortised on-chip time / nominal
+        # dense-bf16 chip peak. Conservative: the numerator excludes
+        # padding and elementwise work.
+        "flops": flops,
+        "on_chip_s": round(on_chip, 3),
+        "mfu": round(flops / on_chip / peak, 4) if peak else None,
+        "mfu_wall": round(flops / ours / peak, 4) if peak else None,
+        "device_kind": str(device_kind),
+        "dispatch_floor_s": round(floor, 4),
+    }
+    if hbm_peak is not None:
+        out["hbm_peak_gib"] = round(hbm_peak, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
