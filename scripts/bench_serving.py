@@ -1,0 +1,157 @@
+"""Serving microbench: decode-step wall time vs on-chip time.
+
+Round-1 review: README's serving numbers blended per-dispatch tunnel
+latency into each step ("roughly half of each step") without measuring
+the split. This bench measures both:
+
+* WALL step: the continuous batcher's real pattern — one ragged decode
+  dispatch + fetch of the sampled tokens every step (the fetch is the
+  synchronisation point, so tunnel round-trip latency is on the path);
+* ON-CHIP step: the same dispatches enqueued back-to-back with NO
+  per-step fetch (states donate through; token outputs stay on device),
+  one sync at the end — the host runs ahead of the device, so the
+  per-dispatch latency amortises out and total/N approaches pure device
+  time;
+* the dispatch floor (trivial jitted call + 1-element fetch) for
+  reference.
+
+Also reports batched-eval throughput (the README "87.4k tok/s" shape)
+wall vs on-chip the same way.
+
+Usage:  python scripts/bench_serving.py          (defaults: 0.5B shape)
+        MODEGPT_SERVE_STEPS=64 python scripts/bench_serving.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from modegpt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from modegpt_tpu.models.init import init_params
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.models.serving import (
+        _decode_slots_jit,
+        init_serve_state,
+        prefill_slot,
+    )
+    from modegpt_tpu.models.spec import ModelSpec
+
+    D, H, HK, HD, DI, L, V = 2048, 16, 8, 128, 5504, 8, 16384
+    SLOTS = int(os.environ.get("MODEGPT_SERVE_SLOTS", "16"))
+    STEPS = int(os.environ.get("MODEGPT_SERVE_STEPS", "64"))
+    MAXLEN = 512
+
+    spec = ModelSpec(
+        arch="llama", vocab_size=V, d_model=D, n_layers=L, n_heads=H,
+        n_kv_heads=HK, head_dim=HD, d_int=DI, max_position_embeddings=2048,
+        act="silu", norm="rmsnorm", norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        q_ranks=(H * HD,) * L, k_ranks=(HK * HD,) * L, v_ranks=(HK * HD,) * L,
+        o_ranks=(H * HD,) * L, gate_ranks=(DI,) * L,
+    )
+    params = init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+    pm = pad_to_uniform(spec, params)
+    state = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    for s in range(SLOTS):
+        state = prefill_slot(pm, state, s, rng.integers(1, V, size=24).astype(np.int32), 32)
+    active = jnp.ones((SLOTS,), bool)
+    key = jax.random.key(1)
+
+    def step(state):
+        return _decode_slots_jit(
+            pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active, 0.0, None, key
+        )
+
+    # warmup
+    state, toks = step(state)
+    np.asarray(toks)
+
+    # wall: fetch the sampled tokens every step (the batcher's pattern)
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, toks = step(state)
+        np.asarray(toks)
+    wall = (time.perf_counter() - t0) / STEPS
+
+    # on-chip: enqueue without per-step fetch, sync once
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(STEPS):
+        state, toks = step(state)
+        outs.append(toks)
+    np.asarray(outs[-1])
+    np.asarray(state.lengths[:1])
+    on_chip = (time.perf_counter() - t0) / STEPS
+
+    # dispatch floor
+    f = jax.jit(lambda x: x + 1)
+    x = f(jnp.zeros((8,), jnp.float32))
+    np.asarray(x[:1])
+    floors = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        x = f(x)
+        np.asarray(x[:1])
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+
+    log(
+        f"decode step ({SLOTS} slots): wall {wall*1e3:.2f}ms, "
+        f"on-chip {on_chip*1e3:.2f}ms, dispatch floor {floor*1e3:.2f}ms"
+    )
+
+    # batched eval forward (throughput shape): seq 1024, batch 16
+    from modegpt_tpu.models.scan_forward import forward_scan
+
+    B, T = 16, 1024
+    ids = jnp.asarray(rng.integers(1, V, size=(B, T)).astype(np.int32))
+
+    @jax.jit
+    def eval_step(params, ids):
+        logits, _ = forward_scan(spec, params, ids)
+        return logits
+
+    out = eval_step(params, ids)
+    np.asarray(out.ravel()[:1])
+    t0 = time.perf_counter()
+    N_EVAL = 8
+    outs = [eval_step(params, ids) for _ in range(N_EVAL)]
+    np.asarray(outs[-1].ravel()[:1])
+    eval_on_chip = (time.perf_counter() - t0) / N_EVAL
+    t0 = time.perf_counter()
+    for _ in range(N_EVAL):
+        np.asarray(eval_step(params, ids).ravel()[:1])
+    eval_wall = (time.perf_counter() - t0) / N_EVAL
+
+    print(json.dumps({
+        "decode_step_wall_ms": round(wall * 1e3, 3),
+        "decode_step_on_chip_ms": round(on_chip * 1e3, 3),
+        "dispatch_floor_ms": round(floor * 1e3, 3),
+        "decode_tok_s_wall": round(SLOTS / wall, 1),
+        "decode_tok_s_on_chip": round(SLOTS / on_chip, 1),
+        "eval_tok_s_wall": round(B * T / eval_wall, 1),
+        "eval_tok_s_on_chip": round(B * T / eval_on_chip, 1),
+        "slots": SLOTS,
+    }))
+
+
+if __name__ == "__main__":
+    main()
