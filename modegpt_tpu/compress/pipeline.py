@@ -393,10 +393,18 @@ def run_compression(
                 )
             ]
             if pending:
+                from modegpt_tpu.parallel.ring import supports_ring
+
                 if pp_mode:
                     from modegpt_tpu.parallel.pp import calibrate_pp
 
                     calib = calibrate_pp(spec, params, calib_batches, mesh)
+                elif mesh is not None and supports_ring(spec, mesh):
+                    # context-parallel ring calibration: beyond-32k
+                    # sequences with O(T/N) per-device K/V (parallel/ring.py)
+                    from modegpt_tpu.parallel.ring import calibrate_ring
+
+                    calib = calibrate_ring(spec, params, calib_batches, pending, mesh)
                 else:
                     accumulate = (
                         "device" if config.solver_precision == "f32_device" else "host"

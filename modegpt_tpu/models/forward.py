@@ -340,6 +340,13 @@ def _attention(
     """
     B, H, T, _ = q.shape
     Hk = k.shape[1]
+    if impl == "ring":
+        # Context-parallel ring attention: ONLY valid inside a shard_map
+        # over parallel.ring.CTX_AXIS where q/k/v hold this device's
+        # sequence chunk (parallel/ring.py drives it for calibration).
+        from modegpt_tpu.parallel.ring import ring_attention
+
+        return ring_attention(q, k, v, scaling, softcap=softcap, window=window)
     if impl == "flash" and T >= 128 and softcap is None and window_arr is None:
         from modegpt_tpu.kernels.flash_attention import flash_attention, flash_attention_hbm
 

@@ -304,3 +304,142 @@ def test_pipeline_parallel_eval_gemma_scaled_embeddings(rng):
     ref = compute_perplexity(spec, params, tokens, batch_size=2)
     got = perplexity_pp(spec, params, tokens, mesh, batch_size=2)
     np.testing.assert_allclose(got, ref, rtol=1e-4)
+
+
+# ---- context-parallel ring-attention calibration (parallel/ring.py) ----
+
+
+def test_ring_attention_matches_xla():
+    """Ring attention inside shard_map over a context axis must equal
+    full causal attention (GQA grouping, global-position masking)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from modegpt_tpu.models.forward import _attention
+    from modegpt_tpu.parallel.ring import CTX_AXIS, ring_attention
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    rng = np.random.default_rng(0)
+    B, H, Hk, T, hd = 2, 4, 2, 64, 16
+    q = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    k = rng.standard_normal((B, Hk, T, hd)).astype(np.float32)
+    v = rng.standard_normal((B, Hk, T, hd)).astype(np.float32)
+    scale = hd**-0.5
+    ref = _attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, None, "xla")
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (CTX_AXIS,))
+    f = jax.jit(
+        shard_map(
+            lambda q, k, v: ring_attention(q, k, v, scale),
+            mesh=mesh,
+            in_specs=(P(None, None, CTX_AXIS), P(None, None, CTX_AXIS),
+                      P(None, None, CTX_AXIS)),
+            out_specs=P(None, None, CTX_AXIS),
+        )
+    )
+    got = f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_sliding_window():
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from modegpt_tpu.models.forward import _attention
+    from modegpt_tpu.parallel.ring import CTX_AXIS, ring_attention
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    rng = np.random.default_rng(1)
+    B, H, T, hd, W = 1, 2, 64, 8, 10
+    q = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    scale = hd**-0.5
+    ref = _attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale, W, "xla")
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (CTX_AXIS,))
+    f = jax.jit(
+        shard_map(
+            lambda q, k, v: ring_attention(q, k, v, scale, window=W),
+            mesh=mesh,
+            in_specs=(P(None, None, CTX_AXIS),) * 3,
+            out_specs=P(None, None, CTX_AXIS),
+        )
+    )
+    got = f(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("mk", ["llama", "qwen3"])
+def test_ring_calibration_matches_single_device(mk):
+    """Context-parallel ring calibration == plain calibrate: identical
+    Grams (psum'd chunk sums) and BI scores; RoPE phases at global
+    positions; qwen3 exercises per-head q/k norms through the ring."""
+    import transformers
+
+    from jax.sharding import Mesh
+
+    from modegpt_tpu.parallel.ring import CTX_AXIS, calibrate_ring, supports_ring
+
+    if mk == "llama":
+        m = _tiny_llama(seed=4)
+    else:
+        cfg = transformers.Qwen3Config(
+            vocab_size=128, hidden_size=64, intermediate_size=144,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=16, max_position_embeddings=256, tie_word_embeddings=False,
+        )
+        import torch
+
+        torch.manual_seed(4)
+        m = transformers.Qwen3ForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 64, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0, 1], accumulate="host")
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (CTX_AXIS,))
+    assert supports_ring(spec, mesh)
+    got = calibrate_ring(spec, params, batches, [0, 1], mesh)
+    for l in (0, 1):
+        np.testing.assert_allclose(got.cov_mlp[l], ref.cov_mlp[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_q[l], ref.cov_q[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_k[l], ref.cov_k[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_x[l], ref.cov_x[l], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
+    assert got.total_tokens == ref.total_tokens
+
+
+def test_pipeline_ring_calibration_end_to_end(tmp_path):
+    """run_compression on a context-only mesh routes calibration through
+    the ring path and produces the same compressed model as single-device
+    (identical rank lists, matching compressed weights)."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=6))
+
+    def cfg(sub):
+        return CompressionConfig(
+            model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2,
+            seq_len=64, compression_ratio=0.3, sparsity_smoothing=0.5,
+            output_dir=str(tmp_path / sub / "o"),
+            temp_storage_dir=str(tmp_path / sub / "l"),
+            metrics_dir=str(tmp_path / sub / "m"),
+            skip_baseline_eval=True, skip_final_eval=True,
+        )
+
+    ref = run_compression(cfg("ref"), spec=spec, params=params, tokenizer=None)
+    mesh = make_mesh("context:8")
+    got = run_compression(cfg("ring"), spec=spec, params=params, tokenizer=None,
+                          mesh=mesh)
+    rs, gs = ref["compressed_spec"], got["compressed_spec"]
+    assert rs.gate_ranks == gs.gate_ranks and rs.q_ranks == gs.q_ranks
+    for l in range(spec.n_layers):
+        for key in ("up", "down", "q", "k", "v", "o"):
+            np.testing.assert_allclose(
+                np.asarray(got["compressed_params"]["layers"][l][key]["kernel"]),
+                np.asarray(ref["compressed_params"]["layers"][l][key]["kernel"]),
+                rtol=2e-4, atol=2e-4,
+            )
