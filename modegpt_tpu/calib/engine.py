@@ -34,7 +34,7 @@ from modegpt_tpu.models.spec import ModelSpec
 
 logger = logging.getLogger("modegpt_tpu")
 
-__all__ = ["CalibrationResult", "calibrate"]
+__all__ = ["CalibrationResult", "calibrate", "calibrate_window"]
 
 
 @dataclass
@@ -278,4 +278,115 @@ def calibrate(
             if acc_shared is not None
             else {}
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed calibration: one compiled program for EVERY layer chunk
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("spec", "width", "attn_impl"), donate_argnames=("acc",)
+)
+def _window_stats_step(spec: ModelSpec, params, batch, start, acc, width: int,
+                       attn_impl: str = "xla"):
+    """One batch through the UNROLLED forward, accumulating Gram taps for
+    the traced layer window [start, start+width) into fixed [width, ...]
+    slots (plus BI for every layer).
+
+    Why this exists: the scanned stats path stacks the layer weights
+    into [L, ...] arrays — a full second copy of the model. At 7B on a
+    16 GB chip that copy does not fit next to the original (measured:
+    22.6 GB requested). Here the weights are consumed in place and,
+    because `start` is traced, ONE compiled program serves every chunk
+    of a layers_per_step sweep. The cost: taps are computed for every
+    layer each chunk and masked into the window (~1.6x the minimal
+    chunk schedule's FLOPs) — the memory-for-one-compile trade this
+    mode exists for.
+    """
+    from modegpt_tpu.models.forward import _bi_piece, _layer, _linear, _scale_embed
+    from modegpt_tpu.ops.rope import rope_cos_sin
+
+    B, T = batch.shape
+    x = _scale_embed(spec, params["embed_tokens"][batch])
+    if spec.arch in ("opt", "gpt2"):
+        if "project_in" in params:
+            x = _linear(x, params["project_in"])
+        pos = jnp.arange(T, dtype=jnp.int32) + spec.position_offset
+        x = x + params["embed_positions"][pos][None]
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(
+            jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta,
+            dtype=x.dtype, scaling=spec.rope_scaling,
+        )
+
+    bi = []
+    for l in range(spec.n_layers):
+        x_new, taps = _layer(spec, l, params["layers"][l], x, cos, sin, True, attn_impl)
+        slot = jnp.clip(l - start, 0, width - 1)
+        inside = (l - start >= 0) & (l - start < width)
+        for key in ("cov_mlp", "cov_q", "cov_k", "cov_x"):
+            t = taps[key].astype(acc[key].dtype)
+            acc[key] = acc[key].at[slot].add(jnp.where(inside, t, jnp.zeros_like(t)))
+        bi.append(_bi_piece(x, x_new))
+        x = x_new
+    acc["bi"] = acc["bi"] + jnp.stack(bi)
+    return acc
+
+
+def calibrate_window(
+    spec: ModelSpec,
+    params: Dict,
+    batches: Sequence[np.ndarray],
+    start: int,
+    width: int,
+    attn_impl: str = "auto",
+) -> CalibrationResult:
+    """calibrate() for layers [start, start+width) via the windowed
+    single-program path (see _window_stats_step). Device-resident f32
+    accumulation; intended for layers_per_step sweeps over models whose
+    weights fill most of HBM (the 7B-on-one-v5e shape)."""
+    if spec.n_experts:
+        raise ValueError("calibrate_window covers dense stacks (MoE tap shapes differ)")
+    if len(set(spec.gate_ranks)) != 1 or len(set(spec.q_ranks)) != 1:
+        raise ValueError("calibrate_window needs a uniform (dense) layer stack")
+    if attn_impl == "auto":
+        use_flash = jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        attn_impl = "flash" if use_flash else "xla"
+
+    H, Hk, hd = spec.n_heads, spec.n_kv_heads, spec.head_dim
+    q_hd = spec.q_ranks[0] // H
+    acc = {
+        "cov_mlp": jnp.zeros((width, spec.d_int, spec.d_int), jnp.float32),
+        "cov_q": jnp.zeros((width, H, q_hd, q_hd), jnp.float32),
+        "cov_k": jnp.zeros((width, Hk, q_hd, q_hd), jnp.float32),
+        "cov_x": jnp.zeros((width, spec.d_model, spec.d_model), jnp.float32),
+        "bi": jnp.zeros((spec.n_layers,), jnp.float32),
+    }
+    n_sequences = 0
+    seq_len = int(batches[0].shape[1])
+    start_arr = jnp.asarray(start, jnp.int32)
+    for b in batches:
+        n_sequences += int(b.shape[0])
+        acc = _window_stats_step(
+            spec, params, jnp.asarray(np.asarray(b, dtype=np.int32)), start_arr, acc,
+            width, attn_impl,
+        )
+    total_tokens = n_sequences * seq_len
+    inv = jnp.float32(1.0 / total_tokens)
+    layers = [start + i for i in range(width) if start + i < spec.n_layers]
+    logger.info(
+        "calibration (windowed): %d sequences x %d tokens, layers %s",
+        n_sequences, seq_len, layers,
+    )
+    return CalibrationResult(
+        cov_mlp={l: acc["cov_mlp"][i] * inv for i, l in enumerate(layers)},
+        cov_q={l: acc["cov_q"][i] * inv for i, l in enumerate(layers)},
+        cov_k={l: acc["cov_k"][i] * inv for i, l in enumerate(layers)},
+        cov_x={l: acc["cov_x"][i] * inv for i, l in enumerate(layers)},
+        bi_scores=(np.asarray(acc["bi"], dtype=np.float64) / n_sequences).tolist(),
+        n_sequences=n_sequences,
+        total_tokens=total_tokens,
     )

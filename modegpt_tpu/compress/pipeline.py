@@ -476,6 +476,7 @@ def run_compression(
     comp_spec, comp_params = apply_factors(
         spec,
         params,
+        release_dense=config.release_dense,
         mlp_factors=factors.get("mlp"),
         qk_factors=factors.get("qk"),
         vo_factors=factors.get("vo"),

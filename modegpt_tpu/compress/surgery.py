@@ -62,6 +62,7 @@ def apply_factors(
     mlp_factors: Optional[Dict[int, Dict]] = None,
     qk_factors: Optional[Dict[int, Dict]] = None,
     vo_factors: Optional[Dict[int, Dict]] = None,
+    release_dense: bool = False,
 ):
     """Build the compressed (spec, params) from per-layer solver factors.
 
@@ -76,6 +77,12 @@ def apply_factors(
     Compressed projections drop biases except OPT q/k which carry sliced
     biases (reference: convert_model builds bias-free Linears,
     model_adapter.py:199-207; OPT qk biases via compress_head_opt).
+
+    release_dense: MUTATES the caller's ``params`` — pops each replaced
+    dense projection leaf as its compressed kernel is built, so the
+    device can free the dense weight once nothing else references it.
+    Required to fit surgery on one chip when dense + compressed weights
+    together exceed HBM (7B bf16 on a 16 GB v5e: 11.8 + ~8 GB).
     """
     mlp_factors = mlp_factors or {}
     qk_factors = qk_factors or {}
@@ -159,6 +166,20 @@ def apply_factors(
                 lp["o"]["bias"] = jnp.asarray(np.asarray(f["o_bias"]), dtype=model_dtype)
             v_ranks[l] = int(f["v"].shape[0])
             o_ranks[l] = int(f["o"].shape[1])
+
+        if release_dense:
+            src = params["layers"][l]
+            if l in mlp_factors:
+                keys = ("experts", "shared") if spec.is_moe_layer(l) else ("up", "gate", "down")
+                for key in keys:
+                    if key in lp and lp[key] is not src.get(key):
+                        src.pop(key, None)
+            if l in qk_factors:
+                src.pop("q", None)
+                src.pop("k", None)
+            if l in vo_factors:
+                src.pop("v", None)
+                src.pop("o", None)
 
         new_layers.append(lp)
 

@@ -75,6 +75,10 @@ class CompressionConfig:
     artifact_dtype: str = ""
     # 'npz' (single file) or 'orbax' (async multi-host tensorstore).
     artifact_backend: str = "npz"
+    # Free each dense projection as its compressed kernel is built
+    # (surgery mutates the in-memory params): required when dense +
+    # compressed weights together exceed device memory (7B on one v5e).
+    release_dense: bool = False
 
     _FIELD_HELP = {
         "order": "mlp,qk,vo  -- <method>,<method>,<method>",

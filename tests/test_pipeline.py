@@ -245,3 +245,35 @@ def test_opt_350m_style_end_to_end(tmp_path):
     assert results["compressed_ppl"] < results["baseline_ppl"] * 3.0
     spec2, params2, _ = load_compressed_model(results["artifact_dir"])
     assert params2.get("final_norm") is None and "project_in" in params2
+
+
+def test_windowed_calibration_matches_plain():
+    """calibrate_window (one compiled program per layers_per_step sweep,
+    traced window start) must produce the same Grams and BI as plain
+    calibrate for every window position, including the ragged tail."""
+    import transformers
+    import torch
+
+    from modegpt_tpu.calib.engine import calibrate, calibrate_window
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(9)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0, 1, 2], accumulate="host")
+
+    for start in (0, 2):  # second window is the ragged 1-layer tail
+        got = calibrate_window(spec, params, batches, start, width=2)
+        for l in got.cov_mlp:
+            np.testing.assert_allclose(np.asarray(got.cov_mlp[l]), ref.cov_mlp[l],
+                                       rtol=2e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.cov_q[l]), ref.cov_q[l],
+                                       rtol=2e-5, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(got.cov_x[l]), ref.cov_x[l],
+                                       rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=2e-5)
+    assert sorted(calibrate_window(spec, params, batches, 2, 2).cov_mlp) == [2]
