@@ -405,6 +405,17 @@ def run_compression(
                     from modegpt_tpu.parallel.ring import calibrate_ring
 
                     calib = calibrate_ring(spec, params, calib_batches, pending, mesh)
+                elif config.calib_exec == "window":
+                    # windowed single-program calibration: weights consumed
+                    # in place, one compile for every layers_per_step chunk
+                    # — the big-model-on-one-chip path (the scanned stats
+                    # path stacks a second full weight copy; see
+                    # calib/engine.calibrate_window)
+                    from modegpt_tpu.calib.engine import calibrate_window
+
+                    calib = calibrate_window(
+                        spec, params, calib_batches, start, layers_per_step
+                    )
                 else:
                     accumulate = (
                         "device" if config.solver_precision == "f32_device" else "host"

@@ -75,6 +75,12 @@ class CompressionConfig:
     artifact_dtype: str = ""
     # 'npz' (single file) or 'orbax' (async multi-host tensorstore).
     artifact_backend: str = "npz"
+    # Calibration execution: 'auto' picks the scanned stats program
+    # (fast, but stacks a second copy of the layer weights) or unrolled;
+    # 'window' forces the windowed single-program path (weights consumed
+    # in place, one compile per layers_per_step sweep) for models whose
+    # weights fill most of device memory.
+    calib_exec: str = "auto"
     # Free each dense projection as its compressed kernel is built
     # (surgery mutates the in-memory params): required when dense +
     # compressed weights together exceed device memory (7B on one v5e).
@@ -153,6 +159,8 @@ class CompressionConfig:
             raise ValueError(
                 f"artifact_backend must be npz or orbax, got {self.artifact_backend!r}"
             )
+        if self.calib_exec not in ("auto", "window"):
+            raise ValueError(f"calib_exec must be auto or window, got {self.calib_exec!r}")
         if self.model_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"model_dtype must be float32 or bfloat16, got {self.model_dtype!r}")
         order = self.order or "mlp,qk,vo"

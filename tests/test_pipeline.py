@@ -277,3 +277,47 @@ def test_windowed_calibration_matches_plain():
                                        rtol=2e-5, atol=1e-6)
         np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=2e-5)
     assert sorted(calibrate_window(spec, params, batches, 2, 2).cov_mlp) == [2]
+
+
+def test_windowed_pipeline_and_release_dense(tmp_path):
+    """--calib_exec window + --release_dense (the big-model-on-one-chip
+    plan): chunked windowed calibration produces the same compressed
+    model, and release_dense pops each replaced dense projection from
+    the input params while norms survive."""
+    import transformers
+    import torch
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(11)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+
+    def mk(sub, **kw):
+        return CompressionConfig(
+            model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2,
+            seq_len=32, compression_ratio=0.3, sparsity_smoothing=0.5,
+            layers_per_step=2,
+            output_dir=str(tmp_path / sub / "o"),
+            temp_storage_dir=str(tmp_path / sub / "l"),
+            metrics_dir=str(tmp_path / sub / "m"),
+            skip_baseline_eval=True, skip_final_eval=True, **kw,
+        )
+
+    ref = run_compression(mk("ref"), spec=spec, params=params, tokenizer=None)
+    got = run_compression(
+        mk("win", calib_exec="window", release_dense=True),
+        spec=spec, params=params, tokenizer=None,
+    )
+    assert got["compressed_spec"].gate_ranks == ref["compressed_spec"].gate_ranks
+    for l in range(spec.n_layers):
+        np.testing.assert_allclose(
+            np.asarray(got["compressed_params"]["layers"][l]["up"]["kernel"]),
+            np.asarray(ref["compressed_params"]["layers"][l]["up"]["kernel"]),
+            rtol=2e-4, atol=2e-4,
+        )
+        # release_dense consumed the dense projections, kept the norms
+        assert "q" not in params["layers"][l] and "up" not in params["layers"][l]
+        assert "attn_norm" in params["layers"][l]
