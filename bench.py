@@ -59,11 +59,12 @@ else:
     _LABEL = "0.1B"
 RATIO = 0.3
 if _PRESET == "large32":
-    # chunked calibration bounds per-chunk Gram memory (2 layers -> ~1 GB
-    # of f32 covs next to 11.8 GB of bf16 weights); batch 2 halves the
-    # activation transients at seq 2048.
+    # chunked calibration bounds per-chunk Gram memory; ONE layer per
+    # chunk leaves ~3.3 GB beside the 11.8 GB resident weights for the
+    # d_int=11008 Cholesky working set; batch 2 halves the activation
+    # transients at seq 2048.
     BATCH = 2
-    LAYERS_PER_STEP = 2
+    LAYERS_PER_STEP = 1
 else:
     LAYERS_PER_STEP = N_LAYERS
 

@@ -381,12 +381,23 @@ def calibrate_window(
         "calibration (windowed): %d sequences x %d tokens, layers %s",
         n_sequences, seq_len, layers,
     )
+    # Drain the queue before building result slices: the tiny BI fetch
+    # completes only after the last stats program retires, so its temp
+    # arena is free before we allocate [d,d] result buffers next to the
+    # full model weights (enqueue-time allocation otherwise overlaps
+    # them — observed OOM at 7B scale).
+    bi = np.asarray(acc["bi"], dtype=np.float64) / n_sequences
+    out: Dict[str, Dict[int, jax.Array]] = {}
+    for key in ("cov_mlp", "cov_q", "cov_k", "cov_x"):
+        out[key] = {l: acc[key][i] * inv for i, l in enumerate(layers)}
+        # free each [width, ...] accumulator before slicing the next
+        acc.pop(key)
     return CalibrationResult(
-        cov_mlp={l: acc["cov_mlp"][i] * inv for i, l in enumerate(layers)},
-        cov_q={l: acc["cov_q"][i] * inv for i, l in enumerate(layers)},
-        cov_k={l: acc["cov_k"][i] * inv for i, l in enumerate(layers)},
-        cov_x={l: acc["cov_x"][i] * inv for i, l in enumerate(layers)},
-        bi_scores=(np.asarray(acc["bi"], dtype=np.float64) / n_sequences).tolist(),
+        cov_mlp=out["cov_mlp"],
+        cov_q=out["cov_q"],
+        cov_k=out["cov_k"],
+        cov_x=out["cov_x"],
+        bi_scores=bi.tolist(),
         n_sequences=n_sequences,
         total_tokens=total_tokens,
     )
