@@ -26,6 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from modegpt_tpu.models.forward import forward
@@ -322,16 +323,23 @@ def _window_stats_step(spec: ModelSpec, params, batch, start, acc, width: int,
             dtype=x.dtype, scaling=spec.rope_scaling,
         )
 
+    keys = ("cov_mlp", "cov_q", "cov_k", "cov_x")
     bi = []
     for l in range(spec.n_layers):
         x_new, taps = _layer(spec, l, params["layers"][l], x, cos, sin, True, attn_impl)
         slot = jnp.clip(l - start, 0, width - 1)
-        inside = (l - start >= 0) & (l - start < width)
-        for key in ("cov_mlp", "cov_q", "cov_k", "cov_x"):
-            t = taps[key].astype(acc[key].dtype)
-            acc[key] = acc[key].at[slot].add(jnp.where(inside, t, jnp.zeros_like(t)))
+        inside = ((l - start >= 0) & (l - start < width))
+        gate = inside.astype(jnp.float32)  # mask-multiply: no [D,D] zeros constant
+        for key in keys:
+            acc[key] = acc[key].at[slot].add(taps[key].astype(jnp.float32) * gate)
         bi.append(_bi_piece(x, x_new))
-        x = x_new
+        # Scheduling barrier: without it XLA hoists every layer's
+        # [d_int, d_int] gram temp alive at once (measured 21.8 GB for
+        # 32 layers); tying the residual stream to the accumulators
+        # forces layer l's taps to retire before layer l+1 computes.
+        x, *accs = lax.optimization_barrier((x_new, *[acc[k] for k in keys]))
+        for key, a in zip(keys, accs):
+            acc[key] = a
     acc["bi"] = acc["bi"] + jnp.stack(bi)
     return acc
 
