@@ -197,12 +197,25 @@ def bench_jax() -> float:
         np.asarray(leaves[0].ravel()[:1])
         np.asarray(leaves[-1].ravel()[:1])
 
+    # Fused path (3 dispatches + 1 tiny fetch, compress/fused.py): the
+    # framework's fast path for latency-bound scales — default for
+    # small/medium; the memory-bound large32 preset uses the chunked
+    # windowed pipeline. MODEGPT_BENCH_FUSED=0 forces the chunked path.
+    use_fused = (
+        _PRESET != "large32" and _os.environ.get("MODEGPT_BENCH_FUSED", "1") == "1"
+    )
+    if use_fused:
+        from modegpt_tpu.compress.fused import fused_compress
+
     def one_pass(keep_fixed=None):
         """One e2e compress pass. layers_per_step chunking (the
         reference's memory strategy, run_modegpt.py:107) bounds Gram
         memory: the large32 preset runs 7B geometry at full depth on one
         chip with 2-layer chunks. keep_fixed (host array) skips the
         per-pass allocation fetch — used by the async on-chip probe."""
+        if use_fused:
+            cspec, cparams = fused_compress(spec, params, batches, config)
+            return cspec, cparams, np.zeros(N_LAYERS)  # keep unused on this path
         factors = {"mlp": {}, "qk": {}, "vo": {}}
         keep = keep_fixed
         for start in range(0, N_LAYERS, LAYERS_PER_STEP):

@@ -379,8 +379,18 @@ def run_compression(
     # PP shards the accumulators across stages — that IS the memory plan,
     # so the whole stack calibrates in one pass (no layer chunking).
     layers_per_step = n_layers if pp_mode else config.layers_per_step
+    # Fused path: the whole calibrate -> allocate -> solve -> surgery job
+    # as 3 dispatches + 1 tiny fetch (compress/fused.py) — for
+    # latency-bound scales; bypasses the factor store/resume.
+    fused_result = None
+    if config.fused:
+        from modegpt_tpu.compress.fused import fused_compress
+
+        with trace(config.profile_dir or None):
+            fused_result = fused_compress(spec, params, calib_batches, config)
+        logger.info("fused compression: 3 dispatches + 1 host fetch")
     with trace(config.profile_dir or None):
-        for start in range(0, n_layers, layers_per_step):
+        for start in range(0, 0 if fused_result else n_layers, layers_per_step):
             target_layers = list(range(start, min(n_layers, start + layers_per_step)))
 
             # Resume: skip layers whose factors are all on disk already.
@@ -484,14 +494,17 @@ def run_compression(
     results["compress_seconds"] = compress_seconds
 
     # ---- surgery + artifact (reference: run_modegpt.py:158-166) ----
-    comp_spec, comp_params = apply_factors(
-        spec,
-        params,
-        release_dense=config.release_dense,
-        mlp_factors=factors.get("mlp"),
-        qk_factors=factors.get("qk"),
-        vo_factors=factors.get("vo"),
-    )
+    if fused_result is not None:
+        comp_spec, comp_params = fused_result
+    else:
+        comp_spec, comp_params = apply_factors(
+            spec,
+            params,
+            release_dense=config.release_dense,
+            mlp_factors=factors.get("mlp"),
+            qk_factors=factors.get("qk"),
+            vo_factors=factors.get("vo"),
+        )
     n_before = count_params(params)
     n_after = count_params(comp_params)
     metrics["params_before"] = n_before

@@ -81,6 +81,10 @@ class CompressionConfig:
     # in place, one compile per layers_per_step sweep) for models whose
     # weights fill most of device memory.
     calib_exec: str = "auto"
+    # Fused compression (compress/fused.py): the whole calibrate ->
+    # allocate -> solve -> surgery job in 3 dispatches + 1 tiny fetch.
+    # Dense RoPE-family stacks only; bypasses the factor store/resume.
+    fused: bool = False
     # Free each dense projection as its compressed kernel is built
     # (surgery mutates the in-memory params): required when dense +
     # compressed weights together exceed device memory (7B on one v5e).
