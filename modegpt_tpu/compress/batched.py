@@ -151,6 +151,11 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
     (sizes ranks[i]), fetch once, split on the host. The tunnel/DCN link
     is latency-bound, so one ragged transfer beats n small ones by ~10x
     (measured: the per-layer fetch loop was 2.1s of a 2.4s MLP solve)."""
+    # Drain the queue first: a tiny fetch completes only once the solve
+    # program retires, so its temp arena is free before the slice/concat
+    # buffers allocate — at 7B scale the resident weights leave no room
+    # for both (enqueue-time allocation otherwise overlaps them).
+    np.asarray(jax.tree_util.tree_leaves(stack)[0].ravel()[:1])
     slicer = [slice(None)] * (stack.ndim - 1)  # per-layer slice dims
 
     def sl(i, r):
