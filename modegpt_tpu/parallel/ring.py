@@ -115,14 +115,14 @@ def ring_attention(q, k, v, scaling: float, softcap: Optional[float] = None,
 
 
 def supports_ring(spec: ModelSpec, mesh: Optional[jax.sharding.Mesh]) -> bool:
-    """Ring calibration needs a 'context' mesh axis and a dense stack
-    (MoE dispatch masking across chunks is future work; dense-expert MoE
-    would work but is not exercised)."""
+    """Ring calibration needs a 'context' mesh axis. MoE stacks are fine:
+    calibration runs the dense-all-experts execution
+    (forward._moe_mlp), whose routing softmax/top-k and expert einsums
+    are token-local, so chunk statistics psum exactly."""
     return (
         mesh is not None
         and CTX_AXIS in mesh.axis_names
         and mesh.shape[CTX_AXIS] > 1
-        and not spec.n_experts
     )
 
 
@@ -205,6 +205,9 @@ def calibrate_ring(
 
     total_tokens = n_sequences * seq_len
     norm = float(total_tokens)
+    shared = {
+        li: a["cov_shared"] / norm for li, a in acc.items() if "cov_shared" in a
+    }
     return CalibrationResult(
         cov_mlp={li: a["cov_mlp"] / norm for li, a in acc.items()},
         cov_q={li: a["cov_q"] / norm for li, a in acc.items()},
@@ -213,4 +216,5 @@ def calibrate_ring(
         bi_scores=list(bi_acc / max(n_sequences, 1)),
         n_sequences=n_sequences,
         total_tokens=total_tokens,
+        cov_shared=shared or None,
     )

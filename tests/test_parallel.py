@@ -443,3 +443,38 @@ def test_pipeline_ring_calibration_end_to_end(tmp_path):
                 np.asarray(ref["compressed_params"]["layers"][l][key]["kernel"]),
                 rtol=2e-4, atol=2e-4,
             )
+
+
+def test_ring_calibration_moe_matches():
+    """MoE ring calibration: dense-all-experts execution is token-local,
+    so per-expert routed Grams and shared-expert Grams psum exactly."""
+    import torch
+    import transformers
+
+    from jax.sharding import Mesh
+
+    from modegpt_tpu.parallel.ring import CTX_AXIS, calibrate_ring, supports_ring
+
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144,
+        moe_intermediate_size=48, shared_expert_intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, max_position_embeddings=256,
+        decoder_sparse_step=1, mlp_only_layers=[], norm_topk_prob=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(5)
+    m = transformers.Qwen2MoeForCausalLM(cfg).eval()
+    spec, params = params_from_hf_model(m)
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 64, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0, 1], accumulate="host")
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), (CTX_AXIS,))
+    assert supports_ring(spec, mesh)
+    got = calibrate_ring(spec, params, batches, [0, 1], mesh)
+    for l in (0, 1):
+        np.testing.assert_allclose(got.cov_mlp[l], ref.cov_mlp[l], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_shared[l], ref.cov_shared[l],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(got.cov_x[l], ref.cov_x[l], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(got.bi_scores, ref.bi_scores, rtol=1e-5)
