@@ -356,9 +356,27 @@ def _solve_mlp_dense(
         (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
             (cov, W_u, W_g, W_d), ranks_arr, mesh
         )
-        up, gate, down, idx, valid = jax.vmap(
-            nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
-        )(cov, W_u, W_g, W_d, ranks_arr, pad, jnp.asarray(config.nystrom_ridge, dt))
+        ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
+        if cov.shape[-1] ** 2 * cov.dtype.itemsize > 4e8:
+            # Low-memory sequencing for very large d_int (7B+): the
+            # selection's Cholesky-inverse workspace and the factor
+            # phase's gathers each rival free HBM when the full model is
+            # resident — run them as two programs with a drain between
+            # so the first's temp arena retires before the second
+            # allocates (one extra ~25ms sync; irrelevant at this scale).
+            from modegpt_tpu.ops.mlp import nystrom_factor_padded, nystrom_select_padded
+
+            idx, valid = jax.vmap(
+                nystrom_select_padded, in_axes=(0, 0, None, None)
+            )(cov, ranks_arr, pad, ridge_arr)
+            np.asarray(idx.ravel()[:1])
+            up, gate, down = jax.vmap(nystrom_factor_padded)(
+                cov, W_u, W_g, W_d, idx, valid
+            )
+        else:
+            up, gate, down, idx, valid = jax.vmap(
+                nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
+            )(cov, W_u, W_g, W_d, ranks_arr, pad, ridge_arr)
 
         if fetch == "device":
             # Factors stay on device (exact slices); the surgery consumes

@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from modegpt_tpu.ops.psd import ridge_inverse_diag, cholesky_solve_ridged
 
-__all__ = ["nystrom_scores", "nystrom_select", "nystrom_mlp", "nystrom_mlp_padded"]
+__all__ = ["nystrom_scores", "nystrom_select", "nystrom_mlp", "nystrom_mlp_padded",
+           "nystrom_select_padded", "nystrom_factor_padded"]
 
 NYSTROM_SOLVE_RIDGE = 1e-6  # reference: src/compression/compress_mlp.py:56
 
@@ -133,6 +134,17 @@ def nystrom_mlp_padded(
     Returns (up, gate, down, idx, valid_mask) where rows/cols >= rank are
     zeroed and must be sliced off by the host before persisting.
     """
+    idx, valid = nystrom_select_padded(C, rank, pad_rank, ridge)
+    up, gate, down = nystrom_factor_padded(C, W_u, W_g, W_d, idx, valid)
+    return up, gate, down, idx, valid
+
+
+@partial(jax.jit, static_argnames=("pad_rank",))
+def nystrom_select_padded(C: jax.Array, rank: jax.Array, pad_rank: int, ridge: jax.Array):
+    """Phase 1 of the padded solve: ridge-leverage scores + the ordered
+    padded index set. Split out so memory-tight callers can retire the
+    Cholesky-inverse workspace (the score computation's ~2x[D,D] live
+    set) before the factor phase allocates its gathers."""
     scores = ridge_inverse_diag(C, ridge)
     # Push invalid (beyond-rank) picks to the end by masking scores.
     _, idx_full = jax.lax.top_k(-scores, pad_rank)
@@ -143,7 +155,13 @@ def nystrom_mlp_padded(
     order = jnp.argsort(sort_keys)
     idx = idx_full[order]
     valid = pos < rank  # after reorder the valid picks occupy the prefix
+    return idx, valid
 
+
+@jax.jit
+def nystrom_factor_padded(C, W_u, W_g, W_d, idx, valid):
+    """Phase 2 of the padded solve: slice + Nyström down re-solve."""
+    pad_rank = idx.shape[0]
     up = jnp.where(valid[:, None], W_u[idx, :], 0.0)
     gate = jnp.where(valid[:, None], W_g[idx, :], 0.0)
 
@@ -154,4 +172,4 @@ def nystrom_mlp_padded(
     cross = jnp.where(valid[:, None], C[idx, :] @ W_d.T, 0.0)
     down_T = cholesky_solve_ridged(C_SS, cross, NYSTROM_SOLVE_RIDGE)
     down = jnp.where(valid[:, None], down_T, 0.0).T
-    return up, gate, down, idx, valid
+    return up, gate, down
