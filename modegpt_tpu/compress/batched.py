@@ -54,6 +54,38 @@ def _hf_w_dev(lp: Dict, name: str) -> jax.Array:
     return jnp.asarray(lp[name]["kernel"]).T
 
 
+# One layer's [D, D] covariance above this size triggers the sequenced
+# low-memory MLP solve (7B-scale d_int beside a resident model).
+_LOWMEM_COV_BYTES = 4e8
+
+
+@jax.jit
+def _lowmem_down(C, down_kernel, idx, valid):
+    """Padded down re-solve reading the resident [D, d] down kernel in
+    place (cross = C[idx,:] @ W_d^T and W_d^T IS the kernel); bf16 ->
+    f32/f64 upcast is exact, so this matches the stacked path bit for
+    bit. Returns HF down [d, pad] with invalid columns zeroed."""
+    from modegpt_tpu.ops.mlp import NYSTROM_SOLVE_RIDGE
+    from modegpt_tpu.ops.psd import cholesky_solve_ridged
+
+    pad = idx.shape[0]
+    C_SS = C[idx][:, idx]
+    eye = jnp.eye(pad, dtype=C.dtype)
+    keep2d = valid[:, None] & valid[None, :]
+    C_SS = jnp.where(keep2d, C_SS, eye)
+    cross = jnp.where(valid[:, None], C[idx, :] @ down_kernel.astype(C.dtype), 0.0)
+    down_T = cholesky_solve_ridged(C_SS, cross, NYSTROM_SOLVE_RIDGE)
+    return jnp.where(valid[:, None], down_T, 0.0).T
+
+
+@jax.jit
+def _lowmem_rows(kernel, idx, valid):
+    """HF factor rows [pad, d] gathered from a resident [d, D] kernel,
+    upcast to f32 after the gather (exact for bf16 inputs)."""
+    rows = jnp.take(kernel, idx, axis=1).T.astype(jnp.float32)
+    return jnp.where(valid[:, None], rows, 0.0)
+
+
 def _stack_covs(covs: Dict[int, object], layers, dt, use_dev: bool) -> jax.Array:
     vals = [covs[l] for l in layers]
     if isinstance(vals[0], jax.Array) and use_dev:
@@ -155,7 +187,8 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
     # program retires, so its temp arena is free before the slice/concat
     # buffers allocate — at 7B scale the resident weights leave no room
     # for both (enqueue-time allocation otherwise overlaps them).
-    np.asarray(jax.tree_util.tree_leaves(stack)[0].ravel()[:1])
+    lead = jax.tree_util.tree_leaves(stack)[0]
+    np.asarray(lead[(0,) * lead.ndim])  # scalar index: no ravel copy
     slicer = [slice(None)] * (stack.ndim - 1)  # per-layer slice dims
 
     def sl(i, r):
@@ -343,37 +376,54 @@ def _solve_mlp_dense(
         sub = layers[s : s + step]
         sub_ranks = ranks[s : s + step]
         cov = _stack_covs(covs, sub, dt, use_dev)
-        W_u = _stack_w(sub_params, sub, "up", dt, use_dev)
-        W_d = _stack_w(sub_params, sub, "down", dt, use_dev)
-        if gated:
-            W_g = _stack_w(sub_params, sub, "gate", dt, use_dev)
-        else:
-            W_g = W_u  # placeholder; gate output discarded
         ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
         # Uniform pad across sub-chunks keeps ONE compiled program.
         pad = pad_all
-
-        (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
-            (cov, W_u, W_g, W_d), ranks_arr, mesh
-        )
         ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
-        if cov.shape[-1] ** 2 * cov.dtype.itemsize > 4e8:
-            # Low-memory sequencing for very large d_int (7B+): the
-            # selection's Cholesky-inverse workspace and the factor
-            # phase's gathers each rival free HBM when the full model is
-            # resident — run them as two programs with a drain between
-            # so the first's temp arena retires before the second
-            # allocates (one extra ~25ms sync; irrelevant at this scale).
-            from modegpt_tpu.ops.mlp import nystrom_factor_padded, nystrom_select_padded
+        if cov.shape[-1] ** 2 * cov.dtype.itemsize > _LOWMEM_COV_BYTES:
+            # Low-memory sequencing for very large d_int (7B+): with the
+            # full model resident there is only ~3 GB of HBM left, so the
+            # solve runs per layer as THREE drained programs — selection
+            # (its Cholesky-inverse workspace alone is ~2x[D,D]), the
+            # down re-solve, and the up/gate row gathers — each reading
+            # the resident bf16 kernels directly (bf16 -> f32 upcast is
+            # exact, so numerics match the stacked-f32 path bit for bit)
+            # instead of staging f32 weight copies. ~75 ms of extra
+            # tunnel syncs per layer; irrelevant at this scale.
+            from modegpt_tpu.ops.mlp import nystrom_select_padded
 
-            idx, valid = jax.vmap(
-                nystrom_select_padded, in_axes=(0, 0, None, None)
-            )(cov, ranks_arr, pad, ridge_arr)
-            np.asarray(idx.ravel()[:1])
-            up, gate, down = jax.vmap(nystrom_factor_padded)(
-                cov, W_u, W_g, W_d, idx, valid
-            )
+            ups_l, gates_l, downs_l, idxs_l, valids_l = [], [], [], [], []
+            for i, l in enumerate(sub):
+                idx_i, valid_i = nystrom_select_padded(
+                    cov[i], ranks_arr[i], pad, ridge_arr
+                )
+                np.asarray(idx_i[:1])  # retire the score workspace
+                down_i = _lowmem_down(
+                    cov[i], sub_params[l]["down"]["kernel"], idx_i, valid_i
+                )
+                np.asarray(down_i[:1, :1])
+                up_i = _lowmem_rows(sub_params[l]["up"]["kernel"], idx_i, valid_i)
+                gate_i = (
+                    _lowmem_rows(sub_params[l]["gate"]["kernel"], idx_i, valid_i)
+                    if gated else up_i
+                )
+                ups_l.append(up_i)
+                gates_l.append(gate_i)
+                downs_l.append(down_i)
+                idxs_l.append(idx_i)
+                valids_l.append(valid_i)
+            up, gate, down = jnp.stack(ups_l), jnp.stack(gates_l), jnp.stack(downs_l)
+            idx, valid = jnp.stack(idxs_l), jnp.stack(valids_l)
         else:
+            W_u = _stack_w(sub_params, sub, "up", dt, use_dev)
+            W_d = _stack_w(sub_params, sub, "down", dt, use_dev)
+            if gated:
+                W_g = _stack_w(sub_params, sub, "gate", dt, use_dev)
+            else:
+                W_g = W_u  # placeholder; gate output discarded
+            (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
+                (cov, W_u, W_g, W_d), ranks_arr, mesh
+            )
             up, gate, down, idx, valid = jax.vmap(
                 nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
             )(cov, W_u, W_g, W_d, ranks_arr, pad, ridge_arr)

@@ -129,3 +129,36 @@ def test_device_fetch_matches_host_fetch(tmp_path, rng):
     lh, _ = forward(sh, ph, ids)
     ld, _ = forward(sd, pd, ids)
     np.testing.assert_allclose(np.asarray(ld), np.asarray(lh), rtol=1e-5, atol=1e-6)
+
+
+def test_lowmem_mlp_solve_matches_stacked(tmp_path, monkeypatch, rng):
+    """The sequenced low-memory MLP solve (resident-kernel gathers +
+    drained phases) must produce bit-equal factors to the stacked padded
+    path — bf16 -> f32 upcast is exact."""
+    import jax.numpy as jnp
+    import modegpt_tpu.compress.batched as B
+    import transformers
+    import torch
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(21)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    calib = calibrate(spec, params, batches, [0, 1], accumulate="device")
+    config = CompressionConfig(solver_precision="f32_device", nystrom_ridge=1e-4)
+    layer_params = {l: params["layers"][l] for l in (0, 1)}
+
+    ref = B._solve_mlp_batched(spec, layer_params, [0, 1], [100, 96], calib, config,
+                               jnp.float32, True, None, "host")
+    monkeypatch.setattr(B, "_LOWMEM_COV_BYTES", 0)
+    got = B._solve_mlp_batched(spec, layer_params, [0, 1], [100, 96], calib, config,
+                               jnp.float32, True, None, "host")
+    for l in (0, 1):
+        np.testing.assert_array_equal(got[l]["idx"], ref[l]["idx"])
+        for key in ("up", "gate", "down"):
+            np.testing.assert_allclose(got[l][key], ref[l][key], rtol=1e-6, atol=1e-7,
+                                       err_msg=f"layer {l} {key}")
