@@ -375,12 +375,13 @@ def _solve_mlp_dense(
     for s in range(0, len(layers), step):
         sub = layers[s : s + step]
         sub_ranks = ranks[s : s + step]
-        cov = _stack_covs(covs, sub, dt, use_dev)
         ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
         # Uniform pad across sub-chunks keeps ONE compiled program.
         pad = pad_all
         ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
-        if cov.shape[-1] ** 2 * cov.dtype.itemsize > _LOWMEM_COV_BYTES:
+        d_cov = np.asarray(covs[sub[0]]).shape[-1] if not isinstance(
+            covs[sub[0]], jax.Array) else covs[sub[0]].shape[-1]
+        if d_cov ** 2 * jnp.dtype(dt).itemsize > _LOWMEM_COV_BYTES:
             # Low-memory sequencing for very large d_int (7B+): with the
             # full model resident there is only ~3 GB of HBM left, so the
             # solve runs per layer as THREE drained programs — selection
@@ -394,12 +395,19 @@ def _solve_mlp_dense(
 
             ups_l, gates_l, downs_l, idxs_l, valids_l = [], [], [], [], []
             for i, l in enumerate(sub):
+                # consume the calibration covariance IN PLACE (astype to
+                # the solver dtype is a no-op for device f32) — a stacked
+                # copy would double the [D,D] residency
+                C_l = (
+                    covs[l].astype(dt) if isinstance(covs[l], jax.Array)
+                    else jnp.asarray(np.asarray(covs[l]), dtype=dt)
+                )
                 idx_i, valid_i = nystrom_select_padded(
-                    cov[i], ranks_arr[i], pad, ridge_arr
+                    C_l, ranks_arr[i], pad, ridge_arr
                 )
                 np.asarray(idx_i[:1])  # retire the score workspace
                 down_i = _lowmem_down(
-                    cov[i], sub_params[l]["down"]["kernel"], idx_i, valid_i
+                    C_l, sub_params[l]["down"]["kernel"], idx_i, valid_i
                 )
                 np.asarray(down_i[:1, :1])
                 up_i = _lowmem_rows(sub_params[l]["up"]["kernel"], idx_i, valid_i)
@@ -415,6 +423,7 @@ def _solve_mlp_dense(
             up, gate, down = jnp.stack(ups_l), jnp.stack(gates_l), jnp.stack(downs_l)
             idx, valid = jnp.stack(idxs_l), jnp.stack(valids_l)
         else:
+            cov = _stack_covs(covs, sub, dt, use_dev)
             W_u = _stack_w(sub_params, sub, "up", dt, use_dev)
             W_d = _stack_w(sub_params, sub, "down", dt, use_dev)
             if gated:
