@@ -361,18 +361,53 @@ def _layer_padded(
         if spec.uses_rope:
             q, k = apply_rope_ragged(q, k, cos, sin, rotary_mask, spec.group_size)
         q = q * lax.rsqrt(q_scale).astype(q.dtype)
-        ck, cv = cache_kv
-        max_len = ck.shape[2]
+        quantized = len(cache_kv) == 4  # (ck, cv, k_scale, v_scale): int8 KV
+        max_len = cache_kv[0].shape[2]
 
         def write(c, new, p_b):
             return lax.dynamic_update_slice(
                 c, new.astype(c.dtype), (jnp.int32(0), p_b, jnp.int32(0))
             )
 
-        ck = jax.vmap(write)(ck, k, pos)
-        cv = jax.vmap(write)(cv, v, pos)
-        new_cache = (ck, cv)
-        k_all, v_all = ck, cv
+        if quantized:
+            # int8 KV: per-(head, position) symmetric scales — halves the
+            # cache bytes every decode step re-reads (decode is
+            # HBM-bandwidth-bound); bf16->int8 rounding costs ~0.4% rel
+            # error per vector, tested to leave greedy serving outputs
+            # intact at small scale and logits within ~1e-2.
+            ck, cv, ks, vs = cache_kv
+
+            def quant(x_new):  # [B, Hk, S, R] -> int8 codes + scales
+                scale = jnp.max(jnp.abs(x_new.astype(jnp.float32)), axis=-1) / 127.0
+                scale = jnp.maximum(scale, 1e-8)
+                codes = jnp.clip(
+                    jnp.round(x_new.astype(jnp.float32) / scale[..., None]), -127, 127
+                ).astype(jnp.int8)
+                return codes, scale
+
+            k_codes, k_sc = quant(k)
+            v_codes, v_sc = quant(v)
+            ck = jax.vmap(write)(ck, k_codes, pos)
+            cv = jax.vmap(write)(cv, v_codes, pos)
+            ks = jax.vmap(
+                lambda c, new, p_b: lax.dynamic_update_slice(
+                    c, new.astype(c.dtype), (jnp.int32(0), p_b)
+                )
+            )(ks, k_sc, pos)
+            vs = jax.vmap(
+                lambda c, new, p_b: lax.dynamic_update_slice(
+                    c, new.astype(c.dtype), (jnp.int32(0), p_b)
+                )
+            )(vs, v_sc, pos)
+            new_cache = (ck, cv, ks, vs)
+            k_all = ck.astype(q.dtype) * ks[..., None].astype(q.dtype)
+            v_all = cv.astype(q.dtype) * vs[..., None].astype(q.dtype)
+        else:
+            ck, cv = cache_kv
+            ck = jax.vmap(write)(ck, k, pos)
+            cv = jax.vmap(write)(cv, v, pos)
+            new_cache = (ck, cv)
+            k_all, v_all = ck, cv
         if Hk != H:
             k_all = jnp.repeat(k_all, H // Hk, axis=1)
             v_all = jnp.repeat(v_all, H // Hk, axis=1)
@@ -518,11 +553,12 @@ def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float
 @partial(
     jax.jit,
     static_argnames=("spec", "moe", "moe_capacity"),
-    donate_argnames=("cache_k", "cache_v"),
+    donate_argnames=("cache_k", "cache_v", "cache_scales"),
 )
 def _model_step_padded(
     spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length,
     moe: str = "dense", moe_capacity: float = 2.0, token_valid=None,
+    cache_scales=None,
 ):
     """New tokens [B, S] through the padded stack with a stacked cache.
 
@@ -546,6 +582,23 @@ def _model_step_padded(
         )
         cos = cos.reshape(B, S, -1)
         sin = sin.reshape(B, S, -1)
+
+    if cache_scales is not None:
+        # int8 KV cache (see _layer_padded's quantized branch):
+        # cache_scales = (k_scale, v_scale), each [L, B, Hk, max_len].
+        def body_q(x, inputs):
+            p, r_true, ck, cv, ks, vs = inputs
+            x, (ck, cv, ks, vs) = _layer_padded(
+                spec, p, r_true, x, cos, sin, "xla",
+                cache_kv=(ck, cv, ks, vs), pos=pos,
+                moe=moe, moe_capacity=moe_capacity, token_valid=token_valid,
+            )
+            return x, (ck, cv, ks, vs)
+
+        x, (cache_k, cache_v, ks, vs) = lax.scan(
+            body_q, x, (layers, q_hd_true, cache_k, cache_v, *cache_scales)
+        )
+        return _unembed(spec, other, x), cache_k, cache_v, length + S, (ks, vs)
 
     def body(x, inputs):
         p, r_true, ck, cv = inputs

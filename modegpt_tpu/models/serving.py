@@ -61,23 +61,54 @@ __all__ = [
 
 
 class ServeState(NamedTuple):
-    cache_k: jax.Array  # [L, slots, Hk, max_len, Rq]
+    cache_k: jax.Array  # [L, slots, Hk, max_len, Rq] (int8 codes when quantized)
     cache_v: jax.Array  # [L, slots, Hk, max_len, Rv]
     lengths: jax.Array  # [slots] int32 — tokens currently in each slot
     last_token: jax.Array  # [slots] int32 — newest token per slot (undefined if empty)
+    # int8 KV mode: per-(layer, slot, head, position) symmetric scales;
+    # None = full-precision cache (the default).
+    k_scale: Optional[jax.Array] = None  # [L, slots, Hk, max_len]
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def scales(self):
+        return None if self.k_scale is None else (self.k_scale, self.v_scale)
 
 
-def init_serve_state(pm: PaddedModel, slots: int, max_len: int, dtype=jnp.float32) -> ServeState:
+def init_serve_state(pm: PaddedModel, slots: int, max_len: int, dtype=jnp.float32,
+                     kv_dtype: str = "model") -> ServeState:
+    """kv_dtype: "model" (cache in `dtype`) or "int8" (quantized KV —
+    halves the cache bytes decode re-reads every step; ~0.4% per-vector
+    rounding error, outputs no longer bit-exact vs full precision)."""
     spec = pm.spec
     Rq = spec.q_ranks[0] // spec.n_heads
     Rv = spec.v_ranks[0] // spec.n_kv_heads
     L, Hk = spec.n_layers, spec.n_kv_heads
+    quant = kv_dtype == "int8"
+    cdt = jnp.int8 if quant else dtype
     return ServeState(
-        cache_k=jnp.zeros((L, slots, Hk, max_len, Rq), dtype=dtype),
-        cache_v=jnp.zeros((L, slots, Hk, max_len, Rv), dtype=dtype),
+        cache_k=jnp.zeros((L, slots, Hk, max_len, Rq), dtype=cdt),
+        cache_v=jnp.zeros((L, slots, Hk, max_len, Rv), dtype=cdt),
         lengths=jnp.zeros((slots,), jnp.int32),
         last_token=jnp.zeros((slots,), jnp.int32),
+        k_scale=jnp.zeros((L, slots, Hk, max_len), jnp.float32) if quant else None,
+        v_scale=jnp.zeros((L, slots, Hk, max_len), jnp.float32) if quant else None,
     )
+
+
+def _step_cache(spec, layers, other, q_hd_true, tokens, lengths,
+                cache_k, cache_v, scales, **kw):
+    """_model_step_padded with optional int8-KV scales; returns
+    (logits, ck, cv, ks, vs) with ks/vs None in full precision."""
+    out = _model_step_padded.__wrapped__(
+        spec, layers, other, q_hd_true, tokens, cache_k, cache_v, lengths,
+        cache_scales=scales, **kw,
+    )
+    if scales is None:
+        logits, ck, cv, _ = out
+        return logits, ck, cv, None, None
+    logits, ck, cv, _, (ks, vs) = out
+    return logits, ck, cv, ks, vs
 
 
 @partial(
@@ -98,12 +129,18 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
 
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
     cv = lax.dynamic_slice_in_dim(state.cache_v, slot, 1, axis=1)
+    scales = None
+    if state.k_scale is not None:
+        scales = (
+            lax.dynamic_slice_in_dim(state.k_scale, slot, 1, axis=1),
+            lax.dynamic_slice_in_dim(state.v_scale, slot, 1, axis=1),
+        )
     # padded tail positions beyond the chunk's real length must not claim
     # dispatch-MoE expert capacity
     tail_valid = (jnp.arange(chunk.shape[1], dtype=jnp.int32) < real_len)[None, :]
-    logits, ck, cv, _ = _model_step_padded.__wrapped__(
-        spec, layers, other, q_hd_true, chunk, ck, cv, pos0, moe=moe,
-        moe_capacity=moe_capacity, token_valid=tail_valid,
+    logits, ck, cv, ks, vs = _step_cache(
+        spec, layers, other, q_hd_true, chunk, pos0, ck, cv, scales,
+        moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
     )
     nxt = _sample(logits[0, real_len - 1][None], key, temperature, None)[0].astype(jnp.int32)
     return ServeState(
@@ -112,6 +149,12 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         lengths=state.lengths.at[slot].set(pos0 + real_len),
         last_token=jnp.where(
             commit, state.last_token.at[slot].set(nxt), state.last_token
+        ),
+        k_scale=None if ks is None else lax.dynamic_update_index_in_dim(
+            state.k_scale, ks[:, 0], slot, axis=1
+        ),
+        v_scale=None if vs is None else lax.dynamic_update_index_in_dim(
+            state.v_scale, vs[:, 0], slot, axis=1
         ),
     )
 
@@ -133,14 +176,16 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
     # [L, slots, ...] pools are the padded step's cache layout; per-row
     # lengths make the step ragged (models/padded.py _model_step_padded);
     # inactive slots' rows must not claim dispatch-MoE expert capacity
-    logits, ck, cv, _ = _model_step_padded.__wrapped__(
-        spec, layers, other, q_hd_true, tokens, state.cache_k, state.cache_v, state.lengths,
+    logits, ck, cv, ks, vs = _step_cache(
+        spec, layers, other, q_hd_true, tokens, state.lengths,
+        state.cache_k, state.cache_v, state.scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
     )
     nxt = _sample(logits[:, -1, :], key, temperature, top_k).astype(jnp.int32)
     new_len = jnp.where(active, state.lengths + 1, state.lengths)
     new_last = jnp.where(active, nxt, state.last_token)
-    return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last), nxt
+    return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last,
+                      k_scale=ks, v_scale=vs), nxt
 
 
 @partial(
@@ -163,9 +208,10 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
     (same argument as _decode_slots_jit)."""
     k = drafts.shape[1]
     window = jnp.concatenate([state.last_token[:, None], drafts], axis=1)  # [S, k+1]
-    logits, ck, cv, _ = _model_step_padded.__wrapped__(
-        spec, layers, other, q_hd_true, window, state.cache_k, state.cache_v,
-        state.lengths, moe=moe, moe_capacity=moe_capacity,
+    logits, ck, cv, ks, vs = _step_cache(
+        spec, layers, other, q_hd_true, window, state.lengths,
+        state.cache_k, state.cache_v, state.scales,
+        moe=moe, moe_capacity=moe_capacity,
         token_valid=jnp.broadcast_to(active[:, None], window.shape),
     )
     ttoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, k+1]
@@ -186,6 +232,7 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
             cache_k=ck, cache_v=cv,
             lengths=state.lengths + adv,
             last_token=jnp.where(adv > 0, last, state.last_token),
+            k_scale=ks, v_scale=vs,
         ),
         ttoks, adv, jnp.where(active, acc, 0),
     )
@@ -206,22 +253,24 @@ def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: 
     len0 = state.lengths
 
     def step(carry, _):
-        tok, ck, cv, lens = carry
-        logits, ck, cv, _ = _model_step_padded.__wrapped__(
-            spec, layers, other, q_hd_true, tok[:, None], ck, cv, lens,
+        tok, ck, cv, scales, lens = carry
+        logits, ck, cv, ks, vs = _step_cache(
+            spec, layers, other, q_hd_true, tok[:, None], lens, ck, cv, scales,
             moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
         )
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
-        return (nxt, ck, cv, lens + 1), nxt
+        new_scales = None if ks is None else (ks, vs)
+        return (nxt, ck, cv, new_scales, lens + 1), nxt
 
-    carry = (state.last_token, state.cache_k, state.cache_v, len0)
-    (last, ck, cv, lens), dtoks = lax.scan(step, carry, None, length=k)
-    _, ck, cv, _ = _model_step_padded.__wrapped__(
-        spec, layers, other, q_hd_true, last[:, None], ck, cv, lens,
+    carry = (state.last_token, state.cache_k, state.cache_v, state.scales, len0)
+    (last, ck, cv, scales, lens), dtoks = lax.scan(step, carry, None, length=k)
+    _, ck, cv, ks, vs = _step_cache(
+        spec, layers, other, q_hd_true, last[:, None], lens, ck, cv, scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
     )
     return (
-        ServeState(cache_k=ck, cache_v=cv, lengths=len0, last_token=state.last_token),
+        ServeState(cache_k=ck, cache_v=cv, lengths=len0, last_token=state.last_token,
+                   k_scale=ks, v_scale=vs),
         dtoks.T,
     )
 
@@ -229,8 +278,7 @@ def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: 
 @partial(jax.jit, donate_argnames=("state",))
 def _commit_draft_cache_jit(state: ServeState, adv: jax.Array, last: jax.Array):
     """Roll the draft pool forward to the verified commit point."""
-    return ServeState(
-        cache_k=state.cache_k, cache_v=state.cache_v,
+    return state._replace(
         lengths=state.lengths + adv,
         last_token=jnp.where(adv > 0, last, state.last_token),
     )
@@ -320,7 +368,8 @@ class ContinuousBatcher:
                  temperature: float = 0.0, moe: str = "dense",
                  moe_capacity: float = 2.0, prefill_chunks_per_step: int = 1,
                  spec_decode: str = "off", n_draft: int = 4,
-                 lookup_ngram: int = 3, draft_pm: Optional[PaddedModel] = None):
+                 lookup_ngram: int = 3, draft_pm: Optional[PaddedModel] = None,
+                 kv_dtype: str = "model"):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -348,10 +397,16 @@ class ContinuousBatcher:
         self.n_draft = n_draft
         self.lookup_ngram = lookup_ngram
         self.draft_pm = draft_pm
-        self.state = init_serve_state(pm, slots, max_len, dtype=pm.other["embed_tokens"].dtype)
+        if kv_dtype not in ("model", "int8"):
+            raise ValueError(f"kv_dtype must be model or int8, got {kv_dtype!r}")
+        self.kv_dtype = kv_dtype
+        self.state = init_serve_state(pm, slots, max_len,
+                                      dtype=pm.other["embed_tokens"].dtype,
+                                      kv_dtype=kv_dtype)
         self.draft_state = (
             init_serve_state(draft_pm, slots, max_len,
-                             dtype=draft_pm.other["embed_tokens"].dtype)
+                             dtype=draft_pm.other["embed_tokens"].dtype,
+                             kv_dtype=kv_dtype)
             if spec_decode == "draft" else None
         )
         # per-request speculative telemetry {rid: {rounds, drafted, accepted}}

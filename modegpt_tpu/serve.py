@@ -50,6 +50,12 @@ def main(argv=None):
         "n_experts/top_k guarantees no drops (exact)",
     )
     parser.add_argument(
+        "--kv_dtype", choices=("model", "int8"), default="model",
+        help="KV cache residency: 'int8' halves the cache bytes decode "
+        "re-reads every step (per-vector symmetric quantization, ~0.4%% "
+        "rounding; outputs no longer bit-exact vs full precision)",
+    )
+    parser.add_argument(
         "--spec_decode", choices=("off", "prompt_lookup", "draft"), default="off",
         help="speculative serving (greedy-exact): 'prompt_lookup' drafts "
         "from each slot's own history; 'draft' runs --draft_model in a "
@@ -108,6 +114,7 @@ def main(argv=None):
         eos_token_id=eos, temperature=args.temperature, moe=args.moe_exec,
         moe_capacity=args.moe_capacity, spec_decode=args.spec_decode,
         n_draft=args.n_draft, lookup_ngram=args.lookup_ngram, draft_pm=draft_pm,
+        kv_dtype=args.kv_dtype,
     )
     rid_to_idx = {}
     prompt_lens = {}
