@@ -382,6 +382,13 @@ def _solve_mlp_dense(
         d_cov = np.asarray(covs[sub[0]]).shape[-1] if not isinstance(
             covs[sub[0]], jax.Array) else covs[sub[0]].shape[-1]
         if d_cov ** 2 * jnp.dtype(dt).itemsize > _LOWMEM_COV_BYTES:
+            # Round the pad to a coarse grid: 1-layer chunks otherwise
+            # compile one select/down program PER DISTINCT RANK (32
+            # compiles at 7B — an hour through a remote-compile tunnel);
+            # a 512-grid keeps it to a handful, and padded entries are
+            # exact regardless of pad (identity block, ops/mlp.py).
+            pad = min(d_cov, -(-pad // 512) * 512)
+            ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
             # Low-memory sequencing for very large d_int (7B+): with the
             # full model resident there is only ~3 GB of HBM left, so the
             # solve runs per layer as THREE drained programs — selection
