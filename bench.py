@@ -85,11 +85,14 @@ def workload_flops() -> float:
     T = SEQ
     toks = CALIB_SEQS * SEQ
     # forward: projections + gated MLP per token-layer, attention at the
-    # causal average length, lm_head once per token
+    # causal average length. The unembed is NOT counted: no calibration
+    # path ever executes it (the stats programs never form logits and
+    # XLA DCEs the lm_head), so charging 2*d*V per token would inflate
+    # MFU with phantom FLOPs.
     proj = 2 * d * H * hd + 2 * 2 * d * Hk * hd + 2 * H * hd * d
     mlp = 3 * 2 * d * di
     attn = 2 * 2 * H * hd * (T + 1) / 2
-    fwd = toks * (L * (proj + mlp + attn) + 2 * d * V)
+    fwd = toks * L * (proj + mlp + attn)
     # calibration runs the FULL forward once per layer chunk
     n_chunks = -(-L // LAYERS_PER_STEP)
     fwd *= n_chunks

@@ -388,7 +388,6 @@ def _solve_mlp_dense(
             # a 512-grid keeps it to a handful, and padded entries are
             # exact regardless of pad (identity block, ops/mlp.py).
             pad = min(d_cov, -(-pad // 512) * 512)
-            ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
             # Low-memory sequencing for very large d_int (7B+): with the
             # full model resident there is only ~3 GB of HBM left, so the
             # solve runs per layer as THREE drained programs — selection

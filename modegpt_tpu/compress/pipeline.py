@@ -389,7 +389,10 @@ def run_compression(
         with trace(config.profile_dir or None):
             fused_result = fused_compress(spec, params, calib_batches, config)
         logger.info("fused compression: 3 dispatches + 1 host fetch")
-    with trace(config.profile_dir or None):
+    # fused already captured its trace above — don't open a second,
+    # empty session around the skipped layer loop (it would shadow the
+    # real capture as the directory's latest run).
+    with trace(None if fused_result else (config.profile_dir or None)):
         for start in range(0, 0 if fused_result else n_layers, layers_per_step):
             target_layers = list(range(start, min(n_layers, start + layers_per_step)))
 
@@ -409,9 +412,16 @@ def run_compression(
                     from modegpt_tpu.parallel.pp import calibrate_pp
 
                     calib = calibrate_pp(spec, params, calib_batches, mesh)
-                elif mesh is not None and supports_ring(spec, mesh):
+                elif (
+                    config.calib_exec != "window"
+                    and mesh is not None
+                    and supports_ring(spec, mesh)
+                ):
                     # context-parallel ring calibration: beyond-32k
-                    # sequences with O(T/N) per-device K/V (parallel/ring.py)
+                    # sequences with O(T/N) per-device K/V (parallel/ring.py).
+                    # An EXPLICIT --calib_exec window wins over the mesh's
+                    # context axis — the user asked for the windowed
+                    # memory plan, not ring semantics.
                     from modegpt_tpu.parallel.ring import calibrate_ring
 
                     calib = calibrate_ring(spec, params, calib_batches, pending, mesh)
@@ -494,6 +504,11 @@ def run_compression(
     results["compress_seconds"] = compress_seconds
 
     # ---- surgery + artifact (reference: run_modegpt.py:158-166) ----
+    # Count the dense model BEFORE surgery: apply_factors(release_dense=
+    # True) pops the replaced projections out of `params` in place, so a
+    # post-surgery count would see a gutted model and report a negative
+    # "reduction".
+    n_before = count_params(params)
     if fused_result is not None:
         comp_spec, comp_params = fused_result
     else:
@@ -505,7 +520,6 @@ def run_compression(
             qk_factors=factors.get("qk"),
             vo_factors=factors.get("vo"),
         )
-    n_before = count_params(params)
     n_after = count_params(comp_params)
     metrics["params_before"] = n_before
     metrics["params_after"] = n_after

@@ -99,9 +99,14 @@ class CompressionConfig:
     @classmethod
     def _cli_spec(cls) -> dict:
         """Field name -> argparse add_argument kwargs, derived once from
-        the dataclass's resolved type hints. Bools become paired
-        ``--flag/--no-flag`` switches; Optional[X] unwraps to X; a field
-        without a default becomes a required flag."""
+        the dataclass's resolved type hints (cached on the class — the
+        hint resolution is the expensive part and every parse needs the
+        spec twice). Bools become paired ``--flag/--no-flag`` switches;
+        Optional[X] unwraps to X; a field without a default becomes a
+        required flag."""
+        cached = cls.__dict__.get("_cli_spec_cache")
+        if cached is not None:
+            return cached
         import typing
 
         hints = typing.get_type_hints(cls)
@@ -123,6 +128,7 @@ class CompressionConfig:
             if help_text:
                 kwargs["help"] = help_text
             spec[f.name] = kwargs
+        cls._cli_spec_cache = spec
         return spec
 
     @classmethod

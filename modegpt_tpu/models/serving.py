@@ -28,9 +28,14 @@ Speculative serving (greedy-exact) runs INSIDE the batcher: with
 second slot-table pool runs a draft model (typically the
 MoDeGPT-compressed child of the served dense model) with k scanned
 draft steps per round. Either way one ragged (k+1)-position verify
-forward commits 1..k+1 tokens per active slot per step — output is
-identical to plain greedy serving, with per-request acceptance
-telemetry in ``batcher.stats``.
+forward commits 1..k+1 tokens per active slot per step — greedy-exact
+at the logic level: every committed token is the argmax of a verify
+forward over the same cache state, so CPU f32 output is identical to
+plain greedy serving (tested). On TPU the verify program's bf16
+matmuls ([slots, k+1] shapes) can flip near-tie argmaxes vs the
+[slots, 1] decode program — same caveat as every cross-program greedy
+comparison on bf16 hardware. Per-request acceptance telemetry lands
+in ``batcher.stats``.
 
 Cache sharding over a mesh follows the params: with Megatron TP the
 Hk axis of the pool shards over "model" like the K/V projections, and

@@ -445,6 +445,28 @@ def test_pipeline_ring_calibration_end_to_end(tmp_path):
             )
 
 
+def test_explicit_window_wins_over_ring(tmp_path):
+    """--calib_exec window on a mesh that happens to carry a context
+    axis must take the windowed path, not ring (regression: ring used
+    to silently override the explicit knob). seq_len=60 is NOT
+    divisible by the 8-way context axis, so the ring path would raise —
+    completing proves the windowed path ran."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=6))
+
+    cfg = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2,
+        seq_len=60, compression_ratio=0.3, sparsity_smoothing=0.5,
+        calib_exec="window",
+        output_dir=str(tmp_path / "o"),
+        temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+        skip_baseline_eval=True, skip_final_eval=True,
+    )
+    got = run_compression(cfg, spec=spec, params=params, tokenizer=None,
+                          mesh=make_mesh("context:8"))
+    assert got["params_after"] < got["params_before"]
+
+
 def test_ring_calibration_moe_matches():
     """MoE ring calibration: dense-all-experts execution is token-local,
     so per-expert routed Grams and shared-expert Grams psum exactly."""

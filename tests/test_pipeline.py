@@ -321,3 +321,9 @@ def test_windowed_pipeline_and_release_dense(tmp_path):
         # release_dense consumed the dense projections, kept the norms
         assert "q" not in params["layers"][l] and "up" not in params["layers"][l]
         assert "attn_norm" in params["layers"][l]
+    # Metrics count the DENSE model even though release_dense popped its
+    # projections in place during surgery (regression: params_before was
+    # once counted post-surgery, reporting a negative "reduction").
+    assert got["params_before"] == ref["params_before"]
+    assert got["params_after"] == ref["params_after"]
+    assert got["params_after"] < got["params_before"]
