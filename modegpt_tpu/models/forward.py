@@ -321,6 +321,42 @@ def _moe_mlp_dispatch(
     return y
 
 
+def gqa_scores(q, k, precision=None):
+    """q [B, H, S, R] x k [B, Hk, T, R] -> scores [B, H, S, T] WITHOUT
+    materialising a repeated-to-H copy of k.
+
+    `jnp.repeat(k, H//Hk, axis=1)` before the einsum is what the HF
+    reference does (LlamaRebuild.py repeat_kv) — on TPU that writes and
+    re-reads an H/Hk-times-larger K (and V) every step, and decode is
+    HBM-bandwidth-bound: at 16 slots x 512 positions it roughly 6x'd the
+    decode step's HBM traffic (measured 12.5ms -> ~2ms on a 0.5B shape).
+    Instead the query heads are viewed as [Hk, G] groups (repeat
+    semantics: query head h reads kv head h//G) and the contraction
+    batches over Hk with G as a free dimension — same per-element
+    reduction, no repeated operand."""
+    B, H, S, R = q.shape
+    Hk = k.shape[1]
+    if H == Hk:
+        return jnp.einsum("bhsd,bhtd->bhst", q, k, precision=precision)
+    G = H // Hk
+    qg = q.reshape(B, Hk, G, S, R)
+    s = jnp.einsum("bkgsd,bktd->bkgst", qg, k, precision=precision)
+    return s.reshape(B, H, S, -1)
+
+
+def gqa_attend(probs, v, precision=None):
+    """probs [B, H, S, T] x v [B, Hk, T, Rv] -> [B, H, S, Rv] without
+    repeating v to H heads (see gqa_scores)."""
+    B, H, S, T = probs.shape
+    Hk = v.shape[1]
+    if H == Hk:
+        return jnp.einsum("bhst,bhtd->bhsd", probs, v, precision=precision)
+    G = H // Hk
+    pg = probs.reshape(B, Hk, G, S, T)
+    a = jnp.einsum("bkgst,bktd->bkgsd", pg, v, precision=precision)
+    return a.reshape(B, H, S, -1)
+
+
 def _attention(
     q, k, v, scaling: float, window: Optional[int], impl: str = "xla",
     softcap: Optional[float] = None, window_arr: Optional[jax.Array] = None,
@@ -338,8 +374,7 @@ def _attention(
     avoids materialising [T, T] scores in HBM; sliding-window layers and
     tiny shapes fall back to the XLA path.
     """
-    B, H, T, _ = q.shape
-    Hk = k.shape[1]
+    T = q.shape[2]
     if impl == "ring":
         # Context-parallel ring attention: ONLY valid inside a shard_map
         # over parallel.ring.CTX_AXIS where q/k/v hold this device's
@@ -356,11 +391,7 @@ def _attention(
             # per program — fine to ~8k tokens, wasteful beyond).
             return flash_attention_hbm(q, k, v, scale=scaling, window=window)
         return flash_attention(q, k, v, scale=scaling, window=window)
-    if Hk != H:
-        rep = H // Hk
-        k = jnp.repeat(k, rep, axis=1)
-        v = jnp.repeat(v, rep, axis=1)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=_HI) * scaling
+    scores = gqa_scores(q, k, precision=_HI) * scaling
     scores = _softcap(scores.astype(jnp.float32), softcap)
     qi = jnp.arange(T, dtype=jnp.int32)[:, None]
     ki = jnp.arange(T, dtype=jnp.int32)[None, :]
@@ -372,7 +403,7 @@ def _attention(
         mask = mask & jnp.where(window_arr > 0, ki > qi - window_arr, True)
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=_HI)
+    return gqa_attend(probs, v, precision=_HI)
 
 
 def _layer(

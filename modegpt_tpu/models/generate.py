@@ -104,19 +104,18 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
     cache_k = lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype), (zero, zero, pos, zero))
     cache_v = lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype), (zero, zero, pos, zero))
 
-    # Attend over the filled prefix [0, pos+S).
+    # Attend over the filled prefix [0, pos+S). K/V stay at Hk heads —
+    # grouped contraction, no repeated cache copy (forward.gqa_scores).
     k_all = cache_k
     v_all = cache_v
-    if Hk != H:
-        k_all = jnp.repeat(k_all, H // Hk, axis=1)
-        v_all = jnp.repeat(v_all, H // Hk, axis=1)
     scaling = (
         spec.query_pre_attn_scalar**-0.5
         if spec.query_pre_attn_scalar is not None
         else q_hd**-0.5
     )
-    scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all) * scaling
-    from modegpt_tpu.models.forward import _softcap
+    from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
+
+    scores = gqa_scores(q, k_all) * scaling
 
     scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
     t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, :]
@@ -126,7 +125,7 @@ def _layer_step(spec, layer_idx, p, x, cos, sin, cache_k, cache_v, pos, max_len)
         mask = mask & (t_ids > s_ids - spec.sliding_window)
     scores = jnp.where(mask[None, None], scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
+    attn = gqa_attend(probs, v_all)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * v_hd)
     a_out = _linear(attn, p["o"])
     if spec.post_norms:

@@ -408,11 +408,12 @@ def _layer_padded(
             cv = jax.vmap(write)(cv, v, pos)
             new_cache = (ck, cv)
             k_all, v_all = ck, cv
-        if Hk != H:
-            k_all = jnp.repeat(k_all, H // Hk, axis=1)
-            v_all = jnp.repeat(v_all, H // Hk, axis=1)
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
-        from modegpt_tpu.models.forward import _softcap
+        # grouped-query contraction: k_all/v_all stay at Hk heads (the
+        # repeated-to-H copy ~6x'd decode-step HBM traffic; forward.py
+        # gqa_scores docstring has the measurement)
+        from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
+
+        scores = gqa_scores(q, k_all)
 
         scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
         t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
@@ -424,7 +425,7 @@ def _layer_padded(
             mask = mask & jnp.where(win_arr > 0, t_ids > s_ids - win_arr, True)
         scores = jnp.where(mask[:, None], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
+        attn = gqa_attend(probs, v_all)
 
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Rv)
     a_out = _linear(attn, p["o"])

@@ -195,6 +195,63 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
 
 @partial(
     jax.jit,
+    static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
+                     "moe", "moe_capacity"),
+    donate_argnames=("state",),
+)
+def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
+                            active: jax.Array, budgets: jax.Array, eos: jax.Array,
+                            n_steps: int, temperature: float, top_k, key,
+                            has_eos: bool = False,
+                            moe: str = "dense", moe_capacity: float = 2.0):
+    """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
+    steps). Each step is bit-identical to `_decode_slots_jit`; the
+    per-slot active/budget/EOS bookkeeping the batcher does on the host
+    between single steps runs on device instead: a slot stops advancing
+    the moment it emits EOS or exhausts its budget, so fusing never
+    over-decodes.
+
+    Why fuse: every dispatch through a remote/tunneled host costs a
+    fixed enqueue+sync latency that can exceed the decode step's device
+    time severalfold; N steps per dispatch amortise it to 1/N per token
+    (the host loop stays in charge of admission — it just runs every N
+    tokens instead of every token).
+
+    Returns (state, toks [n_steps, slots], emitted [n_steps, slots]):
+    `emitted[i, s]` marks tokens the host should append; tokens after a
+    slot's EOS/budget stop are garbage and masked False."""
+    from modegpt_tpu.models.generate import _sample
+
+    def body(carry, _):
+        st, act, bud, k2 = carry
+        k2, sub = jax.random.split(k2)
+        logits, ck, cv, ks, vs = _step_cache(
+            spec, layers, other, q_hd_true, st.last_token[:, None], st.lengths,
+            st.cache_k, st.cache_v, st.scales,
+            moe=moe, moe_capacity=moe_capacity, token_valid=act[:, None],
+        )
+        nxt = _sample(logits[:, -1, :], sub, temperature, top_k).astype(jnp.int32)
+        emitted = act
+        st = ServeState(
+            cache_k=ck, cache_v=cv,
+            lengths=jnp.where(act, st.lengths + 1, st.lengths),
+            last_token=jnp.where(act, nxt, st.last_token),
+            k_scale=ks, v_scale=vs,
+        )
+        bud = jnp.where(act, bud - 1, bud)
+        act = act & (bud > 0)
+        if has_eos:
+            act = act & (nxt != eos)
+        return (st, act, bud, k2), (nxt, emitted)
+
+    (state, _, _, _), (toks, emitted) = lax.scan(
+        body, (state, active, budgets, key), None, length=n_steps
+    )
+    return state, toks, emitted
+
+
+@partial(
+    jax.jit,
     static_argnames=("spec", "moe", "moe_capacity"),
     donate_argnames=("state",),
 )
@@ -374,7 +431,7 @@ class ContinuousBatcher:
                  moe_capacity: float = 2.0, prefill_chunks_per_step: int = 1,
                  spec_decode: str = "off", n_draft: int = 4,
                  lookup_ngram: int = 3, draft_pm: Optional[PaddedModel] = None,
-                 kv_dtype: str = "model"):
+                 kv_dtype: str = "model", steps_per_dispatch: int = 1):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -405,6 +462,19 @@ class ContinuousBatcher:
         if kv_dtype not in ("model", "int8"):
             raise ValueError(f"kv_dtype must be model or int8, got {kv_dtype!r}")
         self.kv_dtype = kv_dtype
+        # Fused decode: >1 runs that many decode steps per device
+        # dispatch (_decode_slots_multi_jit) whenever no slot is
+        # prefilling — amortises per-dispatch host latency. Greedy
+        # output is identical to steps_per_dispatch=1; sampled runs
+        # draw a different (equally valid) key stream. Admission and
+        # prefill interleaving happen every dispatch, so a large value
+        # trades new-request latency for decode throughput.
+        if steps_per_dispatch < 1:
+            raise ValueError(f"steps_per_dispatch must be >= 1, got {steps_per_dispatch}")
+        if steps_per_dispatch > 1 and spec_decode != "off":
+            raise ValueError("steps_per_dispatch > 1 requires spec_decode='off' "
+                             "(speculative rounds already batch tokens per dispatch)")
+        self.steps_per_dispatch = steps_per_dispatch
         self.state = init_serve_state(pm, slots, max_len,
                                       dtype=pm.other["embed_tokens"].dtype,
                                       kv_dtype=kv_dtype)
@@ -547,7 +617,13 @@ class ContinuousBatcher:
                     return finished
                 continue
             key, sub = jax.random.split(key)
-            if self.spec_decode == "off":
+            if self.spec_decode != "off":
+                self._speculative_step(active_mask)
+                continue
+            # fused multi-step decode only when nothing is prefilling
+            # (prefill chunks want per-step interleaving)
+            n = self.steps_per_dispatch if not any(self.slot_chunks) else 1
+            if n == 1:
                 self.state, toks = decode_slots(
                     self.pm, self.state, active_mask, self.temperature, None, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
@@ -558,7 +634,23 @@ class ContinuousBatcher:
                         self.slot_out[s].append(int(toks[s]))
                         self.slot_budget[s] -= 1
             else:
-                self._speculative_step(active_mask)
+                budgets = jnp.asarray(
+                    [self.slot_budget[s] if active_mask[s] else 0
+                     for s in range(self.slots)], jnp.int32,
+                )
+                self.state, toks, emitted = _decode_slots_multi_jit(
+                    self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                    self.state, jnp.asarray(active_mask), budgets,
+                    jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
+                    n, self.temperature, None, sub, has_eos=self.eos is not None,
+                    moe=self.moe, moe_capacity=self.moe_capacity,
+                )
+                toks, emitted = np.asarray(toks), np.asarray(emitted)
+                for i in range(n):
+                    for s in range(self.slots):
+                        if emitted[i, s]:
+                            self.slot_out[s].append(int(toks[i, s]))
+                            self.slot_budget[s] -= 1
         raise RuntimeError(f"serving loop did not drain in {max_steps} steps")
 
     def _speculative_step(self, active_mask: np.ndarray) -> None:

@@ -176,17 +176,16 @@ def _stream_step(
             rm = p.get("rotary_mask")
             q, _ = apply_rope(q, k, cos_q, sin_q, rm)
             _, k_all = apply_rope(k_all, k_all, cos_k, sin_k, rm)
-        if Hk != H:
-            k_all = jnp.repeat(k_all, H // Hk, axis=1)
-            v_all = jnp.repeat(v_all, H // Hk, axis=1)
         q_scale = (
             jnp.asarray(spec.query_pre_attn_scalar, jnp.float32)
             if spec.query_pre_attn_scalar is not None
             else r_true
         )
         q = q * lax.rsqrt(q_scale).astype(q.dtype)
-        scores = jnp.einsum("bhsd,bhtd->bhst", q, k_all)
-        from modegpt_tpu.models.forward import _softcap
+        # grouped contraction — K/V stay at Hk heads (forward.gqa_scores)
+        from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
+
+        scores = gqa_scores(q, k_all)
 
         scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
         v_mask = valid
@@ -195,7 +194,7 @@ def _stream_step(
             v_mask = v_mask & jnp.where(win > 0, g - p_global < win, True)
         scores = jnp.where(v_mask[None, None, None, :], scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = jnp.einsum("bhst,bhtd->bhsd", probs, v_all)
+        attn = gqa_attend(probs, v_all)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Rv)
         a_out = _linear(attn, p["o"])
         if spec.post_norms:

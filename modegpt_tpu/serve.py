@@ -68,6 +68,12 @@ def main(argv=None):
         help="artifact/checkpoint dir drafting for --model (typically its "
         "compressed child)",
     )
+    parser.add_argument(
+        "--steps_per_dispatch", type=int, default=1,
+        help="fuse N decode steps into one device dispatch (greedy output "
+        "identical to 1; amortises per-dispatch host latency at the cost "
+        "of admitting new requests every N tokens)",
+    )
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -114,7 +120,7 @@ def main(argv=None):
         eos_token_id=eos, temperature=args.temperature, moe=args.moe_exec,
         moe_capacity=args.moe_capacity, spec_decode=args.spec_decode,
         n_draft=args.n_draft, lookup_ngram=args.lookup_ngram, draft_pm=draft_pm,
-        kv_dtype=args.kv_dtype,
+        kv_dtype=args.kv_dtype, steps_per_dispatch=args.steps_per_dispatch,
     )
     rid_to_idx = {}
     prompt_lens = {}

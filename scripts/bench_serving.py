@@ -50,6 +50,7 @@ def main():
     from modegpt_tpu.models.padded import pad_to_uniform
     from modegpt_tpu.models.serving import (
         _decode_slots_jit,
+        _decode_slots_multi_jit,
         init_serve_state,
         prefill_slot,
     )
@@ -103,6 +104,29 @@ def main():
     np.asarray(state.lengths[:1])
     on_chip = (time.perf_counter() - t0) / STEPS
 
+    # fused multi-step decode (ContinuousBatcher steps_per_dispatch):
+    # N steps in one dispatch — per-token cost amortises the dispatch
+    # latency that dominates the wall number above
+    MULTI = int(os.environ.get("MODEGPT_SERVE_MULTI", "16"))
+    budgets = jnp.full((SLOTS,), 1 << 30, jnp.int32)
+    eos = jnp.asarray(-1, jnp.int32)
+
+    def multi(state):
+        return _decode_slots_multi_jit(
+            pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active,
+            budgets, eos, MULTI, 0.0, None, key,
+        )
+
+    state, toks_m, _ = multi(state)
+    np.asarray(toks_m[:1, :1])
+    rounds = max(1, STEPS // MULTI)
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        state, toks_m, _ = multi(state)
+        np.asarray(toks_m[:1, :1])
+    np.asarray(state.lengths[:1])
+    fused_step = (time.perf_counter() - t0) / (rounds * MULTI)
+
     # dispatch floor
     f = jax.jit(lambda x: x + 1)
     x = f(jnp.zeros((8,), jnp.float32))
@@ -117,7 +141,8 @@ def main():
 
     log(
         f"decode step ({SLOTS} slots): wall {wall*1e3:.2f}ms, "
-        f"on-chip {on_chip*1e3:.2f}ms, dispatch floor {floor*1e3:.2f}ms"
+        f"on-chip {on_chip*1e3:.2f}ms, fused x{MULTI} {fused_step*1e3:.2f}ms/step, "
+        f"dispatch floor {floor*1e3:.2f}ms"
     )
 
     # batched eval forward (throughput shape): seq 1024, batch 16
@@ -146,9 +171,12 @@ def main():
     print(json.dumps({
         "decode_step_wall_ms": round(wall * 1e3, 3),
         "decode_step_on_chip_ms": round(on_chip * 1e3, 3),
+        "decode_step_fused_ms": round(fused_step * 1e3, 3),
+        "fused_steps_per_dispatch": MULTI,
         "dispatch_floor_ms": round(floor * 1e3, 3),
         "decode_tok_s_wall": round(SLOTS / wall, 1),
         "decode_tok_s_on_chip": round(SLOTS / on_chip, 1),
+        "decode_tok_s_fused": round(SLOTS / fused_step, 1),
         "eval_tok_s_wall": round(B * T / eval_wall, 1),
         "eval_tok_s_on_chip": round(B * T / eval_on_chip, 1),
         "slots": SLOTS,

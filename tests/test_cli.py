@@ -105,3 +105,11 @@ def test_serve_cli(tmp_path, tiny_ckpt):
     assert len(done) == 2
     for tokens in done.values():
         assert len(tokens) >= 3  # prompt + at least some generation
+
+    # fused decode dispatches must produce the same greedy output
+    fused = serve_main([
+        "--model", artifact, "--prompt", "tok1 tok2 tok3", "--prompt", "tok4 tok5",
+        "--max_new_tokens", "5", "--slots", "2", "--max_len", "32",
+        "--prefill_bucket", "8", "--steps_per_dispatch", "3",
+    ])
+    assert fused == done

@@ -298,6 +298,43 @@ def test_batcher_spec_eos_stops(rng):
     assert got == want
 
 
+def test_batcher_fused_decode_matches_single_step(rng):
+    """steps_per_dispatch > 1 (N decode steps fused into one dispatch,
+    device-side budget/EOS stopping) must emit EXACTLY the single-step
+    batcher's greedy output across admission churn (more requests than
+    slots), ragged budgets, and mid-window EOS stops."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=29))
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 128, size=(n,)).astype(np.int32)
+               for n in (5, 12, 3, 21, 8)]
+    budgets = [14, 3, 9, 1, 17]
+
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16)
+    ids_p = [plain.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+    ref = plain.run()
+
+    fused = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                              steps_per_dispatch=5)
+    ids_f = [fused.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+    got = fused.run()
+    for rp, rf in zip(ids_p, ids_f):
+        assert got[rf] == ref[rp]
+
+    # EOS chosen from a real mid-stream token: the fused window must cut
+    # at EOS exactly where the single-step batcher does
+    eos = ref[ids_p[0]][len(prompts[0]) + 4]
+    p2 = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                           eos_token_id=int(eos))
+    ids_p2 = [p2.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+    want = p2.run()
+    f2 = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                           eos_token_id=int(eos), steps_per_dispatch=4)
+    ids_f2 = [f2.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+    got2 = f2.run()
+    for rp, rf in zip(ids_p2, ids_f2):
+        assert got2[rf] == want[rp]
+
+
 def test_batcher_spec_validations():
     spec, params = params_from_hf_model(_tiny_llama(seed=23))
     pm = pad_to_uniform(spec, params)
@@ -308,6 +345,10 @@ def test_batcher_spec_validations():
     b = ContinuousBatcher(pm, slots=1, max_len=32, spec_decode="prompt_lookup", n_draft=4)
     with pytest.raises(ValueError, match="draft margin"):
         b.submit(np.arange(1, 20, dtype=np.int32), max_new_tokens=10)
+    with pytest.raises(ValueError, match="steps_per_dispatch"):
+        ContinuousBatcher(pm, steps_per_dispatch=0)
+    with pytest.raises(ValueError, match="spec_decode"):
+        ContinuousBatcher(pm, steps_per_dispatch=4, spec_decode="prompt_lookup")
 
 
 # ---- int8 KV cache (opt-in serving residency) ----
