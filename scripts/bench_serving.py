@@ -59,7 +59,7 @@ def main():
     D, H, HK, HD, DI, L, V = 2048, 16, 8, 128, 5504, 8, 16384
     SLOTS = int(os.environ.get("MODEGPT_SERVE_SLOTS", "16"))
     STEPS = int(os.environ.get("MODEGPT_SERVE_STEPS", "64"))
-    MAXLEN = 512
+    MAXLEN = int(os.environ.get("MODEGPT_SERVE_MAXLEN", "512"))
 
     spec = ModelSpec(
         arch="llama", vocab_size=V, d_model=D, n_layers=L, n_heads=H,
@@ -71,6 +71,13 @@ def main():
     )
     params = init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
     pm = pad_to_uniform(spec, params)
+    if os.environ.get("MODEGPT_SERVE_INT8"):
+        # int8-resident weights: decode streams every weight byte each
+        # step, so halving them should show up ~1:1 in fused step time
+        from modegpt_tpu.models.quantize import quantize_padded
+
+        pm = quantize_padded(pm)
+        log("int8-resident weights")
     state = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     for s in range(SLOTS):
@@ -145,6 +152,19 @@ def main():
         f"dispatch floor {floor*1e3:.2f}ms"
     )
 
+    if os.environ.get("MODEGPT_SERVE_SKIP_EVAL"):
+        print(json.dumps({
+            "decode_step_wall_ms": round(wall * 1e3, 3),
+            "decode_step_on_chip_ms": round(on_chip * 1e3, 3),
+            "decode_step_fused_ms": round(fused_step * 1e3, 3),
+            "fused_steps_per_dispatch": MULTI,
+            "dispatch_floor_ms": round(floor * 1e3, 3),
+            "decode_tok_s_fused": round(SLOTS / fused_step, 1),
+            "slots": SLOTS, "max_len": MAXLEN,
+            "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
+        }))
+        return
+
     # batched eval forward (throughput shape): seq 1024, batch 16
     from modegpt_tpu.models.scan_forward import forward_scan
 
@@ -180,6 +200,7 @@ def main():
         "eval_tok_s_wall": round(B * T / eval_wall, 1),
         "eval_tok_s_on_chip": round(B * T / eval_on_chip, 1),
         "slots": SLOTS,
+        "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
     }))
 
 
