@@ -166,6 +166,57 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
 
 @partial(
     jax.jit,
+    static_argnames=("spec", "temperature", "moe", "moe_capacity"),
+    donate_argnames=("state",),
+)
+def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
+                       chunks: jax.Array, pos0: jax.Array, real_len: jax.Array,
+                       commit: jax.Array, prefill_mask: jax.Array,
+                       temperature: float, key: jax.Array,
+                       moe: str = "dense", moe_capacity: float = 2.0):
+    """One prompt chunk for EVERY admitting slot in a single ragged
+    dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
+    prefill_mask selecting the rows that are actually prefilling.
+
+    Per-slot-per-chunk dispatches cost a fixed host/tunnel latency
+    each; an admission burst of N slots pays it N times per chunk
+    round. This runs the whole slot table through one [slots, bucket]
+    forward instead — non-prefilling rows are masked out of MoE
+    capacity via token_valid and their cache writes land at/after
+    their current length, which every later decode/verify step
+    rewrites before attending (the same invariant _decode_slots_jit
+    relies on for inactive rows). Greedy commits are identical to the
+    per-slot path; sampled commits draw one shared key per round
+    instead of one per slot (equally valid stream).
+
+    Returns (state, next_token [slots]) — next_token is meaningful for
+    rows with commit set (their prompt finished this round)."""
+    from modegpt_tpu.models.generate import _sample
+
+    S = chunks.shape[1]
+    pos_arg = jnp.where(prefill_mask, pos0, state.lengths)
+    tail_valid = (
+        prefill_mask[:, None]
+        & (jnp.arange(S, dtype=jnp.int32)[None, :] < real_len[:, None])
+    )
+    logits, ck, cv, ks, vs = _step_cache(
+        spec, layers, other, q_hd_true, chunks, pos_arg,
+        state.cache_k, state.cache_v, state.scales,
+        moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
+    )
+    idx = jnp.maximum(real_len - 1, 0)
+    last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    nxt = _sample(last_logits, key, temperature, None).astype(jnp.int32)
+    return ServeState(
+        cache_k=ck, cache_v=cv,
+        lengths=jnp.where(prefill_mask, pos0 + real_len, state.lengths),
+        last_token=jnp.where(commit, nxt, state.last_token),
+        k_scale=ks, v_scale=vs,
+    ), nxt
+
+
+@partial(
+    jax.jit,
     static_argnames=("spec", "temperature", "top_k", "moe", "moe_capacity"),
     donate_argnames=("state",),
 )
@@ -423,6 +474,13 @@ class ContinuousBatcher:
     slots) before the decode step for already-active slots. A long
     prompt therefore never head-of-line-blocks decoding — the classic
     chunked-prefill scheduling (Sarathi/vLLM) on the slot table.
+
+    Two dispatch-amortisation knobs (both greedy-output-identical,
+    tested; both matter most when per-dispatch host latency is large):
+    ``steps_per_dispatch=N`` fuses N decode steps into one device
+    program with on-device budget/EOS stopping, and
+    ``prefill_exec="batched"`` prefills every admitting slot's next
+    chunk in one ragged [slots, bucket] dispatch per round.
     """
 
     def __init__(self, pm: PaddedModel, slots: int = 8, max_len: int = 512,
@@ -431,7 +489,8 @@ class ContinuousBatcher:
                  moe_capacity: float = 2.0, prefill_chunks_per_step: int = 1,
                  spec_decode: str = "off", n_draft: int = 4,
                  lookup_ngram: int = 3, draft_pm: Optional[PaddedModel] = None,
-                 kv_dtype: str = "model", steps_per_dispatch: int = 1):
+                 kv_dtype: str = "model", steps_per_dispatch: int = 1,
+                 prefill_exec: str = "per_slot"):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -475,6 +534,13 @@ class ContinuousBatcher:
             raise ValueError("steps_per_dispatch > 1 requires spec_decode='off' "
                              "(speculative rounds already batch tokens per dispatch)")
         self.steps_per_dispatch = steps_per_dispatch
+        # "batched" prefill runs ONE [slots, bucket] dispatch per chunk
+        # round covering every admitting slot (vs one dispatch per slot
+        # per chunk); prefill_chunks_per_step then counts ROUNDS, not
+        # chunks. Greedy output identical to per_slot (tested).
+        if prefill_exec not in ("per_slot", "batched"):
+            raise ValueError(f"prefill_exec must be per_slot or batched, got {prefill_exec!r}")
+        self.prefill_exec = prefill_exec
         self.state = init_serve_state(pm, slots, max_len,
                                       dtype=pm.other["embed_tokens"].dtype,
                                       kv_dtype=kv_dtype)
@@ -538,9 +604,65 @@ class ContinuousBatcher:
                     for c in range(n_chunks)
                 ]
 
+    def _commit_prefill_token(self, s: int, tok: int) -> None:
+        """Host bookkeeping for a slot whose prompt just finished."""
+        self.slot_out[s].append(tok)
+        self.slot_budget[s] -= 1
+        if self.eos is not None and tok == self.eos:
+            self.slot_budget[s] = 0
+
+    def _prefill_step_batched(self, key):
+        """One ragged [slots, bucket] dispatch per round consuming the
+        HEAD chunk of every prefilling slot (prefill_chunks_per_step
+        counts rounds here). Greedy-identical to the per-slot path."""
+        for _ in range(self.prefill_chunks_per_step):
+            pending = [s for s in range(self.slots) if self.slot_chunks[s]]
+            if not pending:
+                break
+            chunks = np.zeros((self.slots, self.bucket), np.int32)
+            pos0 = np.zeros((self.slots,), np.int32)
+            real = np.zeros((self.slots,), np.int32)
+            commit = np.zeros((self.slots,), bool)
+            mask = np.zeros((self.slots,), bool)
+            for s in pending:
+                piece, p0, is_last = self.slot_chunks[s].pop(0)
+                chunks[s, : piece.shape[0]] = piece
+                pos0[s], real[s], commit[s], mask[s] = p0, piece.shape[0], is_last, True
+            key, sub = jax.random.split(key)
+            args = (jnp.asarray(chunks), jnp.asarray(pos0), jnp.asarray(real),
+                    jnp.asarray(commit), jnp.asarray(mask))
+            self.state, nxt = _prefill_slots_jit(
+                self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                self.state, *args, self.temperature, sub,
+                moe=self.moe, moe_capacity=self.moe_capacity,
+            )
+            if self.draft_state is not None:
+                # mirror into the draft pool; the TARGET decides tokens,
+                # so the draft's own commits are suppressed and its
+                # last_token copies the target's for committed slots
+                self.draft_state, _ = _prefill_slots_jit(
+                    self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
+                    self.draft_pm.q_hd_true, self.draft_state, args[0], args[1],
+                    args[2], jnp.zeros((self.slots,), bool), args[4],
+                    self.temperature, sub, moe=self.moe, moe_capacity=self.moe_capacity,
+                )
+                self.draft_state = self.draft_state._replace(
+                    last_token=jnp.where(
+                        jnp.asarray(commit), self.state.last_token,
+                        self.draft_state.last_token,
+                    )
+                )
+            nxt = np.asarray(nxt)
+            for s in pending:
+                if commit[s]:
+                    self._commit_prefill_token(s, int(nxt[s]))
+        return key
+
     def _prefill_step(self, key):
         """Process up to `prefill_chunks_per_step` pending chunks,
         round-robin over prefilling slots. Returns the advanced key."""
+        if self.prefill_exec == "batched":
+            return self._prefill_step_batched(key)
         done_budget = self.prefill_chunks_per_step
         while done_budget > 0:
             pending = [s for s in range(self.slots) if self.slot_chunks[s]]
@@ -579,10 +701,7 @@ class ContinuousBatcher:
                         self.draft_state = self.draft_state._replace(
                             last_token=self.draft_state.last_token.at[s].set(tok)
                         )
-                    self.slot_out[s].append(tok)
-                    self.slot_budget[s] -= 1
-                    if self.eos is not None and tok == self.eos:
-                        self.slot_budget[s] = 0
+                    self._commit_prefill_token(s, tok)
         return key
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:

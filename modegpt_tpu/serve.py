@@ -74,6 +74,12 @@ def main(argv=None):
         "identical to 1; amortises per-dispatch host latency at the cost "
         "of admitting new requests every N tokens)",
     )
+    parser.add_argument(
+        "--prefill_exec", choices=("per_slot", "batched"), default="per_slot",
+        help="'batched' prefills every admitting slot's next chunk in ONE "
+        "ragged dispatch per round (admission bursts pay one dispatch "
+        "latency instead of one per slot); greedy output identical",
+    )
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -121,6 +127,7 @@ def main(argv=None):
         moe_capacity=args.moe_capacity, spec_decode=args.spec_decode,
         n_draft=args.n_draft, lookup_ngram=args.lookup_ngram, draft_pm=draft_pm,
         kv_dtype=args.kv_dtype, steps_per_dispatch=args.steps_per_dispatch,
+        prefill_exec=args.prefill_exec,
     )
     rid_to_idx = {}
     prompt_lens = {}

@@ -85,6 +85,57 @@ def main():
     active = jnp.ones((SLOTS,), bool)
     key = jax.random.key(1)
 
+    # admission burst: prefill ALL slots, per-slot dispatches vs one
+    # batched [slots, bucket] dispatch (ContinuousBatcher prefill_exec)
+    if os.environ.get("MODEGPT_SERVE_PREFILL"):
+        from modegpt_tpu.models.serving import _prefill_chunk_jit, _prefill_slots_jit
+
+        BUCKET = 32
+        prompts = rng.integers(1, V, size=(SLOTS, 24)).astype(np.int32)
+        padded = np.zeros((SLOTS, BUCKET), np.int32)
+        padded[:, :24] = prompts
+
+        def per_slot(state):
+            for s in range(SLOTS):
+                state = _prefill_chunk_jit(
+                    pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
+                    jnp.asarray(s, jnp.int32), jnp.asarray(padded[s : s + 1]),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(24, jnp.int32),
+                    jnp.asarray(True), 0.0, key,
+                )
+            return state
+
+        def batched(state):
+            state, _ = _prefill_slots_jit(
+                pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
+                jnp.asarray(padded), jnp.zeros((SLOTS,), jnp.int32),
+                jnp.full((SLOTS,), 24, jnp.int32), jnp.ones((SLOTS,), bool),
+                jnp.ones((SLOTS,), bool), 0.0, key,
+            )
+            return state
+
+        times = {}
+        for name, fn in (("per_slot", per_slot), ("batched", batched)):
+            st = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
+            st = fn(st)  # warmup/compile
+            np.asarray(st.lengths[:1])
+            best = float("inf")
+            for _ in range(3):
+                st = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
+                np.asarray(st.lengths[:1])
+                t0 = time.perf_counter()
+                st = fn(st)
+                np.asarray(st.lengths[:1])
+                best = min(best, time.perf_counter() - t0)
+            times[name] = best
+        print(json.dumps({
+            "prefill_burst_per_slot_ms": round(times["per_slot"] * 1e3, 2),
+            "prefill_burst_batched_ms": round(times["batched"] * 1e3, 2),
+            "slots": SLOTS, "prompt_tokens": 24, "bucket": BUCKET,
+        }))
+        return
+
+
     def step(state):
         return _decode_slots_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active, 0.0, None, key

@@ -335,6 +335,64 @@ def test_batcher_fused_decode_matches_single_step(rng):
         assert got2[rf] == want[rp]
 
 
+def test_batcher_batched_prefill_matches_per_slot(rng):
+    """prefill_exec='batched' (one ragged [slots, bucket] dispatch per
+    chunk round for every admitting slot) must emit EXACTLY the
+    per-slot path's greedy output — multi-chunk prompts, admission
+    churn, EOS, and composition with fused decode dispatches."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=31))
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 128, size=(n,)).astype(np.int32)
+               for n in (21, 4, 33, 9, 17)]
+    budgets = [8, 13, 5, 11, 2]
+
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16)
+    ids_p = [plain.submit(p, max_new_tokens=b) for p, b in zip(prompts, budgets)]
+    ref = plain.run()
+
+    b = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                          prefill_exec="batched", steps_per_dispatch=4)
+    ids_b = [b.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)]
+    got = b.run()
+    for rp, rb in zip(ids_p, ids_b):
+        assert got[rb] == ref[rp]
+
+    # with an EOS the model actually emits (incl. possibly at prefill)
+    eos = ref[ids_p[0]][len(prompts[0]) + 2]
+    p2 = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                           eos_token_id=int(eos))
+    ids_p2 = [p2.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)]
+    want = p2.run()
+    b2 = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                           eos_token_id=int(eos), prefill_exec="batched")
+    ids_b2 = [b2.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)]
+    got2 = b2.run()
+    for rp, rb in zip(ids_p2, ids_b2):
+        assert got2[rb] == want[rp]
+
+
+def test_batcher_batched_prefill_with_draft_spec(tmp_path, rng):
+    """Batched prefill mirrors chunks into the draft pool; speculative
+    serving output still equals plain serving of the target."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=37))
+    target_pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 128, size=(n,)).astype(np.int32) for n in (19, 7)]
+
+    plain = ContinuousBatcher(target_pm, slots=2, max_len=96, prefill_bucket=16)
+    ids_p = [plain.submit(p, max_new_tokens=10) for p in prompts]
+    ref = plain.run()
+
+    b = ContinuousBatcher(
+        target_pm, slots=2, max_len=96, prefill_bucket=16,
+        prefill_exec="batched", spec_decode="draft", n_draft=3,
+        draft_pm=target_pm,  # self-draft: full acceptance, still exact
+    )
+    ids_b = [b.submit(p, max_new_tokens=10) for p in prompts]
+    got = b.run()
+    for rp, rb in zip(ids_p, ids_b):
+        assert got[rb] == ref[rp]
+
+
 def test_batcher_spec_validations():
     spec, params = params_from_hf_model(_tiny_llama(seed=23))
     pm = pad_to_uniform(spec, params)
@@ -349,6 +407,8 @@ def test_batcher_spec_validations():
         ContinuousBatcher(pm, steps_per_dispatch=0)
     with pytest.raises(ValueError, match="spec_decode"):
         ContinuousBatcher(pm, steps_per_dispatch=4, spec_decode="prompt_lookup")
+    with pytest.raises(ValueError, match="prefill_exec"):
+        ContinuousBatcher(pm, prefill_exec="chunked")
 
 
 # ---- int8 KV cache (opt-in serving residency) ----
