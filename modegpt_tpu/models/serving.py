@@ -186,8 +186,18 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     their current length, which every later decode/verify step
     rewrites before attending (the same invariant _decode_slots_jit
     relies on for inactive rows). Greedy commits are identical to the
-    per-slot path; sampled commits draw one shared key per round
-    instead of one per slot (equally valid stream).
+    per-slot path at the logic level (CPU f32 tested; TPU bf16 program
+    variants can flip near-tie argmaxes — module docstring); sampled
+    commits draw one shared key per round instead of one per slot
+    (equally valid stream).
+
+    moe="dispatch" caveat: expert capacity is derived from the
+    dispatch's token count (forward._moe_mlp_dispatch), so the batched
+    forward pools capacity ACROSS admitting slots where the per-slot
+    path gave each slot its own pool — under capacity pressure the
+    drop pattern (and thus output) can differ between the two prefill
+    modes. Both are valid capacity-dispatch executions; use
+    moe="dense" when exactness matters.
 
     Returns (state, next_token [slots]) — next_token is meaningful for
     rows with commit set (their prompt finished this round)."""
@@ -226,6 +236,15 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
+    return _one_decode_step(spec, layers, other, q_hd_true, state, active,
+                            temperature, top_k, key, moe, moe_capacity)
+
+
+def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
+                     active: jax.Array, temperature: float, top_k, key,
+                     moe: str, moe_capacity: float):
+    """THE decode step, shared by the single-dispatch and fused-scan
+    programs so their step math cannot drift apart."""
     from modegpt_tpu.models.generate import _sample
 
     tokens = state.last_token[:, None]
@@ -256,11 +275,18 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             has_eos: bool = False,
                             moe: str = "dense", moe_capacity: float = 2.0):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
-    steps). Each step is bit-identical to `_decode_slots_jit`; the
-    per-slot active/budget/EOS bookkeeping the batcher does on the host
-    between single steps runs on device instead: a slot stops advancing
-    the moment it emits EOS or exhausts its budget, so fusing never
-    over-decodes.
+    steps). Each step runs the same `_one_decode_step` the
+    single-dispatch program uses; the per-slot active/budget/EOS
+    bookkeeping the batcher does on the host between single steps runs
+    on device instead: a slot stops advancing the moment it emits EOS
+    or exhausts its budget, so fusing never over-decodes.
+
+    Output-equality caveat (same as every cross-program greedy
+    comparison in this module, see the module docstring): the step
+    LOGIC is identical to steps_per_dispatch=1 and CPU f32 outputs
+    match exactly (tested), but on TPU this is a different compiled
+    program whose bf16 matmul schedules can flip near-tie argmaxes vs
+    the single-step program.
 
     Why fuse: every dispatch through a remote/tunneled host costs a
     fixed enqueue+sync latency that can exceed the decode step's device
@@ -271,24 +297,13 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
     Returns (state, toks [n_steps, slots], emitted [n_steps, slots]):
     `emitted[i, s]` marks tokens the host should append; tokens after a
     slot's EOS/budget stop are garbage and masked False."""
-    from modegpt_tpu.models.generate import _sample
 
     def body(carry, _):
         st, act, bud, k2 = carry
         k2, sub = jax.random.split(k2)
-        logits, ck, cv, ks, vs = _step_cache(
-            spec, layers, other, q_hd_true, st.last_token[:, None], st.lengths,
-            st.cache_k, st.cache_v, st.scales,
-            moe=moe, moe_capacity=moe_capacity, token_valid=act[:, None],
-        )
-        nxt = _sample(logits[:, -1, :], sub, temperature, top_k).astype(jnp.int32)
+        st, nxt = _one_decode_step(spec, layers, other, q_hd_true, st, act,
+                                   temperature, top_k, sub, moe, moe_capacity)
         emitted = act
-        st = ServeState(
-            cache_k=ck, cache_v=cv,
-            lengths=jnp.where(act, st.lengths + 1, st.lengths),
-            last_token=jnp.where(act, nxt, st.last_token),
-            k_scale=ks, v_scale=vs,
-        )
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
         if has_eos:
@@ -524,7 +539,9 @@ class ContinuousBatcher:
         # Fused decode: >1 runs that many decode steps per device
         # dispatch (_decode_slots_multi_jit) whenever no slot is
         # prefilling — amortises per-dispatch host latency. Greedy
-        # output is identical to steps_per_dispatch=1; sampled runs
+        # output matches steps_per_dispatch=1 at the logic level (the
+        # programs share _one_decode_step; CPU f32 identical, TPU bf16
+        # program variants can flip near-tie argmaxes); sampled runs
         # draw a different (equally valid) key stream. Admission and
         # prefill interleaving happen every dispatch, so a large value
         # trades new-request latency for decode throughput.
@@ -537,7 +554,10 @@ class ContinuousBatcher:
         # "batched" prefill runs ONE [slots, bucket] dispatch per chunk
         # round covering every admitting slot (vs one dispatch per slot
         # per chunk); prefill_chunks_per_step then counts ROUNDS, not
-        # chunks. Greedy output identical to per_slot (tested).
+        # chunks. Greedy output matches per_slot at the logic level
+        # (CPU f32 tested; TPU bf16 program variants can flip near-tie
+        # argmaxes), EXCEPT under moe="dispatch" where expert capacity
+        # pools across admitting slots — see _prefill_slots_jit.
         if prefill_exec not in ("per_slot", "batched"):
             raise ValueError(f"prefill_exec must be per_slot or batched, got {prefill_exec!r}")
         self.prefill_exec = prefill_exec

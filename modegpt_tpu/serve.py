@@ -70,15 +70,18 @@ def main(argv=None):
     )
     parser.add_argument(
         "--steps_per_dispatch", type=int, default=1,
-        help="fuse N decode steps into one device dispatch (greedy output "
-        "identical to 1; amortises per-dispatch host latency at the cost "
-        "of admitting new requests every N tokens)",
+        help="fuse N decode steps into one device dispatch (greedy logic "
+        "identical to 1, though TPU bf16 program variants can flip "
+        "near-tie argmaxes; amortises per-dispatch host latency at the "
+        "cost of admitting new requests every N tokens)",
     )
     parser.add_argument(
         "--prefill_exec", choices=("per_slot", "batched"), default="per_slot",
         help="'batched' prefills every admitting slot's next chunk in ONE "
         "ragged dispatch per round (admission bursts pay one dispatch "
-        "latency instead of one per slot); greedy output identical",
+        "latency instead of one per slot); greedy logic identical except "
+        "under --moe_exec dispatch, where expert capacity pools across "
+        "admitting slots",
     )
     args = parser.parse_args(argv)
 
