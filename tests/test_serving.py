@@ -437,6 +437,29 @@ def test_int8_kv_cache_serves_and_tracks_full_precision(rng):
         assert got[rq] == ref[rp]
 
 
+def test_int8_kv_with_fused_decode_and_batched_prefill(rng):
+    """int8 KV composes with both dispatch-amortisation knobs: fused
+    multi-step decode and batched prefill thread the quantized-cache
+    scales through the same scatter/slab path, so output equals int8
+    single-step serving exactly."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=41))
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 128, size=(n,)).astype(np.int32) for n in (9, 19, 5)]
+
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                              kv_dtype="int8")
+    ids_p = [plain.submit(p, max_new_tokens=9) for p in prompts]
+    ref = plain.run()
+
+    b = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                          kv_dtype="int8", steps_per_dispatch=4,
+                          prefill_exec="batched")
+    ids_b = [b.submit(p, max_new_tokens=9) for p in prompts]
+    got = b.run()
+    for rp, rb in zip(ids_p, ids_b):
+        assert got[rb] == ref[rp]
+
+
 def test_int8_kv_with_speculative(rng):
     """int8 KV composes with in-batcher prompt-lookup speculation: the
     verify/decode paths share one quantized-cache semantics, so spec
