@@ -390,11 +390,14 @@ def _layer_padded(
             return lax.dynamic_index_in_dim(c, layer_ix, 0, keepdims=False)
 
         if quantized:
-            # int8 KV: per-(head, position) symmetric scales — halves the
-            # cache bytes every decode step re-reads (decode is
-            # HBM-bandwidth-bound); bf16->int8 rounding costs ~0.4% rel
-            # error per vector, tested to leave greedy serving outputs
-            # intact at small scale and logits within ~1e-2.
+            # int8 KV: per-(head, position) symmetric scales — halves
+            # cache HBM CAPACITY (2x slots/context per chip). It does
+            # NOT speed decode on v5e: dequantising the slab below
+            # materialises a bf16 temp that costs what the smaller
+            # reads save (measured, bench_results/r02). bf16->int8
+            # rounding costs ~0.4% rel error per vector, tested to
+            # leave greedy serving outputs intact at small scale and
+            # logits within ~1e-2.
             ck, cv, ks, vs = cache_kv
 
             def quant(x_new):  # [B, Hk, S, R] -> int8 codes + scales

@@ -83,8 +83,11 @@ class ServeState(NamedTuple):
 def init_serve_state(pm: PaddedModel, slots: int, max_len: int, dtype=jnp.float32,
                      kv_dtype: str = "model") -> ServeState:
     """kv_dtype: "model" (cache in `dtype`) or "int8" (quantized KV —
-    halves the cache bytes decode re-reads every step; ~0.4% per-vector
-    rounding error, outputs no longer bit-exact vs full precision)."""
+    halves cache HBM CAPACITY so 2x the slots/context fit; measured on
+    v5e it does not speed decode, because the per-layer dequantised
+    slab temp costs what the smaller reads save
+    (bench_results/r02/serving_carry.json). ~0.4% per-vector rounding
+    error; outputs no longer bit-exact vs full precision)."""
     spec = pm.spec
     Rq = spec.q_ranks[0] // spec.n_heads
     Rv = spec.v_ranks[0] // spec.n_kv_heads

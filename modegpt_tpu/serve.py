@@ -51,9 +51,10 @@ def main(argv=None):
     )
     parser.add_argument(
         "--kv_dtype", choices=("model", "int8"), default="model",
-        help="KV cache residency: 'int8' halves the cache bytes decode "
-        "re-reads every step (per-vector symmetric quantization, ~0.4%% "
-        "rounding; outputs no longer bit-exact vs full precision)",
+        help="KV cache residency: 'int8' halves cache HBM capacity so 2x "
+        "the slots/context fit (per-vector symmetric quantization, ~0.4%% "
+        "rounding; outputs no longer bit-exact vs full precision; does "
+        "not speed decode — the dequant temp costs what smaller reads save)",
     )
     parser.add_argument(
         "--spec_decode", choices=("off", "prompt_lookup", "draft"), default="off",

@@ -78,7 +78,8 @@ def main():
 
         pm = quantize_padded(pm)
         log("int8-resident weights")
-    state = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
+    KV = "int8" if os.environ.get("MODEGPT_SERVE_KV_INT8") else "model"
+    state = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16, kv_dtype=KV)
     rng = np.random.default_rng(0)
     for s in range(SLOTS):
         state = prefill_slot(pm, state, s, rng.integers(1, V, size=24).astype(np.int32), 32)
@@ -116,12 +117,12 @@ def main():
 
         times = {}
         for name, fn in (("per_slot", per_slot), ("batched", batched)):
-            st = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
+            st = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16, kv_dtype=KV)
             st = fn(st)  # warmup/compile
             np.asarray(st.lengths[:1])
             best = float("inf")
             for _ in range(3):
-                st = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16)
+                st = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16, kv_dtype=KV)
                 np.asarray(st.lengths[:1])
                 t0 = time.perf_counter()
                 st = fn(st)
@@ -211,7 +212,7 @@ def main():
             "fused_steps_per_dispatch": MULTI,
             "dispatch_floor_ms": round(floor * 1e3, 3),
             "decode_tok_s_fused": round(SLOTS / fused_step, 1),
-            "slots": SLOTS, "max_len": MAXLEN,
+            "slots": SLOTS, "max_len": MAXLEN, "kv": KV,
             "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
         }))
         return
