@@ -74,6 +74,7 @@ def _stats_fn(
     mesh: Optional[jax.sharding.Mesh],
     shard_sequence: bool = False,
     shard_stats: bool = False,
+    gram_precision: str = "highest",
 ):
     """Build the jitted per-batch stats function (logits are discarded —
     XLA dead-code-eliminates the LM head for calibration batches).
@@ -99,7 +100,10 @@ def _stats_fn(
     fwd = forward_scan if supports_scan(spec, stats_layers) else forward
 
     def fn(params, batch):
-        _, stats = fwd(spec, params, batch, stats_layers=stats_layers)
+        _, stats = fwd(
+            spec, params, batch, stats_layers=stats_layers,
+            gram_precision=gram_precision,
+        )
         return stats
 
     if mesh is None:
@@ -138,7 +142,9 @@ def _acc_add(acc, stats):
 
 
 @functools.lru_cache(maxsize=32)
-def _scan_stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...]):
+def _scan_stats_fn(
+    spec: ModelSpec, stats_layers: Tuple[int, ...], gram_precision: str = "highest"
+):
     """One device program that scans over stacked batches [N, B, T],
     accumulating all statistics on-device — a single dispatch for the
     whole calibration pass (dispatch/RPC latency dominates on tunneled
@@ -147,7 +153,10 @@ def _scan_stats_fn(spec: ModelSpec, stats_layers: Tuple[int, ...]):
     fwd = forward_scan if supports_scan(spec, stats_layers) else forward
 
     def one(params, batch):
-        _, stats = fwd(spec, params, batch, stats_layers=stats_layers)
+        _, stats = fwd(
+            spec, params, batch, stats_layers=stats_layers,
+            gram_precision=gram_precision,
+        )
         return stats
 
     @jax.jit
@@ -176,6 +185,7 @@ def calibrate(
     accumulate: str = "host",
     shard_sequence: bool = False,
     shard_stats: bool = False,
+    gram_precision: str = "highest",
 ) -> CalibrationResult:
     """Run calibration forwards and accumulate statistics.
 
@@ -192,7 +202,7 @@ def calibrate(
         accumulator memory divided by the data-axis size).
     """
     stats_layers = tuple(int(l) for l in target_layers)
-    fn = _stats_fn(spec, stats_layers, mesh, shard_sequence, shard_stats)
+    fn = _stats_fn(spec, stats_layers, mesh, shard_sequence, shard_stats, gram_precision)
 
     n_sequences = 0
     seq_len = int(batches[0].shape[1])
@@ -203,7 +213,7 @@ def calibrate(
             # Single-dispatch scan over the stacked batches.
             n_sequences = sum(int(b.shape[0]) for b in batches)
             stacked = jnp.asarray(np.stack([np.asarray(b) for b in batches]))
-            acc = _scan_stats_fn(spec, stats_layers)(params, stacked)
+            acc = _scan_stats_fn(spec, stats_layers, gram_precision)(params, stacked)
         else:
             acc = None
             for batch in batches:
@@ -287,11 +297,42 @@ def calibrate(
 # ---------------------------------------------------------------------------
 
 
+def _window_acc_shapes(spec: ModelSpec, width: int):
+    """Accumulator zeros for one window: dense slots always; MoE slots
+    (per-expert [E, D, D] + optional shared [Ds, Ds]) when the stack has
+    MoE layers. Mixed dense/MoE stacks carry BOTH kinds — each layer's
+    cond branch touches only its own kind, and the unused kind's slots
+    stay zero for that layer index."""
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[0] // H
+    acc = {
+        "cov_q": jnp.zeros((width, H, q_hd, q_hd), jnp.float32),
+        "cov_k": jnp.zeros((width, Hk, q_hd, q_hd), jnp.float32),
+        "cov_x": jnp.zeros((width, spec.d_model, spec.d_model), jnp.float32),
+        "bi": jnp.zeros((spec.n_layers,), jnp.float32),
+    }
+    dense_layers = [l for l in range(spec.n_layers) if not spec.is_moe_layer(l)]
+    if dense_layers:
+        dense_d = spec.gate_ranks[dense_layers[0]]
+        acc["cov_mlp"] = jnp.zeros((width, dense_d, dense_d), jnp.float32)
+    if spec.n_experts:
+        acc["cov_moe"] = jnp.zeros(
+            (width, spec.n_experts, spec.d_int, spec.d_int), jnp.float32
+        )
+        if spec.shared_d_int:
+            acc["cov_shared"] = jnp.zeros(
+                (width, spec.shared_d_int, spec.shared_d_int), jnp.float32
+            )
+    return acc
+
+
 @functools.partial(
-    jax.jit, static_argnames=("spec", "width", "attn_impl"), donate_argnames=("acc",)
+    jax.jit,
+    static_argnames=("spec", "width", "attn_impl", "gram_precision"),
+    donate_argnames=("acc",),
 )
 def _window_stats_step(spec: ModelSpec, params, batch, start, acc, width: int,
-                       attn_impl: str = "xla"):
+                       attn_impl: str = "xla", gram_precision: str = "highest"):
     """One batch through the UNROLLED forward, accumulating Gram taps for
     the traced layer window [start, start+width) into fixed [width, ...]
     slots (plus BI for every layer).
@@ -301,15 +342,23 @@ def _window_stats_step(spec: ModelSpec, params, batch, start, acc, width: int,
     16 GB chip that copy does not fit next to the original (measured:
     22.6 GB requested). Here the weights are consumed in place and,
     because `start` is traced, ONE compiled program serves every chunk
-    of a layers_per_step sweep. The cost: taps are computed for every
-    layer each chunk and masked into the window (~1.6x the minimal
-    chunk schedule's FLOPs) — the memory-for-one-compile trade this
-    mode exists for.
+    of a layers_per_step sweep.
+
+    The forward runs every layer, but the Gram matmuls are wrapped in a
+    `lax.cond` on window membership: layers OUTSIDE the live window pay
+    zero tap FLOPs (the tapped tensors x_ln/q/k/h are byproducts of the
+    forward; only their [D, D] Grams are conditional). Round 2 executed
+    every layer's taps and masked them off — at layers_per_step=1 over
+    32 layers that wasted ~32x the minimal tap FLOPs.
     """
-    from modegpt_tpu.models.forward import _bi_piece, _layer, _linear, _scale_embed
+    from modegpt_tpu.models.forward import (
+        _bi_piece, _gram, _head_gram, _layer, _linear, _moe_gram, _scale_embed,
+    )
     from modegpt_tpu.ops.rope import rope_cos_sin
 
     B, T = batch.shape
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[0] // H
     x = _scale_embed(spec, params["embed_tokens"][batch])
     if spec.arch in ("opt", "gpt2"):
         if "project_in" in params:
@@ -323,22 +372,44 @@ def _window_stats_step(spec: ModelSpec, params, batch, start, acc, width: int,
             dtype=x.dtype, scaling=spec.rope_scaling,
         )
 
-    keys = ("cov_mlp", "cov_q", "cov_k", "cov_x")
+    acc_keys = tuple(k for k in acc if k != "bi")
     bi = []
     for l in range(spec.n_layers):
-        x_new, taps = _layer(spec, l, params["layers"][l], x, cos, sin, True, attn_impl)
+        x_new, raw = _layer(
+            spec, l, params["layers"][l], x, cos, sin, "raw", attn_impl
+        )
         slot = jnp.clip(l - start, 0, width - 1)
         inside = ((l - start >= 0) & (l - start < width))
-        gate = inside.astype(jnp.float32)  # mask-multiply: no [D,D] zeros constant
-        for key in keys:
-            acc[key] = acc[key].at[slot].add(taps[key].astype(jnp.float32) * gate)
+        moe = spec.is_moe_layer(l)
+
+        def add_taps(a, raw=raw, slot=slot, moe=moe):
+            gp = gram_precision
+            t = {
+                "cov_q": _head_gram(raw["q"], gp),
+                "cov_k": _head_gram(raw["k"], gp),
+                "cov_x": _gram(raw["x_ln"].reshape(-1, spec.d_model), gp),
+            }
+            if moe:
+                t["cov_moe"] = _moe_gram(raw["h_moe"], gp)
+                if "h_shared" in raw:
+                    t["cov_shared"] = _gram(
+                        raw["h_shared"].reshape(-1, spec.shared_d_int), gp
+                    )
+            else:
+                t["cov_mlp"] = _gram(raw["h"].reshape(-1, raw["h"].shape[-1]), gp)
+            return {
+                k: (a[k].at[slot].add(t[k]) if k in t else a[k]) for k in a
+            }
+
+        sub = {k: acc[k] for k in acc_keys}
+        sub = lax.cond(inside, add_taps, lambda a: a, sub)
         bi.append(_bi_piece(x, x_new))
         # Scheduling barrier: without it XLA hoists every layer's
         # [d_int, d_int] gram temp alive at once (measured 21.8 GB for
         # 32 layers); tying the residual stream to the accumulators
         # forces layer l's taps to retire before layer l+1 computes.
-        x, *accs = lax.optimization_barrier((x_new, *[acc[k] for k in keys]))
-        for key, a in zip(keys, accs):
+        x, *accs = lax.optimization_barrier((x_new, *[sub[k] for k in acc_keys]))
+        for key, a in zip(acc_keys, accs):
             acc[key] = a
     acc["bi"] = acc["bi"] + jnp.stack(bi)
     return acc
@@ -351,28 +422,28 @@ def calibrate_window(
     start: int,
     width: int,
     attn_impl: str = "auto",
+    gram_precision: str = "highest",
 ) -> CalibrationResult:
     """calibrate() for layers [start, start+width) via the windowed
     single-program path (see _window_stats_step). Device-resident f32
     accumulation; intended for layers_per_step sweeps over models whose
-    weights fill most of HBM (the 7B-on-one-v5e shape)."""
-    if spec.n_experts:
-        raise ValueError("calibrate_window covers dense stacks (MoE tap shapes differ)")
-    if len(set(spec.gate_ranks)) != 1 or len(set(spec.q_ranks)) != 1:
-        raise ValueError("calibrate_window needs a uniform (dense) layer stack")
+    weights fill most of HBM (the 7B-on-one-v5e shape). Covers dense,
+    MoE, and mixed dense/MoE stacks (per-expert and shared-expert tap
+    slots ride the same window)."""
+    if len(set(spec.q_ranks)) != 1:
+        raise ValueError("calibrate_window needs uniform attention ranks")
+    dense_gates = {
+        spec.gate_ranks[l]
+        for l in range(spec.n_layers)
+        if not spec.is_moe_layer(l)
+    }
+    if len(dense_gates) > 1:
+        raise ValueError("calibrate_window needs uniform dense MLP widths")
     if attn_impl == "auto":
         use_flash = jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
         attn_impl = "flash" if use_flash else "xla"
 
-    H, Hk, hd = spec.n_heads, spec.n_kv_heads, spec.head_dim
-    q_hd = spec.q_ranks[0] // H
-    acc = {
-        "cov_mlp": jnp.zeros((width, spec.d_int, spec.d_int), jnp.float32),
-        "cov_q": jnp.zeros((width, H, q_hd, q_hd), jnp.float32),
-        "cov_k": jnp.zeros((width, Hk, q_hd, q_hd), jnp.float32),
-        "cov_x": jnp.zeros((width, spec.d_model, spec.d_model), jnp.float32),
-        "bi": jnp.zeros((spec.n_layers,), jnp.float32),
-    }
+    acc = _window_acc_shapes(spec, width)
     n_sequences = 0
     seq_len = int(batches[0].shape[1])
     start_arr = jnp.asarray(start, jnp.int32)
@@ -380,7 +451,7 @@ def calibrate_window(
         n_sequences += int(b.shape[0])
         acc = _window_stats_step(
             spec, params, jnp.asarray(np.asarray(b, dtype=np.int32)), start_arr, acc,
-            width, attn_impl,
+            width, attn_impl, gram_precision,
         )
     total_tokens = n_sequences * seq_len
     inv = jnp.float32(1.0 / total_tokens)
@@ -395,11 +466,16 @@ def calibrate_window(
     # full model weights (enqueue-time allocation otherwise overlaps
     # them — observed OOM at 7B scale).
     bi = np.asarray(acc["bi"], dtype=np.float64) / n_sequences
-    out: Dict[str, Dict[int, jax.Array]] = {}
-    for key in ("cov_mlp", "cov_q", "cov_k", "cov_x"):
+    out: Dict[str, Dict[int, jax.Array]] = {"cov_mlp": {}, "cov_shared": {}}
+    for key in ("cov_q", "cov_k", "cov_x"):
         out[key] = {l: acc[key][i] * inv for i, l in enumerate(layers)}
         # free each [width, ...] accumulator before slicing the next
         acc.pop(key)
+    for i, l in enumerate(layers):
+        mlp_key = "cov_moe" if spec.is_moe_layer(l) else "cov_mlp"
+        out["cov_mlp"][l] = acc[mlp_key][i] * inv
+        if spec.has_shared_expert(l):
+            out["cov_shared"][l] = acc["cov_shared"][i] * inv
     return CalibrationResult(
         cov_mlp=out["cov_mlp"],
         cov_q=out["cov_q"],
@@ -408,4 +484,5 @@ def calibrate_window(
         bi_scores=bi.tolist(),
         n_sequences=n_sequences,
         total_tokens=total_tokens,
+        cov_shared=out["cov_shared"] or None,
     )

@@ -70,14 +70,21 @@ def supports_fused(spec: ModelSpec) -> bool:
     )
 
 
-@partial(jax.jit, static_argnames=("spec", "ratio", "smoothing", "max_sparsity"))
-def _calibrate_allocate(spec: ModelSpec, params, stacked, ratio, smoothing, max_sparsity):
+@partial(
+    jax.jit,
+    static_argnames=("spec", "ratio", "smoothing", "max_sparsity", "gram_precision"),
+)
+def _calibrate_allocate(spec: ModelSpec, params, stacked, ratio, smoothing,
+                        max_sparsity, gram_precision: str = "highest"):
     """[N, B, T] batches -> (normalised CalibStats stacks, keep [L])."""
     stats_layers = tuple(range(spec.n_layers))
     fwd = forward_scan if supports_scan(spec, stats_layers) else forward
 
     def one(batch):
-        _, stats = fwd(spec, params, batch, stats_layers=stats_layers)
+        _, stats = fwd(
+            spec, params, batch, stats_layers=stats_layers,
+            gram_precision=gram_precision,
+        )
         return stats
 
     init = one(stacked[0])
@@ -209,6 +216,7 @@ def fused_compress(
     cov_mlp, cov_q, cov_k, cov_x, keep = _calibrate_allocate(
         spec, params, stacked, float(config.compression_ratio),
         float(config.sparsity_smoothing), float(config.max_sparsity),
+        config.gram_precision,
     )
     keep_h = np.asarray(keep)  # the one host fetch: L floats
     ranks_mlp = tuple(

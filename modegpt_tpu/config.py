@@ -75,6 +75,11 @@ class CompressionConfig:
     artifact_dtype: str = ""
     # 'npz' (single file) or 'orbax' (async multi-host tensorstore).
     artifact_backend: str = "npz"
+    # Gram-tap MXU precision: 'highest' (6-pass f32, reference-parity
+    # oracle), 'high' (3-pass, ~2x gram throughput), 'bf16' (single
+    # pass with f32 accumulation, ~6x; factor deviation vs the highest
+    # oracle is measured in tests/test_calibration.py).
+    gram_precision: str = "highest"
     # Calibration execution: 'auto' picks the scanned stats program
     # (fast, but stacks a second copy of the layer weights) or unrolled;
     # 'window' forces the windowed single-program path (weights consumed
@@ -169,8 +174,14 @@ class CompressionConfig:
             raise ValueError(
                 f"artifact_backend must be npz or orbax, got {self.artifact_backend!r}"
             )
-        if self.calib_exec not in ("auto", "window"):
-            raise ValueError(f"calib_exec must be auto or window, got {self.calib_exec!r}")
+        if self.calib_exec not in ("auto", "window", "stream"):
+            raise ValueError(
+                f"calib_exec must be auto, window or stream, got {self.calib_exec!r}"
+            )
+        if self.gram_precision not in ("highest", "high", "bf16"):
+            raise ValueError(
+                f"gram_precision must be highest, high or bf16, got {self.gram_precision!r}"
+            )
         if self.model_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"model_dtype must be float32 or bfloat16, got {self.model_dtype!r}")
         order = self.order or "mlp,qk,vo"

@@ -122,16 +122,35 @@ def _softcap(x: jax.Array, cap: Optional[float]) -> jax.Array:
     return jnp.tanh(x / cap) * cap
 
 
-def _gram(x2d: jax.Array) -> jax.Array:
-    """X^T X in f32 at HIGHEST MXU precision."""
+def _gram(x2d: jax.Array, prec: str = "highest") -> jax.Array:
+    """X^T X with f32 accumulation.
+
+    prec selects the MXU pass count (the speed/precision knob the
+    reference lacks — its Grams are f32 torch matmuls, which HIGHEST
+    matches bit-for-bit in exponent range):
+      * "highest": f32 inputs, 6-pass MXU (default; the parity oracle);
+      * "high":    f32 inputs, 3-pass MXU (~2x the gram throughput);
+      * "bf16":    bf16 inputs, single pass, f32 accumulate (~6x; also
+        halves the HBM read of the tapped activation when the model is
+        bf16). Measured factor deviation vs the highest oracle is
+        documented in tests/test_calibration.py::test_gram_precision.
+    """
+    if prec == "bf16":
+        xb = x2d.astype(jnp.bfloat16)
+        return jnp.einsum("ni,nj->ij", xb, xb, preferred_element_type=jnp.float32)
+    p = _HI if prec == "highest" else lax.Precision.HIGH
     xf = x2d.astype(jnp.float32)
-    return jnp.einsum("ni,nj->ij", xf, xf, precision=_HI)
+    return jnp.einsum("ni,nj->ij", xf, xf, precision=p)
 
 
-def _head_gram(x: jax.Array) -> jax.Array:
-    """[B,T,H,hd] -> per-head Gram [H, hd, hd]."""
+def _head_gram(x: jax.Array, prec: str = "highest") -> jax.Array:
+    """[B,T,H,hd] -> per-head Gram [H, hd, hd] (see _gram for prec)."""
+    if prec == "bf16":
+        xb = x.astype(jnp.bfloat16)
+        return jnp.einsum("bthi,bthj->hij", xb, xb, preferred_element_type=jnp.float32)
+    p = _HI if prec == "highest" else lax.Precision.HIGH
     xf = x.astype(jnp.float32)
-    return jnp.einsum("bthi,bthj->hij", xf, xf, precision=_HI)
+    return jnp.einsum("bthi,bthj->hij", xf, xf, precision=p)
 
 
 def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
@@ -214,10 +233,14 @@ def _shared_expert(spec: ModelSpec, p: Dict, x: jax.Array):
     return ys, hs
 
 
-def _moe_gram(h_routed: jax.Array) -> jax.Array:
+def _moe_gram(h_routed: jax.Array, prec: str = "highest") -> jax.Array:
     """[B,T,E,D] routed-masked intermediates -> per-expert Gram [E,D,D]."""
+    if prec == "bf16":
+        hb = h_routed.astype(jnp.bfloat16)
+        return jnp.einsum("btef,bteg->efg", hb, hb, preferred_element_type=jnp.float32)
+    p = _HI if prec == "highest" else lax.Precision.HIGH
     hf = h_routed.astype(jnp.float32)
-    return jnp.einsum("btef,bteg->efg", hf, hf, precision=_HI)
+    return jnp.einsum("btef,bteg->efg", hf, hf, precision=p)
 
 
 def _moe_mlp_dispatch(
@@ -413,10 +436,18 @@ def _layer(
     x: jax.Array,
     cos: Optional[jax.Array],
     sin: Optional[jax.Array],
-    collect: bool,
+    collect,
     attn_impl: str = "xla",
+    gram_precision: str = "highest",
 ):
-    """One decoder layer. Returns (x_out, taps or None)."""
+    """One decoder layer. Returns (x_out, taps or None).
+
+    collect: False (no taps), True (Gram taps), or "raw" — return the
+    RAW tapped tensors (x_ln / q / k / h) instead of their Grams. The
+    raw mode costs zero extra FLOPs (the tensors are computed by the
+    forward anyway) and lets the caller decide whether to pay for the
+    Gram matmuls — the windowed calibration wraps them in a lax.cond so
+    only the live window's layers execute them (calibrate_window)."""
     B, T, _ = x.shape
     H, Hk = spec.n_heads, spec.n_kv_heads
     q_hd = spec.q_ranks[layer_idx] // H
@@ -437,10 +468,14 @@ def _layer(
     k = _linear(x_ln, p["k"])
     v = _linear(x_ln, p["v"])
 
-    if collect:
-        taps["cov_x"] = _gram(x_ln.reshape(-1, spec.d_model))
-        taps["cov_q"] = _head_gram(q.reshape(B, T, H, q_hd))
-        taps["cov_k"] = _head_gram(k.reshape(B, T, Hk, q_hd))
+    if collect == "raw":
+        taps["x_ln"] = x_ln
+        taps["q"] = q.reshape(B, T, H, q_hd)
+        taps["k"] = k.reshape(B, T, Hk, q_hd)
+    elif collect:
+        taps["cov_x"] = _gram(x_ln.reshape(-1, spec.d_model), gram_precision)
+        taps["cov_q"] = _head_gram(q.reshape(B, T, H, q_hd), gram_precision)
+        taps["cov_k"] = _head_gram(k.reshape(B, T, Hk, q_hd), gram_precision)
 
     if spec.flat_qk_norm:
         # olmo2: one RMSNorm over the whole projection output
@@ -498,18 +533,26 @@ def _layer(
     )
     if spec.is_moe_layer(layer_idx):
         y, h_routed, h_shared = _moe_mlp(spec, p, x_ln2, collect)
-        if collect:
+        if collect == "raw":
+            taps["h_moe"] = h_routed
+            if h_shared is not None:
+                taps["h_shared"] = h_shared
+        elif collect:
             taps["cov_mlp"] = _moe_gram(h_routed)
             if h_shared is not None:
-                taps["cov_shared"] = _gram(h_shared.reshape(-1, h_shared.shape[-1]))
+                taps["cov_shared"] = _gram(
+                    h_shared.reshape(-1, h_shared.shape[-1]), gram_precision
+                )
         x = residual + y
     else:
         if spec.gated_mlp:
             h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
         else:
             h = _act(_linear(x_ln2, p["up"]), spec.act)
-        if collect:
-            taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]))
+        if collect == "raw":
+            taps["h"] = h
+        elif collect:
+            taps["cov_mlp"] = _gram(h.reshape(-1, h.shape[-1]), gram_precision)
         m_out = _linear(h, p["down"])
         if spec.post_norms:  # gemma2 post-feedforward sandwich norm
             m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
@@ -535,7 +578,10 @@ def _bi_piece(h_in: jax.Array, h_out: jax.Array) -> jax.Array:
     return jnp.sum(jnp.mean(1.0 - cos, axis=1), axis=0)
 
 
-@partial(jax.jit, static_argnames=("spec", "stats_layers", "return_hidden", "attn_impl"))
+@partial(
+    jax.jit,
+    static_argnames=("spec", "stats_layers", "return_hidden", "attn_impl", "gram_precision"),
+)
 def forward(
     spec: ModelSpec,
     params: Dict,
@@ -543,6 +589,7 @@ def forward(
     stats_layers: Tuple[int, ...] = (),
     return_hidden: bool = False,
     attn_impl: str = "auto",
+    gram_precision: str = "highest",
 ):
     """Run the model. Returns (logits, CalibStats | None).
 
@@ -584,7 +631,8 @@ def forward(
     for l in range(spec.n_layers):
         h_in = x
         x, taps = _layer(
-            spec, l, params["layers"][l], x, cos, sin, collect and (l in stats_layers), attn_impl
+            spec, l, params["layers"][l], x, cos, sin,
+            collect and (l in stats_layers), attn_impl, gram_precision,
         )
         if collect:
             bi.append(_bi_piece(h_in, x))

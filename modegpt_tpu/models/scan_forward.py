@@ -179,13 +179,14 @@ def _one_layer(spec: ModelSpec, p: Dict, x, cos, sin, attn_impl: str, win_arr=No
     return x, taps_src, (h, h_shared)
 
 
-@partial(jax.jit, static_argnames=("spec", "stats_layers", "attn_impl"))
+@partial(jax.jit, static_argnames=("spec", "stats_layers", "attn_impl", "gram_precision"))
 def forward_scan(
     spec: ModelSpec,
     params: Dict,
     input_ids: jax.Array,
     stats_layers: Tuple[int, ...] = (),
     attn_impl: str = "auto",
+    gram_precision: str = "highest",
 ):
     """Scan-over-layers forward. Same contract as `forward` (returns
     (logits, CalibStats | None)); requires `supports_scan(spec, ...)`."""
@@ -258,19 +259,20 @@ def forward_scan(
             slot = jnp.clip(l_idx - start, 0, n_t - 1)
 
             def with_taps(a):
+                gp = gram_precision
                 mlp_gram = (
-                    _moe_gram(h_mlp)
+                    _moe_gram(h_mlp, gp)
                     if spec.n_experts
-                    else _gram(h_mlp.reshape(-1, spec.d_int))
+                    else _gram(h_mlp.reshape(-1, spec.d_int), gp)
                 )
                 return CalibStats(
                     cov_mlp=a.cov_mlp.at[slot].add(mlp_gram),
-                    cov_q=a.cov_q.at[slot].add(_head_gram(q.reshape(B, T, H, q_hd))),
-                    cov_k=a.cov_k.at[slot].add(_head_gram(k.reshape(B, T, Hk, q_hd))),
-                    cov_x=a.cov_x.at[slot].add(_gram(x_ln.reshape(-1, spec.d_model))),
+                    cov_q=a.cov_q.at[slot].add(_head_gram(q.reshape(B, T, H, q_hd), gp)),
+                    cov_k=a.cov_k.at[slot].add(_head_gram(k.reshape(B, T, Hk, q_hd), gp)),
+                    cov_x=a.cov_x.at[slot].add(_gram(x_ln.reshape(-1, spec.d_model), gp)),
                     bi_acc=a.bi_acc,
                     cov_shared=a.cov_shared.at[slot].add(
-                        _gram(h_shared.reshape(-1, spec.shared_d_int))
+                        _gram(h_shared.reshape(-1, spec.shared_d_int), gp)
                     )
                     if a.cov_shared is not None
                     else None,
