@@ -1,0 +1,381 @@
+"""Layer-streamed calibration + solve: beyond-HBM models on one chip.
+
+The reference compresses models bigger than one GPU by spilling layers
+across devices/host via HF accelerate's ``device_map="auto"``
+(reference: src/model_utils.py:70,152 — naive layer placement; the 32B
+configs at tests.sh:150-175 depend on it). This module is the TPU-native
+answer, designed around the sequential structure of the job rather than
+around module placement:
+
+The compression statistics are per-layer token sums, so the whole
+calibration is ONE forward pass if layers are processed sequentially
+with the activations held on device:
+
+  1. Embed every calibration sequence once: ``X [N, B, T, D]`` stays in
+     HBM (S.T.D activations — 168 MB for 8x2048 sequences at 13B scale).
+  2. For each layer l: stage its weights into HBM (an async H2D copy,
+     double-buffered so layer l+1 transfers while layer l computes),
+     run ALL batches through the layer in one dispatch (a lax.scan over
+     the batch stack), collecting the layer's Gram taps and BI piece,
+     and write the updated activations back over X (donated).
+  3. Every ``width`` layers, solve the window's factors from the
+     on-device covariances (compress/batched.py, fetch="host") and drop
+     the window's taps + staged weights.
+
+Versus the resident windowed path (calib/engine.calibrate_window) this
+runs the forward ONCE instead of once per layer chunk — at 7B with
+1-layer chunks that deletes 31/32 of the forward FLOPs — and because
+weights are staged per layer, the model never needs to fit in HBM at
+all: peak residency is two staged layers + activations + one window of
+covariances. A 13B-geometry stack (~24 GB bf16 > 16 GB HBM) compresses
+on one v5e this way.
+
+Allocation semantics: keep ratios come from Block-Influence scores over
+every layer (reference: run_modegpt.py:126-133). BI needs a full sweep
+before the first solve, so when ``keep_ratios`` is not supplied a
+BI-only prepass runs first (taps skipped — pure forward). Callers that
+already know the allocation (resume, fixed sweeps, the bench's timed
+passes) pass ``keep_ratios`` and pay a single sweep.
+
+Factor equality with the resident paths is tested at tight tolerance
+(tests/test_offload.py); weights may be host numpy (beyond-HBM) or
+device arrays (resident — staging is then a no-op).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from modegpt_tpu.calib.engine import CalibrationResult
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.models.spec import ModelSpec
+
+logger = logging.getLogger("modegpt_tpu")
+
+__all__ = ["stream_calibrate_solve", "stream_bi_sweep"]
+
+
+def _layer_signature(spec: ModelSpec, l: int):
+    """Layers with equal signatures share one compiled step program."""
+    return (
+        spec.q_ranks[l], spec.k_ranks[l], spec.v_ranks[l], spec.o_ranks[l],
+        spec.gate_ranks[l], spec.is_moe_layer(l), spec.has_shared_expert(l),
+        spec.layer_types[l] if spec.layer_types else None,
+    )
+
+
+def _rep_index(spec: ModelSpec, l: int) -> int:
+    """Canonical representative layer index for l's signature (jit key)."""
+    sig = _layer_signature(spec, l)
+    for r in range(l + 1):
+        if _layer_signature(spec, r) == sig:
+            return r
+    return l
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _embed_batches(spec: ModelSpec, other: Dict, tokens: jax.Array) -> jax.Array:
+    """[N, B, T] tokens -> [N, B, T, D] embedded activations."""
+    from modegpt_tpu.models.forward import _linear, _scale_embed
+
+    N, B, T = tokens.shape
+
+    def one(tok):
+        x = _scale_embed(spec, other["embed_tokens"][tok])
+        if spec.arch in ("opt", "gpt2"):
+            if "project_in" in other:
+                x = _linear(x, other["project_in"])
+            pos = jnp.arange(T, dtype=jnp.int32) + spec.position_offset
+            x = x + other["embed_positions"][pos][None]
+        return x
+
+    return jax.vmap(one)(tokens)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("spec", "rep_idx", "collect", "attn_impl", "gram_precision"),
+    donate_argnums=(2,),
+)
+def _stream_layer_step(
+    spec: ModelSpec,
+    lp: Dict,
+    x: jax.Array,
+    rep_idx: int,
+    collect: bool,
+    attn_impl: str,
+    gram_precision: str,
+):
+    """One layer over the whole batch stack: x [N, B, T, D] -> x' (donated),
+    plus the layer's Gram taps (token sums over all N*B*T tokens) and its
+    BI piece. One dispatch; the per-batch lax.scan bounds the transient
+    working set (MLP intermediates, attention) to one batch."""
+    from modegpt_tpu.models.forward import (
+        _bi_piece, _gram, _head_gram, _layer, _moe_gram,
+    )
+    from modegpt_tpu.ops.rope import rope_cos_sin
+
+    N, B, T, D = x.shape
+    cos = sin = None
+    if spec.uses_rope:
+        cos, sin = rope_cos_sin(
+            jnp.arange(T, dtype=jnp.int32), spec.head_dim, spec.rope_theta,
+            dtype=x.dtype, scaling=spec.rope_scaling,
+        )
+
+    moe = spec.is_moe_layer(rep_idx)
+    H, Hk = spec.n_heads, spec.n_kv_heads
+    q_hd = spec.q_ranks[rep_idx] // H
+
+    def taps_zero():
+        t = {
+            "cov_q": jnp.zeros((H, q_hd, q_hd), jnp.float32),
+            "cov_k": jnp.zeros((Hk, q_hd, q_hd), jnp.float32),
+            "cov_x": jnp.zeros((spec.d_model, spec.d_model), jnp.float32),
+        }
+        if moe:
+            t["cov_mlp"] = jnp.zeros(
+                (spec.n_experts, spec.d_int, spec.d_int), jnp.float32
+            )
+            if spec.has_shared_expert(rep_idx):
+                t["cov_shared"] = jnp.zeros(
+                    (spec.shared_d_int, spec.shared_d_int), jnp.float32
+                )
+        else:
+            d_int = spec.gate_ranks[rep_idx]
+            t["cov_mlp"] = jnp.zeros((d_int, d_int), jnp.float32)
+        return t
+
+    def body(carry, xb):
+        taps_acc, bi_acc = carry
+        x_new, raw = _layer(
+            spec, rep_idx, lp, xb, cos, sin, "raw" if collect else False, attn_impl
+        )
+        bi_acc = bi_acc + _bi_piece(xb, x_new)
+        if collect:
+            gp = gram_precision
+            t = {
+                "cov_q": _head_gram(raw["q"], gp),
+                "cov_k": _head_gram(raw["k"], gp),
+                "cov_x": _gram(raw["x_ln"].reshape(-1, spec.d_model), gp),
+            }
+            if moe:
+                t["cov_mlp"] = _moe_gram(raw["h_moe"], gp)
+                if "h_shared" in raw:
+                    t["cov_shared"] = _gram(
+                        raw["h_shared"].reshape(-1, spec.shared_d_int), gp
+                    )
+            else:
+                t["cov_mlp"] = _gram(raw["h"].reshape(-1, raw["h"].shape[-1]), gp)
+            taps_acc = {k: taps_acc[k] + t[k] for k in taps_acc}
+        return (taps_acc, bi_acc), x_new
+
+    init = (taps_zero() if collect else {}, jnp.zeros((), jnp.float32))
+    (taps, bi), x_out = lax.scan(body, init, x)
+    return x_out, taps, bi
+
+
+def _stage(lp) -> Dict:
+    """Host leaves -> device arrays (async H2D); device leaves pass through."""
+    return jax.tree_util.tree_map(jax.device_put, lp)
+
+
+def _group_batches(batches: Sequence[np.ndarray]) -> List[np.ndarray]:
+    """Stack uniform-shaped batches into [N, B, T] groups (the ragged
+    tail batch becomes its own group)."""
+    groups: Dict[Tuple[int, int], List[np.ndarray]] = {}
+    order: List[Tuple[int, int]] = []
+    for b in batches:
+        key = tuple(b.shape)
+        if key not in groups:
+            groups[key] = []
+            order.append(key)
+        groups[key].append(np.asarray(b, dtype=np.int32))
+    return [np.stack(groups[k]) for k in order]
+
+
+def stream_bi_sweep(
+    spec: ModelSpec,
+    params: Dict,
+    batches: Sequence[np.ndarray],
+    attn_impl: str = "auto",
+) -> List[float]:
+    """BI-only streamed sweep (no taps): one forward's FLOPs, one full
+    H2D weight sweep. Returns per-layer BI scores normalised by sequence
+    count (reference: calibration.py:135-136)."""
+    attn_impl = _resolve_attn(attn_impl)
+    other = {k: v for k, v in params.items() if k != "layers"}
+    other_dev = _stage(_embed_leaves(spec, other))
+    stacks = [
+        _embed_batches(spec, other_dev, jnp.asarray(g)) for g in _group_batches(batches)
+    ]
+    n_seq = sum(int(b.shape[0]) for b in batches)
+    bi = np.zeros(spec.n_layers, dtype=np.float64)
+    staged = _stage(params["layers"][0])
+    for l in range(spec.n_layers):
+        lp = staged
+        if l + 1 < spec.n_layers:
+            staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
+        rep = _rep_index(spec, l)
+        for i in range(len(stacks)):
+            stacks[i], _, bi_l = _stream_layer_step(
+                spec, lp, stacks[i], rep, False, attn_impl, "highest"
+            )
+            bi[l] += float(bi_l)
+    return (bi / n_seq).tolist()
+
+
+def _embed_leaves(spec: ModelSpec, other: Dict) -> Dict:
+    keep = {"embed_tokens"}
+    if spec.arch in ("opt", "gpt2"):
+        keep |= {"project_in", "embed_positions"}
+    return {k: v for k, v in other.items() if k in keep}
+
+
+def _resolve_attn(attn_impl: str) -> str:
+    if attn_impl == "auto":
+        use_flash = jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        return "flash" if use_flash else "xla"
+    return attn_impl
+
+
+def stream_calibrate_solve(
+    spec: ModelSpec,
+    params: Dict,
+    batches: Sequence[np.ndarray],
+    config: CompressionConfig,
+    order: str = "mlp,qk,vo",
+    keep_ratios: Optional[np.ndarray] = None,
+    on_window=None,
+    target_layers: Optional[Sequence[int]] = None,
+) -> Tuple[Dict[str, Dict[int, Dict]], List[float], np.ndarray]:
+    """Calibrate + solve every layer in one streamed sweep.
+
+    Args:
+      params: model pytree; ``params["layers"][l]`` leaves may be host
+        numpy (beyond-HBM staging) or device arrays (resident).
+      keep_ratios: per-layer keep ratios; None runs a BI prepass and
+        allocates (reference: compression_utils.py:79).
+      on_window: optional callback ``(layers, factors_dict)`` invoked as
+        each window's factors land (for incremental persistence).
+      target_layers: layers to SOLVE (default all). Non-target layers
+        still flow activations (the forward needs them) but pay no tap
+        FLOPs — resume sweeps skip already-solved layers' Grams.
+
+    Returns (factors, bi_scores, keep_ratios); factors as host numpy,
+    keyed [suffix][layer].
+    """
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    attn_impl = _resolve_attn("auto" if config.use_flash_attention else "xla")
+    width = max(1, min(config.layers_per_step, spec.n_layers))
+    targets = (
+        set(range(spec.n_layers)) if target_layers is None else set(target_layers)
+    )
+
+    bi_scores: List[float]
+    if keep_ratios is None:
+        bi_scores = stream_bi_sweep(spec, params, batches, attn_impl)
+        keep_ratios, _ = allocate_keep_ratios(
+            bi_scores, config.compression_ratio,
+            smoothing=config.sparsity_smoothing, max_sparsity=config.max_sparsity,
+        )
+        keep_ratios = np.asarray(keep_ratios)
+    else:
+        bi_scores = []
+        keep_ratios = np.asarray(keep_ratios)
+
+    other = {k: v for k, v in params.items() if k != "layers"}
+    other_dev = _stage(_embed_leaves(spec, other))
+    stacks = [
+        _embed_batches(spec, other_dev, jnp.asarray(g)) for g in _group_batches(batches)
+    ]
+    n_seq = sum(int(b.shape[0]) for b in batches)
+    seq_len = int(batches[0].shape[1])
+    total_tokens = n_seq * seq_len
+
+    bi_pass = np.zeros(spec.n_layers, dtype=np.float64)
+    factors: Dict[str, Dict[int, Dict]] = {}
+    window_taps: Dict[int, Dict] = {}
+    window_lp: Dict[int, Dict] = {}
+
+    def flush_window():
+        if not window_taps:
+            return
+        layers = sorted(window_taps)
+        inv = jnp.float32(1.0 / total_tokens)
+        moe_layers = [l for l in layers if spec.is_moe_layer(l)]
+        calib = CalibrationResult(
+            cov_mlp={l: window_taps[l]["cov_mlp"] * inv for l in layers},
+            cov_q={l: window_taps[l]["cov_q"] * inv for l in layers},
+            cov_k={l: window_taps[l]["cov_k"] * inv for l in layers},
+            cov_x={l: window_taps[l]["cov_x"] * inv for l in layers},
+            bi_scores=list(bi_scores),
+            n_sequences=n_seq,
+            total_tokens=total_tokens,
+            cov_shared={
+                l: window_taps[l]["cov_shared"] * inv
+                for l in moe_layers
+                if "cov_shared" in window_taps[l]
+            }
+            or None,
+        )
+        # Mixed dense/MoE windows: solve each kind as its own group (the
+        # batched solvers need uniform cov shapes per call).
+        groups = (
+            [moe_layers, [l for l in layers if l not in moe_layers]]
+            if moe_layers and len(moe_layers) != len(layers)
+            else [layers]
+        )
+        for g in groups:
+            if not g:
+                continue
+            chunk = solve_chunk_batched(
+                spec, {"layers": window_lp}, g, keep_ratios, calib, config, order,
+                fetch="host",
+            )
+            for s, by_layer in chunk.items():
+                factors.setdefault(s, {}).update(by_layer)
+            if on_window is not None:
+                on_window(g, chunk)
+        window_taps.clear()
+        window_lp.clear()
+
+    staged = _stage(params["layers"][0])
+    for l in range(spec.n_layers):
+        lp = staged
+        if l + 1 < spec.n_layers:
+            staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
+        rep = _rep_index(spec, l)
+        collect = l in targets
+        taps_l = None
+        for i in range(len(stacks)):
+            stacks[i], taps, bi_l = _stream_layer_step(
+                spec, lp, stacks[i], rep, collect, attn_impl, config.gram_precision
+            )
+            bi_pass[l] += float(bi_l)
+            if collect:
+                taps_l = taps if taps_l is None else {
+                    k: taps_l[k] + taps[k] for k in taps_l
+                }
+        if collect:
+            window_taps[l] = taps_l
+            window_lp[l] = lp
+        if len(window_taps) >= width or l == spec.n_layers - 1:
+            flush_window()
+
+    if not bi_scores:
+        bi_scores = (bi_pass / n_seq).tolist()
+    logger.info(
+        "streamed calibrate+solve: %d layers, %d sequences x %d tokens, width %d",
+        spec.n_layers, n_seq, seq_len, width,
+    )
+    return factors, bi_scores, keep_ratios

@@ -389,6 +389,42 @@ def run_compression(
         with trace(config.profile_dir or None):
             fused_result = fused_compress(spec, params, calib_batches, config)
         logger.info("fused compression: 3 dispatches + 1 host fetch")
+    elif config.calib_exec == "stream" and not pp_mode and mesh is None:
+        # Layer-streamed sweep (compress/offload.py): ONE forward pass for
+        # the whole job, weights staged per layer — the beyond-HBM path
+        # (host-resident params) and the fastest resident big-model path
+        # (no per-chunk forward repeats). Factors persist per window so
+        # the sweep composes with resume like the chunked loop.
+        from modegpt_tpu.compress.offload import stream_calibrate_solve
+
+        pending_all = [
+            l
+            for l in range(n_layers)
+            if not all(
+                load_layer_factors(config.temp_storage_dir, l, s) is not None
+                for s in suffixes
+            )
+        ]
+        if pending_all:
+
+            def _persist(layers_done, chunk):
+                for s, by_layer in chunk.items():
+                    for l, f in by_layer.items():
+                        save_layer_factors(config.temp_storage_dir, l, s, f)
+
+            with trace(config.profile_dir or None):
+                _, bi_scores, _keep = stream_calibrate_solve(
+                    spec, params, calib_batches, config, order,
+                    on_window=_persist, target_layers=pending_all,
+                )
+            _, max_sp = allocate_keep_ratios(
+                bi_scores, config.compression_ratio,
+                smoothing=config.sparsity_smoothing,
+                max_sparsity=config.max_sparsity,
+            )
+            metrics["max_layer_sparsity"] = max_sp
+            metrics["smoothing"] = config.sparsity_smoothing
+            gc.collect()
     # fused already captured its trace above — don't open a second,
     # empty session around the skipped layer loop (it would shadow the
     # real capture as the directory's latest run).
@@ -434,7 +470,8 @@ def run_compression(
                     from modegpt_tpu.calib.engine import calibrate_window
 
                     calib = calibrate_window(
-                        spec, params, calib_batches, start, layers_per_step
+                        spec, params, calib_batches, start, layers_per_step,
+                        gram_precision=config.gram_precision,
                     )
                 else:
                     accumulate = (
@@ -462,6 +499,7 @@ def run_compression(
                             accumulate=accumulate,
                             shard_sequence=config.shard_sequence,
                             shard_stats=config.shard_stats,
+                            gram_precision=config.gram_precision,
                         )
                         if calib is None:
                             calib = part
@@ -512,14 +550,30 @@ def run_compression(
     if fused_result is not None:
         comp_spec, comp_params = fused_result
     else:
-        comp_spec, comp_params = apply_factors(
-            spec,
-            params,
-            release_dense=config.release_dense,
-            mlp_factors=factors.get("mlp"),
-            qk_factors=factors.get("qk"),
-            vo_factors=factors.get("vo"),
+        # Host-resident params (the beyond-HBM streamed flow): assemble
+        # the compressed model on the CPU backend — at 13B+ geometry even
+        # the compressed weights can exceed one chip's HBM, and the
+        # artifact write consumes host arrays anyway.
+        import contextlib
+
+        leaves = jax.tree_util.tree_leaves(params["layers"][0])
+        host_resident = leaves and all(
+            not isinstance(a, jax.Array) for a in leaves if hasattr(a, "shape")
         )
+        ctx = (
+            jax.default_device(jax.local_devices(backend="cpu")[0])
+            if host_resident
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            comp_spec, comp_params = apply_factors(
+                spec,
+                params,
+                release_dense=config.release_dense,
+                mlp_factors=factors.get("mlp"),
+                qk_factors=factors.get("qk"),
+                vo_factors=factors.get("vo"),
+            )
     n_after = count_params(comp_params)
     metrics["params_before"] = n_before
     metrics["params_after"] = n_after

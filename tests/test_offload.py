@@ -1,0 +1,230 @@
+"""Layer-streamed (host-offload) calibration + solve: equality with the
+resident paths, staged-vs-resident bit-exactness, resume, and pipeline
+integration (compress/offload.py — the TPU answer to the reference's
+device_map="auto" beyond-HBM spill, src/model_utils.py:70)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modegpt_tpu.calib.data import load_calibration_batches
+from modegpt_tpu.calib.engine import calibrate
+from modegpt_tpu.compress.batched import solve_chunk_batched
+from modegpt_tpu.compress.offload import stream_bi_sweep, stream_calibrate_solve
+from modegpt_tpu.config import CompressionConfig
+from modegpt_tpu.models.init import init_params
+from modegpt_tpu.models.spec import ModelSpec
+from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+
+def _llama_spec(n_layers=3, d_model=64, d_int=144):
+    return ModelSpec(
+        arch="llama", vocab_size=128, d_model=d_model, n_layers=n_layers,
+        n_heads=4, n_kv_heads=2, head_dim=d_model // 4,
+        d_int=d_int, max_position_embeddings=128, act="silu", norm="rmsnorm",
+        norm_eps=1e-6, rope_theta=10000.0, attention_bias=False, mlp_bias=False,
+        tie_word_embeddings=False,
+        q_ranks=(d_model,) * n_layers, k_ranks=(d_model // 2,) * n_layers,
+        v_ranks=(d_model // 2,) * n_layers, o_ranks=(d_model,) * n_layers,
+        gate_ranks=(d_int,) * n_layers,
+    )
+
+
+def _config(**kw):
+    kw.setdefault("solver_precision", "f32_device")
+    return CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2,
+        seq_len=32, compression_ratio=0.3, sparsity_smoothing=0.5, **kw
+    )
+
+
+def _host_params(params):
+    """Device pytree -> host numpy pytree (the beyond-HBM residency)."""
+    return jax.tree_util.tree_map(lambda a: np.asarray(a), params)
+
+
+def test_stream_matches_chunked_factors():
+    """Streamed sweep factors == calibrate+solve_chunk_batched factors
+    (same solvers, same covariance math, different execution schedule)."""
+    spec = _llama_spec()
+    params = init_params(spec, jax.random.key(0))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=2)
+
+    calib = calibrate(spec, params, batches, list(range(3)), accumulate="device")
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, 0.5, 0.8)
+    ref = solve_chunk_batched(
+        spec, params, list(range(3)), np.asarray(keep), calib, config, "mlp,qk,vo"
+    )
+
+    factors, bi, keep_s = stream_calibrate_solve(spec, params, batches, config)
+    np.testing.assert_allclose(bi, calib.bi_scores, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(keep_s), np.asarray(keep), rtol=2e-5)
+    for s in ("mlp", "qk", "vo"):
+        assert sorted(factors[s]) == [0, 1, 2]
+        for l in range(3):
+            for k, v in ref[s][l].items():
+                np.testing.assert_allclose(
+                    np.asarray(factors[s][l][k]), np.asarray(v),
+                    rtol=5e-4, atol=5e-5, err_msg=f"{s}[{l}][{k}]",
+                )
+
+
+def test_staged_equals_resident_bitwise():
+    """Host-numpy (staged) weights and device-resident weights through
+    the SAME streamed path must produce bit-identical factors — staging
+    is a transport, not a numeric path."""
+    spec = _llama_spec()
+    params = init_params(spec, jax.random.key(1))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=1)
+
+    f_dev, bi_dev, keep_dev = stream_calibrate_solve(spec, params, batches, config)
+    f_host, bi_host, keep_host = stream_calibrate_solve(
+        spec, _host_params(params), batches, config
+    )
+    np.testing.assert_array_equal(np.asarray(keep_dev), np.asarray(keep_host))
+    assert bi_dev == bi_host
+    for s in f_dev:
+        for l in f_dev[s]:
+            for k in f_dev[s][l]:
+                np.testing.assert_array_equal(
+                    np.asarray(f_dev[s][l][k]), np.asarray(f_host[s][l][k]),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
+
+
+def test_stream_fixed_keep_and_target_layers():
+    """keep_ratios supplied -> no BI prepass (single sweep); target_layers
+    restricts solving (the resume path) without touching the forward."""
+    spec = _llama_spec()
+    params = init_params(spec, jax.random.key(2))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=2)
+
+    keep = np.asarray([0.7, 0.8, 0.9])
+    factors, bi, keep_out = stream_calibrate_solve(
+        spec, params, batches, config, keep_ratios=keep, target_layers=[1, 2]
+    )
+    np.testing.assert_array_equal(keep_out, keep)
+    for s in ("mlp", "qk", "vo"):
+        assert sorted(factors[s]) == [1, 2]
+    assert len(bi) == 3 and all(np.isfinite(bi))
+
+
+def test_stream_bi_matches_calibrate():
+    spec = _llama_spec()
+    params = init_params(spec, jax.random.key(3))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    ref = calibrate(spec, params, batches, [0], accumulate="host")
+    bi = stream_bi_sweep(spec, params, batches)
+    np.testing.assert_allclose(bi, ref.bi_scores, rtol=2e-5)
+
+
+def test_stream_moe_mixed_stack():
+    """Mixed dense/MoE stack through the streamed sweep: per-kind solve
+    groups, per-expert factor shapes."""
+    spec = ModelSpec(
+        arch="mixtral", vocab_size=128, d_model=64, n_layers=3, n_heads=4,
+        n_kv_heads=2, head_dim=16, d_int=48, max_position_embeddings=128,
+        act="silu", norm="rmsnorm", norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        q_ranks=(64,) * 3, k_ranks=(32,) * 3, v_ranks=(32,) * 3,
+        o_ranks=(64,) * 3, gate_ranks=(96, 48, 96),
+        n_experts=4, experts_per_tok=2, moe_layers=(1,),
+    )
+    params = init_params(spec, jax.random.key(4))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=3)
+
+    factors, bi, keep = stream_calibrate_solve(spec, params, batches, config)
+    assert sorted(factors["mlp"]) == [0, 1, 2]
+    assert factors["mlp"][0]["up"].ndim == 2  # dense
+    assert factors["mlp"][1]["up"].ndim == 3  # per-expert stack
+    assert factors["mlp"][1]["up"].shape[0] == 4
+
+    # equality vs the chunked reference on the dense + MoE layers
+    calib = calibrate(spec, params, batches, [0, 2], accumulate="device")
+    calib1 = calibrate(spec, params, batches, [1], accumulate="device")
+    keep_arr = np.asarray(keep)
+    ref_d = solve_chunk_batched(spec, params, [0, 2], keep_arr, calib, config, "mlp")
+    ref_m = solve_chunk_batched(spec, params, [1], keep_arr, calib1, config, "mlp")
+    for l, ref in ((0, ref_d), (2, ref_d), (1, ref_m)):
+        for k, v in ref["mlp"][l].items():
+            np.testing.assert_allclose(
+                np.asarray(factors["mlp"][l][k]), np.asarray(v),
+                rtol=5e-4, atol=5e-5, err_msg=f"mlp[{l}][{k}]",
+            )
+
+
+def test_stream_pipeline_end_to_end(tmp_path):
+    """--calib_exec stream through run_compression: same compressed
+    kernels as the default chunked pipeline, factor store populated
+    (resume-compatible)."""
+    import os
+
+    import transformers
+    import torch
+
+    from modegpt_tpu.compress.pipeline import run_compression
+    from modegpt_tpu.models import params_from_hf_model
+
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(7)
+    spec, params = params_from_hf_model(transformers.LlamaForCausalLM(cfg).eval())
+
+    def mk(sub, **kw):
+        return CompressionConfig(
+            model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2,
+            seq_len=32, compression_ratio=0.3, sparsity_smoothing=0.5,
+            layers_per_step=2, solver_precision="f32_device",
+            output_dir=str(tmp_path / sub / "o"),
+            temp_storage_dir=str(tmp_path / sub / "l"),
+            metrics_dir=str(tmp_path / sub / "m"),
+            skip_baseline_eval=True, skip_final_eval=True, **kw,
+        )
+
+    ref = run_compression(mk("ref"), spec=spec, params=params, tokenizer=None)
+    got = run_compression(
+        mk("stream", calib_exec="stream"), spec=spec, params=params, tokenizer=None
+    )
+    assert got["compressed_spec"].gate_ranks == ref["compressed_spec"].gate_ranks
+    assert got["compressed_spec"].q_ranks == ref["compressed_spec"].q_ranks
+    for l in range(spec.n_layers):
+        for name in ("up", "down", "q", "v"):
+            np.testing.assert_allclose(
+                np.asarray(got["compressed_params"]["layers"][l][name]["kernel"]),
+                np.asarray(ref["compressed_params"]["layers"][l][name]["kernel"]),
+                rtol=2e-3, atol=2e-4, err_msg=f"layer {l} {name}",
+            )
+    store = str(tmp_path / "stream" / "l")
+    files = [f for f in os.listdir(store) if f.startswith("layer_")]
+    assert len(files) >= 9  # 3 layers x 3 suffixes persisted for resume
+
+
+def test_stream_pipeline_host_resident(tmp_path):
+    """Host-numpy params through the streamed pipeline: surgery runs on
+    the CPU backend and the artifact round-trips."""
+    from modegpt_tpu.compress.artifact import load_compressed_model
+    from modegpt_tpu.compress.pipeline import run_compression
+
+    spec = _llama_spec()
+    params = _host_params(init_params(spec, jax.random.key(5)))
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=4, calibs_batch_size=2,
+        seq_len=32, compression_ratio=0.3, sparsity_smoothing=0.5,
+        layers_per_step=1, solver_precision="f32_device", calib_exec="stream",
+        output_dir=str(tmp_path / "o"), temp_storage_dir=str(tmp_path / "l"),
+        metrics_dir=str(tmp_path / "m"),
+        skip_baseline_eval=True, skip_final_eval=True,
+    )
+    results = run_compression(config, spec=spec, params=params, tokenizer=None)
+    cspec, cparams, _ = load_compressed_model(results["artifact_dir"])
+    assert max(cspec.gate_ranks) < spec.d_int
+    assert results["params_after"] < results["params_before"]
