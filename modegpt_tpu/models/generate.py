@@ -216,13 +216,51 @@ def decode_step(spec, params, token, cache):
     return logits[:, -1, :], cache
 
 
-def _sample(logits, key, temperature: float, top_k: Optional[int]):
+def apply_repetition_penalty(logits, presence, penalty: float):
+    """CTRL-style repetition penalty (HF RepetitionPenaltyLogitsProcessor):
+    for tokens marked in `presence` [..., V], positive logits divide by
+    the penalty and negative ones multiply — both push the probability
+    down for penalty > 1. Applied BEFORE temperature, like HF."""
+    penalised = jnp.where(logits > 0, logits / penalty, logits * penalty)
+    return jnp.where(presence, penalised, logits)
+
+
+def _sample(
+    logits,
+    key,
+    temperature: float,
+    top_k: Optional[int],
+    top_p: Optional[float] = None,
+    min_p: Optional[float] = None,
+):
+    """Sample (or argmax) next tokens from [..., V] logits.
+
+    Filter order matches HF's LogitsProcessor chain: temperature ->
+    top-k -> top-p (nucleus: smallest set with cumulative probability
+    >= top_p) -> min-p (drop tokens below min_p * max-prob). All knobs
+    are static, so each combination is its own compiled program.
+    """
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
-    logits = logits / temperature
+    logits = logits.astype(jnp.float32) / temperature
     if top_k is not None:
         vals, _ = lax.top_k(logits, top_k)
         logits = jnp.where(logits < vals[..., -1:], -jnp.inf, logits)
+    if top_p is not None and top_p < 1.0:
+        sorted_desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+        probs = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep a token if the cumulative mass BEFORE it is < top_p (the
+        # minimal prefix whose mass reaches top_p survives)
+        keep = (cum - probs) < top_p
+        thr = jnp.min(
+            jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < thr, -jnp.inf, logits)
+    if min_p is not None and min_p > 0.0:
+        probs = jax.nn.softmax(logits, axis=-1)
+        pmax = jnp.max(probs, axis=-1, keepdims=True)
+        logits = jnp.where(probs < min_p * pmax, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
 
 
@@ -236,8 +274,15 @@ def generate(
     eos_token_id: Optional[int] = None,
     key: Optional[jax.Array] = None,
     max_len: Optional[int] = None,
+    top_p: Optional[float] = None,
+    min_p: Optional[float] = None,
+    repetition_penalty: Optional[float] = None,
 ):
-    """Batched autoregressive generation. Returns [B, prompt+new] tokens."""
+    """Batched autoregressive generation. Returns [B, prompt+new] tokens.
+
+    Sampling surface: temperature / top_k / top_p (nucleus) / min_p /
+    repetition_penalty (CTRL-style over prompt + generated tokens; the
+    presence mask lives on device — no host round-trips)."""
     prompt_ids = jnp.asarray(prompt_ids)
     B, P = prompt_ids.shape
     if max_len is None:
@@ -248,15 +293,30 @@ def generate(
     cache = init_cache(spec, B, max_len, dtype=params["embed_tokens"].dtype)
     logits, cache = prefill(spec, params, prompt_ids, cache)
 
+    presence = None
+    if repetition_penalty is not None and repetition_penalty != 1.0:
+        presence = (
+            jnp.zeros((B, spec.vocab_size), bool)
+            .at[jnp.arange(B)[:, None], prompt_ids]
+            .set(True)
+        )
+
     out = [prompt_ids]
     done = jnp.zeros((B,), dtype=bool)
     token = None
     for _ in range(max_new_tokens):
         key, sub = jax.random.split(key)
-        token = _sample(logits, sub, temperature, top_k)
+        step_logits = logits
+        if presence is not None:
+            step_logits = apply_repetition_penalty(
+                logits, presence, repetition_penalty
+            )
+        token = _sample(step_logits, sub, temperature, top_k, top_p, min_p)
         if eos_token_id is not None:
             token = jnp.where(done, eos_token_id, token)
             done = done | (token == eos_token_id)
+        if presence is not None:
+            presence = presence.at[jnp.arange(B), token].set(True)
         out.append(token[:, None])
         if eos_token_id is not None and bool(done.all()):
             break

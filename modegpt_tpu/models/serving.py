@@ -121,13 +121,16 @@ def _step_cache(spec, layers, other, q_hd_true, tokens, lengths,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "temperature", "moe", "moe_capacity"),
+    static_argnames=(
+        "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
+    ),
     donate_argnames=("state",),
 )
 def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: jax.Array,
                        chunk: jax.Array, pos0: jax.Array, real_len: jax.Array,
                        commit: jax.Array, temperature: float, key: jax.Array,
-                       moe: str = "dense", moe_capacity: float = 2.0):
+                       moe: str = "dense", moe_capacity: float = 2.0,
+                       top_p=None, min_p=None, rep_penalty=None, presence=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
@@ -150,7 +153,16 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         spec, layers, other, q_hd_true, chunk, pos0, ck, cv, scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
     )
-    nxt = _sample(logits[0, real_len - 1][None], key, temperature, None)[0].astype(jnp.int32)
+    last_logits = logits[0, real_len - 1][None]
+    if rep_penalty is not None:
+        from modegpt_tpu.models.generate import apply_repetition_penalty
+
+        row = lax.dynamic_index_in_dim(presence, slot, axis=0, keepdims=True)
+        last_logits = apply_repetition_penalty(last_logits, row, rep_penalty)
+    nxt = _sample(
+        logits=last_logits, key=key, temperature=temperature, top_k=None,
+        top_p=top_p, min_p=min_p,
+    )[0].astype(jnp.int32)
     return ServeState(
         cache_k=lax.dynamic_update_index_in_dim(state.cache_k, ck[:, 0], slot, axis=1),
         cache_v=lax.dynamic_update_index_in_dim(state.cache_v, cv[:, 0], slot, axis=1),
@@ -169,14 +181,17 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "temperature", "moe", "moe_capacity"),
+    static_argnames=(
+        "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
+    ),
     donate_argnames=("state",),
 )
 def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        chunks: jax.Array, pos0: jax.Array, real_len: jax.Array,
                        commit: jax.Array, prefill_mask: jax.Array,
                        temperature: float, key: jax.Array,
-                       moe: str = "dense", moe_capacity: float = 2.0):
+                       moe: str = "dense", moe_capacity: float = 2.0,
+                       top_p=None, min_p=None, rep_penalty=None, presence=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -219,7 +234,14 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     )
     idx = jnp.maximum(real_len - 1, 0)
     last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
-    nxt = _sample(last_logits, key, temperature, None).astype(jnp.int32)
+    if rep_penalty is not None:
+        from modegpt_tpu.models.generate import apply_repetition_penalty
+
+        last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
+    nxt = _sample(
+        logits=last_logits, key=key, temperature=temperature, top_k=None,
+        top_p=top_p, min_p=min_p,
+    ).astype(jnp.int32)
     return ServeState(
         cache_k=ck, cache_v=cv,
         lengths=jnp.where(prefill_mask, pos0 + real_len, state.lengths),
@@ -230,25 +252,34 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "temperature", "top_k", "moe", "moe_capacity"),
-    donate_argnames=("state",),
+    static_argnames=(
+        "spec", "temperature", "top_k", "moe", "moe_capacity",
+        "top_p", "min_p", "rep_penalty",
+    ),
+    donate_argnames=("state", "presence"),
 )
 def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       temperature: float, top_k, key,
-                      moe: str = "dense", moe_capacity: float = 2.0):
+                      moe: str = "dense", moe_capacity: float = 2.0,
+                      top_p=None, min_p=None, rep_penalty=None, presence=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
-                            temperature, top_k, key, moe, moe_capacity)
+                            temperature, top_k, key, moe, moe_capacity,
+                            top_p, min_p, rep_penalty, presence)
 
 
 def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      active: jax.Array, temperature: float, top_k, key,
-                     moe: str, moe_capacity: float):
+                     moe: str, moe_capacity: float,
+                     top_p=None, min_p=None, rep_penalty=None, presence=None):
     """THE decode step, shared by the single-dispatch and fused-scan
-    programs so their step math cannot drift apart."""
-    from modegpt_tpu.models.generate import _sample
+    programs so their step math cannot drift apart. With a repetition
+    penalty, `presence` [slots, V] marks each slot's seen tokens; the
+    step reads it for the penalty and records the sampled token.
+    Returns (state, nxt, presence)."""
+    from modegpt_tpu.models.generate import _sample, apply_repetition_penalty
 
     tokens = state.last_token[:, None]
     # [L, slots, ...] pools are the padded step's cache layout; per-row
@@ -259,24 +290,36 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         state.cache_k, state.cache_v, state.scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
     )
-    nxt = _sample(logits[:, -1, :], key, temperature, top_k).astype(jnp.int32)
+    last_logits = logits[:, -1, :]
+    if rep_penalty is not None:
+        last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
+    nxt = _sample(
+        logits=last_logits, key=key, temperature=temperature, top_k=top_k,
+        top_p=top_p, min_p=min_p,
+    ).astype(jnp.int32)
+    if rep_penalty is not None:
+        S = nxt.shape[0]
+        presence = presence.at[jnp.arange(S), nxt].set(
+            active | presence[jnp.arange(S), nxt]
+        )
     new_len = jnp.where(active, state.lengths + 1, state.lengths)
     new_last = jnp.where(active, nxt, state.last_token)
     return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last,
-                      k_scale=ks, v_scale=vs), nxt
+                      k_scale=ks, v_scale=vs), nxt, presence
 
 
 @partial(
     jax.jit,
     static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
-                     "moe", "moe_capacity"),
-    donate_argnames=("state",),
+                     "moe", "moe_capacity", "top_p", "min_p", "rep_penalty"),
+    donate_argnames=("state", "presence"),
 )
 def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             active: jax.Array, budgets: jax.Array, eos: jax.Array,
                             n_steps: int, temperature: float, top_k, key,
                             has_eos: bool = False,
-                            moe: str = "dense", moe_capacity: float = 2.0):
+                            moe: str = "dense", moe_capacity: float = 2.0,
+                            top_p=None, min_p=None, rep_penalty=None, presence=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -302,21 +345,22 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
     slot's EOS/budget stop are garbage and masked False."""
 
     def body(carry, _):
-        st, act, bud, k2 = carry
+        st, act, bud, k2, pres = carry
         k2, sub = jax.random.split(k2)
-        st, nxt = _one_decode_step(spec, layers, other, q_hd_true, st, act,
-                                   temperature, top_k, sub, moe, moe_capacity)
+        st, nxt, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
+                                         temperature, top_k, sub, moe, moe_capacity,
+                                         top_p, min_p, rep_penalty, pres)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
         if has_eos:
             act = act & (nxt != eos)
-        return (st, act, bud, k2), (nxt, emitted)
+        return (st, act, bud, k2, pres), (nxt, emitted)
 
-    (state, _, _, _), (toks, emitted) = lax.scan(
-        body, (state, active, budgets, key), None, length=n_steps
+    (state, _, _, _, presence), (toks, emitted) = lax.scan(
+        body, (state, active, budgets, key, presence), None, length=n_steps
     )
-    return state, toks, emitted
+    return state, toks, emitted, presence
 
 
 @partial(
@@ -467,15 +511,17 @@ def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.n
 
 def decode_slots(pm: PaddedModel, state: ServeState, active: np.ndarray,
                  temperature: float = 0.0, top_k=None, key=None,
-                 moe: str = "dense", moe_capacity: float = 2.0):
+                 moe: str = "dense", moe_capacity: float = 2.0,
+                 top_p=None, min_p=None):
     """One decode step across all slots. Returns (state, tokens [slots])."""
     if key is None:
         key = jax.random.key(0)
-    return _decode_slots_jit(
+    state, nxt, _ = _decode_slots_jit(
         pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
         jnp.asarray(active), temperature, top_k, key, moe=moe,
-        moe_capacity=moe_capacity,
+        moe_capacity=moe_capacity, top_p=top_p, min_p=min_p,
     )
+    return state, nxt
 
 
 class ContinuousBatcher:
@@ -508,13 +554,35 @@ class ContinuousBatcher:
                  spec_decode: str = "off", n_draft: int = 4,
                  lookup_ngram: int = 3, draft_pm: Optional[PaddedModel] = None,
                  kv_dtype: str = "model", steps_per_dispatch: int = 1,
-                 prefill_exec: str = "per_slot"):
+                 prefill_exec: str = "per_slot",
+                 top_p: Optional[float] = None, min_p: Optional[float] = None,
+                 repetition_penalty: Optional[float] = None):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
         self.bucket = prefill_bucket
         self.eos = eos_token_id
         self.temperature = temperature
+        # Sampling surface beyond temperature: nucleus (top_p), min-p,
+        # and CTRL-style repetition penalty over each slot's prompt +
+        # generated tokens (presence pool [slots, V] lives on device and
+        # is updated inside the decode programs — no per-token host
+        # traffic).
+        self.top_p = top_p
+        self.min_p = min_p
+        self.rep_penalty = (
+            None if repetition_penalty in (None, 1.0) else float(repetition_penalty)
+        )
+        self.presence = (
+            jnp.zeros((slots, pm.spec.vocab_size), bool)
+            if self.rep_penalty is not None
+            else None
+        )
+        if spec_decode != "off" and (top_p or min_p or self.rep_penalty):
+            raise ValueError(
+                "speculative serving is greedy-only: top_p/min_p/"
+                "repetition_penalty are sampling knobs it cannot honour"
+            )
         # MoE execution: "dense" (all experts on all tokens; exact) or
         # "dispatch" (capacity-based token dispatch; per-expert FLOPs
         # scale with capacity — see forward._moe_mlp_dispatch).
@@ -618,6 +686,10 @@ class ContinuousBatcher:
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
+                if self.presence is not None:
+                    row = np.zeros((self.pm.spec.vocab_size,), bool)
+                    row[prompt] = True
+                    self.presence = self.presence.at[s].set(jnp.asarray(row))
                 if self.spec_decode != "off":
                     self.stats[rid] = {"rounds": 0, "drafted": 0, "accepted": 0}
                 n_chunks = max(1, -(-prompt.shape[0] // self.bucket))
@@ -631,6 +703,8 @@ class ContinuousBatcher:
         """Host bookkeeping for a slot whose prompt just finished."""
         self.slot_out[s].append(tok)
         self.slot_budget[s] -= 1
+        if self.presence is not None:
+            self.presence = self.presence.at[s, tok].set(True)
         if self.eos is not None and tok == self.eos:
             self.slot_budget[s] = 0
 
@@ -658,6 +732,8 @@ class ContinuousBatcher:
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, *args, self.temperature, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
+                top_p=self.top_p, min_p=self.min_p,
+                rep_penalty=self.rep_penalty, presence=self.presence,
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
@@ -705,6 +781,8 @@ class ContinuousBatcher:
                     jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                     jnp.asarray(is_last), self.temperature, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
+                    top_p=self.top_p, min_p=self.min_p,
+                    rep_penalty=self.rep_penalty, presence=self.presence,
                 )
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
@@ -766,9 +844,13 @@ class ContinuousBatcher:
             # (prefill chunks want per-step interleaving)
             n = self.steps_per_dispatch if not any(self.slot_chunks) else 1
             if n == 1:
-                self.state, toks = decode_slots(
-                    self.pm, self.state, active_mask, self.temperature, None, sub,
+                self.state, toks, self.presence = _decode_slots_jit(
+                    self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                    self.state, jnp.asarray(active_mask),
+                    self.temperature, None, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
+                    top_p=self.top_p, min_p=self.min_p,
+                    rep_penalty=self.rep_penalty, presence=self.presence,
                 )
                 toks = np.asarray(toks)
                 for s in range(self.slots):
@@ -780,12 +862,14 @@ class ContinuousBatcher:
                     [self.slot_budget[s] if active_mask[s] else 0
                      for s in range(self.slots)], jnp.int32,
                 )
-                self.state, toks, emitted = _decode_slots_multi_jit(
+                self.state, toks, emitted, self.presence = _decode_slots_multi_jit(
                     self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                     self.state, jnp.asarray(active_mask), budgets,
                     jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
                     n, self.temperature, None, sub, has_eos=self.eos is not None,
                     moe=self.moe, moe_capacity=self.moe_capacity,
+                    top_p=self.top_p, min_p=self.min_p,
+                    rep_penalty=self.rep_penalty, presence=self.presence,
                 )
                 toks, emitted = np.asarray(toks), np.asarray(emitted)
                 for i in range(n):

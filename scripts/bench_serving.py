@@ -138,9 +138,10 @@ def main():
 
 
     def step(state):
-        return _decode_slots_jit(
+        st, toks, _ = _decode_slots_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active, 0.0, None, key
         )
+        return st, toks
 
     # warmup
     state, toks = step(state)
@@ -171,10 +172,11 @@ def main():
     eos = jnp.asarray(-1, jnp.int32)
 
     def multi(state):
-        return _decode_slots_multi_jit(
+        st, toks, emitted, _ = _decode_slots_multi_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active,
             budgets, eos, MULTI, 0.0, None, key,
         )
+        return st, toks, emitted
 
     state, toks_m, _ = multi(state)
     np.asarray(toks_m[:1, :1])
