@@ -112,16 +112,22 @@ def _pad_linear(p: Dict, pad_in=None, pad_out=None) -> Dict:
 
 def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     """Zero-pad every layer to the stack-wide max rank per module and
-    stack the layer params into [L, ...] leaves."""
-    if spec.n_experts and spec.moe_layers:
-        raise NotImplementedError(
-            "padded-uniform execution requires an all-MoE or all-dense "
-            "stack (mixed qwen3_moe stacks run unrolled)"
-        )
+    stack the layer params into [L, ...] leaves.
+
+    Mixed dense/MoE stacks (qwen3_moe mlp_only_layers): every layer
+    carries BOTH MLP branches — zero dense kernels on MoE layers, zero
+    expert/router kernels on dense layers — plus a scanned ``is_moe``
+    flag; a lax.cond inside the scanned body executes only the live
+    branch (no FLOP overhead). The memory cost is the minority kind's
+    zero kernels; real qwen3_moe configs have few dense layers, so the
+    waste is small — for dense-majority stacks prefer the unrolled path
+    (compressed_exec='auto' already does).
+    """
     # Mixed sliding/full stacks (gemma2 alternates): the per-layer window
     # becomes a SCANNED leaf ("window", 0 = full attention) consumed by
     # _layer_padded — one scanned body still serves every layer.
     mixed_windows = spec.mixed_windows
+    mixed_moe = spec.mixed_moe
     H, Hk = spec.n_heads, spec.n_kv_heads
     L = spec.n_layers
     rope = spec.uses_rope
@@ -129,6 +135,19 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     Rq = max(spec.q_ranks[l] // H for l in range(L))
     Rv = max(spec.v_ranks[l] // Hk for l in range(L))
     Rg = max(spec.gate_ranks)
+    if mixed_moe:
+        Rg_dense = max(spec.gate_ranks[l] for l in range(L) if not spec.is_moe_layer(l))
+        Rg_moe = max(spec.gate_ranks[l] for l in range(L) if spec.is_moe_layer(l))
+        d = spec.d_model
+        E = spec.n_experts
+        # find a live template of each kind for the zero-filled twin
+        tmpl_moe = next(
+            params["layers"][l] for l in range(L) if spec.is_moe_layer(l)
+        )
+        tmpl_dense = next(
+            params["layers"][l] for l in range(L) if not spec.is_moe_layer(l)
+        )
+        pdtype = tmpl_moe["router"]["kernel"].dtype
     # All layers must agree on pytree structure for stacking: if ANY layer
     # carries a rotary mask (or a RoPE layer needs q/k padding), every
     # layer gets one (identity mask for untouched layers).
@@ -161,7 +180,59 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
             "v": _pad_linear(p["v"], pad_out=v_out),
             "o": _pad_linear(p["o"], pad_in=o_in),
         }
-        if spec.is_moe_layer(l):
+        if mixed_moe:
+            # both branches on every layer (module docstring): the live
+            # kind's kernels padded to its own kind-wide max, the other
+            # kind zero-filled; lax.cond picks the branch at scan time
+            if spec.is_moe_layer(l):
+                ek = p["experts"]
+                q["router"] = p["router"]
+                q["experts"] = {
+                    "gate": {"kernel": _pad_tail(ek["gate"]["kernel"], rg, Rg_moe, 2)},
+                    "up": {"kernel": _pad_tail(ek["up"]["kernel"], rg, Rg_moe, 2)},
+                    "down": {"kernel": _pad_tail(ek["down"]["kernel"], rg, Rg_moe, 1)},
+                }
+                q["up"] = {"kernel": jnp.zeros((d, Rg_dense), pdtype)}
+                q["down"] = {"kernel": jnp.zeros((Rg_dense, d), pdtype)}
+                if spec.gated_mlp:
+                    q["gate"] = {"kernel": jnp.zeros((d, Rg_dense), pdtype)}
+            else:
+                q["up"] = _pad_linear(
+                    p["up"], pad_out=lambda x, ax: _pad_tail(x, rg, Rg_dense, ax)
+                )
+                q["down"] = _pad_linear(
+                    p["down"], pad_in=lambda x, ax: _pad_tail(x, rg, Rg_dense, ax)
+                )
+                if spec.gated_mlp:
+                    q["gate"] = _pad_linear(
+                        p["gate"], pad_out=lambda x, ax: _pad_tail(x, rg, Rg_dense, ax)
+                    )
+                q["router"] = {"kernel": jnp.zeros((d, E), pdtype)}
+                q["experts"] = {
+                    "gate": {"kernel": jnp.zeros((E, d, Rg_moe), pdtype)},
+                    "up": {"kernel": jnp.zeros((E, d, Rg_moe), pdtype)},
+                    "down": {"kernel": jnp.zeros((E, Rg_moe, d), pdtype)},
+                }
+            if spec.shared_d_int:
+                Rs = max(spec.shared_rank(j) for j in range(L) if spec.is_moe_layer(j))
+                if spec.has_shared_expert(l):
+                    rs = spec.shared_rank(l)
+                    q["shared"] = {
+                        "gate": _pad_linear(p["shared"]["gate"], pad_out=lambda x, ax: _pad_tail(x, rs, Rs, ax)),
+                        "up": _pad_linear(p["shared"]["up"], pad_out=lambda x, ax: _pad_tail(x, rs, Rs, ax)),
+                        "down": _pad_linear(p["shared"]["down"], pad_in=lambda x, ax: _pad_tail(x, rs, Rs, ax)),
+                    }
+                    if "shared_gate" in p:
+                        q["shared_gate"] = p["shared_gate"]
+                else:
+                    q["shared"] = {
+                        "gate": {"kernel": jnp.zeros((d, Rs), pdtype)},
+                        "up": {"kernel": jnp.zeros((d, Rs), pdtype)},
+                        "down": {"kernel": jnp.zeros((Rs, d), pdtype)},
+                    }
+                    if spec.shared_expert_gate:
+                        q["shared_gate"] = {"kernel": jnp.zeros((d, 1), pdtype)}
+        elif spec.is_moe_layer(l):
             # stacked expert kernels [E, d, rg]/[E, rg, d]: zero-pad the
             # intermediate axis (exact — pads produce zero h, consume zero)
             ek = p["experts"]
@@ -214,17 +285,32 @@ def pad_to_uniform(spec: ModelSpec, params: Dict) -> PaddedModel:
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *padded_layers)
     if mixed_windows:
         stacked["window"] = jnp.asarray(spec.window_per_layer(), jnp.int32)
+    if mixed_moe:
+        stacked["is_moe"] = jnp.asarray(
+            [spec.is_moe_layer(l) for l in range(L)], bool
+        )
     other = {k: v for k, v in params.items() if k != "layers"}
 
+    if mixed_moe:
+        gate_ranks = tuple(
+            Rg_moe if spec.is_moe_layer(l) else Rg_dense for l in range(L)
+        )
+        shared_max = max(
+            (spec.shared_rank(j) for j in range(L) if spec.is_moe_layer(j)),
+            default=0,
+        )
+    else:
+        gate_ranks = (Rg,) * L
+        shared_max = (
+            max(spec.shared_rank(j) for j in range(L)) if spec.shared_d_int else 0
+        )
     pspec = spec.with_ranks(
         q_ranks=(H * Rq,) * L,
         k_ranks=(Hk * Rq,) * L,
         v_ranks=(Hk * Rv,) * L,
         o_ranks=(H * Rv,) * L,
-        gate_ranks=(Rg,) * L,
-        shared_gate_ranks=(max(spec.shared_rank(j) for j in range(L)),) * L
-        if spec.shared_d_int
-        else None,
+        gate_ranks=gate_ranks,
+        shared_gate_ranks=(shared_max,) * L if spec.shared_d_int else None,
     )
     q_hd_true = jnp.asarray([spec.q_ranks[l] / H for l in range(L)], jnp.float32)
     return PaddedModel(spec=pspec, layers=stacked, other=other, q_hd_true=q_hd_true)
@@ -456,7 +542,7 @@ def _layer_padded(
         if (pre_ln and spec.pre_norms)
         else x
     )
-    if spec.n_experts:
+    def _moe_out(x_in):
         from modegpt_tpu.models.forward import _moe_mlp, _moe_mlp_dispatch
 
         if moe == "dispatch":
@@ -464,19 +550,32 @@ def _layer_padded(
             # capacity instead of every-token (the serving-scale MoE path;
             # see forward._moe_mlp_dispatch for drop semantics and the
             # token_valid masking contract).
-            y = _moe_mlp_dispatch(spec, p, x_ln2, moe_capacity, token_valid=token_valid)
-        else:
-            y, _, _ = _moe_mlp(spec, p, x_ln2, False)
-        x = residual + y
-    else:
+            return _moe_mlp_dispatch(
+                spec, p, x_in, moe_capacity, token_valid=token_valid
+            )
+        y, _, _ = _moe_mlp(spec, p, x_in, False)
+        return y
+
+    def _dense_out(x_in):
         if spec.gated_mlp:
-            h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+            h = _act(_linear(x_in, p["gate"]), spec.act) * _linear(x_in, p["up"])
         else:
-            h = _act(_linear(x_ln2, p["up"]), spec.act)
+            h = _act(_linear(x_in, p["up"]), spec.act)
         m_out = _linear(h, p["down"])
         if spec.post_norms:
             m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
-        x = residual + m_out
+        return m_out
+
+    is_moe_leaf = p.get("is_moe")
+    if spec.n_experts and is_moe_leaf is not None:
+        # mixed dense/MoE stack: one scanned body, the per-layer flag
+        # picks the live branch (only it executes — lax.cond)
+        y = lax.cond(is_moe_leaf, _moe_out, _dense_out, x_ln2)
+        x = residual + y
+    elif spec.n_experts:
+        x = residual + _moe_out(x_ln2)
+    else:
+        x = residual + _dense_out(x_ln2)
     if not pre_ln:
         x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
     return x, new_cache

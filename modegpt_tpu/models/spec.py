@@ -136,6 +136,16 @@ class ModelSpec:
     def is_moe_layer(self, layer: int) -> bool:
         return self.n_experts > 0 and (not self.moe_layers or layer in self.moe_layers)
 
+    @property
+    def mixed_moe(self) -> bool:
+        """True when the stack mixes dense and MoE MLP layers
+        (qwen3_moe mlp_only_layers / decoder_sparse_step)."""
+        return (
+            self.n_experts > 0
+            and bool(self.moe_layers)
+            and len(set(self.moe_layers)) != self.n_layers
+        )
+
     def has_shared_expert(self, layer: int) -> bool:
         return self.shared_d_int > 0 and self.is_moe_layer(layer)
 

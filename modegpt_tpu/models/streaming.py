@@ -209,23 +209,31 @@ def _stream_step(
             if (pre_ln and spec.pre_norms)
             else x
         )
-        if spec.is_moe_layer(0):
+        def _moe_out(x_in):
             from modegpt_tpu.models.forward import _moe_mlp
 
-            y, _, _ = _moe_mlp(spec, p, x_ln2, False)
-            x = residual + y
-        elif spec.gated_mlp:
-            h = _act(_linear(x_ln2, p["gate"]), spec.act) * _linear(x_ln2, p["up"])
+            y, _, _ = _moe_mlp(spec, p, x_in, False)
+            return y
+
+        def _dense_out(x_in):
+            if spec.gated_mlp:
+                h = _act(_linear(x_in, p["gate"]), spec.act) * _linear(x_in, p["up"])
+            else:
+                h = _act(_linear(x_in, p["up"]), spec.act)
             m_out = _linear(h, p["down"])
             if spec.post_norms:
                 m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
-            x = residual + m_out
+            return m_out
+
+        is_moe_leaf = p.get("is_moe")
+        if spec.n_experts and is_moe_leaf is not None:
+            # mixed dense/MoE stack (padded.py pad_to_uniform): the
+            # scanned flag picks the live branch per layer
+            x = residual + lax.cond(is_moe_leaf, _moe_out, _dense_out, x_ln2)
+        elif spec.is_moe_layer(0):
+            x = residual + _moe_out(x_ln2)
         else:
-            h = _act(_linear(x_ln2, p["up"]), spec.act)
-            m_out = _linear(h, p["down"])
-            if spec.post_norms:
-                m_out = _norm(m_out, p["post_mlp_norm"], spec.norm, spec.norm_eps)
-            x = residual + m_out
+            x = residual + _dense_out(x_ln2)
         if not pre_ln:
             x = _norm(x, p["mlp_norm"], spec.norm, spec.norm_eps)
         return x, (ck_l, cv_l)

@@ -120,3 +120,56 @@ def test_generate_padded_matches_unrolled(tmp_path, rng, mk):
     ref = np.asarray(generate(cspec, cparams, ids, max_new_tokens=6, temperature=0.0))
     got = np.asarray(generate_padded(pm, ids, max_new_tokens=6, temperature=0.0))
     np.testing.assert_array_equal(got, ref)
+
+
+def _tiny_qwen3_moe_mixed():
+    """qwen3_moe with mlp_only_layers: a mixed dense/MoE stack."""
+    cfg = transformers.Qwen3MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96, moe_intermediate_size=48,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, max_position_embeddings=128,
+        mlp_only_layers=[0], norm_topk_prob=True,
+    )
+    torch.manual_seed(3)
+    return transformers.Qwen3MoeForCausalLM(cfg).eval()
+
+
+def test_forward_padded_mixed_moe_matches_unrolled(rng):
+    """Mixed dense/MoE stack (previously NotImplementedError at
+    pad_to_uniform): both-branch padding + scanned is_moe cond must
+    reproduce the unrolled forward exactly."""
+    spec, params = params_from_hf_model(_tiny_qwen3_moe_mixed())
+    assert spec.mixed_moe and 0 not in spec.moe_layers
+    pm = pad_to_uniform(spec, params)
+    ids = rng.integers(0, spec.vocab_size, size=(2, 16)).astype(np.int32)
+    ref, _ = forward(spec, params, ids)
+    got = forward_padded(pm.spec, pm.layers, pm.other, pm.q_hd_true, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_generate_padded_mixed_moe_matches(rng):
+    spec, params = params_from_hf_model(_tiny_qwen3_moe_mixed())
+    pm = pad_to_uniform(spec, params)
+    ids = rng.integers(0, spec.vocab_size, size=(2, 6)).astype(np.int32)
+    ref = np.asarray(generate(spec, params, ids, max_new_tokens=8, temperature=0.0))
+    got = np.asarray(generate_padded(pm, ids, max_new_tokens=8))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_compressed_mixed_moe_serves(tmp_path, rng):
+    """Compress a mixed stack end to end, then serve it through the
+    batcher (pad_to_uniform is serving's entry requirement)."""
+    from modegpt_tpu.models.serving import ContinuousBatcher
+
+    spec, params = params_from_hf_model(_tiny_qwen3_moe_mixed())
+    cspec, cparams = _compress(tmp_path, spec, params)
+    assert cspec.mixed_moe
+    pm = pad_to_uniform(cspec, cparams)
+    ref = np.asarray(
+        generate(cspec, cparams, rng.integers(0, 128, size=(1, 5)).astype(np.int32),
+                 max_new_tokens=6, temperature=0.0)
+    )
+    b = ContinuousBatcher(pm, slots=2, max_len=48, prefill_bucket=8)
+    rid = b.submit(ref[0, :5], max_new_tokens=6)
+    out = b.run()[rid]
+    np.testing.assert_array_equal(np.asarray(out), ref[0])
