@@ -201,11 +201,17 @@ def fused_compress(
     params: Dict,
     batches: Sequence[np.ndarray],
     config: CompressionConfig,
+    mesh=None,
 ):
     """Compress with 3 dispatches + 1 tiny fetch (see module docstring).
 
     Returns (compressed_spec, compressed_params) — identical factors to
     the standard pipeline at solver_precision="f32_device".
+
+    mesh: optional data-parallel mesh — the stacked calibration batches
+    are committed sharded over the "data" axis (params replicated), so
+    GSPMD partitions the calibration forwards and psums the Gram stacks;
+    the solver/finalize stages run replicated.
     """
     if not supports_fused(spec):
         raise ValueError(
@@ -213,6 +219,11 @@ def fused_compress(
             "(gated MLP, pre-norm, bias-free attention)"
         )
     stacked = jnp.asarray(np.stack([np.asarray(b, dtype=np.int32) for b in batches]))
+    if mesh is not None and "data" in mesh.axis_names:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        stacked = jax.device_put(stacked, NamedSharding(mesh, P(None, "data", None)))
+        params = jax.device_put(params, NamedSharding(mesh, P()))
     cov_mlp, cov_q, cov_k, cov_x, keep = _calibrate_allocate(
         spec, params, stacked, float(config.compression_ratio),
         float(config.sparsity_smoothing), float(config.max_sparsity),

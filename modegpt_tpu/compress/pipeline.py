@@ -387,7 +387,7 @@ def run_compression(
         from modegpt_tpu.compress.fused import fused_compress
 
         with trace(config.profile_dir or None):
-            fused_result = fused_compress(spec, params, calib_batches, config)
+            fused_result = fused_compress(spec, params, calib_batches, config, mesh=mesh)
         logger.info("fused compression: 3 dispatches + 1 host fetch")
     elif config.calib_exec == "stream" and not pp_mode and mesh is None:
         # Layer-streamed sweep (compress/offload.py): ONE forward pass for

@@ -556,7 +556,8 @@ class ContinuousBatcher:
                  kv_dtype: str = "model", steps_per_dispatch: int = 1,
                  prefill_exec: str = "per_slot",
                  top_p: Optional[float] = None, min_p: Optional[float] = None,
-                 repetition_penalty: Optional[float] = None):
+                 repetition_penalty: Optional[float] = None,
+                 mesh=None):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -641,6 +642,19 @@ class ContinuousBatcher:
                              kv_dtype=kv_dtype)
             if spec_decode == "draft" else None
         )
+        # Tensor-parallel serving: commit Megatron shardings on the
+        # padded stack and the KV pools (cache Hk axis over "model");
+        # the jitted step programs are unchanged — GSPMD propagates the
+        # input shardings and inserts one psum per block.
+        self.mesh = mesh
+        if mesh is not None:
+            from modegpt_tpu.parallel.mesh import shard_serving
+
+            self.pm, self.state = shard_serving(mesh, self.pm, self.state)
+            if self.draft_state is not None:
+                self.draft_pm, self.draft_state = shard_serving(
+                    mesh, self.draft_pm, self.draft_state
+                )
         # per-request speculative telemetry {rid: {rounds, drafted, accepted}}
         self.stats: Dict[int, Dict[str, int]] = {}
         self.queue: List[Tuple[int, np.ndarray, int]] = []  # (req_id, prompt, max_new)

@@ -32,6 +32,7 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "param_shardings",
+    "shard_serving",
 ]
 
 
@@ -168,3 +169,73 @@ def param_shardings(mesh: Mesh, spec, params) -> Dict:
         shardings["lm_head"] = None
     shardings["layers"] = [layer_sharding(lp) for lp in params["layers"]]
     return shardings
+
+
+def shard_serving(mesh: Mesh, pm, state):
+    """Tensor-parallel placement for the serving stack: returns the
+    (PaddedModel, ServeState) pair device_put with Megatron shardings
+    over the mesh's ``model`` axis.
+
+    The padded stack's [L, ...] leaves get the param_shardings layout
+    shifted one axis right (L leads and stays replicated); the K/V
+    cache pools [L, slots, Hk, max_len, R] shard their KV-HEAD axis over
+    "model", matching the k/v projections so decode's cache scatter and
+    the grouped attention contraction stay local — one psum per block
+    (o/down row-parallel reduction) is the only collective per step.
+    The jitted serving programs are unchanged: GSPMD propagates these
+    committed input shardings through them.
+
+    Requires n_kv_heads % model-axis == 0 (head-sharded attention).
+    """
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        rep = NamedSharding(mesh, P())
+        put = lambda t: jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), t)
+        return pm._replace(layers=put(pm.layers), other=put(pm.other)), jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rep), state
+        )
+    n_model = mesh.shape["model"]
+    spec = pm.spec
+    if spec.n_kv_heads % n_model != 0:
+        raise ValueError(
+            f"serving TP needs n_kv_heads ({spec.n_kv_heads}) divisible by "
+            f"the model axis ({n_model})"
+        )
+
+    rep = NamedSharding(mesh, P())
+    col = NamedSharding(mesh, P(None, None, "model"))  # [L, d, out]
+    row = NamedSharding(mesh, P(None, "model", None))  # [L, in, d]
+    bias_col = NamedSharding(mesh, P(None, "model"))
+    ep = NamedSharding(mesh, P(None, "model", None, None))  # [L, E, ., .]
+
+    def leaf(name, sub):
+        if name in ("q", "k", "v", "up", "gate"):
+            out = {"kernel": col}
+            if "bias" in sub:
+                out["bias"] = bias_col
+            return out
+        if name in ("o", "down"):
+            out = {"kernel": row}
+            if "bias" in sub:
+                out["bias"] = rep
+            return out
+        if name == "experts" and spec.n_experts % n_model == 0:
+            return {k: {"kernel": ep} for k in sub}
+        if name == "shared":
+            return {"gate": {"kernel": col}, "up": {"kernel": col}, "down": {"kernel": row}}
+        return jax.tree_util.tree_map(lambda _: rep, sub)
+
+    layer_sh = {name: leaf(name, sub) for name, sub in pm.layers.items()}
+    layers = jax.tree_util.tree_map(jax.device_put, pm.layers, layer_sh)
+    other = jax.tree_util.tree_map(lambda a: jax.device_put(a, rep), pm.other)
+
+    cache_sh = NamedSharding(mesh, P(None, None, "model", None, None))
+    scale_sh = NamedSharding(mesh, P(None, None, "model", None))
+    state = state._replace(
+        cache_k=jax.device_put(state.cache_k, cache_sh),
+        cache_v=jax.device_put(state.cache_v, cache_sh),
+        lengths=jax.device_put(state.lengths, rep),
+        last_token=jax.device_put(state.last_token, rep),
+        k_scale=None if state.k_scale is None else jax.device_put(state.k_scale, scale_sh),
+        v_scale=None if state.v_scale is None else jax.device_put(state.v_scale, scale_sh),
+    )
+    return pm._replace(layers=layers, other=other, q_hd_true=jax.device_put(pm.q_hd_true, rep)), state

@@ -477,3 +477,91 @@ def test_int8_kv_with_speculative(rng):
                           kv_dtype="int8", spec_decode="prompt_lookup", n_draft=4)
     rs = b.submit(prompt, max_new_tokens=12)
     assert b.run()[rs] == want
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel serving on a virtual mesh (parallel/mesh.shard_serving)
+# ---------------------------------------------------------------------------
+
+
+def _serving_mesh(data=4, model=2):
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < data * model:
+        pytest.skip(f"needs {data * model} devices")
+    return Mesh(np.asarray(devs[: data * model]).reshape(data, model), ("data", "model"))
+
+
+def test_batcher_tp_mesh_matches_single_device(rng):
+    """A 4x2 virtual mesh batcher (cache Hk axis sharded over 'model',
+    Megatron projections) must emit the same greedy tokens as the
+    unsharded batcher (CPU f32)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, spec.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 9, 3)]
+
+    def run(mesh):
+        b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8, mesh=mesh)
+        rids = [b.submit(p, max_new_tokens=8) for p in prompts]
+        out = b.run()
+        return [out[r] for r in rids]
+
+    ref = run(None)
+    got = run(_serving_mesh())
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_batcher_tp_mesh_fused_and_batched_prefill(rng):
+    """Mesh serving composes with the dispatch-amortisation knobs
+    (batched prefill + fused multi-step decode)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, spec.vocab_size, size=(p,)).astype(np.int32)
+               for p in (5, 7)]
+
+    ref_b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8)
+    rids = [ref_b.submit(p, max_new_tokens=6) for p in prompts]
+    out = ref_b.run()
+    ref = [out[r] for r in rids]
+
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          mesh=_serving_mesh(), prefill_exec="batched",
+                          steps_per_dispatch=3)
+    rids = [b.submit(p, max_new_tokens=6) for p in prompts]
+    out = b.run()
+    got = [out[r] for r in rids]
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_fused_compress_dp_mesh_matches_single_device(rng):
+    """Fused compression under a dp mesh: Gram stacks psum-reduced over
+    the data shards must yield the same compressed kernels."""
+    import jax
+
+    from modegpt_tpu.calib.data import load_calibration_batches
+    from modegpt_tpu.compress.fused import fused_compress
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    config = CompressionConfig(
+        model="mem", dataset="synthetic", calib_size=8, calibs_batch_size=4,
+        seq_len=32, compression_ratio=0.3, sparsity_smoothing=0.5,
+        solver_precision="f32_device",
+    )
+    batches = load_calibration_batches(None, "synthetic", 8, 4, 32, vocab_size=128)
+    cspec_ref, cparams_ref = fused_compress(spec, params, batches, config)
+    cspec_got, cparams_got = fused_compress(
+        spec, params, batches, config, mesh=_serving_mesh(data=4, model=2)
+    )
+    assert cspec_got.gate_ranks == cspec_ref.gate_ranks
+    for l in range(spec.n_layers):
+        for name in ("up", "down", "q", "v", "o"):
+            np.testing.assert_allclose(
+                np.asarray(cparams_got["layers"][l][name]["kernel"]),
+                np.asarray(cparams_ref["layers"][l][name]["kernel"]),
+                rtol=2e-4, atol=2e-5, err_msg=f"layer {l} {name}",
+            )
