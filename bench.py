@@ -32,10 +32,24 @@ import numpy as np
 import os as _os
 
 _PRESET = _os.environ.get("MODEGPT_BENCH_PRESET", "small")
-if _PRESET == "large32":
+if _PRESET == "large13B":
+    # Llama-2-13B geometry at FULL depth: ~25 GB bf16 weights — strictly
+    # BIGGER than the 15.75 GiB of v5e HBM. Weights live in host RAM;
+    # the layer-streamed sweep (compress/offload.py) stages one layer at
+    # a time into HBM (double-buffered H2D), mirroring the scale the
+    # reference only reaches by spilling across devices via
+    # device_map="auto" (reference: src/model_utils.py:70, tests.sh:150).
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 5120, 40, 40, 128
+    D_INT, N_LAYERS, VOCAB = 13824, 40, 32000
+    SEQ, CALIB_SEQS, BATCH = 2048, 8, 2
+    _LABEL = "13B-40L"
+elif _PRESET == "large32":
     # Llama-2-7B geometry at FULL depth on one chip: 13.5 GB bf16 weights
-    # + per-chunk Gram stats inside 16 GB HBM via layers_per_step
-    # chunking (the reference's own memory strategy, run_modegpt.py:107).
+    # + per-window Gram stats inside 16 GB HBM. Default execution is the
+    # layer-streamed sweep (compress/offload.py): TWO forward passes for
+    # the whole job (BI prepass + tap sweep) instead of one forward per
+    # layer chunk. MODEGPT_BENCH_STREAM=0 falls back to the windowed
+    # chunked loop (the reference's memory strategy, run_modegpt.py:107).
     D_MODEL, N_HEADS, N_KV, HEAD_DIM = 4096, 32, 8, 128
     D_INT, N_LAYERS, VOCAB = 11008, 32, 32000
     SEQ, CALIB_SEQS, BATCH = 2048, 8, 4
@@ -58,12 +72,24 @@ else:
     SEQ, CALIB_SEQS, BATCH = 512, 8, 4
     _LABEL = "0.1B"
 RATIO = 0.3
-if _PRESET == "large32":
+# Streamed presets solve in 1-layer windows: one layer's taps
+# (d_int^2 f32 ~ 0.5-0.8 GB at 7B/13B scale) + <=2 staged layers +
+# activations is the whole HBM footprint beside any resident weights.
+# MODEGPT_BENCH_STREAM=1 forces the streamed path on any preset (=0
+# restores the windowed chunked loop on large32); large13B is always
+# streamed — nothing else can run beyond-HBM weights.
+_STREAMED = _PRESET == "large13B" or (
+    _os.environ.get("MODEGPT_BENCH_STREAM", "1" if _PRESET == "large32" else "0")
+    == "1"
+)
+if _PRESET == "large32" and not _STREAMED:
     # chunked calibration bounds per-chunk Gram memory; ONE layer per
     # chunk leaves ~3.3 GB beside the 11.8 GB resident weights for the
     # d_int=11008 Cholesky working set; batch 2 halves the activation
     # transients at seq 2048.
     BATCH = 2
+    LAYERS_PER_STEP = 1
+elif _STREAMED:
     LAYERS_PER_STEP = 1
 else:
     LAYERS_PER_STEP = N_LAYERS
@@ -93,9 +119,15 @@ def workload_flops() -> float:
     mlp = 3 * 2 * d * di
     attn = 2 * 2 * H * hd * (T + 1) / 2
     fwd = toks * L * (proj + mlp + attn)
-    # calibration runs the FULL forward once per layer chunk
-    n_chunks = -(-L // LAYERS_PER_STEP)
-    fwd *= n_chunks
+    if _STREAMED:
+        # layer-streamed execution (compress/offload.py): the BI prepass
+        # and the tap sweep are each ONE full forward — executed ==
+        # useful FLOPs, no per-chunk forward repeats.
+        fwd *= 2
+    else:
+        # chunked calibration runs the FULL forward once per layer chunk
+        n_chunks = -(-L // LAYERS_PER_STEP)
+        fwd *= n_chunks
     # Gram taps per token-layer: cov_mlp [di,di], cov_x [d,d], per-head q/k
     gram = toks * L * (2 * di * di + 2 * d * d + 2 * H * hd * hd + 2 * Hk * hd * hd)
     # solvers per layer (f32 device): MLP cholesky+inverse+solve, QK
@@ -151,6 +183,36 @@ def dispatch_floor(n: int = 30) -> float:
     return min(ts)
 
 
+def _host_init_params(spec):
+    """Host-numpy bf16 init for the beyond-HBM preset: same pytree
+    structure as init_params (via eval_shape), leaves filled host-side so
+    the 25 GB model never touches the device — the streamed sweep stages
+    layers one at a time. Norm scales are ones (a random scale would
+    collapse activations over 40 layers and degenerate the statistics)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from modegpt_tpu.models.init import init_params
+
+    shapes = jax.eval_shape(
+        lambda: init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+    )
+    rng = np.random.default_rng(0)
+
+    def fill(path, sd):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "scale":
+            return np.ones(sd.shape, dtype=ml_dtypes.bfloat16)
+        if name == "bias":
+            return np.zeros(sd.shape, dtype=ml_dtypes.bfloat16)
+        return (rng.standard_normal(sd.shape, dtype=np.float32) * 0.02).astype(
+            ml_dtypes.bfloat16
+        )
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
 def bench_jax() -> float:
     import jax
 
@@ -172,10 +234,10 @@ def bench_jax() -> float:
         n_heads=N_HEADS, n_kv_heads=N_KV, head_dim=HEAD_DIM, d_int=D_INT,
         max_position_embeddings=SEQ * 2, act="silu", norm="rmsnorm", norm_eps=1e-6,
         rope_theta=10000.0, attention_bias=False, mlp_bias=False,
-        # large32: tie embeddings so no lm_head is resident — the
+        # large presets: tie embeddings so no lm_head is resident — the
         # compress job never consumes it (calibration DCEs the unembed)
         # and 262 MB matters beside an 11.8 GB model on a 16 GB chip.
-        tie_word_embeddings=(_PRESET == "large32"),
+        tie_word_embeddings=(_PRESET in ("large32", "large13B")),
         q_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS, k_ranks=(N_KV * HEAD_DIM,) * N_LAYERS,
         v_ranks=(N_KV * HEAD_DIM,) * N_LAYERS, o_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS,
         gate_ranks=(D_INT,) * N_LAYERS,
@@ -185,11 +247,18 @@ def bench_jax() -> float:
     # bf16 weights: the production configuration (the reference's saved
     # artifacts are always bf16, model_utils.py:111-118). Calibration
     # statistics still accumulate in f32 at HIGHEST MXU precision.
-    params = init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+    # large13B: the model does NOT fit in HBM — weights are host numpy
+    # and the streamed sweep stages them per layer (compress/offload.py).
+    def fresh_params():
+        if _PRESET == "large13B":
+            return _host_init_params(spec)
+        return init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+
+    params = fresh_params()
     config = CompressionConfig(
         compression_ratio=RATIO, solver_precision="f32_device",
         sparsity_smoothing=0.5, calib_size=CALIB_SEQS, calibs_batch_size=BATCH,
-        seq_len=SEQ, model_dtype="bfloat16",
+        seq_len=SEQ, model_dtype="bfloat16", layers_per_step=LAYERS_PER_STEP,
     )
     batches = load_calibration_batches(None, "synthetic", CALIB_SEQS, BATCH, SEQ,
                                        vocab_size=VOCAB)
@@ -205,10 +274,12 @@ def bench_jax() -> float:
 
     # Fused path (3 dispatches + 1 tiny fetch, compress/fused.py): the
     # framework's fast path for latency-bound scales — default for
-    # small/medium; the memory-bound large32 preset uses the chunked
-    # windowed pipeline. MODEGPT_BENCH_FUSED=0 forces the chunked path.
+    # small/medium; the memory-bound large presets use the layer-streamed
+    # sweep. MODEGPT_BENCH_FUSED=0 forces the chunked path.
     use_fused = (
-        _PRESET != "large32" and _os.environ.get("MODEGPT_BENCH_FUSED", "1") == "1"
+        not _STREAMED
+        and _PRESET not in ("large32", "large13B")
+        and _os.environ.get("MODEGPT_BENCH_FUSED", "1") == "1"
     )
     if use_fused:
         from modegpt_tpu.compress.fused import fused_compress
@@ -222,6 +293,32 @@ def bench_jax() -> float:
         if use_fused:
             cspec, cparams = fused_compress(spec, params, batches, config)
             return cspec, cparams, np.zeros(N_LAYERS)  # keep unused on this path
+        if _STREAMED:
+            # Layer-streamed sweep (compress/offload.py): BI prepass +
+            # ONE tap/solve forward, weights staged per layer — runs the
+            # 7B resident and the 25 GB beyond-HBM geometry alike. The
+            # pass includes factor persistence semantics (factors land on
+            # host) and dense-release surgery, like the chunked large32
+            # flow. 13B surgery assembles on host: even the compressed
+            # model can exceed one chip's HBM.
+            import contextlib
+
+            from modegpt_tpu.compress.offload import stream_calibrate_solve
+
+            factors, _bi, keep = stream_calibrate_solve(
+                spec, params, batches, config, keep_ratios=keep_fixed
+            )
+            ctx = (
+                jax.default_device(jax.local_devices(backend="cpu")[0])
+                if _PRESET == "large13B"
+                else contextlib.nullcontext()
+            )
+            with ctx:
+                cspec, cparams = apply_factors(
+                    spec, params, factors["mlp"], factors["qk"], factors["vo"],
+                    release_dense=True,
+                )
+            return cspec, cparams, keep
         factors = {"mlp": {}, "qk": {}, "vo": {}}
         keep = keep_fixed
         for start in range(0, N_LAYERS, LAYERS_PER_STEP):
@@ -262,21 +359,20 @@ def bench_jax() -> float:
     # Warmup: one full pass (calibrate + solve + surgery) compiles every
     # program with the exact shapes/ranks of the timed pass; the sync
     # keeps warmup work from spilling into the timed region.
-    def fresh_params():
-        return init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
-
+    release = _STREAMED or _PRESET == "large32"
     t = time.perf_counter()
     cspec, wparams, keep_w = one_pass()
     sync(wparams["layers"])
-    log(f"jax warmup (compile): {time.perf_counter() - t:.2f}s")
+    warmup_s = time.perf_counter() - t
+    log(f"jax warmup (compile): {warmup_s:.2f}s")
     keep_host = np.asarray(keep_w)
 
     # min of N timed passes: the tunneled backend adds multi-hundred-ms
     # dispatch jitter per pass; min is the steady-state compute.
-    n_runs = 1 if _PRESET == "large32" else 3
+    n_runs = 1 if release else 3
     times = []
     for _ in range(n_runs):
-        if _PRESET == "large32":
+        if release:
             # release_dense consumed the projections; restore a fresh
             # dense model OUTSIDE the timed region
             del wparams
@@ -293,7 +389,7 @@ def bench_jax() -> float:
         f"gate_ranks={cspec.gate_ranks}"
     )
 
-    if _PRESET == "large32":
+    if release:
         # host-fetched factors make every pass host-synced; the queue
         # trick does not apply — report the wall number for both.
         on_chip = elapsed
@@ -322,7 +418,7 @@ def bench_jax() -> float:
             log(f"peak HBM: {hbm_peak:.2f} GiB")
     except Exception:
         pass
-    return elapsed, min(on_chip, elapsed), hbm_peak
+    return elapsed, min(on_chip, elapsed), hbm_peak, warmup_s
 
 
 def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
@@ -469,7 +565,22 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
 
 
 def main():
-    ours, on_chip, hbm_peak = bench_jax()
+    # XLA compile accounting (VERDICT r2 §weak-5): count actual backend
+    # compiles and the time they took, so cold-vs-warm cache progress is
+    # driver-visible. Cache HITS don't fire backend_compile events, so
+    # n_compiles on a warm disk cache ~ 0 and warmup_s is mostly load.
+    compile_events = []
+    try:
+        from jax._src import monitoring
+
+        monitoring.register_event_duration_secs_listener(
+            lambda e, d, **kw: compile_events.append(d)
+            if e == "/jax/core/compile/backend_compile_duration"
+            else None
+        )
+    except Exception:
+        pass
+    ours, on_chip, hbm_peak, warmup_s = bench_jax()
     floor = dispatch_floor()
     flops = workload_flops()
     peak, device_kind = device_peak_flops()
@@ -505,6 +616,12 @@ def main():
         "mfu_wall": round(flops / ours / peak, 4) if peak else None,
         "device_kind": str(device_kind),
         "dispatch_floor_s": round(floor, 4),
+        # warmup = first full pass incl. tracing + compiles + cache loads;
+        # n_compiles/compile_s are the XLA backend compiles actually run
+        # (disk-cache hits fire no event — warm restarts show ~0 here).
+        "warmup_s": round(warmup_s, 2),
+        "n_compiles": len(compile_events),
+        "compile_s": round(sum(compile_events), 2),
     }
     if hbm_peak is not None:
         out["hbm_peak_gib"] = round(hbm_peak, 2)

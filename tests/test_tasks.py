@@ -204,3 +204,55 @@ def test_partial_scoring_only_suffix_ll_counts(rng):
 
     # equal-continuation byte norm is a monotone transform: acc == acc_norm
     assert res["acc"] == res["acc_norm"]
+
+
+def test_optuna_objective_with_fake_trial():
+    """The optuna `objective` is exercised with a shim Trial (optuna is
+    not installed here): it must sample every knob in the reference's
+    space (log-scaled, within bounds — ref optuna.py:17-24), apply them
+    to the config, and return run_fn's score."""
+    import math
+
+    from modegpt_tpu.analysis.search import SEARCH_SPACE, objective
+
+    class FakeTrial:
+        """Log-midpoint sampler with the optuna suggest_float signature."""
+
+        def __init__(self):
+            self.suggested = {}
+
+        def suggest_float(self, name, lo, hi, log=False):
+            assert log == (SEARCH_SPACE[name][2] == "log")
+            v = math.exp((math.log(lo) + math.log(hi)) / 2) if log else (lo + hi) / 2
+            self.suggested[name] = v
+            return v
+
+    seen = {}
+
+    def run_fn(cfg):
+        for name in SEARCH_SPACE:
+            seen[name] = getattr(cfg, name)
+        return 17.25
+
+    trial = FakeTrial()
+    value = objective(trial, CompressionConfig(), run_fn=run_fn)
+    assert value == 17.25
+    assert set(trial.suggested) == set(SEARCH_SPACE)
+    for name, (lo, hi, _) in SEARCH_SPACE.items():
+        assert lo <= seen[name] <= hi
+        assert seen[name] == trial.suggested[name]  # applied, not defaults
+
+
+def test_run_optuna_study_import_gate():
+    """Without optuna installed the study entry must fail with the
+    actionable ImportError, not an opaque ModuleNotFoundError."""
+    import importlib.util
+
+    import pytest
+
+    from modegpt_tpu.analysis.search import run_optuna_study
+
+    if importlib.util.find_spec("optuna") is not None:
+        pytest.skip("optuna present; gate not reachable")
+    with pytest.raises(ImportError, match="random_search"):
+        run_optuna_study(CompressionConfig(), n_trials=1)
