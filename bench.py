@@ -31,6 +31,16 @@ import numpy as np
 # large (7B-proxy layer geometry, 4 layers).
 import os as _os
 
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # Honour an explicit CPU request even on hosts whose sitecustomize
+    # force-registers a remote TPU platform (see modegpt_tpu/__init__.py).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 _PRESET = _os.environ.get("MODEGPT_BENCH_PRESET", "small")
 if _PRESET == "large13B":
     # Llama-2-13B geometry at FULL depth: ~25 GB bf16 weights — strictly
@@ -43,6 +53,17 @@ if _PRESET == "large13B":
     D_INT, N_LAYERS, VOCAB = 13824, 40, 32000
     SEQ, CALIB_SEQS, BATCH = 2048, 8, 2
     _LABEL = "13B-40L"
+elif _PRESET == "moe8":
+    # Mixtral-8x7B layer geometry (8 experts, d_int 14336, top-2) at 8
+    # layers: ~24 GB bf16 — beyond one chip's HBM, host-resident weights
+    # streamed per layer. Calibration executes dense-all-experts (Grams
+    # cover each expert's routed tokens, reference hook semantics);
+    # expert solves are memory-chunked (compress/batched._solve_mlp_moe).
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 4096, 32, 8, 128
+    D_INT, N_LAYERS, VOCAB = 14336, 8, 32000
+    SEQ, CALIB_SEQS, BATCH = 2048, 8, 2
+    N_EXPERTS, TOP_K = 8, 2
+    _LABEL = "mixtral8x-8L"
 elif _PRESET == "large32":
     # Llama-2-7B geometry at FULL depth on one chip: 13.5 GB bf16 weights
     # + per-window Gram stats inside 16 GB HBM. Default execution is the
@@ -71,6 +92,15 @@ else:
     D_INT, N_LAYERS, VOCAB = 2816, 4, 8192
     SEQ, CALIB_SEQS, BATCH = 512, 8, 4
     _LABEL = "0.1B"
+if _PRESET != "moe8":
+    N_EXPERTS, TOP_K = 0, 2
+if _os.environ.get("MODEGPT_BENCH_SMOKE") == "1":
+    # Structural smoke: the SAME code paths (streamed/host-resident/MoE
+    # branches included) at toy dims, so every preset is CPU-testable.
+    D_MODEL, N_HEADS, N_KV, HEAD_DIM = 128, 4, 2, 32
+    D_INT, VOCAB = 256, 512
+    N_LAYERS = min(N_LAYERS, 3)
+    SEQ, CALIB_SEQS, BATCH = 64, 4, 2
 RATIO = 0.3
 # Streamed presets solve in 1-layer windows: one layer's taps
 # (d_int^2 f32 ~ 0.5-0.8 GB at 7B/13B scale) + <=2 staged layers +
@@ -78,7 +108,9 @@ RATIO = 0.3
 # MODEGPT_BENCH_STREAM=1 forces the streamed path on any preset (=0
 # restores the windowed chunked loop on large32); large13B is always
 # streamed — nothing else can run beyond-HBM weights.
-_STREAMED = _PRESET == "large13B" or (
+# Host-resident presets: the dense model exceeds one chip's HBM.
+_HOST_RESIDENT = _PRESET in ("large13B", "moe8")
+_STREAMED = _HOST_RESIDENT or (
     _os.environ.get("MODEGPT_BENCH_STREAM", "1" if _PRESET == "large32" else "0")
     == "1"
 )
@@ -116,7 +148,10 @@ def workload_flops() -> float:
     # XLA DCEs the lm_head), so charging 2*d*V per token would inflate
     # MFU with phantom FLOPs.
     proj = 2 * d * H * hd + 2 * 2 * d * Hk * hd + 2 * H * hd * d
-    mlp = 3 * 2 * d * di
+    # MoE calibration executes dense-all-experts (forward.py:_moe_mlp) so
+    # every expert's Gram covers its routed tokens exactly — charge E x.
+    E = max(N_EXPERTS, 1)
+    mlp = E * 3 * 2 * d * di
     attn = 2 * 2 * H * hd * (T + 1) / 2
     fwd = toks * L * (proj + mlp + attn)
     if _STREAMED:
@@ -128,13 +163,15 @@ def workload_flops() -> float:
         # chunked calibration runs the FULL forward once per layer chunk
         n_chunks = -(-L // LAYERS_PER_STEP)
         fwd *= n_chunks
-    # Gram taps per token-layer: cov_mlp [di,di], cov_x [d,d], per-head q/k
-    gram = toks * L * (2 * di * di + 2 * d * d + 2 * H * hd * hd + 2 * Hk * hd * hd)
+    # Gram taps per token-layer: cov_mlp [di,di] (x E for MoE — the
+    # masked [B,T,E,di] intermediates hit the MXU at full token count),
+    # cov_x [d,d], per-head q/k
+    gram = toks * L * (E * 2 * di * di + 2 * d * d + 2 * H * hd * hd + 2 * Hk * hd * hd)
     # solvers per layer (f32 device): MLP cholesky+inverse+solve, QK
     # ridged-diagonal scoring (no eigh on the hot path), VO eigh + SVDs
     r_mlp = int(di * (1 - RATIO))
     r_hd = int(hd * (1 - RATIO)) // 2 * 2
-    mlp_s = di**3 / 3 + di**3 + 2 * r_mlp * di * d + r_mlp**3 / 3 + 2 * r_mlp**2 * d
+    mlp_s = E * (di**3 / 3 + di**3 + 2 * r_mlp * di * d + r_mlp**3 / 3 + 2 * r_mlp**2 * d)
     vo_s = 10 * d**3 + Hk * (2 * d * d * hd + 6 * d * hd**2 + 2 * d * d * r_hd) \
         + H * (2 * r_hd * hd * d)
     qk_s = H * hd * hd + Hk * hd * hd  # diagonal scoring only
@@ -230,14 +267,16 @@ def bench_jax() -> float:
     from modegpt_tpu.ops.allocation import allocate_keep_ratios
 
     spec = ModelSpec(
-        arch="llama", vocab_size=VOCAB, d_model=D_MODEL, n_layers=N_LAYERS,
+        arch="mixtral" if N_EXPERTS else "llama",
+        n_experts=N_EXPERTS, experts_per_tok=TOP_K,
+        vocab_size=VOCAB, d_model=D_MODEL, n_layers=N_LAYERS,
         n_heads=N_HEADS, n_kv_heads=N_KV, head_dim=HEAD_DIM, d_int=D_INT,
         max_position_embeddings=SEQ * 2, act="silu", norm="rmsnorm", norm_eps=1e-6,
         rope_theta=10000.0, attention_bias=False, mlp_bias=False,
         # large presets: tie embeddings so no lm_head is resident — the
         # compress job never consumes it (calibration DCEs the unembed)
         # and 262 MB matters beside an 11.8 GB model on a 16 GB chip.
-        tie_word_embeddings=(_PRESET in ("large32", "large13B")),
+        tie_word_embeddings=(_PRESET in ("large32", "large13B", "moe8")),
         q_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS, k_ranks=(N_KV * HEAD_DIM,) * N_LAYERS,
         v_ranks=(N_KV * HEAD_DIM,) * N_LAYERS, o_ranks=(N_HEADS * HEAD_DIM,) * N_LAYERS,
         gate_ranks=(D_INT,) * N_LAYERS,
@@ -250,7 +289,7 @@ def bench_jax() -> float:
     # large13B: the model does NOT fit in HBM — weights are host numpy
     # and the streamed sweep stages them per layer (compress/offload.py).
     def fresh_params():
-        if _PRESET == "large13B":
+        if _HOST_RESIDENT:
             return _host_init_params(spec)
         return init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
 
@@ -278,7 +317,7 @@ def bench_jax() -> float:
     # sweep. MODEGPT_BENCH_FUSED=0 forces the chunked path.
     use_fused = (
         not _STREAMED
-        and _PRESET not in ("large32", "large13B")
+        and _PRESET not in ("large32", "large13B", "moe8")
         and _os.environ.get("MODEGPT_BENCH_FUSED", "1") == "1"
     )
     if use_fused:
@@ -310,7 +349,7 @@ def bench_jax() -> float:
             )
             ctx = (
                 jax.default_device(jax.local_devices(backend="cpu")[0])
-                if _PRESET == "large13B"
+                if _HOST_RESIDENT
                 else contextlib.nullcontext()
             )
             with ctx:
@@ -434,20 +473,36 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
     import transformers
 
     torch.manual_seed(0)
-    cfg = transformers.LlamaConfig(
-        vocab_size=VOCAB, hidden_size=D_MODEL, intermediate_size=D_INT,
-        num_hidden_layers=n_layers, num_attention_heads=N_HEADS,
-        num_key_value_heads=N_KV, max_position_embeddings=SEQ * 2,
-        tie_word_embeddings=False,
-    )
-    model = transformers.LlamaForCausalLM(cfg).eval()
+    if N_EXPERTS:
+        cfg = transformers.MixtralConfig(
+            vocab_size=VOCAB, hidden_size=D_MODEL, intermediate_size=D_INT,
+            num_hidden_layers=n_layers, num_attention_heads=N_HEADS,
+            num_key_value_heads=N_KV, max_position_embeddings=SEQ * 2,
+            num_local_experts=N_EXPERTS, num_experts_per_tok=TOP_K,
+            tie_word_embeddings=False,
+        )
+        model = transformers.MixtralForCausalLM(cfg).eval()
+    else:
+        cfg = transformers.LlamaConfig(
+            vocab_size=VOCAB, hidden_size=D_MODEL, intermediate_size=D_INT,
+            num_hidden_layers=n_layers, num_attention_heads=N_HEADS,
+            num_key_value_heads=N_KV, max_position_embeddings=SEQ * 2,
+            tie_word_embeddings=False,
+        )
+        model = transformers.LlamaForCausalLM(cfg).eval()
 
     rng = np.random.default_rng(1234)
     tokens = torch.tensor(
         rng.integers(0, VOCAB, size=(CALIB_SEQS, SEQ)), dtype=torch.long
     )
 
-    cov_mlp = [torch.zeros(D_INT, D_INT, dtype=torch.float64) for _ in range(n_layers)]
+    _E = max(N_EXPERTS, 1)
+    cov_mlp = [
+        torch.zeros(D_INT, D_INT, dtype=torch.float64)
+        if not N_EXPERTS
+        else torch.zeros(_E, D_INT, D_INT, dtype=torch.float64)
+        for _ in range(n_layers)
+    ]
     cov_q = [torch.zeros(N_HEADS, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(n_layers)]
     cov_k = [torch.zeros(N_KV, HEAD_DIM, HEAD_DIM, dtype=torch.float64) for _ in range(n_layers)]
     cov_x = [torch.zeros(D_MODEL, D_MODEL, dtype=torch.float64) for _ in range(n_layers)]
@@ -470,9 +525,22 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
             cov_x[l] += torch.einsum("btd,bte->de", x, x)
         return hook
 
+    def moe_hook(l, e):
+        # HF Mixtral runs each expert on its routed tokens only; the
+        # pre-w2 input IS the routed intermediate (same Gram semantics
+        # as our masked dense-all-experts tap, forward.py:_moe_gram).
+        def hook(mod, inp):
+            h = inp[0].detach().to(torch.float64).reshape(-1, D_INT)
+            cov_mlp[l][e] += h.T @ h
+        return hook
+
     handles = []
     for l, blk in enumerate(model.model.layers):
-        handles.append(blk.mlp.down_proj.register_forward_pre_hook(mlp_hook(l)))
+        if N_EXPERTS:
+            for e, ex in enumerate(blk.block_sparse_moe.experts):
+                handles.append(ex.w2.register_forward_pre_hook(moe_hook(l, e)))
+        else:
+            handles.append(blk.mlp.down_proj.register_forward_pre_hook(mlp_hook(l)))
         handles.append(blk.self_attn.q_proj.register_forward_hook(proj_hook(l, cov_q, N_HEADS)))
         handles.append(blk.self_attn.k_proj.register_forward_hook(proj_hook(l, cov_k, N_KV)))
         handles.append(blk.input_layernorm.register_forward_hook(ln_hook(l)))
@@ -505,20 +573,33 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
     rank_hd = int(HEAD_DIM * (1 - RATIO)) // 2 * 2
     group = N_HEADS // N_KV
     with torch.no_grad():
-        for l, blk in enumerate(model.model.layers):
-            C = cov_mlp[l] / total_tokens
+        def solve_type1(C, W_d, W_u, W_g):
             L = torch.linalg.cholesky(C + 1e-2 * torch.eye(D_INT, dtype=torch.float64))
             inv_diag = torch.diag(torch.cholesky_inverse(L))
             topk, _ = torch.sort(torch.topk(inv_diag, rank_mlp, largest=False).indices)
-            W_d = blk.mlp.down_proj.weight.double()
             C_SS = C[topk][:, topk]
             cross = C[topk, :] @ W_d.T
             Lr = torch.linalg.cholesky(C_SS + 1e-6 * torch.eye(rank_mlp, dtype=torch.float64))
             # materialise the factors the reference persists, at its bf16
             # save dtype (compress_mlp.py:59-63)
-            mlp_down = torch.cholesky_solve(cross, Lr).to(torch.bfloat16)
-            mlp_up = blk.mlp.up_proj.weight.double()[topk, :].contiguous().to(torch.bfloat16)
-            mlp_gate = blk.mlp.gate_proj.weight.double()[topk, :].contiguous().to(torch.bfloat16)
+            return (
+                torch.cholesky_solve(cross, Lr).to(torch.bfloat16),
+                W_u[topk, :].contiguous().to(torch.bfloat16),
+                W_g[topk, :].contiguous().to(torch.bfloat16),
+            )
+
+        for l, blk in enumerate(model.model.layers):
+            if N_EXPERTS:
+                for e, ex in enumerate(blk.block_sparse_moe.experts):
+                    _f = solve_type1(
+                        cov_mlp[l][e] / total_tokens, ex.w2.weight.double(),
+                        ex.w3.weight.double(), ex.w1.weight.double(),
+                    )
+            else:
+                _f = solve_type1(
+                    cov_mlp[l] / total_tokens, blk.mlp.down_proj.weight.double(),
+                    blk.mlp.up_proj.weight.double(), blk.mlp.gate_proj.weight.double(),
+                )
 
             # QK: per-head sqrt + pair scores + row slicing (the reference
             # slices Q rows for every head in the group plus the K rows

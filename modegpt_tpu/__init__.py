@@ -29,4 +29,22 @@ Capabilities (feature parity with the reference, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    # Some hosts (e.g. axon-tunneled TPU images) force-register their
+    # platform from sitecustomize, overriding JAX_PLATFORMS from the
+    # environment — an explicit CPU request then silently initializes
+    # (and can hang on) the remote backend. Restore the standard JAX
+    # contract: an explicit JAX_PLATFORMS=cpu wins for every entry
+    # point (CLI, scripts, library imports). Config-level override is
+    # honored at first backend init, so this is safe pre-initialization
+    # and a no-op on hosts that already respect the env var.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", "cpu")
+    except Exception:  # backends already initialized — caller's choice stands
+        pass
+
 from modegpt_tpu.config import CompressionConfig  # noqa: F401

@@ -215,18 +215,27 @@ def _solve_mlp_moe(
     are one flat batch through the SAME padded Nystrom program as the
     dense path — each expert is solved against the Gram of its own routed
     tokens, all experts of a layer share the layer's rank (so the expert
-    stack stays uniform-shaped)."""
+    stack stays uniform-shaped).
+
+    Memory-aware two ways: when the budget fits several whole layers, the
+    batch is (step layers x E experts); when ONE layer's expert stack
+    exceeds the budget (Mixtral geometry: 8 experts at d_int 14336 on a
+    16 GB chip), experts are chunked e_step at a time and each chunk is
+    its own program — covariances are sliced per chunk BEFORE stacking so
+    nothing materialises the full [E, D, D] twice."""
     E = spec.n_experts
     fdt = _fetch_dtype(config)
     pad_all = int(max(ranks))
-    step = max(1, _mlp_layers_per_program(spec, pad_all, mesh) // E)
+    units = _mlp_layers_per_program(spec, pad_all, mesh)  # (layer, expert) units
+    step = max(1, units // E)
+    e_step = E if units >= E else max(1, units)
 
-    def stack_e(sub, name):
-        # expert kernels [E, in, out] -> HF [E, out, in], stacked over layers
+    def stack_e(sub, name, es):
+        # expert kernels [E, in, out] -> HF [out, in] per unit, chunk es
         if use_dev:
             w = jnp.stack(
                 [
-                    jnp.transpose(layer_params[l]["experts"][name]["kernel"], (0, 2, 1))
+                    jnp.transpose(layer_params[l]["experts"][name]["kernel"][es], (0, 2, 1))
                     for l in sub
                 ]
             )
@@ -235,77 +244,97 @@ def _solve_mlp_moe(
                 np.stack(
                     [
                         np.transpose(
-                            np.asarray(layer_params[l]["experts"][name]["kernel"]), (0, 2, 1)
+                            np.asarray(layer_params[l]["experts"][name]["kernel"][es]),
+                            (0, 2, 1),
                         )
                         for l in sub
                     ]
                 )
             )
-        return w.astype(dt).reshape((len(sub) * E,) + w.shape[2:])
+        return w.astype(dt).reshape((len(sub) * w.shape[1],) + w.shape[2:])
 
     out = {}
+    pieces: Dict[int, Dict[str, list]] = {}
     for s in range(0, len(layers), step):
         sub = layers[s : s + step]
         sub_ranks = ranks[s : s + step]
-        n = len(sub)
-        cov = _stack_covs(calib.cov_mlp, sub, dt, use_dev)  # [n, E, D, D]
-        cov = cov.reshape((n * E,) + cov.shape[2:])
-        W_u = stack_e(sub, "up")
-        W_g = stack_e(sub, "gate")
-        W_d = stack_e(sub, "down")
-        ranks_arr = jnp.asarray(np.repeat(sub_ranks, E), dtype=jnp.int32)
+        for e0 in range(0, E, e_step):
+            es = slice(e0, min(e0 + e_step, E))
+            ne = es.stop - es.start
+            if use_dev:
+                cov = jnp.stack([calib.cov_mlp[l][es] for l in sub]).astype(dt)
+            else:
+                cov = jnp.asarray(
+                    np.stack([np.asarray(calib.cov_mlp[l])[es] for l in sub]), dtype=dt
+                )
+            cov = cov.reshape((len(sub) * ne,) + cov.shape[2:])
+            W_u = stack_e(sub, "up", es)
+            W_g = stack_e(sub, "gate", es)
+            W_d = stack_e(sub, "down", es)
+            ranks_arr = jnp.asarray(np.repeat(sub_ranks, ne), dtype=jnp.int32)
 
-        (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
-            (cov, W_u, W_g, W_d), ranks_arr, mesh
-        )
-        up, gate, down, idx, valid = jax.vmap(
-            nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
-        )(cov, W_u, W_g, W_d, ranks_arr, pad_all, jnp.asarray(config.nystrom_ridge, dt))
+            (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
+                (cov, W_u, W_g, W_d), ranks_arr, mesh
+            )
+            up, gate, down, idx, valid = jax.vmap(
+                nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
+            )(cov, W_u, W_g, W_d, ranks_arr, pad_all, jnp.asarray(config.nystrom_ridge, dt))
 
-        if fetch == "device":
-            idx_dev = np.asarray(idx)
+            if fetch == "device":
+                idx_dev = np.asarray(idx)
+                for i, l in enumerate(sub):
+                    r = sub_ranks[i]
+                    sl = slice(i * ne, (i + 1) * ne)
+                    p = pieces.setdefault(l, {"up": [], "gate": [], "down": [], "idx": []})
+                    p["up"].append(up[sl, :r].astype(fdt or up.dtype))
+                    p["gate"].append(gate[sl, :r].astype(fdt or gate.dtype))
+                    p["down"].append(down[sl, :, :r].astype(fdt or down.dtype))
+                    p["idx"].append(idx_dev[sl, :r])
+                continue
+
+            # One ragged transfer per factor kind across (layer, expert) pairs.
+            def cat_rows(stack):  # [n*ne, pad, d] -> exact [sum ne*r, d], one fetch
+                parts = [
+                    stack[i * ne : (i + 1) * ne, : sub_ranks[i]].reshape(
+                        ne * sub_ranks[i], -1
+                    )
+                    for i in range(len(sub))
+                ]
+                return jnp.concatenate(parts, axis=0)
+
+            up_h = _fetch(cat_rows(up), fdt)
+            gate_h = _fetch(cat_rows(gate), fdt)
+            down_h = _fetch(cat_rows(jnp.swapaxes(down, 1, 2)), fdt)  # [ne*r, d]
+            idx_h = np.asarray(
+                jnp.concatenate(
+                    [
+                        idx[i * ne : (i + 1) * ne, : sub_ranks[i]].reshape(-1)
+                        for i in range(len(sub))
+                    ]
+                )
+            )
+            off = 0
             for i, l in enumerate(sub):
                 r = sub_ranks[i]
-                sl = slice(i * E, (i + 1) * E)
-                out[l] = {
-                    "up": up[sl, :r].astype(fdt or up.dtype),
-                    "gate": gate[sl, :r].astype(fdt or gate.dtype),
-                    "down": down[sl, :, :r].astype(fdt or down.dtype),
-                    "idx": idx_dev[sl, :r],
-                }
-                logger.info(
-                    "[MLP-MoE] layer %d: %d experts compressed to rank %d", l, E, r
-                )
-            continue
+                sl = slice(off, off + ne * r)
+                p = pieces.setdefault(l, {"up": [], "gate": [], "down": [], "idx": []})
+                p["up"].append(up_h[sl].reshape(ne, r, -1))
+                p["gate"].append(gate_h[sl].reshape(ne, r, -1))
+                p["down"].append(np.swapaxes(down_h[sl].reshape(ne, r, -1), 1, 2))
+                p["idx"].append(idx_h[off : off + ne * r].reshape(ne, r))
+                off += ne * r
 
-        # One ragged transfer per factor kind across (layer, expert) pairs.
-        def cat_rows(stack):  # [n*E, pad, d] -> exact [sum E*r, d], one fetch
-            parts = [
-                stack[i * E : (i + 1) * E, : sub_ranks[i]].reshape(E * sub_ranks[i], -1)
-                for i in range(len(sub))
-            ]
-            return jnp.concatenate(parts, axis=0)
-
-        up_h = _fetch(cat_rows(up), fdt)
-        gate_h = _fetch(cat_rows(gate), fdt)
-        down_h = _fetch(cat_rows(jnp.swapaxes(down, 1, 2)), fdt)  # [E*r, d]
-        idx_h = np.asarray(
-            jnp.concatenate(
-                [idx[i * E : (i + 1) * E, : sub_ranks[i]].reshape(-1) for i in range(len(sub))]
-            )
+    cat = jnp.concatenate if fetch == "device" else np.concatenate
+    for l, p in pieces.items():
+        idx_parts = p.pop("idx")  # host np on both fetch modes
+        out[l] = {k: (v[0] if len(v) == 1 else cat(v, axis=0)) for k, v in p.items()}
+        out[l]["idx"] = (
+            idx_parts[0] if len(idx_parts) == 1 else np.concatenate(idx_parts, axis=0)
         )
-        off = 0
-        for i, l in enumerate(sub):
-            r = sub_ranks[i]
-            s = slice(off, off + E * r)
-            out[l] = {
-                "up": up_h[s].reshape(E, r, -1),
-                "gate": gate_h[s].reshape(E, r, -1),
-                "down": np.swapaxes(down_h[s].reshape(E, r, -1), 1, 2),  # [E, d, r]
-                "idx": idx_h[off : off + E * r].reshape(E, r),
-            }
-            off += E * r
-            logger.info("[MLP-MoE] layer %d: %d experts compressed to rank %d", l, E, r)
+        logger.info(
+            "[MLP-MoE] layer %d: %d experts compressed to rank %d",
+            l, E, ranks[layers.index(l)],
+        )
 
     if spec.shared_d_int and shared_ranks:
         # Shared experts across these MoE layers: one more batched dense

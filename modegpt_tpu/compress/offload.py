@@ -352,10 +352,19 @@ def stream_calibrate_solve(
     staged = _stage(params["layers"][0])
     for l in range(spec.n_layers):
         lp = staged
-        if l + 1 < spec.n_layers:
+        collect = l in targets
+        # MoE flush windows hold [E, d_int, d_int] taps + the window's
+        # expert stacks — at Mixtral geometry the solver needs every byte
+        # beside them, so the next layer's H2D prefetch (enqueue-time
+        # allocation!) is DEFERRED past the flush. Dense layers keep the
+        # prefetch overlapping compute (their flush working set is small).
+        flush_due = (
+            collect and len(window_taps) + 1 >= width
+        ) or l == spec.n_layers - 1
+        defer = flush_due and spec.is_moe_layer(l)
+        if l + 1 < spec.n_layers and not defer:
             staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
         rep = _rep_index(spec, l)
-        collect = l in targets
         taps_l = None
         for i in range(len(stacks)):
             stacks[i], taps, bi_l = _stream_layer_step(
@@ -371,6 +380,8 @@ def stream_calibrate_solve(
             window_lp[l] = lp
         if len(window_taps) >= width or l == spec.n_layers - 1:
             flush_window()
+        if l + 1 < spec.n_layers and defer:
+            staged = _stage(params["layers"][l + 1])
 
     if not bi_scores:
         bi_scores = (bi_pass / n_seq).tolist()

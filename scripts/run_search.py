@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if jax.default_backend() != "tpu":
+# This host's sitecustomize force-registers the tunneled TPU platform,
+# overriding JAX_PLATFORMS from the environment — and default_backend()
+# would INITIALIZE it (hanging if the tunnel is down). Honour an explicit
+# CPU request before any backend touch.
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np

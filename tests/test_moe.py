@@ -556,3 +556,55 @@ def test_supports_scan_rejects_ragged_shared_ranks():
     assert not supports_scan(ragged, ())
     uniform = dataclasses.replace(spec, shared_gate_ranks=(64, 64))
     assert supports_scan(uniform, ())
+
+
+@pytest.mark.parametrize("units", [1, 3])
+def test_moe_expert_chunked_solver_matches_unchunked(monkeypatch, rng, units):
+    """When one layer's expert stack exceeds the solver memory budget
+    (Mixtral geometry on a 16 GB chip), experts are solved e_step at a
+    time; factors must equal the whole-stack solve exactly. units=3 also
+    exercises a ragged final chunk (E=8 -> 3+3+2)."""
+    import modegpt_tpu.compress.batched as batched_mod
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1])
+    config = CompressionConfig(compression_ratio=0.3, sparsity_smoothing=0.2)
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, smoothing=0.2, max_sparsity=0.8)
+
+    ref = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    monkeypatch.setattr(batched_mod, "_mlp_layers_per_program", lambda *a, **k: units)
+    got = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    for l in (0, 1):
+        for k in ("up", "gate", "down"):
+            np.testing.assert_allclose(got[l][k], ref[l][k], rtol=1e-6, atol=1e-8)
+        np.testing.assert_array_equal(got[l]["idx"], ref[l]["idx"])
+
+
+@pytest.mark.parametrize("units", [1, 3])
+def test_moe_expert_chunked_solver_fetch_device(monkeypatch, rng, units):
+    """Expert chunking with fetch='device' (factors stay in HBM) must
+    assemble identical per-layer stacks."""
+    import modegpt_tpu.compress.batched as batched_mod
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1])
+    config = CompressionConfig(compression_ratio=0.3, sparsity_smoothing=0.2)
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, smoothing=0.2, max_sparsity=0.8)
+
+    ref = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    monkeypatch.setattr(batched_mod, "_mlp_layers_per_program", lambda *a, **k: units)
+    got = solve_chunk_batched(
+        spec, params, [0, 1], keep, calib, config, "mlp", fetch="device"
+    )["mlp"]
+    for l in (0, 1):
+        for k in ("up", "gate", "down"):
+            np.testing.assert_allclose(
+                np.asarray(got[l][k]), ref[l][k], rtol=1e-6, atol=1e-8
+            )
+        np.testing.assert_array_equal(np.asarray(got[l]["idx"]), ref[l]["idx"])
