@@ -114,6 +114,41 @@ def _tri_solve_blocked(L: jax.Array, B: jax.Array, lower: bool) -> jax.Array:
     return jnp.moveaxis(out, 0, 1).reshape(n, nb * block)[:, :m]
 
 
+def _cholesky_escalated(A: jax.Array, ridge) -> jax.Array:
+    """Cholesky of ``A + r*I``, escalating ``r`` while pivots fail.
+
+    The reference factorises these Grams in float64, where its absolute
+    ridges (1e-6 .. 1e-2) sit far above rounding noise. The TPU-native
+    f32 path can violate that: when the calibration token count is
+    smaller than the kept rank (near-full-rank solves on few tokens;
+    per-expert MoE Grams at top_k/E routing), ``A`` is singular by
+    construction and an absolute 1e-6 ridge is BELOW f32's rounding
+    floor (~eps * ||A||) — Cholesky then hits a negative pivot and the
+    factors come out NaN. On failure (NaN on the factor diagonal), retry
+    with the ridge raised to the factorisation's own rounding scale
+    (8 * eps * trace(A) >= 8 * eps * lambda_max), then geometrically.
+    The well-conditioned case runs the identical single factorisation,
+    so factor-parity with the f64 oracle is unchanged there.
+    """
+    n = A.shape[0]
+    eye = jnp.eye(n, dtype=A.dtype)
+    r0 = jnp.asarray(ridge, dtype=A.dtype)
+    floor = 8 * jnp.finfo(A.dtype).eps * jnp.trace(A)
+    L0 = jnp.linalg.cholesky(A + r0 * eye)
+
+    def cond(state):
+        L, r, k = state
+        return jnp.any(jnp.isnan(jnp.diagonal(L))) & (k < 8)
+
+    def body(state):
+        L, r, k = state
+        r2 = jnp.maximum(r * 32.0, floor)
+        return jnp.linalg.cholesky(A + r2 * eye), r2, k + 1
+
+    L, _, _ = jax.lax.while_loop(cond, body, (L0, r0, jnp.int32(0)))
+    return L
+
+
 @jax.jit
 def ridge_inverse_diag(C: jax.Array, ridge: float = 1e-2) -> jax.Array:
     """diag((C + ridge*I)^-1) via Cholesky — the Type-I ridge leverage score.
@@ -128,8 +163,7 @@ def ridge_inverse_diag(C: jax.Array, ridge: float = 1e-2) -> jax.Array:
     """
     n = C.shape[0]
     eye = jnp.eye(n, dtype=C.dtype)
-    C_ridge = C + jnp.asarray(ridge, dtype=C.dtype) * eye
-    L = jnp.linalg.cholesky(C_ridge)
+    L = _cholesky_escalated(C, ridge)
     block = _TRI_SOLVE_BLOCK
     if n <= 2 * block:
         Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
@@ -155,8 +189,6 @@ def cholesky_solve_ridged(A: jax.Array, B: jax.Array, ridge: float = 1e-6) -> ja
     (reference: src/compression/compress_mlp.py:56-57). Wide RHS solves
     in column blocks (memory-exactness note at `_tri_solve_blocked`).
     """
-    n = A.shape[0]
-    A_ridge = A + jnp.asarray(ridge, dtype=A.dtype) * jnp.eye(n, dtype=A.dtype)
-    L = jnp.linalg.cholesky(A_ridge)
+    L = _cholesky_escalated(A, ridge)
     y = _tri_solve_blocked(L, B, lower=True)
     return _tri_solve_blocked(L.T, y, lower=False)

@@ -61,10 +61,12 @@ def _whiteners(cov_x: jax.Array, ridge_vo: float, whiten: str):
     if whiten == "eigh":
         sqrt_C, inv_sqrt_C = sqrt_and_inv_sqrt_psd(cov_x, ridge_vo)
         return sqrt_C, lambda M: inv_sqrt_C @ M
-    n = cov_x.shape[0]
-    L = jnp.linalg.cholesky(
-        cov_x + jnp.asarray(ridge_vo, cov_x.dtype) * jnp.eye(n, dtype=cov_x.dtype)
-    )
+    from modegpt_tpu.ops.psd import _cholesky_escalated
+
+    # d_model can exceed the calibration token count at 13B+ scale
+    # (cov_x singular by construction) — escalate the ridge past f32's
+    # rounding floor instead of NaN-ing (see _cholesky_escalated).
+    L = _cholesky_escalated(cov_x, ridge_vo)
     unwhiten = lambda M: jax.scipy.linalg.solve_triangular(L.T, M, lower=False)
     return L.T, unwhiten
 

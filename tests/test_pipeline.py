@@ -91,18 +91,29 @@ def _config(tmp_path, **kw):
     return CompressionConfig(**defaults)
 
 
+# Per-ratio PPL-delta envelope, calibrated from the committed
+# full-pipeline quality curve (bench_results/r03/quality.json: measured
+# deltas are <= 1.02 at ratios 0.1-0.5 across llama/opt/qwen3 at
+# 0.1B-0.45B scale; tiny 64-dim test models wobble more, so the bound
+# carries headroom while still catching any real solver break — the old
+# 3.0x bound would have passed a badly broken solver).
+QUALITY_ENVELOPE = {0.1: 1.25, 0.3: 1.3, 0.5: 1.5}
+
+
 @pytest.mark.parametrize("make_model", [_tiny_llama, _tiny_opt, _tiny_qwen3])
-def test_end_to_end_compression(tmp_path, make_model):
+@pytest.mark.parametrize("ratio", [0.3, 0.5])
+def test_end_to_end_compression(tmp_path, make_model, ratio):
     model = make_model()
     spec, params = params_from_hf_model(model)
-    config = _config(tmp_path)
+    config = _config(tmp_path, compression_ratio=ratio)
     results = run_compression(config, spec=spec, params=params, tokenizer=None)
 
     assert "baseline_ppl" in results and "compressed_ppl" in results
     assert np.isfinite(results["compressed_ppl"])
-    # Tiny random models barely degrade under 30% compression of random
-    # weights; guard against blow-ups (NaNs, broken shapes, wrong masks).
-    assert results["compressed_ppl"] < results["baseline_ppl"] * 3.0
+    # Tiny random models barely degrade under compression of random
+    # weights; the calibrated envelope catches blow-ups (NaNs, broken
+    # shapes, wrong masks, singular-Gram regressions).
+    assert results["compressed_ppl"] < results["baseline_ppl"] * QUALITY_ENVELOPE[ratio]
 
     # Ranks actually shrank.
     cspec = results["compressed_spec"]

@@ -72,3 +72,79 @@ def test_torch_parity_sqrt(make_psd):
 
     S = np.asarray(sqrt_psd(jnp.asarray(M), ridge=ridge))
     np.testing.assert_allclose(S, S_ref, rtol=1e-9, atol=1e-10)
+
+
+def test_cholesky_escalated_is_plain_cholesky_when_well_conditioned(make_psd):
+    """The escalation path must not perturb healthy solves: first-attempt
+    success returns the bit-identical factorisation."""
+    from modegpt_tpu.ops.psd import _cholesky_escalated
+
+    A = jnp.asarray(make_psd(32))
+    L = np.asarray(_cholesky_escalated(A, 1e-6))
+    want = np.asarray(jnp.linalg.cholesky(A + 1e-6 * jnp.eye(32, dtype=A.dtype)))
+    np.testing.assert_array_equal(L, want)
+
+
+def test_cholesky_escalated_survives_singular_f32(rng):
+    """f32 Gram with rank << n and spectrum >> ridge: the reference's
+    absolute 1e-6 ridge sits below f32 rounding noise, so plain Cholesky
+    NaNs — the escalated path must return a finite factorisation (this is
+    the tokens < kept-rank regime: near-full-rank Nystrom solves, OPT
+    relu Grams, per-expert MoE Grams at top_k/E routing)."""
+    m, n = 64, 512  # rank 64 covariance in 512 dims
+    X = rng.standard_normal((m, n)).astype(np.float32) * 10.0
+    C = jnp.asarray((X.T @ X) / m, dtype=jnp.float32)
+
+    plain = np.asarray(
+        jnp.linalg.cholesky(C + 1e-6 * jnp.eye(n, dtype=jnp.float32))
+    )
+    assert np.isnan(plain).any(), "precondition: plain f32 Cholesky must fail here"
+
+    from modegpt_tpu.ops.psd import _cholesky_escalated
+
+    L = np.asarray(_cholesky_escalated(C, jnp.float32(1e-6)))
+    assert np.isfinite(L).all()
+    # L L^T must still be C up to the escalated ridge (~8*eps*trace scale).
+    delta = L @ L.T - np.asarray(C)
+    bound = 64 * 8 * np.finfo(np.float32).eps * float(jnp.trace(C))
+    assert np.abs(delta - np.diag(np.diag(delta))).max() < bound
+    assert np.abs(np.diag(delta)).max() < bound
+
+
+def test_nystrom_finite_when_rank_exceeds_token_count(rng):
+    """End-to-end Type-I regression for the singular regime: 2048-token
+    Gram, 2647-column keep (the opt-125m quality-curve shape, scaled
+    down) in f32 must give finite factors on every output."""
+    from modegpt_tpu.ops.mlp import nystrom_mlp, nystrom_mlp_padded
+
+    m, d_int, d_model, rank = 48, 256, 64, 200  # rank > m: singular C_SS
+    H = np.maximum(rng.standard_normal((m, d_int)), 0).astype(np.float32) * 5
+    C = jnp.asarray((H.T @ H) / m)
+    W_u = jnp.asarray(rng.standard_normal((d_int, d_model)).astype(np.float32) * 0.02)
+    W_d = jnp.asarray(rng.standard_normal((d_model, d_int)).astype(np.float32) * 0.02)
+
+    f = nystrom_mlp(C, W_u, None, W_d, keep_ratio=0.0, ridge=1e-2, rank=rank)
+    for a in (f.up, f.down):
+        assert np.isfinite(np.asarray(a)).all()
+
+    up, gate, down, idx, valid = nystrom_mlp_padded(
+        C, W_u, W_u, W_d, jnp.int32(rank), rank, jnp.float32(1e-2)
+    )
+    for a in (up, gate, down):
+        assert np.isfinite(np.asarray(a)).all()
+
+
+def test_vo_cholesky_whitener_finite_on_singular_cov(rng):
+    """cov_x singular (d_model > calibration tokens — the 13B+ regime)
+    must not NaN the f32 cholesky whitening path."""
+    from modegpt_tpu.ops.vo import vo_full_factors
+
+    m, d = 32, 256
+    X = rng.standard_normal((m, d)).astype(np.float32) * 8
+    cov_x = jnp.asarray((X.T @ X) / m)
+    H, Hk, hd = 4, 2, 64
+    W_v = jnp.asarray(rng.standard_normal((Hk * hd, d)).astype(np.float32) * 0.02)
+    W_o = jnp.asarray(rng.standard_normal((d, H * hd)).astype(np.float32) * 0.02)
+    v_full, o_full = vo_full_factors(cov_x, W_v, W_o, H, Hk, 1e-6, whiten="cholesky")
+    assert np.isfinite(np.asarray(v_full)).all()
+    assert np.isfinite(np.asarray(o_full)).all()
