@@ -304,7 +304,11 @@ def bench_jax() -> float:
     def fresh_params():
         if _HOST_RESIDENT:
             return _host_init_params(spec)
-        return init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+        # one jitted program instead of ~20 eager op-by-op compiles —
+        # each eager op pays the tunnel's per-program AOT round trip
+        return jax.jit(
+            lambda k: init_params(spec, k, dtype=jnp.bfloat16)
+        )(jax.random.key(0))
 
     params = fresh_params()
     config = CompressionConfig(

@@ -129,22 +129,27 @@ def _cholesky_escalated(A: jax.Array, ridge) -> jax.Array:
     (8 * eps * trace(A) >= 8 * eps * lambda_max), then geometrically.
     The well-conditioned case runs the identical single factorisation,
     so factor-parity with the f64 oracle is unchanged there.
+
+    Compile-cost note: the loop carries the first attempt too (k=0 uses
+    the caller's ridge verbatim) so the program contains exactly ONE
+    Cholesky lowering — a second instance outside the loop measurably
+    blows up XLA's TPU compile of the batched solver programs.
     """
     n = A.shape[0]
     eye = jnp.eye(n, dtype=A.dtype)
     r0 = jnp.asarray(ridge, dtype=A.dtype)
     floor = 8 * jnp.finfo(A.dtype).eps * jnp.trace(A)
-    L0 = jnp.linalg.cholesky(A + r0 * eye)
 
     def cond(state):
         L, r, k = state
-        return jnp.any(jnp.isnan(jnp.diagonal(L))) & (k < 8)
+        return ((k == 0) | jnp.any(jnp.isnan(jnp.diagonal(L)))) & (k < 9)
 
     def body(state):
         L, r, k = state
-        r2 = jnp.maximum(r * 32.0, floor)
+        r2 = jnp.where(k == 0, r, jnp.maximum(r * 32.0, floor))
         return jnp.linalg.cholesky(A + r2 * eye), r2, k + 1
 
+    L0 = jnp.full_like(A, jnp.nan)
     L, _, _ = jax.lax.while_loop(cond, body, (L0, r0, jnp.int32(0)))
     return L
 
