@@ -149,7 +149,19 @@ def _cholesky_escalated(A: jax.Array, ridge) -> jax.Array:
         r2 = jnp.where(k == 0, r, jnp.maximum(r * 32.0, floor))
         return jnp.linalg.cholesky(A + r2 * eye), r2, k + 1
 
+    # Under shard_map the loop body's L/r outputs are varying over the
+    # mesh axes A is varying over; while_loop requires the initial carry
+    # to match, so promote the constant initializers to A's vma set
+    # (jax 0.9 "varying manual axes"). Outside shard_map vma is empty
+    # and this is a no-op.
     L0 = jnp.full_like(A, jnp.nan)
+    vma = frozenset(getattr(jax.typeof(A), "vma", ()))
+    if vma:
+        def promote(x):
+            missing = vma - frozenset(getattr(jax.typeof(x), "vma", ()))
+            return jax.lax.pvary(x, tuple(missing)) if missing else x
+
+        L0, r0 = promote(L0), promote(r0)
     L, _, _ = jax.lax.while_loop(cond, body, (L0, r0, jnp.int32(0)))
     return L
 

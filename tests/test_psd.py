@@ -148,3 +148,47 @@ def test_vo_cholesky_whitener_finite_on_singular_cov(rng):
     v_full, o_full = vo_full_factors(cov_x, W_v, W_o, H, Hk, 1e-6, whiten="cholesky")
     assert np.isfinite(np.asarray(v_full)).all()
     assert np.isfinite(np.asarray(o_full)).all()
+
+
+def test_cholesky_escalated_under_shard_map(rng):
+    """The escalated-Cholesky while_loop must trace under shard_map:
+    its constant initial carries (NaN factor, caller ridge) have to be
+    promoted to the mesh axes the Gram is varying over (jax 0.9 vma
+    rules) — a plain constant carry fails to type-check against the
+    varying body output. Regression for the 8-device dryrun's
+    shard_map solver stage."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        pytest.skip("needs a multi-device (virtual CPU) mesh")
+
+    d = 64
+    # one Gram per device; half the batch exactly singular (rank 4)
+    grams = []
+    for i in range(n_dev):
+        m = 4 if i % 2 == 0 else 256
+        X = rng.standard_normal((m, d)).astype(np.float32) * 4
+        grams.append((X.T @ X) / m)
+    C = jnp.asarray(np.stack(grams))
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
+    @jax.jit
+    def run(C):
+        f = shard_map(
+            lambda c: jax.vmap(lambda g: ridge_inverse_diag(g, 1e-6))(c),
+            mesh=mesh,
+            in_specs=P("data"),
+            out_specs=P("data"),
+        )
+        return f(C)
+
+    scores = np.asarray(run(C))
+    assert scores.shape == (n_dev, d)
+    assert np.isfinite(scores).all()
+    # parity with the unsharded path on every shard
+    ref = np.stack([np.asarray(ridge_inverse_diag(C[i], 1e-6)) for i in range(n_dev)])
+    np.testing.assert_allclose(scores, ref, rtol=2e-4, atol=1e-5)
