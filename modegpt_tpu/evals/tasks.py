@@ -245,12 +245,33 @@ def _winogrande(limit):
     return out
 
 
+def _synthetic(limit):
+    """Offline stand-in task (no datasets dependency): repetition-biased
+    MC items a language model scores without any knowledge, so the
+    harness end-to-end path — tokenize, batched LL scoring, acc/acc_norm
+    aggregation — is exercisable in zero-egress environments."""
+    out = [
+        MCExample(context="one two one two one", choices=[" two", " zebra"], answer=0),
+        MCExample(context="a b a b a", choices=[" b", " q"], answer=0),
+        MCExample(context="x y z", choices=[" x", " y", " z"], answer=2),
+        MCExample(
+            context="",
+            choices=[],
+            answer=0,
+            contexts=["the dog", "the xylophone"],
+            continuation=" ran",
+        ),
+    ]
+    return out[:limit] if limit else out
+
+
 TASK_LOADERS: Dict[str, Callable] = {
     "arc_challenge": lambda limit=None: _arc("ARC-Challenge", limit),
     "arc_easy": lambda limit=None: _arc("ARC-Easy", limit),
     "piqa": _piqa,
     "hellaswag": _hellaswag,
     "winogrande": _winogrande,
+    "synthetic": _synthetic,
 }
 
 

@@ -19,10 +19,24 @@ _DEFAULT = "~/.cache/modegpt_tpu/jax_cache"
 
 def enable_compilation_cache(path: str = _DEFAULT) -> bool:
     """Point jax at an on-disk compilation cache. Safe to call multiple
-    times; returns False when disabled by env."""
+    times; returns False when disabled by env or on a CPU-only run."""
     if os.environ.get("MODEGPT_NO_COMPILE_CACHE") == "1":
         return False
     import jax
+
+    # CPU-only runs don't use the cache: CPU compiles cost seconds (the
+    # cache exists to amortise the remote TPU backend's minutes-long AOT
+    # round trips), and XLA:CPU AOT artifacts are machine-feature-pinned
+    # — entries written under a different detected feature set reload
+    # with cpu_aot_loader mismatch errors and a SIGILL risk (observed:
+    # teardown aborts after such loads).
+    platforms = os.environ.get("JAX_PLATFORMS", "")
+    try:
+        platforms = jax.config.jax_platforms or platforms
+    except Exception:
+        pass
+    if str(platforms).strip().lower() == "cpu":
+        return False
 
     p = os.path.expanduser(path)
     os.makedirs(p, exist_ok=True)
