@@ -305,10 +305,12 @@ def bench_jax() -> float:
         if _HOST_RESIDENT:
             return _host_init_params(spec)
         # one jitted program instead of ~20 eager op-by-op compiles —
-        # each eager op pays the tunnel's per-program AOT round trip
+        # each eager op pays the tunnel's per-program AOT round trip.
+        # The key is created inside the program too (jax.random.key /
+        # threefry_seed are otherwise two more eager programs).
         return jax.jit(
-            lambda k: init_params(spec, k, dtype=jnp.bfloat16)
-        )(jax.random.key(0))
+            lambda: init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
+        )()
 
     params = fresh_params()
     config = CompressionConfig(
@@ -320,13 +322,19 @@ def bench_jax() -> float:
                                        vocab_size=VOCAB)
     target_layers = list(range(N_LAYERS))
 
+    # On tunneled backends block_until_ready can return before the queue
+    # drains; a tiny fetch of the first and last leaves is a reliable
+    # barrier (the arrays themselves stay on device). One jitted probe
+    # program per tree signature — eager ravel[:1] per leaf costs FOUR
+    # programs (ravel + slice, twice), each a tunnel AOT round trip.
+    @jax.jit
+    def _probe(a, b):
+        return jnp.concatenate([a.reshape(-1)[:1].astype(jnp.float32),
+                                b.reshape(-1)[:1].astype(jnp.float32)])
+
     def sync(tree):
-        # On tunneled backends block_until_ready can return before the
-        # queue drains; a tiny fetch of the first and last leaves is a
-        # reliable barrier (the arrays themselves stay on device).
         leaves = [a for a in jax.tree_util.tree_leaves(tree) if hasattr(a, "shape")]
-        np.asarray(leaves[0].ravel()[:1])
-        np.asarray(leaves[-1].ravel()[:1])
+        np.asarray(_probe(leaves[0], leaves[-1]))
 
     # Fused path (3 dispatches + 1 tiny fetch, compress/fused.py): the
     # framework's fast path for latency-bound scales — default for

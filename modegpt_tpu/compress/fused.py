@@ -240,7 +240,7 @@ def fused_compress(
     )
     up_p, gate_p, down_p, pair_order, v_full, o_full = _solve_padded(
         spec, params, cov_mlp, cov_q, cov_k, cov_x,
-        jnp.asarray(ranks_mlp, jnp.int32),
+        jnp.asarray(np.asarray(ranks_mlp, np.int32)),
         float(config.nystrom_ridge), float(config.ridge_qk), float(config.ridge_vo),
     )
     new_layers = _finalize(
