@@ -301,16 +301,18 @@ def bench_jax() -> float:
     # statistics still accumulate in f32 at HIGHEST MXU precision.
     # large13B: the model does NOT fit in HBM — weights are host numpy
     # and the streamed sweep stages them per layer (compress/offload.py).
+    # one jitted program instead of ~20 eager op-by-op compiles — each
+    # eager op pays the tunnel's per-program AOT round trip. The key is
+    # created inside the program too (jax.random.key / threefry_seed are
+    # otherwise two more eager programs). Hoisted so repeat calls (the
+    # release presets re-init before the timed pass) hit jit's cache
+    # instead of constructing a fresh PjitFunction each time.
+    _jit_init = jax.jit(lambda: init_params(spec, jax.random.key(0), dtype=jnp.bfloat16))
+
     def fresh_params():
         if _HOST_RESIDENT:
             return _host_init_params(spec)
-        # one jitted program instead of ~20 eager op-by-op compiles —
-        # each eager op pays the tunnel's per-program AOT round trip.
-        # The key is created inside the program too (jax.random.key /
-        # threefry_seed are otherwise two more eager programs).
-        return jax.jit(
-            lambda: init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
-        )()
+        return _jit_init()
 
     params = fresh_params()
     config = CompressionConfig(
@@ -334,6 +336,8 @@ def bench_jax() -> float:
 
     def sync(tree):
         leaves = [a for a in jax.tree_util.tree_leaves(tree) if hasattr(a, "shape")]
+        if not isinstance(leaves[0], jax.Array):
+            return  # host-numpy tree (host-resident presets): no queue to drain
         np.asarray(_probe(leaves[0], leaves[-1]))
 
     # Fused path (3 dispatches + 1 tiny fetch, compress/fused.py): the

@@ -177,33 +177,37 @@ def _fetch(a, fdt):
     return np.asarray(a.astype(fdt) if fdt is not None else a)
 
 
+_FETCH_GRID = 512  # device-side slice sizes rounded up to this
+
+
 def _fetch_ragged(stack, ranks, fdt, axis: int):
-    """Fetch exact per-layer slices of a padded [n, ...] stack in ONE
-    HBM->host transfer: concatenate the device-side slices along `axis`
-    (sizes ranks[i]), fetch once, split on the host. The tunnel/DCN link
-    is latency-bound, so one ragged transfer beats n small ones by ~10x
-    (measured: the per-layer fetch loop was 2.1s of a 2.4s MLP solve)."""
+    """Fetch per-layer slices of a padded [n, ...] stack in ONE
+    HBM->host transfer: slice the stack device-side to the max rank
+    (rounded up to _FETCH_GRID), fetch once, trim exactly on the host.
+    The tunnel/DCN link is latency-bound, so one transfer beats n small
+    ones by ~10x (measured: the per-layer fetch loop was 2.1s of a 2.4s
+    MLP solve). The grid rounding collapses the device program's shape
+    signature: per-layer ranks are near-arbitrary integers, so slicing
+    each rank exactly compiled O(layers) distinct tiny programs per
+    factor kind — each one a full AOT round trip on remote backends
+    (census: 46 of the streamed path's 128 programs came from here)."""
     # Drain the queue first: a tiny fetch completes only once the solve
-    # program retires, so its temp arena is free before the slice/concat
-    # buffers allocate — at 7B scale the resident weights leave no room
-    # for both (enqueue-time allocation otherwise overlaps them).
+    # program retires, so its temp arena is free before the slice buffer
+    # allocates — at 7B scale the resident weights leave no room for
+    # both (enqueue-time allocation otherwise overlaps them).
     lead = jax.tree_util.tree_leaves(stack)[0]
     np.asarray(lead[(0,) * lead.ndim])  # scalar index: no ravel copy
-    slicer = [slice(None)] * (stack.ndim - 1)  # per-layer slice dims
 
-    def sl(i, r):
-        s = list(slicer)
+    dim = stack.shape[1 + axis]  # axis indexes the per-layer entry dims
+    rpad = min(dim, -(-max(ranks) // _FETCH_GRID) * _FETCH_GRID)
+    sl = [slice(None)] * stack.ndim
+    sl[1 + axis] = slice(0, rpad)
+    flat = _fetch(stack[tuple(sl)], fdt)  # [n, ..., rpad, ...] one fetch
+    out = []
+    for i, r in enumerate(ranks):
+        s = [slice(None)] * (flat.ndim - 1)
         s[axis] = slice(0, r)
-        return stack[(i, *s)]
-
-    cat = jnp.concatenate([sl(i, r) for i, r in enumerate(ranks)], axis=axis)
-    flat = _fetch(cat, fdt)
-    out, off = [], 0
-    for r in ranks:
-        s = [slice(None)] * flat.ndim
-        s[axis] = slice(off, off + r)
-        out.append(flat[tuple(s)])
-        off += r
+        out.append(flat[(i, *s)])
     return out
 
 
@@ -264,8 +268,11 @@ def _solve_mlp_moe(
             if use_dev:
                 cov = jnp.stack([calib.cov_mlp[l][es] for l in sub]).astype(dt)
             else:
+                # slice FIRST, then materialise: cov_mlp[l][es] is a view
+                # for numpy accumulators and a chunk-sized fetch for
+                # device ones — never the full [E, D, D] tensor per chunk
                 cov = jnp.asarray(
-                    np.stack([np.asarray(calib.cov_mlp[l])[es] for l in sub]), dtype=dt
+                    np.stack([np.asarray(calib.cov_mlp[l][es]) for l in sub]), dtype=dt
                 )
             cov = cov.reshape((len(sub) * ne,) + cov.shape[2:])
             W_u = stack_e(sub, "up", es)
@@ -291,6 +298,12 @@ def _solve_mlp_moe(
                     p["down"].append(down[sl, :, :r].astype(fdt or down.dtype))
                     p["idx"].append(idx_dev[sl, :r])
                 continue
+
+            # Drain the solve queue before enqueuing the slice/concat
+            # buffers (same hazard as _fetch_ragged: at beyond-HBM MoE
+            # geometry the concat allocations would otherwise overlap
+            # the live solve program's temp arena at enqueue time).
+            np.asarray(up[(0,) * up.ndim])
 
             # One ragged transfer per factor kind across (layer, expert) pairs.
             def cat_rows(stack):  # [n*ne, pad, d] -> exact [sum ne*r, d], one fetch
@@ -405,18 +418,17 @@ def _solve_mlp_dense(
         sub = layers[s : s + step]
         sub_ranks = ranks[s : s + step]
         ranks_arr = jnp.asarray(sub_ranks, dtype=jnp.int32)
-        # Uniform pad across sub-chunks keeps ONE compiled program.
-        pad = pad_all
         ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
         d_cov = np.asarray(covs[sub[0]]).shape[-1] if not isinstance(
             covs[sub[0]], jax.Array) else covs[sub[0]].shape[-1]
+        # Round the uniform pad to a coarse grid: per-window calls (the
+        # streamed path flushes 1-layer windows) and 1-layer lowmem
+        # chunks otherwise compile one solve program PER DISTINCT RANK
+        # (32 compiles at 7B — an hour through a remote-compile tunnel);
+        # a 512-grid keeps it to a handful, and padded entries are exact
+        # regardless of pad (identity block, ops/mlp.py).
+        pad = min(d_cov, -(-pad_all // 512) * 512)
         if d_cov ** 2 * jnp.dtype(dt).itemsize > _LOWMEM_COV_BYTES:
-            # Round the pad to a coarse grid: 1-layer chunks otherwise
-            # compile one select/down program PER DISTINCT RANK (32
-            # compiles at 7B — an hour through a remote-compile tunnel);
-            # a 512-grid keeps it to a handful, and padded entries are
-            # exact regardless of pad (identity block, ops/mlp.py).
-            pad = min(d_cov, -(-pad // 512) * 512)
             # Low-memory sequencing for very large d_int (7B+): with the
             # full model resident there is only ~3 GB of HBM left, so the
             # solve runs per layer as THREE drained programs — selection
@@ -557,19 +569,35 @@ def _solve_qk_host(
         on the device path (gathers are memory moves; only kept rows cross
         the HBM->host link, concatenated into a single fetch)."""
         if use_dev:
+            if fetch == "device":
+                parts = []
+                for i, l in enumerate(layers):
+                    w = _hf_w_dev(layer_params[l], name).reshape(n_h, hd, -1)
+                    sel = jnp.take_along_axis(
+                        w, jnp.asarray(masks_list[i])[:, :, None], axis=1
+                    )
+                    parts.append(sel.reshape(-1, sel.shape[-1]))
+                return [p.astype(fdt or p.dtype) for p in parts]
+            # Host-fetch path: pad every mask to a common 32-grid width so
+            # the gather/concat programs have ONE shape signature per
+            # window instead of one per distinct rank (remote backends
+            # pay an AOT round trip per signature); trim exactly on host.
+            rpad = min(hd, -(-max(m.shape[1] for m in masks_list) // 32) * 32)
             parts = []
             for i, l in enumerate(layers):
+                m = masks_list[i]
+                mp = np.concatenate(
+                    [m, np.zeros((n_h, rpad - m.shape[1]), dtype=m.dtype)], axis=1
+                )
                 w = _hf_w_dev(layer_params[l], name).reshape(n_h, hd, -1)
-                sel = jnp.take_along_axis(w, jnp.asarray(masks_list[i])[:, :, None], axis=1)
+                sel = jnp.take_along_axis(w, jnp.asarray(mp)[:, :, None], axis=1)
                 parts.append(sel.reshape(-1, sel.shape[-1]))
-            if fetch == "device":
-                return [p.astype(fdt or p.dtype) for p in parts]
             flat = _fetch(jnp.concatenate(parts, axis=0), fdt)
-            out_rows, off = [], 0
-            for m in masks_list:
-                n = m.shape[0] * m.shape[1]
-                out_rows.append(flat[off : off + n])
-                off += n
+            out_rows = []
+            for i, m in enumerate(masks_list):
+                blk = flat[i * n_h * rpad : (i + 1) * n_h * rpad]
+                blk = blk.reshape(n_h, rpad, -1)[:, : m.shape[1]]
+                out_rows.append(blk.reshape(n_h * m.shape[1], -1))
             return out_rows
         rows = []
         for i, l in enumerate(layers):
@@ -651,9 +679,11 @@ def _solve_vo_batched(
     v_full, o_full = jax.vmap(
         vo_full_factors, in_axes=(0, 0, 0, None, None, None, None)
     )(cov, W_v, W_o, spec.n_heads, spec.n_kv_heads, config.ridge_vo, whiten)
-    # Slice to the chunk's max rank on-device before fetching.
+    # Slice to the chunk's max rank on-device before fetching — rounded
+    # to a 32-grid so per-window calls share one program signature
+    # (exact trim happens host-side in vo_factors_from_full).
     fdt = _fetch_dtype(config)
-    max_r = int(max(ranks))
+    max_r = min(v_full.shape[-1], -(-int(max(ranks)) // 32) * 32)
     if fetch == "device":
         v_full = v_full[:n_real, :, :, :max_r].astype(fdt or v_full.dtype)
         o_full = o_full[:n_real, :, :max_r, :].astype(fdt or o_full.dtype)

@@ -358,10 +358,15 @@ def stream_calibrate_solve(
         # beside them, so the next layer's H2D prefetch (enqueue-time
         # allocation!) is DEFERRED past the flush. Dense layers keep the
         # prefetch overlapping compute (their flush working set is small).
-        flush_due = (
-            collect and len(window_taps) + 1 >= width
-        ) or l == spec.n_layers - 1
-        defer = flush_due and spec.is_moe_layer(l)
+        # ONE predicate for both the deferral and the flush below: this
+        # layer's taps (if collected) make the window full, or it's the
+        # last layer. A drifted copy would silently re-introduce the
+        # prefetch-over-flush enqueue allocation.
+        will_flush = (
+            len(window_taps) + (1 if collect else 0) >= width
+            or l == spec.n_layers - 1
+        )
+        defer = will_flush and spec.is_moe_layer(l)
         if l + 1 < spec.n_layers and not defer:
             staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
         rep = _rep_index(spec, l)
@@ -378,7 +383,7 @@ def stream_calibrate_solve(
         if collect:
             window_taps[l] = taps_l
             window_lp[l] = lp
-        if len(window_taps) >= width or l == spec.n_layers - 1:
+        if will_flush and window_taps:
             flush_window()
         if l + 1 < spec.n_layers and defer:
             staged = _stage(params["layers"][l + 1])

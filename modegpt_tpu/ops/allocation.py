@@ -15,6 +15,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["allocate_keep_ratios"]
 
@@ -80,12 +81,15 @@ def allocate_keep_ratios(
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    s = jnp.asarray(bi_scores, dtype=dtype)
+    # Cast on the numpy side and fetch the result in ONE transfer: eager
+    # jnp casts and per-element float(keep[i]) each compile a tiny
+    # program — per-call AOT round trips on remote backends.
+    npdt = np.dtype(dtype)
     keep, max_sp = _allocate(
-        s,
-        jnp.asarray(compression_ratio, dtype),
-        jnp.asarray(smoothing, dtype),
-        jnp.asarray(max_sparsity, dtype),
+        np.asarray(bi_scores, dtype=npdt),
+        npdt.type(compression_ratio),
+        npdt.type(smoothing),
+        npdt.type(max_sparsity),
         invert,
     )
-    return [float(x) for x in keep], float(max_sp)
+    return [float(x) for x in np.asarray(keep)], float(max_sp)

@@ -37,6 +37,15 @@ def enable_compilation_cache(path: str = _DEFAULT) -> bool:
         pass
     if str(platforms).strip().lower() == "cpu":
         return False
+    if not str(platforms).strip():
+        # nothing requested: resolve the actual backend (every caller
+        # initializes it immediately after anyway), so a CPU-only host
+        # with JAX_PLATFORMS unset doesn't write pinned AOT entries
+        try:
+            if jax.default_backend() == "cpu":
+                return False
+        except Exception:
+            pass
 
     p = os.path.expanduser(path)
     os.makedirs(p, exist_ok=True)

@@ -39,7 +39,7 @@ import jax
 # overriding JAX_PLATFORMS from the environment — and default_backend()
 # would INITIALIZE it (hanging if the tunnel is down). Honour an explicit
 # CPU request before any backend touch.
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
@@ -148,7 +148,7 @@ def main(argv=None):
         "backend": jax.default_backend(),
         "models": curve,
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     if os.path.exists(args.out):
         # --models subset re-runs merge into the standing file
         with open(args.out) as f:

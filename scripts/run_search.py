@@ -29,7 +29,7 @@ import jax
 # overriding JAX_PLATFORMS from the environment — and default_backend()
 # would INITIALIZE it (hanging if the tunnel is down). Honour an explicit
 # CPU request before any backend touch.
-if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
@@ -97,7 +97,7 @@ def main(argv=None):
         "elapsed_s": round(elapsed, 1),
         "backend": jax.default_backend(),
     }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(study, f, indent=1)
     print(json.dumps({"best_params": study["best_params"],
