@@ -229,7 +229,9 @@ def _solve_mlp_moe(
     nothing materialises the full [E, D, D] twice."""
     E = spec.n_experts
     fdt = _fetch_dtype(config)
-    pad_all = int(max(ranks))
+    # 512-grid pad (identity-block exact): per-window streamed calls
+    # otherwise compile one expert-solve program per distinct layer rank
+    pad_all = min(spec.d_int, -(-int(max(ranks)) // 512) * 512)
     units = _mlp_layers_per_program(spec, pad_all, mesh)  # (layer, expert) units
     step = max(1, units // E)
     e_step = E if units >= E else max(1, units)
