@@ -228,3 +228,40 @@ def test_stream_pipeline_host_resident(tmp_path):
     cspec, cparams, _ = load_compressed_model(results["artifact_dir"])
     assert max(cspec.gate_ranks) < spec.d_int
     assert results["params_after"] < results["params_before"]
+
+
+def test_stream_program_count_is_layer_invariant():
+    """Compiled-program count must not scale with layer count: every
+    per-window slice/gather/solve is padded onto coarse grids so remote
+    backends (one AOT round trip PER signature) compile a bounded set.
+    Regression for the signature collapse — before it, the streamed
+    pipeline compiled one tiny program per distinct layer rank
+    (~O(layers) extra compiles; ~1000 signatures at 7B depth)."""
+    from jax._src import monitoring
+
+    def count_compiles(n_layers):
+        spec = _llama_spec(n_layers=n_layers)
+        params = init_params(spec, jax.random.key(0))
+        batches = load_calibration_batches(
+            None, "synthetic", 4, 2, 32, vocab_size=128
+        )
+        config = _config()
+        jax.clear_caches()
+        n = [0]
+
+        def obs(e, d, **kw):
+            if e == "/jax/core/compile/backend_compile_duration":
+                n[0] += 1
+
+        monitoring.register_event_duration_secs_listener(obs)
+        try:
+            stream_calibrate_solve(spec, params, batches, config)
+        finally:
+            monitoring.unregister_event_duration_listener(obs)
+        return n[0]
+
+    base = count_compiles(2)
+    deep = count_compiles(5)
+    # Window flushes at different ranks must reuse programs: allow a few
+    # extra signatures (grid boundaries), not one-per-layer growth.
+    assert deep - base <= 6, (base, deep)
