@@ -40,6 +40,15 @@ if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
         _jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
+else:
+    # The tunneled TPU backend can go down for HOURS, and jax backend
+    # init then hangs indefinitely — which would hang this bench (and
+    # the driver capturing it) with no output at all. Probe the backend
+    # in a bounded subprocess first; fall back to CPU so the bench
+    # always emits its JSON line (device_kind records which backend ran).
+    from modegpt_tpu.utils.backend import ensure_available_backend
+
+    ensure_available_backend()
 
 _PRESET = _os.environ.get("MODEGPT_BENCH_PRESET", "small")
 if _PRESET == "large13B":
