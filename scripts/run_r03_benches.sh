@@ -21,8 +21,13 @@ run_one() {
   MODEGPT_BENCH_PRESET="${preset}" timeout "${budget}" \
     python bench.py > "${log}" 2>&1
   local rc=$?
-  # bench prints exactly one JSON line on success
+  # bench prints exactly one JSON line on success; a CPU-fallback line
+  # (tunnel bounced mid-run) must not be recorded as a TPU capture
   if [ $rc -eq 0 ] && grep -q '"metric"' "${log}"; then
+    if grep '"metric"' "${log}" | tail -1 | grep -q '"device_kind": "cpu"'; then
+      echo "SKIPPED capture: bench fell back to CPU (tunnel down?)"
+      return 1
+    fi
     grep '"metric"' "${log}" | tail -1 > "${out}"
     echo "captured: $(cat "${out}")"
   else
