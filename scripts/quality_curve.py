@@ -93,10 +93,27 @@ def qwen3_0p1b():
     return params_from_hf_model(transformers.Qwen3ForCausalLM(cfg).eval())
 
 
+def mixtral_moe():
+    import torch
+    import transformers
+
+    from modegpt_tpu.models import params_from_hf_model
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=8192, hidden_size=512, intermediate_size=1024,
+        num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=4,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=1024,
+    )
+    torch.manual_seed(0)
+    return params_from_hf_model(transformers.MixtralForCausalLM(cfg).eval())
+
+
 MODELS = {
     "llama_0.45b": (llama_0p45b, 512),
     "opt_125m": (opt_125m, 256),
     "qwen3_0.1b": (qwen3_0p1b, 256),
+    "mixtral_moe": (mixtral_moe, 256),
 }
 
 
