@@ -31,24 +31,14 @@ import numpy as np
 # large (7B-proxy layer geometry, 4 layers).
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-    # Honour an explicit CPU request even on hosts whose sitecustomize
-    # force-registers a remote TPU platform (see modegpt_tpu/__init__.py).
-    import jax as _jax
+# Honour an explicit JAX_PLATFORMS=cpu even on hosts whose sitecustomize
+# force-registers a remote TPU platform; otherwise probe the tunneled
+# backend in a bounded subprocess and fall back to CPU if it is down, so
+# the bench always emits its JSON line (device_kind records which
+# backend actually ran) instead of hanging in backend init.
+from modegpt_tpu.utils.backend import ensure_available_backend
 
-    try:
-        _jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
-else:
-    # The tunneled TPU backend can go down for HOURS, and jax backend
-    # init then hangs indefinitely — which would hang this bench (and
-    # the driver capturing it) with no output at all. Probe the backend
-    # in a bounded subprocess first; fall back to CPU so the bench
-    # always emits its JSON line (device_kind records which backend ran).
-    from modegpt_tpu.utils.backend import ensure_available_backend
-
-    ensure_available_backend()
+ensure_available_backend()
 
 _PRESET = _os.environ.get("MODEGPT_BENCH_PRESET", "small")
 if _PRESET == "large13B":

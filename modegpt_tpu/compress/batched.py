@@ -177,7 +177,17 @@ def _fetch(a, fdt):
     return np.asarray(a.astype(fdt) if fdt is not None else a)
 
 
-_FETCH_GRID = 512  # device-side slice sizes rounded up to this
+_FETCH_GRID = 512  # device-side slice/pad sizes rounded up to this
+
+
+def _grid_pad(n: int, dim: int) -> int:
+    """Round ``n`` up to the _FETCH_GRID, capped at ``dim``. Coarse-grid
+    sizes collapse device-program shape signatures (per-layer ranks are
+    near-arbitrary integers; exact sizes compile O(distinct values)
+    programs — each a full AOT round trip on remote backends). Padded
+    solve entries stay exact regardless of pad (identity block,
+    ops/mlp.py); fetch pads are trimmed on the host."""
+    return min(dim, -(-int(n) // _FETCH_GRID) * _FETCH_GRID)
 
 
 def _fetch_ragged(stack, ranks, fdt, axis: int):
@@ -199,7 +209,7 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
     np.asarray(lead[(0,) * lead.ndim])  # scalar index: no ravel copy
 
     dim = stack.shape[1 + axis]  # axis indexes the per-layer entry dims
-    rpad = min(dim, -(-max(ranks) // _FETCH_GRID) * _FETCH_GRID)
+    rpad = _grid_pad(max(ranks), dim)
     sl = [slice(None)] * stack.ndim
     sl[1 + axis] = slice(0, rpad)
     flat = _fetch(stack[tuple(sl)], fdt)  # [n, ..., rpad, ...] one fetch
@@ -229,9 +239,9 @@ def _solve_mlp_moe(
     nothing materialises the full [E, D, D] twice."""
     E = spec.n_experts
     fdt = _fetch_dtype(config)
-    # 512-grid pad (identity-block exact): per-window streamed calls
+    # grid pad (identity-block exact): per-window streamed calls
     # otherwise compile one expert-solve program per distinct layer rank
-    pad_all = min(spec.d_int, -(-int(max(ranks)) // 512) * 512)
+    pad_all = _grid_pad(max(ranks), spec.d_int)
     units = _mlp_layers_per_program(spec, pad_all, mesh)  # (layer, expert) units
     step = max(1, units // E)
     e_step = E if units >= E else max(1, units)
@@ -423,13 +433,11 @@ def _solve_mlp_dense(
         ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
         d_cov = np.asarray(covs[sub[0]]).shape[-1] if not isinstance(
             covs[sub[0]], jax.Array) else covs[sub[0]].shape[-1]
-        # Round the uniform pad to a coarse grid: per-window calls (the
-        # streamed path flushes 1-layer windows) and 1-layer lowmem
-        # chunks otherwise compile one solve program PER DISTINCT RANK
-        # (32 compiles at 7B — an hour through a remote-compile tunnel);
-        # a 512-grid keeps it to a handful, and padded entries are exact
-        # regardless of pad (identity block, ops/mlp.py).
-        pad = min(d_cov, -(-pad_all // 512) * 512)
+        # Coarse-grid uniform pad: per-window calls (the streamed path
+        # flushes 1-layer windows) and 1-layer lowmem chunks otherwise
+        # compile one solve program PER DISTINCT RANK (32 compiles at
+        # 7B — an hour through a remote-compile tunnel).
+        pad = _grid_pad(pad_all, d_cov)
         if d_cov ** 2 * jnp.dtype(dt).itemsize > _LOWMEM_COV_BYTES:
             # Low-memory sequencing for very large d_int (7B+): with the
             # full model resident there is only ~3 GB of HBM left, so the

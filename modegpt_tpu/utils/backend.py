@@ -5,7 +5,10 @@ HOURS, and jax backend init then hangs INDEFINITELY — hanging whatever
 process touches devices first (bench, driver compile checks). Probing
 in a bounded subprocess and falling back to CPU keeps those entry
 points productive: they emit results labelled with the backend that
-actually ran instead of hanging with no output.
+actually ran instead of hanging with no output. A successful probe is
+followed by the parent's own backend init under a watchdog, so even a
+tunnel drop in the probe->init race window aborts loudly within the
+timeout rather than hanging forever.
 """
 
 from __future__ import annotations
@@ -29,7 +32,10 @@ def ensure_available_backend(timeout: int | None = None) -> bool:
     import jax
 
     if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
         return False
     if timeout is None:
         timeout = int(os.environ.get("MODEGPT_BENCH_PROBE_TIMEOUT", "300"))
@@ -41,6 +47,30 @@ def ensure_available_backend(timeout: int | None = None) -> bool:
     except subprocess.TimeoutExpired:
         rc = -1
     if rc == 0:
+        # The probe only proves the tunnel was up a moment ago: the
+        # PARENT's backend init (its first jax op) can still hang
+        # indefinitely if the tunnel drops right now. Initialize here,
+        # under a watchdog, so the residual race window is seconds wide
+        # and a mid-init drop dies loudly (bounded, diagnosable) instead
+        # of hanging the caller forever. Hangs in LATER ops (remote AOT
+        # compiles after init) remain the caller's to bound — e.g. the
+        # outer `timeout` in scripts/run_r03_benches.sh.
+        import threading
+
+        done = threading.Event()
+
+        def _watchdog():
+            if not done.wait(timeout):
+                print(
+                    f"backend init hung >{timeout}s after a successful "
+                    "probe (tunnel dropped mid-init) — aborting",
+                    file=sys.stderr, flush=True,
+                )
+                os._exit(3)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+        jax.devices()
+        done.set()
         return True
     print(
         f"accelerator backend unavailable (probe rc={rc}) — CPU fallback",

@@ -262,6 +262,10 @@ def test_stream_program_count_is_layer_invariant():
 
     base = count_compiles(2)
     deep = count_compiles(5)
+    # Guard against vacuous passes: if the (private) jax monitoring
+    # event this hooks ever stops firing, fail loudly instead of
+    # counting 0 - 0 <= 6.
+    assert base > 0, "compile-count event never fired — jax event renamed?"
     # Window flushes at different ranks must reuse programs: allow a few
     # extra signatures (grid boundaries), not one-per-layer growth.
     assert deep - base <= 6, (base, deep)
