@@ -819,78 +819,99 @@ class ContinuousBatcher:
                     self._commit_prefill_token(s, tok)
         return key
 
+    def step(self, key) -> Tuple[jax.Array, Dict[int, List[int]], bool]:
+        """One scheduler iteration: sweep finished slots, admit queued
+        requests, process prefill chunks, take one decode (or
+        speculative) round. Returns ``(key, finished, drained)`` where
+        `finished` maps req_id -> full token list for requests whose
+        slots were swept at the TOP of this iteration (before any
+        device work — exactly run()'s order) and `drained` is True when
+        the queue and every slot are empty. run() is literally a loop
+        over step(); step() exists so long-lived frontends (server.py)
+        can admit new requests between iterations."""
+        finished: Dict[int, List[int]] = {}
+        # sweep finished slots BEFORE admitting (frees capacity)
+        for s in range(self.slots):
+            if self.slot_req[s] is not None and self._slot_finished(s):
+                finished[self.slot_req[s]] = self.slot_out[s]
+                self.slot_req[s] = None
+        self._admit()
+        key = self._prefill_step(key)
+        # decode-active: fully prefilled, unfinished slots only (a slot
+        # that finished AT prefill — eos first token or budget 1 —
+        # must not take a decode step; prefilling slots wait)
+        active_mask = np.asarray(
+            [
+                self.slot_req[s] is not None
+                and not self.slot_chunks[s]
+                and not self._slot_finished(s)
+                for s in range(self.slots)
+            ]
+        )
+        if not active_mask.any():
+            drained = (
+                not self.queue
+                and all(r is None for r in self.slot_req)
+                and not any(self.slot_chunks)
+            )
+            return key, finished, drained
+        key, sub = jax.random.split(key)
+        if self.spec_decode != "off":
+            self._speculative_step(active_mask)
+        else:
+            self._decode_round(active_mask, sub)
+        return key, finished, False
+
+    def _decode_round(self, active_mask: np.ndarray, sub) -> None:
+        """One (possibly fused multi-step) decode dispatch over the
+        decode-active slots, committing emitted tokens to host state."""
+        # fused multi-step decode only when nothing is prefilling
+        # (prefill chunks want per-step interleaving)
+        n = self.steps_per_dispatch if not any(self.slot_chunks) else 1
+        if n == 1:
+            self.state, toks, self.presence = _decode_slots_jit(
+                self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                self.state, jnp.asarray(active_mask),
+                self.temperature, None, sub,
+                moe=self.moe, moe_capacity=self.moe_capacity,
+                top_p=self.top_p, min_p=self.min_p,
+                rep_penalty=self.rep_penalty, presence=self.presence,
+            )
+            toks = np.asarray(toks)
+            for s in range(self.slots):
+                if active_mask[s]:
+                    self.slot_out[s].append(int(toks[s]))
+                    self.slot_budget[s] -= 1
+        else:
+            budgets = jnp.asarray(
+                [self.slot_budget[s] if active_mask[s] else 0
+                 for s in range(self.slots)], jnp.int32,
+            )
+            self.state, toks, emitted, self.presence = _decode_slots_multi_jit(
+                self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                self.state, jnp.asarray(active_mask), budgets,
+                jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
+                n, self.temperature, None, sub, has_eos=self.eos is not None,
+                moe=self.moe, moe_capacity=self.moe_capacity,
+                top_p=self.top_p, min_p=self.min_p,
+                rep_penalty=self.rep_penalty, presence=self.presence,
+            )
+            toks, emitted = np.asarray(toks), np.asarray(emitted)
+            for i in range(n):
+                for s in range(self.slots):
+                    if emitted[i, s]:
+                        self.slot_out[s].append(int(toks[i, s]))
+                        self.slot_budget[s] -= 1
+
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Run until the queue and all slots drain; returns {req_id: tokens}."""
         finished: Dict[int, List[int]] = {}
         key = jax.random.key(0)
         for _ in range(max_steps):
-            # sweep finished slots BEFORE admitting (frees capacity)
-            for s in range(self.slots):
-                if self.slot_req[s] is not None and self._slot_finished(s):
-                    finished[self.slot_req[s]] = self.slot_out[s]
-                    self.slot_req[s] = None
-            self._admit()
-            key = self._prefill_step(key)
-            # decode-active: fully prefilled, unfinished slots only (a slot
-            # that finished AT prefill — eos first token or budget 1 —
-            # must not take a decode step; prefilling slots wait)
-            active_mask = np.asarray(
-                [
-                    self.slot_req[s] is not None
-                    and not self.slot_chunks[s]
-                    and not self._slot_finished(s)
-                    for s in range(self.slots)
-                ]
-            )
-            if not active_mask.any():
-                if (
-                    not self.queue
-                    and all(r is None for r in self.slot_req)
-                    and not any(self.slot_chunks)
-                ):
-                    return finished
-                continue
-            key, sub = jax.random.split(key)
-            if self.spec_decode != "off":
-                self._speculative_step(active_mask)
-                continue
-            # fused multi-step decode only when nothing is prefilling
-            # (prefill chunks want per-step interleaving)
-            n = self.steps_per_dispatch if not any(self.slot_chunks) else 1
-            if n == 1:
-                self.state, toks, self.presence = _decode_slots_jit(
-                    self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
-                    self.state, jnp.asarray(active_mask),
-                    self.temperature, None, sub,
-                    moe=self.moe, moe_capacity=self.moe_capacity,
-                    top_p=self.top_p, min_p=self.min_p,
-                    rep_penalty=self.rep_penalty, presence=self.presence,
-                )
-                toks = np.asarray(toks)
-                for s in range(self.slots):
-                    if active_mask[s]:
-                        self.slot_out[s].append(int(toks[s]))
-                        self.slot_budget[s] -= 1
-            else:
-                budgets = jnp.asarray(
-                    [self.slot_budget[s] if active_mask[s] else 0
-                     for s in range(self.slots)], jnp.int32,
-                )
-                self.state, toks, emitted, self.presence = _decode_slots_multi_jit(
-                    self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
-                    self.state, jnp.asarray(active_mask), budgets,
-                    jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
-                    n, self.temperature, None, sub, has_eos=self.eos is not None,
-                    moe=self.moe, moe_capacity=self.moe_capacity,
-                    top_p=self.top_p, min_p=self.min_p,
-                    rep_penalty=self.rep_penalty, presence=self.presence,
-                )
-                toks, emitted = np.asarray(toks), np.asarray(emitted)
-                for i in range(n):
-                    for s in range(self.slots):
-                        if emitted[i, s]:
-                            self.slot_out[s].append(int(toks[i, s]))
-                            self.slot_budget[s] -= 1
+            key, fin, drained = self.step(key)
+            finished.update(fin)
+            if drained:
+                return finished
         raise RuntimeError(f"serving loop did not drain in {max_steps} steps")
 
     def _speculative_step(self, active_mask: np.ndarray) -> None:

@@ -1,0 +1,361 @@
+"""HTTP serving frontend: OpenAI-style completions over the batcher.
+
+The reference has no serving stack at all (SURVEY.md §0); this is the
+production-facing half of the one this framework adds. A single
+scheduler thread owns the `ContinuousBatcher` (models/serving.py) and
+drives `step()` continuously while work is outstanding; HTTP handler
+threads only enqueue requests and wait on per-request events, so the
+device never sees concurrent programs (one TPU process, one dispatch
+stream — the slot table does the batching, not the HTTP layer).
+
+Endpoints (stdlib `http.server`, no extra dependencies):
+
+* ``POST /v1/completions`` — body ``{"prompt": str}`` (needs a
+  tokenizer) or ``{"prompt_ids": [int, ...]}``; optional
+  ``max_tokens`` and ``"stream": true``. Non-streaming returns one
+  OpenAI-shaped JSON object; streaming returns Server-Sent Events
+  (``data: {...}`` lines, terminated by ``data: [DONE]``) with each
+  event carrying the text/token delta since the previous one.
+* ``GET /v1/models`` — the served model id.
+* ``GET /health`` — scheduler liveness + slot occupancy.
+
+Sampling knobs (temperature/top_p/min_p/repetition_penalty), MoE
+execution, speculative modes, int8 weights/KV and steps_per_dispatch
+are SERVER-level configuration (they select compiled programs and
+device-resident state), not per-request fields — requests choose only
+their prompt and token budget.
+
+CLI: ``python -m modegpt_tpu.server --model <artifact-or-hf-dir>
+--port 8000`` (plus the same serving knobs as modegpt_tpu.serve).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+__all__ = ["InferenceServer", "make_http_server", "main"]
+
+
+class _Request:
+    __slots__ = ("rid", "prompt_len", "done", "tokens", "stream_q", "emitted")
+
+    def __init__(self, rid: int, prompt_len: int, streaming: bool):
+        self.rid = rid
+        self.prompt_len = prompt_len
+        self.done = threading.Event()
+        self.tokens: Optional[List[int]] = None  # full sequence when done
+        # streaming consumers read token-id deltas from this queue;
+        # None terminates the stream
+        self.stream_q: Optional[queue.Queue] = queue.Queue() if streaming else None
+        self.emitted = 0  # generated tokens already pushed to stream_q
+
+
+class InferenceServer:
+    """Thread-safe facade over one ContinuousBatcher.
+
+    ``submit()`` may be called from any thread; a single scheduler
+    thread calls ``batcher.step()`` in a loop while requests are
+    outstanding and sleeps on a condition variable otherwise. Emitted
+    tokens are fanned out to streaming queues after every step (the
+    batcher's host-side slot state is the source of truth — no device
+    traffic beyond what the step programs already fetch).
+    """
+
+    def __init__(self, batcher, tokenizer=None, model_id: str = "modegpt-tpu"):
+        self.batcher = batcher
+        self.tokenizer = tokenizer
+        self.model_id = model_id
+        self._lock = threading.Lock()
+        self._work = threading.Condition(self._lock)
+        self._requests: Dict[int, _Request] = {}
+        self._key = jax.random.key(0)
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # -- client surface --------------------------------------------------
+
+    def submit(self, prompt_ids, max_new_tokens: int = 32,
+               streaming: bool = False) -> _Request:
+        ids = np.asarray(prompt_ids, np.int32).reshape(-1)
+        with self._work:
+            rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens)
+            req = _Request(rid, int(ids.shape[0]), streaming)
+            self._requests[rid] = req
+            self._work.notify()
+        return req
+
+    def close(self):
+        with self._work:
+            self._stop = True
+            self._work.notify()
+        self._thread.join(timeout=30)
+
+    @property
+    def alive(self) -> bool:
+        return self._thread.is_alive()
+
+    def occupancy(self) -> Dict[str, int]:
+        with self._lock:
+            busy = sum(r is not None for r in self.batcher.slot_req)
+            return {
+                "slots": self.batcher.slots,
+                "busy": busy,
+                "queued": len(self.batcher.queue),
+            }
+
+    # -- scheduler --------------------------------------------------------
+
+    def _outstanding(self) -> bool:
+        b = self.batcher
+        return bool(b.queue) or any(r is not None for r in b.slot_req)
+
+    def _loop(self):
+        while True:
+            with self._work:
+                while not self._stop and not self._outstanding():
+                    self._work.wait()
+                if self._stop:
+                    for req in self._requests.values():
+                        if req.stream_q is not None:
+                            req.stream_q.put(None)
+                        req.done.set()
+                    return
+                self._key, finished, _ = self.batcher.step(self._key)
+                # push streaming deltas for slots still in flight
+                for s in range(self.batcher.slots):
+                    rid = self.batcher.slot_req[s]
+                    req = self._requests.get(rid) if rid is not None else None
+                    if req is not None and req.stream_q is not None:
+                        gen = len(self.batcher.slot_out[s]) - req.prompt_len
+                        if gen > req.emitted:
+                            req.stream_q.put(
+                                self.batcher.slot_out[s][
+                                    req.prompt_len + req.emitted : req.prompt_len + gen
+                                ]
+                            )
+                            req.emitted = gen
+                for rid, tokens in finished.items():
+                    req = self._requests.pop(rid, None)
+                    if req is None:
+                        continue
+                    req.tokens = tokens
+                    if req.stream_q is not None:
+                        gen = len(tokens) - req.prompt_len
+                        if gen > req.emitted:
+                            req.stream_q.put(
+                                tokens[req.prompt_len + req.emitted : req.prompt_len + gen]
+                            )
+                        req.stream_q.put(None)
+                    req.done.set()
+
+
+def _json_bytes(obj) -> bytes:
+    return json.dumps(obj).encode()
+
+
+def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
+                     port: int = 8000, default_max_tokens: int = 64,
+                     request_timeout: float = 600.0) -> ThreadingHTTPServer:
+    """Build (but do not start) the ThreadingHTTPServer; call
+    ``.serve_forever()`` (typically in a thread) and ``.shutdown()``."""
+
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through logging, not stderr
+            import logging
+
+            logging.getLogger("modegpt_tpu.server").debug(fmt, *args)
+
+        def _send_json(self, code: int, obj) -> None:
+            body = _json_bytes(obj)
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                occ = server.occupancy()
+                occ["status"] = "ok" if server.alive else "dead"
+                self._send_json(200 if server.alive else 503, occ)
+            elif self.path == "/v1/models":
+                self._send_json(
+                    200,
+                    {"object": "list",
+                     "data": [{"id": server.model_id, "object": "model"}]},
+                )
+            else:
+                self._send_json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/completions", "/completions"):
+                self._send_json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._send_json(400, {"error": f"bad JSON body: {e}"})
+                return
+            if "prompt_ids" in body:
+                try:
+                    ids = [int(t) for t in body["prompt_ids"]]
+                except (TypeError, ValueError):
+                    self._send_json(400, {"error": "prompt_ids must be a list of ints"})
+                    return
+            elif "prompt" in body:
+                if server.tokenizer is None:
+                    self._send_json(
+                        400,
+                        {"error": "server has no tokenizer; pass prompt_ids"},
+                    )
+                    return
+                ids = server.tokenizer(str(body["prompt"]))["input_ids"]
+            else:
+                self._send_json(400, {"error": "need prompt or prompt_ids"})
+                return
+            max_tokens = int(body.get("max_tokens", default_max_tokens))
+            stream = bool(body.get("stream", False))
+            try:
+                req = server.submit(ids, max_new_tokens=max_tokens, streaming=stream)
+            except ValueError as e:  # over max_len etc.
+                self._send_json(400, {"error": str(e)})
+                return
+            if stream:
+                self._stream_response(req)
+            else:
+                if not req.done.wait(timeout=request_timeout):
+                    self._send_json(504, {"error": "generation timed out"})
+                    return
+                new = req.tokens[req.prompt_len:]
+                text = server.tokenizer.decode(new) if server.tokenizer else None
+                self._send_json(
+                    200,
+                    {
+                        "id": f"cmpl-{req.rid}",
+                        "object": "text_completion",
+                        "model": server.model_id,
+                        "choices": [
+                            {"index": 0, "text": text, "token_ids": new,
+                             "finish_reason": "stop"}
+                        ],
+                        "usage": {
+                            "prompt_tokens": req.prompt_len,
+                            "completion_tokens": len(new),
+                            "total_tokens": req.prompt_len + len(new),
+                        },
+                    },
+                )
+
+        def _stream_response(self, req: _Request) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes) -> None:
+                self.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+                self.wfile.flush()
+
+            # Decode deltas against the full generated prefix: BPE pieces
+            # are not per-token decodable, so each event's `text` is the
+            # tail of decode(all generated so far) beyond what was
+            # already sent (the standard streaming-detokenizer trick).
+            sent_tokens: List[int] = []
+            sent_text = ""
+            while True:
+                delta = req.stream_q.get(timeout=request_timeout)
+                if delta is None:
+                    chunk(b"data: [DONE]\n\n")
+                    chunk(b"")  # terminating chunk
+                    return
+                sent_tokens.extend(delta)
+                event = {"id": f"cmpl-{req.rid}", "token_ids": delta}
+                if server.tokenizer is not None:
+                    full = server.tokenizer.decode(sent_tokens)
+                    event["text"] = full[len(sent_text):]
+                    sent_text = full
+                chunk(b"data: " + _json_bytes(event) + b"\n\n")
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    from modegpt_tpu.utils.logging import setup_logging
+
+    parser = argparse.ArgumentParser(prog="modegpt-tpu-server")
+    parser.add_argument("--model", required=True, help="artifact dir or HF checkpoint dir")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--max_len", type=int, default=1024)
+    parser.add_argument("--prefill_bucket", type=int, default=128)
+    parser.add_argument("--max_tokens_default", type=int, default=64)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--top_p", type=float, default=None)
+    parser.add_argument("--min_p", type=float, default=None)
+    parser.add_argument("--repetition_penalty", type=float, default=None)
+    parser.add_argument("--quantize_int8", action="store_true")
+    parser.add_argument("--kv_dtype", choices=("model", "int8"), default="model")
+    parser.add_argument("--moe_exec", choices=("dense", "dispatch"), default="dense")
+    parser.add_argument("--moe_capacity", type=float, default=2.0)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1)
+    parser.add_argument("--prefill_exec", choices=("per_slot", "batched"),
+                        default="batched")
+    args = parser.parse_args(argv)
+
+    logger = setup_logging()
+    from modegpt_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from modegpt_tpu.evals.cli import _load_any
+    from modegpt_tpu.models.padded import pad_to_uniform
+    from modegpt_tpu.models.serving import ContinuousBatcher
+
+    spec, params, tokenizer = _load_any(args.model)
+    pm = pad_to_uniform(spec, params)
+    if args.quantize_int8:
+        from modegpt_tpu.models.quantize import quantize_padded
+
+        pm = quantize_padded(pm)
+    eos = getattr(tokenizer, "eos_token_id", None) if tokenizer is not None else None
+    batcher = ContinuousBatcher(
+        pm, slots=args.slots, max_len=args.max_len,
+        prefill_bucket=args.prefill_bucket, eos_token_id=eos,
+        temperature=args.temperature, top_p=args.top_p, min_p=args.min_p,
+        repetition_penalty=args.repetition_penalty, moe=args.moe_exec,
+        moe_capacity=args.moe_capacity, kv_dtype=args.kv_dtype,
+        steps_per_dispatch=args.steps_per_dispatch, prefill_exec=args.prefill_exec,
+    )
+    server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model)
+    httpd = make_http_server(server, host=args.host, port=args.port,
+                             default_max_tokens=args.max_tokens_default)
+    logger.info("serving %s on http://%s:%d (slots=%d, max_len=%d)",
+                args.model, args.host, args.port, args.slots, args.max_len)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        server.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,156 @@
+"""HTTP serving frontend: the scheduler-thread facade and the
+OpenAI-style endpoints must reproduce the batcher's (greedy-exact)
+outputs through real concurrent HTTP round-trips on loopback."""
+
+import http.client
+import json
+import threading
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from modegpt_tpu.models import params_from_hf_model
+from modegpt_tpu.models.generate import generate
+from modegpt_tpu.models.padded import pad_to_uniform
+from modegpt_tpu.models.serving import ContinuousBatcher
+from modegpt_tpu.server import InferenceServer, make_http_server
+
+
+def _tiny_llama(seed=0):
+    cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=144, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256,
+    )
+    torch.manual_seed(seed)
+    return transformers.LlamaForCausalLM(cfg).eval()
+
+
+@pytest.fixture(scope="module")
+def served():
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    batcher = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    server = InferenceServer(batcher, tokenizer=None, model_id="tiny-llama")
+    httpd = make_http_server(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield spec, params, server, port
+    httpd.shutdown()
+    server.close()
+
+
+def _post(port, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", path, body=json.dumps(body),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def _greedy_ref(spec, params, prompt, n_new):
+    return np.asarray(
+        generate(spec, params, np.asarray(prompt, np.int32)[None, :],
+                 max_new_tokens=n_new, temperature=0.0)
+    )[0].tolist()
+
+
+def test_completions_roundtrip_matches_greedy(served, rng):
+    """Concurrent POSTs (more requests than slots) each come back equal
+    to the standalone greedy decode of their own prompt."""
+    spec, params, _, port = served
+    prompts = [rng.integers(1, spec.vocab_size, size=(p,)).tolist()
+               for p in (3, 7, 5)]
+    n_new = 6
+    results = [None] * len(prompts)
+
+    def worker(i):
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompts[i], "max_tokens": n_new})
+        results[i] = (status, json.loads(data))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(len(prompts))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for i, prompt in enumerate(prompts):
+        status, body = results[i]
+        assert status == 200, body
+        got = body["choices"][0]["token_ids"]
+        assert prompt + got == _greedy_ref(spec, params, prompt, n_new)
+        assert body["usage"]["completion_tokens"] == n_new
+        assert body["choices"][0]["text"] is None  # no tokenizer on this server
+
+
+def test_streaming_sse_matches_nonstreaming(served, rng):
+    spec, params, _, port = served
+    prompt = rng.integers(1, spec.vocab_size, size=(5,)).tolist()
+    n_new = 8
+
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+    conn.request("POST", "/v1/completions",
+                 body=json.dumps({"prompt_ids": prompt, "max_tokens": n_new,
+                                  "stream": True}),
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    raw = resp.read().decode()  # http.client de-chunks for us
+    conn.close()
+
+    events = [line[len("data: "):] for line in raw.split("\n")
+              if line.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    streamed = []
+    for e in events[:-1]:
+        streamed.extend(json.loads(e)["token_ids"])
+    assert len(events) >= 3  # genuinely incremental, not one blob
+    assert prompt + streamed == _greedy_ref(spec, params, prompt, n_new)
+
+
+def test_health_models_and_errors(served):
+    _, _, server, port = served
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+
+    conn.request("GET", "/health")
+    r = conn.getresponse()
+    health = json.loads(r.read())
+    assert r.status == 200 and health["status"] == "ok"
+    assert health["slots"] == 2
+
+    conn.request("GET", "/v1/models")
+    r = conn.getresponse()
+    models = json.loads(r.read())
+    assert [m["id"] for m in models["data"]] == ["tiny-llama"]
+
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404 or True  # drain
+    conn.close()
+
+    # bad requests: no prompt; prompt without tokenizer; over max_len
+    assert _post(port, "/v1/completions", {})[0] == 400
+    assert _post(port, "/v1/completions", {"prompt": "hi"})[0] == 400
+    status, data = _post(port, "/v1/completions",
+                         {"prompt_ids": [1] * 60, "max_tokens": 60})
+    assert status == 400 and "max_len" in json.loads(data)["error"]
+
+
+def test_inference_server_direct_and_reuse(served, rng):
+    """The facade keeps serving across waves (scheduler sleeps between)
+    and slots are reused; direct submit() bypasses HTTP."""
+    spec, params, server, _ = served
+    for wave in range(2):
+        prompts = [rng.integers(1, spec.vocab_size, size=(4 + wave,)).tolist()
+                   for _ in range(3)]
+        reqs = [server.submit(p, max_new_tokens=5) for p in prompts]
+        for p, r in zip(prompts, reqs):
+            assert r.done.wait(timeout=300)
+            assert r.tokens == _greedy_ref(spec, params, p, 5)
+    occ = server.occupancy()
+    assert occ["busy"] == 0 and occ["queued"] == 0
