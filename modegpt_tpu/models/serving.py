@@ -682,6 +682,27 @@ class ContinuousBatcher:
         self.queue.append((rid, prompt, max_new_tokens))
         return rid
 
+    def cancel(self, rid: int) -> bool:
+        """Abort a request: drop it from the queue, or free its slot
+        immediately (the slot is then re-admitted exactly like a
+        finished one — prefill rewrites cache/lengths from position 0,
+        so no device state needs clearing). Returns False when `rid`
+        is unknown or already finished. Host bookkeeping only; safe
+        between step() calls."""
+        for i, (q_rid, _prompt, _budget) in enumerate(self.queue):
+            if q_rid == rid:
+                del self.queue[i]
+                self.stats.pop(rid, None)
+                return True
+        for s in range(self.slots):
+            if self.slot_req[s] == rid:
+                self.slot_req[s] = None
+                self.slot_chunks[s] = []
+                self.slot_budget[s] = 0
+                self.stats.pop(rid, None)
+                return True
+        return False
+
     def _slot_finished(self, s: int) -> bool:
         if self.slot_chunks[s]:
             return False  # still prefilling

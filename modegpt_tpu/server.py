@@ -16,8 +16,14 @@ Endpoints (stdlib `http.server`, no extra dependencies):
   OpenAI-shaped JSON object; streaming returns Server-Sent Events
   (``data: {...}`` lines, terminated by ``data: [DONE]``) with each
   event carrying the text/token delta since the previous one.
+* ``POST /v1/cancel`` — body ``{"id": "cmpl-<n>"}``: abort a queued or
+  in-flight request, freeing its slot (also triggered automatically
+  when a streaming client disconnects mid-generation).
 * ``GET /v1/models`` — the served model id.
 * ``GET /health`` — scheduler liveness + slot occupancy.
+
+Back-pressure: ``--max_queue N`` bounds requests WAITING for a slot;
+over-limit submissions get HTTP 429 instead of unbounded queueing.
 
 Sampling knobs (temperature/top_p/min_p/repetition_penalty), MoE
 execution, speculative modes, int8 weights/KV and steps_per_dispatch
@@ -40,7 +46,11 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-__all__ = ["InferenceServer", "make_http_server", "main"]
+__all__ = ["InferenceServer", "QueueFull", "make_http_server", "main"]
+
+
+class QueueFull(RuntimeError):
+    """Back-pressure: more than `max_queue` requests waiting for a slot."""
 
 
 class _Request:
@@ -68,10 +78,14 @@ class InferenceServer:
     traffic beyond what the step programs already fetch).
     """
 
-    def __init__(self, batcher, tokenizer=None, model_id: str = "modegpt-tpu"):
+    def __init__(self, batcher, tokenizer=None, model_id: str = "modegpt-tpu",
+                 max_queue: Optional[int] = None):
         self.batcher = batcher
         self.tokenizer = tokenizer
         self.model_id = model_id
+        # back-pressure bound on REQUESTS WAITING for a slot (in-flight
+        # slots are bounded by the slot table itself); None = unbounded
+        self.max_queue = max_queue
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._requests: Dict[int, _Request] = {}
@@ -86,11 +100,34 @@ class InferenceServer:
                streaming: bool = False) -> _Request:
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         with self._work:
+            if self.max_queue is not None:
+                free = sum(r is None for r in self.batcher.slot_req)
+                # requests ahead of this one that cannot go straight
+                # into a free slot; max_queue=0 = admit-or-reject
+                waiting = len(self.batcher.queue) - free
+                if waiting >= self.max_queue:
+                    raise QueueFull(
+                        f"queue full ({len(self.batcher.queue)} waiting for "
+                        f"{free} free slots, max_queue {self.max_queue})"
+                    )
             rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens)
             req = _Request(rid, int(ids.shape[0]), streaming)
             self._requests[rid] = req
             self._work.notify()
         return req
+
+    def cancel(self, rid: int) -> bool:
+        """Abort a queued or in-flight request (frees its slot for the
+        next admission); wakes any streaming consumer with end-of-stream.
+        False when `rid` is unknown or already finished."""
+        with self._work:
+            ok = self.batcher.cancel(rid)
+            req = self._requests.pop(rid, None)
+            if req is not None:
+                if req.stream_q is not None:
+                    req.stream_q.put(None)
+                req.done.set()
+            return ok
 
     def close(self):
         with self._work:
@@ -198,14 +235,24 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 self._send_json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/v1/completions", "/completions"):
-                self._send_json(404, {"error": f"no route {self.path}"})
-                return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._send_json(400, {"error": f"bad JSON body: {e}"})
+                return
+            if self.path in ("/v1/cancel", "/cancel"):
+                rid = str(body.get("id", ""))
+                rid = rid[len("cmpl-"):] if rid.startswith("cmpl-") else rid
+                try:
+                    ok = server.cancel(int(rid))
+                except ValueError:
+                    self._send_json(400, {"error": "id must be cmpl-<n>"})
+                    return
+                self._send_json(200 if ok else 404, {"id": f"cmpl-{rid}", "cancelled": ok})
+                return
+            if self.path not in ("/v1/completions", "/completions"):
+                self._send_json(404, {"error": f"no route {self.path}"})
                 return
             if "prompt_ids" in body:
                 try:
@@ -228,6 +275,9 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             stream = bool(body.get("stream", False))
             try:
                 req = server.submit(ids, max_new_tokens=max_tokens, streaming=stream)
+            except QueueFull as e:
+                self._send_json(429, {"error": str(e)})
+                return
             except ValueError as e:  # over max_len etc.
                 self._send_json(400, {"error": str(e)})
                 return
@@ -274,19 +324,25 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             # already sent (the standard streaming-detokenizer trick).
             sent_tokens: List[int] = []
             sent_text = ""
-            while True:
-                delta = req.stream_q.get(timeout=request_timeout)
-                if delta is None:
-                    chunk(b"data: [DONE]\n\n")
-                    chunk(b"")  # terminating chunk
-                    return
-                sent_tokens.extend(delta)
-                event = {"id": f"cmpl-{req.rid}", "token_ids": delta}
-                if server.tokenizer is not None:
-                    full = server.tokenizer.decode(sent_tokens)
-                    event["text"] = full[len(sent_text):]
-                    sent_text = full
-                chunk(b"data: " + _json_bytes(event) + b"\n\n")
+            try:
+                while True:
+                    delta = req.stream_q.get(timeout=request_timeout)
+                    if delta is None:
+                        chunk(b"data: [DONE]\n\n")
+                        chunk(b"")  # terminating chunk
+                        return
+                    sent_tokens.extend(delta)
+                    event = {"id": f"cmpl-{req.rid}", "token_ids": delta}
+                    if server.tokenizer is not None:
+                        full = server.tokenizer.decode(sent_tokens)
+                        event["text"] = full[len(sent_text):]
+                        sent_text = full
+                    chunk(b"data: " + _json_bytes(event) + b"\n\n")
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away mid-stream: reclaim the slot so the
+                # rest of the generation budget isn't burnt for nobody
+                server.cancel(req.rid)
+                self.close_connection = True
 
     httpd = ThreadingHTTPServer((host, port), Handler)
     return httpd
@@ -305,6 +361,9 @@ def main(argv=None):
     parser.add_argument("--max_len", type=int, default=1024)
     parser.add_argument("--prefill_bucket", type=int, default=128)
     parser.add_argument("--max_tokens_default", type=int, default=64)
+    parser.add_argument("--max_queue", type=int, default=None,
+                        help="reject (HTTP 429) when this many requests are "
+                        "already waiting for a slot; default unbounded")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--min_p", type=float, default=None)
@@ -342,7 +401,8 @@ def main(argv=None):
         moe_capacity=args.moe_capacity, kv_dtype=args.kv_dtype,
         steps_per_dispatch=args.steps_per_dispatch, prefill_exec=args.prefill_exec,
     )
-    server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model)
+    server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model,
+                             max_queue=args.max_queue)
     httpd = make_http_server(server, host=args.host, port=args.port,
                              default_max_tokens=args.max_tokens_default)
     logger.info("serving %s on http://%s:%d (slots=%d, max_len=%d)",

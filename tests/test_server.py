@@ -6,6 +6,7 @@ import http.client
 import json
 import threading
 
+import jax
 import numpy as np
 import pytest
 
@@ -139,6 +140,84 @@ def test_health_models_and_errors(served):
     status, data = _post(port, "/v1/completions",
                          {"prompt_ids": [1] * 60, "max_tokens": 60})
     assert status == 400 and "max_len" in json.loads(data)["error"]
+
+
+def test_batcher_cancel_frees_slot(rng):
+    """cancel() on queued and in-flight requests: survivors still match
+    per-sequence greedy, and the freed slot is reused."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=16)
+    keep_p = rng.integers(1, spec.vocab_size, size=(5,)).tolist()
+    kill_p = rng.integers(1, spec.vocab_size, size=(4,)).tolist()
+    kill_active = b.submit(kill_p, max_new_tokens=30)
+    kill_queued = b.submit(kill_p, max_new_tokens=30)
+    keep = b.submit(keep_p, max_new_tokens=6)
+
+    key = jax.random.key(0)
+    key, fin, _ = b.step(key)  # admits kill_active into the only slot
+    assert b.slot_req[0] == kill_active and not fin
+    assert b.cancel(kill_queued)  # still queued
+    assert b.cancel(kill_active)  # in flight
+    assert not b.cancel(kill_active)  # already gone
+    assert b.slot_req[0] is None
+    done = {}
+    for _ in range(100):
+        key, fin, drained = b.step(key)
+        done.update(fin)
+        if drained:
+            break
+    assert set(done) == {keep}
+    assert done[keep] == _greedy_ref(spec, params, keep_p, 6)
+
+
+def test_http_cancel_endpoint_and_backpressure(served, rng):
+    """POST /v1/cancel aborts a streaming generation mid-flight; a
+    max_queue=0 server 429s while its only slot is busy and accepts
+    again after it frees."""
+    spec, params, _, _ = served
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=None, model_id="bp", max_queue=0)
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        prompt = rng.integers(1, spec.vocab_size, size=(4,)).tolist()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     body=json.dumps({"prompt_ids": prompt, "max_tokens": 40,
+                                      "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        # read one SSE event to know the request is in flight
+        first = b""
+        while b"\n\n" not in first:
+            first += resp.read1(256)
+        rid = json.loads(first.decode().split("data: ", 1)[1].split("\n")[0])["id"]
+
+        # slot busy, zero queue allowance -> 429
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompt, "max_tokens": 4})
+        assert status == 429, data
+
+        status, data = _post(port, "/v1/cancel", {"id": rid})
+        assert status == 200 and json.loads(data)["cancelled"]
+        rest = resp.read()  # stream terminates promptly with [DONE]
+        assert b"data: [DONE]" in first + rest
+        conn.close()
+
+        # unknown id -> 404; freed slot serves again, greedy-exact
+        assert _post(port, "/v1/cancel", {"id": rid})[0] == 404
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompt, "max_tokens": 5})
+        body = json.loads(data)
+        assert status == 200, body
+        got = body["choices"][0]["token_ids"]
+        assert prompt + got == _greedy_ref(spec, params, prompt, 5)
+    finally:
+        httpd.shutdown()
+        srv.close()
 
 
 def test_inference_server_direct_and_reuse(served, rng):
