@@ -250,6 +250,41 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     ), nxt
 
 
+@partial(jax.jit, donate_argnames=("state",))
+def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
+                      new_len: jax.Array) -> ServeState:
+    """Copy slot `src`'s whole cache row onto slot `dst` and set
+    `dst`'s length to the adopted prefix length (prefix caching).
+
+    Copying the FULL row instead of exactly `new_len` positions keeps
+    this a single compiled program for every prefix length; positions
+    >= new_len are stale garbage, but every later prefill/decode write
+    for `dst` lands at >= new_len (its length is set here, before any
+    masked-row write can use a stale smaller length), so they are
+    rewritten before anything attends to them — the same invariant the
+    batched prefill relies on for non-prefilling rows. src == dst
+    (re-admitting a slot whose own previous prompt shares the prefix)
+    is a harmless self-copy. One slot row is a tiny slice of the pool,
+    so the copy is bandwidth-trivial next to the prefill compute it
+    replaces."""
+    row_k = lax.dynamic_index_in_dim(state.cache_k, src, axis=1)
+    row_v = lax.dynamic_index_in_dim(state.cache_v, src, axis=1)
+    return ServeState(
+        cache_k=lax.dynamic_update_index_in_dim(state.cache_k, row_k, dst, axis=1),
+        cache_v=lax.dynamic_update_index_in_dim(state.cache_v, row_v, dst, axis=1),
+        lengths=state.lengths.at[dst].set(new_len),
+        last_token=state.last_token,
+        k_scale=None if state.k_scale is None else lax.dynamic_update_index_in_dim(
+            state.k_scale, lax.dynamic_index_in_dim(state.k_scale, src, axis=1),
+            dst, axis=1,
+        ),
+        v_scale=None if state.v_scale is None else lax.dynamic_update_index_in_dim(
+            state.v_scale, lax.dynamic_index_in_dim(state.v_scale, src, axis=1),
+            dst, axis=1,
+        ),
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -557,7 +592,7 @@ class ContinuousBatcher:
                  prefill_exec: str = "per_slot",
                  top_p: Optional[float] = None, min_p: Optional[float] = None,
                  repetition_penalty: Optional[float] = None,
-                 mesh=None):
+                 mesh=None, prefix_cache: bool = False):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -655,6 +690,21 @@ class ContinuousBatcher:
                 self.draft_pm, self.draft_state = shard_serving(
                     mesh, self.draft_pm, self.draft_state
                 )
+        # Prefix caching: on admission, the longest bucket-aligned common
+        # prefix between the new prompt and any slot's still-resident
+        # prefilled prompt is ADOPTED (slot-row cache copy + skipping
+        # those prefill chunks) instead of recomputed — the slot-table
+        # answer to paged-attention prefix reuse, exact because KV for
+        # identical tokens at identical positions is identical
+        # (bit-identical on CPU f32 / same-program TPU; cross-program
+        # bf16 caveats as in the module docstring). Opt-in.
+        self.prefix_cache = prefix_cache
+        # tokens whose KV is live in each slot's cache from a COMPLETED
+        # prefill of its last prompt (decode appends after them; nothing
+        # rewrites them until the slot is re-admitted)
+        self.slot_prompt: List[Optional[np.ndarray]] = [None] * slots
+        self.prefix_hits = 0  # prefill chunks skipped via adoption
+        self.prefix_tokens_reused = 0
         # per-request speculative telemetry {rid: {rounds, drafted, accepted}}
         self.stats: Dict[int, Dict[str, int]] = {}
         self.queue: List[Tuple[int, np.ndarray, int]] = []  # (req_id, prompt, max_new)
@@ -728,14 +778,59 @@ class ContinuousBatcher:
                 if self.spec_decode != "off":
                     self.stats[rid] = {"rounds": 0, "drafted": 0, "accepted": 0}
                 n_chunks = max(1, -(-prompt.shape[0] // self.bucket))
-                self.slot_chunks[s] = [
+                chunks = [
                     (prompt[c * self.bucket : (c + 1) * self.bucket],
                      c * self.bucket, c == n_chunks - 1)
                     for c in range(n_chunks)
                 ]
+                if self.prefix_cache:
+                    skip, src = self._best_prefix(prompt, n_chunks)
+                    if skip > 0:
+                        adopted = skip * self.bucket
+                        args = (jnp.asarray(src, jnp.int32),
+                                jnp.asarray(s, jnp.int32),
+                                jnp.asarray(adopted, jnp.int32))
+                        self.state = _adopt_prefix_jit(self.state, *args)
+                        if self.draft_state is not None:
+                            # the draft pool mirrored the same chunks, so
+                            # its prefix at the same positions is valid too
+                            self.draft_state = _adopt_prefix_jit(
+                                self.draft_state, *args
+                            )
+                        chunks = chunks[skip:]
+                        self.prefix_hits += skip
+                        self.prefix_tokens_reused += adopted
+                        self.slot_prompt[s] = prompt[:adopted]
+                    else:
+                        self.slot_prompt[s] = prompt[:0]
+                self.slot_chunks[s] = chunks
+
+    def _best_prefix(self, prompt: np.ndarray, n_chunks: int):
+        """Longest bucket-aligned common prefix between `prompt` and any
+        slot's cache-resident prefilled tokens, as (chunks_to_skip,
+        source_slot). The final chunk is never skipped (it produces the
+        committed first token). Host-side scan over <= slots candidates."""
+        best_skip, best_src = 0, 0
+        for t in range(self.slots):
+            cand = self.slot_prompt[t]
+            if cand is None or cand.shape[0] == 0:
+                continue
+            n = min(cand.shape[0], prompt.shape[0])
+            neq = np.nonzero(cand[:n] != prompt[:n])[0]
+            lcp = int(neq[0]) if neq.size else n
+            skip = min(lcp // self.bucket, n_chunks - 1)
+            if skip > best_skip:
+                best_skip, best_src = skip, t
+        return best_skip, best_src
 
     def _commit_prefill_token(self, s: int, tok: int) -> None:
         """Host bookkeeping for a slot whose prompt just finished."""
+        if self.prefix_cache:
+            # the whole prompt's KV is now cache-resident (slot_out holds
+            # exactly the prompt here — the first committed token is
+            # appended below) and stays untouched until re-admission:
+            # decode / speculative-verify writes land past it
+            self.slot_prompt[s] = np.asarray(self.slot_out[s], np.int32)
         self.slot_out[s].append(tok)
         self.slot_budget[s] -= 1
         if self.presence is not None:

@@ -77,6 +77,11 @@ def main(argv=None):
         "cost of admitting new requests every N tokens)",
     )
     parser.add_argument(
+        "--prefix_cache", action="store_true",
+        help="reuse cache-resident KV for bucket-aligned shared prompt "
+        "prefixes (e.g. a common system prompt) instead of re-prefilling",
+    )
+    parser.add_argument(
         "--prefill_exec", choices=("per_slot", "batched"), default="per_slot",
         help="'batched' prefills every admitting slot's next chunk in ONE "
         "ragged dispatch per round (admission bursts pay one dispatch "
@@ -131,7 +136,7 @@ def main(argv=None):
         moe_capacity=args.moe_capacity, spec_decode=args.spec_decode,
         n_draft=args.n_draft, lookup_ngram=args.lookup_ngram, draft_pm=draft_pm,
         kv_dtype=args.kv_dtype, steps_per_dispatch=args.steps_per_dispatch,
-        prefill_exec=args.prefill_exec,
+        prefill_exec=args.prefill_exec, prefix_cache=args.prefix_cache,
     )
     rid_to_idx = {}
     prompt_lens = {}
@@ -163,6 +168,11 @@ def main(argv=None):
         "served %d requests, %d new tokens in %.2fs (%.0f tok/s)",
         len(done), total_new, elapsed, total_new / max(elapsed, 1e-9),
     )
+    if args.prefix_cache and batcher.prefix_hits:
+        logger.info(
+            "prefix cache: %d chunks adopted (%d prompt tokens not re-prefilled)",
+            batcher.prefix_hits, batcher.prefix_tokens_reused,
+        )
     if args.spec_decode != "off" and batcher.stats:
         drafted = sum(s["drafted"] for s in batcher.stats.values())
         accepted = sum(s["accepted"] for s in batcher.stats.values())

@@ -142,11 +142,15 @@ class InferenceServer:
     def occupancy(self) -> Dict[str, int]:
         with self._lock:
             busy = sum(r is not None for r in self.batcher.slot_req)
-            return {
+            occ = {
                 "slots": self.batcher.slots,
                 "busy": busy,
                 "queued": len(self.batcher.queue),
             }
+            if self.batcher.prefix_cache:
+                occ["prefix_hits"] = self.batcher.prefix_hits
+                occ["prefix_tokens_reused"] = self.batcher.prefix_tokens_reused
+            return occ
 
     # -- scheduler --------------------------------------------------------
 
@@ -375,6 +379,10 @@ def main(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=1)
     parser.add_argument("--prefill_exec", choices=("per_slot", "batched"),
                         default="batched")
+    parser.add_argument("--prefix_cache", action="store_true",
+                        help="reuse cache-resident KV for bucket-aligned shared "
+                        "prompt prefixes (e.g. a common system prompt) instead "
+                        "of re-prefilling them")
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -400,6 +408,7 @@ def main(argv=None):
         repetition_penalty=args.repetition_penalty, moe=args.moe_exec,
         moe_capacity=args.moe_capacity, kv_dtype=args.kv_dtype,
         steps_per_dispatch=args.steps_per_dispatch, prefill_exec=args.prefill_exec,
+        prefix_cache=args.prefix_cache,
     )
     server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model,
                              max_queue=args.max_queue)

@@ -565,3 +565,93 @@ def test_fused_compress_dp_mesh_matches_single_device(rng):
                 np.asarray(cparams_ref["layers"][l][name]["kernel"]),
                 rtol=2e-4, atol=2e-5, err_msg=f"layer {l} {name}",
             )
+
+
+def _shared_prefix_prompts(rng, bucket=8):
+    """A 33-token shared system prefix (4 full chunks of 8) + varied
+    suffixes, one prompt diverging at token 0 (must never adopt), and
+    one sharing only the first 11 tokens (adopts exactly 1 chunk)."""
+    sysp = rng.integers(1, 128, size=(33,)).astype(np.int32)
+    prompts = [
+        np.concatenate([sysp, rng.integers(1, 128, size=(k,)).astype(np.int32)])
+        for k in (3, 9, 5, 7)
+    ]
+    div = prompts[0].copy()
+    div[0] = int(div[0]) % 126 + 1
+    if div[0] == prompts[0][0]:
+        div[0] = (div[0] % 126) + 2
+    prompts.append(div)
+    prompts.append(
+        np.concatenate([sysp[:11], rng.integers(1, 128, size=(10,)).astype(np.int32)])
+    )
+    return prompts
+
+
+def test_prefix_cache_matches_plain(rng):
+    """prefix_cache=True must emit exactly the no-cache outputs while
+    actually adopting: later sharers skip the 4 aligned prefix chunks
+    (the KV copied slot-to-slot instead of re-prefilled), the
+    token-0-divergent prompt adopts nothing."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=23))
+    pm = pad_to_uniform(spec, params)
+    prompts = _shared_prefix_prompts(rng)
+
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=8)
+    ids_p = [plain.submit(p, max_new_tokens=7) for p in prompts]
+    ref = plain.run()
+
+    b = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=8,
+                          prefix_cache=True)
+    ids = [b.submit(p, max_new_tokens=7) for p in prompts]
+    got = b.run()
+    for rp, rc in zip(ids_p, ids):
+        assert got[rc] == ref[rp]
+    # deterministic schedule: two full-prefix sharers adopt 4 chunks each
+    # (the first two prompts prefill concurrently, nothing resident yet),
+    # the 11-token sharer adopts 1; the divergent prompt adopts 0
+    assert b.prefix_hits == 9
+    assert b.prefix_tokens_reused == 72
+    assert plain.prefix_hits == 0  # knob off: no adoption bookkeeping
+
+
+def test_prefix_cache_self_adoption_single_slot(rng):
+    """With one slot every sharer adopts from the slot it is itself
+    re-admitted into (src == dst self-copy), still greedy-exact."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=23))
+    pm = pad_to_uniform(spec, params)
+    prompts = _shared_prefix_prompts(rng)[:3]
+
+    plain = ContinuousBatcher(pm, slots=1, max_len=96, prefill_bucket=8)
+    ids_p = [plain.submit(p, max_new_tokens=5) for p in prompts]
+    ref = plain.run()
+
+    b = ContinuousBatcher(pm, slots=1, max_len=96, prefill_bucket=8,
+                          prefix_cache=True)
+    ids = [b.submit(p, max_new_tokens=5) for p in prompts]
+    got = b.run()
+    for rp, rc in zip(ids_p, ids):
+        assert got[rc] == ref[rp]
+    assert b.prefix_hits == 8  # prompts 2 and 3 adopt 4 chunks each
+
+
+def test_prefix_cache_with_draft_speculation(rng):
+    """Prefix adoption must mirror into the DRAFT cache pool too: a
+    self-drafting speculative batcher with prefix_cache on equals plain
+    serving (any draft-pool staleness would surface as rejected drafts
+    at wrong positions or wrong tokens)."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=23))
+    pm = pad_to_uniform(spec, params)
+    prompts = _shared_prefix_prompts(rng)
+
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=8)
+    ids_p = [plain.submit(p, max_new_tokens=7) for p in prompts]
+    ref = plain.run()
+
+    b = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=8,
+                          spec_decode="draft", n_draft=3, draft_pm=pm,
+                          prefix_cache=True)
+    ids = [b.submit(p, max_new_tokens=7) for p in prompts]
+    got = b.run()
+    for rp, rc in zip(ids_p, ids):
+        assert got[rc] == ref[rp]
+    assert b.prefix_hits == 8  # spec rounds shift admission timing by one adoption
