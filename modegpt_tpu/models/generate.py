@@ -225,6 +225,52 @@ def apply_repetition_penalty(logits, presence, penalty: float):
     return jnp.where(presence, penalised, logits)
 
 
+def sample_rows(logits, key, samp, presence=None):
+    """Per-ROW sampling for mixed-request serving: `samp` [S, 5] f32
+    carries (temperature, top_k, top_p, min_p, repetition_penalty) for
+    each row, all TRACED — one compiled program serves any mix of
+    greedy and sampled requests (``_sample``'s knobs are static, so it
+    compiles one program per knob combination instead).
+
+    Row semantics match ``_sample`` exactly (same HF LogitsProcessor
+    order: repetition penalty -> temperature -> top-k -> top-p ->
+    min-p; identical tie-inclusive thresholds). Off-sentinels:
+    temperature == 0 -> greedy argmax (penalty still applies, as in the
+    serving decode step); top_k <= 0, top_p >= 1, min_p <= 0,
+    penalty == 1 -> filter disabled for that row. All three filters
+    keep a PREFIX of the probability-sorted vocabulary, so one shared
+    descending sort serves them; when no row enables any filter the
+    sort is skipped entirely (lax.cond), leaving greedy-only serving
+    at argmax cost."""
+    V = logits.shape[-1]
+    logits = logits.astype(jnp.float32)
+    temp = samp[:, 0:1]
+    top_k, top_p, min_p, rep = samp[:, 1:2], samp[:, 2:3], samp[:, 3:4], samp[:, 4:5]
+    if presence is not None:
+        # penalty == 1 rows: divide/multiply by 1 is the identity
+        logits = apply_repetition_penalty(logits, presence, rep)
+    greedy = jnp.argmax(logits, axis=-1)
+    scaled = logits / jnp.maximum(temp, 1e-6)
+
+    def _filtered(x):
+        sorted_desc = jnp.flip(jnp.sort(x, axis=-1), axis=-1)
+        rank = jnp.arange(V, dtype=jnp.float32)[None, :]
+        valid = jnp.where(top_k > 0, rank < top_k, True)
+        probs = jax.nn.softmax(jnp.where(valid, sorted_desc, -jnp.inf), axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        valid = valid & jnp.where(top_p < 1.0, (cum - probs) < top_p, True)
+        probs = jax.nn.softmax(jnp.where(valid, sorted_desc, -jnp.inf), axis=-1)
+        # sorted descending => probs[:, :1] is each row's max prob
+        valid = valid & jnp.where(min_p > 0.0, probs >= min_p * probs[:, :1], True)
+        thr = jnp.min(jnp.where(valid, sorted_desc, jnp.inf), axis=-1, keepdims=True)
+        return jnp.where(x < thr, -jnp.inf, x)
+
+    any_filter = jnp.any((top_k > 0) | (top_p < 1.0) | (min_p > 0.0))
+    final = lax.cond(any_filter, _filtered, lambda x: x, scaled)
+    sampled = jax.random.categorical(key, final, axis=-1)
+    return jnp.where(temp[:, 0] == 0.0, greedy, sampled).astype(jnp.int32)
+
+
 def _sample(
     logits,
     key,

@@ -130,13 +130,16 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        chunk: jax.Array, pos0: jax.Array, real_len: jax.Array,
                        commit: jax.Array, temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
-                       top_p=None, min_p=None, rep_penalty=None, presence=None):
+                       top_p=None, min_p=None, rep_penalty=None, presence=None,
+                       samp=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
     from the chunk's last REAL position (same temperature policy as the
-    decode steps)."""
-    from modegpt_tpu.models.generate import _sample
+    decode steps). With `samp` [slots, 5] (per-request sampling mode)
+    the slot's own traced knob row drives the commit sample instead of
+    the static knobs — see generate.sample_rows."""
+    from modegpt_tpu.models.generate import _sample, sample_rows
 
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
     cv = lax.dynamic_slice_in_dim(state.cache_v, slot, 1, axis=1)
@@ -154,15 +157,23 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
     )
     last_logits = logits[0, real_len - 1][None]
-    if rep_penalty is not None:
-        from modegpt_tpu.models.generate import apply_repetition_penalty
+    if samp is not None:
+        row_samp = lax.dynamic_slice_in_dim(samp, slot, 1, axis=0)
+        row_pres = (
+            None if presence is None
+            else lax.dynamic_index_in_dim(presence, slot, axis=0, keepdims=True)
+        )
+        nxt = sample_rows(last_logits, key, row_samp, row_pres)[0]
+    else:
+        if rep_penalty is not None:
+            from modegpt_tpu.models.generate import apply_repetition_penalty
 
-        row = lax.dynamic_index_in_dim(presence, slot, axis=0, keepdims=True)
-        last_logits = apply_repetition_penalty(last_logits, row, rep_penalty)
-    nxt = _sample(
-        logits=last_logits, key=key, temperature=temperature, top_k=None,
-        top_p=top_p, min_p=min_p,
-    )[0].astype(jnp.int32)
+            row = lax.dynamic_index_in_dim(presence, slot, axis=0, keepdims=True)
+            last_logits = apply_repetition_penalty(last_logits, row, rep_penalty)
+        nxt = _sample(
+            logits=last_logits, key=key, temperature=temperature, top_k=None,
+            top_p=top_p, min_p=min_p,
+        )[0].astype(jnp.int32)
     return ServeState(
         cache_k=lax.dynamic_update_index_in_dim(state.cache_k, ck[:, 0], slot, axis=1),
         cache_v=lax.dynamic_update_index_in_dim(state.cache_v, cv[:, 0], slot, axis=1),
@@ -191,7 +202,8 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        commit: jax.Array, prefill_mask: jax.Array,
                        temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
-                       top_p=None, min_p=None, rep_penalty=None, presence=None):
+                       top_p=None, min_p=None, rep_penalty=None, presence=None,
+                       samp=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -219,7 +231,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
 
     Returns (state, next_token [slots]) — next_token is meaningful for
     rows with commit set (their prompt finished this round)."""
-    from modegpt_tpu.models.generate import _sample
+    from modegpt_tpu.models.generate import _sample, sample_rows
 
     S = chunks.shape[1]
     pos_arg = jnp.where(prefill_mask, pos0, state.lengths)
@@ -234,14 +246,17 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     )
     idx = jnp.maximum(real_len - 1, 0)
     last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
-    if rep_penalty is not None:
-        from modegpt_tpu.models.generate import apply_repetition_penalty
+    if samp is not None:
+        nxt = sample_rows(last_logits, key, samp, presence)
+    else:
+        if rep_penalty is not None:
+            from modegpt_tpu.models.generate import apply_repetition_penalty
 
-        last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
-    nxt = _sample(
-        logits=last_logits, key=key, temperature=temperature, top_k=None,
-        top_p=top_p, min_p=min_p,
-    ).astype(jnp.int32)
+            last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
+        nxt = _sample(
+            logits=last_logits, key=key, temperature=temperature, top_k=None,
+            top_p=top_p, min_p=min_p,
+        ).astype(jnp.int32)
     return ServeState(
         cache_k=ck, cache_v=cv,
         lengths=jnp.where(prefill_mask, pos0 + real_len, state.lengths),
@@ -296,25 +311,30 @@ def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
 def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       temperature: float, top_k, key,
                       moe: str = "dense", moe_capacity: float = 2.0,
-                      top_p=None, min_p=None, rep_penalty=None, presence=None):
+                      top_p=None, min_p=None, rep_penalty=None, presence=None,
+                      samp=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
-                            top_p, min_p, rep_penalty, presence)
+                            top_p, min_p, rep_penalty, presence, samp)
 
 
 def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      active: jax.Array, temperature: float, top_k, key,
                      moe: str, moe_capacity: float,
-                     top_p=None, min_p=None, rep_penalty=None, presence=None):
+                     top_p=None, min_p=None, rep_penalty=None, presence=None,
+                     samp=None):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
-    step reads it for the penalty and records the sampled token.
+    step reads it for the penalty and records the sampled token. With
+    `samp` [slots, 5] (per-request sampling mode) each row's traced
+    knob row replaces the static knobs — one compiled program serves
+    any mix of greedy and sampled slots (generate.sample_rows).
     Returns (state, nxt, presence)."""
-    from modegpt_tpu.models.generate import _sample, apply_repetition_penalty
+    from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, sample_rows
 
     tokens = state.last_token[:, None]
     # [L, slots, ...] pools are the padded step's cache layout; per-row
@@ -326,13 +346,16 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
     )
     last_logits = logits[:, -1, :]
-    if rep_penalty is not None:
-        last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
-    nxt = _sample(
-        logits=last_logits, key=key, temperature=temperature, top_k=top_k,
-        top_p=top_p, min_p=min_p,
-    ).astype(jnp.int32)
-    if rep_penalty is not None:
+    if samp is not None:
+        nxt = sample_rows(last_logits, key, samp, presence)
+    else:
+        if rep_penalty is not None:
+            last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
+        nxt = _sample(
+            logits=last_logits, key=key, temperature=temperature, top_k=top_k,
+            top_p=top_p, min_p=min_p,
+        ).astype(jnp.int32)
+    if presence is not None:
         S = nxt.shape[0]
         presence = presence.at[jnp.arange(S), nxt].set(
             active | presence[jnp.arange(S), nxt]
@@ -354,7 +377,8 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             n_steps: int, temperature: float, top_k, key,
                             has_eos: bool = False,
                             moe: str = "dense", moe_capacity: float = 2.0,
-                            top_p=None, min_p=None, rep_penalty=None, presence=None):
+                            top_p=None, min_p=None, rep_penalty=None, presence=None,
+                            samp=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -384,7 +408,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
         k2, sub = jax.random.split(k2)
         st, nxt, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
                                          temperature, top_k, sub, moe, moe_capacity,
-                                         top_p, min_p, rep_penalty, pres)
+                                         top_p, min_p, rep_penalty, pres, samp)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
@@ -592,7 +616,8 @@ class ContinuousBatcher:
                  prefill_exec: str = "per_slot",
                  top_p: Optional[float] = None, min_p: Optional[float] = None,
                  repetition_penalty: Optional[float] = None,
-                 mesh=None, prefix_cache: bool = False):
+                 mesh=None, prefix_cache: bool = False,
+                 per_request_sampling: bool = False):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -609,15 +634,36 @@ class ContinuousBatcher:
         self.rep_penalty = (
             None if repetition_penalty in (None, 1.0) else float(repetition_penalty)
         )
+        # Per-REQUEST sampling: each submit() may carry its own
+        # temperature/top_k/top_p/min_p/repetition_penalty (falling back
+        # to the constructor knobs). Knobs live in a traced [slots, 5]
+        # table (generate.sample_rows), so one compiled decode/prefill
+        # program serves any mix of greedy and sampled requests — the
+        # static-knob mode compiles one program per knob combination
+        # instead. The presence pool is always allocated here because
+        # any request may enable a penalty.
+        self.per_request = per_request_sampling
+        self._samp_default = np.asarray(
+            [temperature, 0.0, top_p if top_p is not None else 1.0,
+             min_p if min_p is not None else 0.0,
+             self.rep_penalty if self.rep_penalty is not None else 1.0],
+            np.float32,
+        )
+        # off-sentinel rows (greedy, no filters) for idle slots so a
+        # stale sampled row can't force the filter path on greedy steps
+        self._samp_off = np.asarray([0.0, 0.0, 1.0, 0.0, 1.0], np.float32)
+        self.samp = np.tile(self._samp_off, (slots, 1)) if per_request_sampling else None
         self.presence = (
             jnp.zeros((slots, pm.spec.vocab_size), bool)
-            if self.rep_penalty is not None
+            if self.rep_penalty is not None or per_request_sampling
             else None
         )
-        if spec_decode != "off" and (top_p or min_p or self.rep_penalty):
+        if spec_decode != "off" and (top_p or min_p or self.rep_penalty
+                                     or per_request_sampling):
             raise ValueError(
                 "speculative serving is greedy-only: top_p/min_p/"
-                "repetition_penalty are sampling knobs it cannot honour"
+                "repetition_penalty/per_request_sampling are sampling "
+                "knobs it cannot honour"
             )
         # MoE execution: "dense" (all experts on all tokens; exact) or
         # "dispatch" (capacity-based token dispatch; per-expert FLOPs
@@ -707,7 +753,8 @@ class ContinuousBatcher:
         self.prefix_tokens_reused = 0
         # per-request speculative telemetry {rid: {rounds, drafted, accepted}}
         self.stats: Dict[int, Dict[str, int]] = {}
-        self.queue: List[Tuple[int, np.ndarray, int]] = []  # (req_id, prompt, max_new)
+        # (req_id, prompt, max_new, samp_row-or-None)
+        self.queue: List[Tuple[int, np.ndarray, int, Optional[np.ndarray]]] = []
         self.slot_req: List[Optional[int]] = [None] * slots
         self.slot_out: List[List[int]] = [[] for _ in range(slots)]
         self.slot_budget = [0] * slots
@@ -716,7 +763,26 @@ class ContinuousBatcher:
         self.slot_chunks: List[List] = [[] for _ in range(slots)]
         self._next_id = 0
 
-    def submit(self, prompt_ids, max_new_tokens: int = 32) -> int:
+    def submit(self, prompt_ids, max_new_tokens: int = 32,
+               temperature: Optional[float] = None, top_k: Optional[int] = None,
+               top_p: Optional[float] = None, min_p: Optional[float] = None,
+               repetition_penalty: Optional[float] = None) -> int:
+        """Enqueue a prompt. The sampling kwargs are per-REQUEST
+        overrides of the constructor knobs and need
+        ``per_request_sampling=True`` (they land in the traced knob
+        table, so no recompilation — generate.sample_rows)."""
+        overrides = (temperature, top_k, top_p, min_p, repetition_penalty)
+        if not self.per_request and any(v is not None for v in overrides):
+            raise ValueError(
+                "per-request sampling kwargs need per_request_sampling=True "
+                "(the static-knob mode bakes sampling into the compiled programs)"
+            )
+        row = None
+        if self.per_request:
+            row = self._samp_default.copy()
+            for i, v in enumerate(overrides):
+                if v is not None:
+                    row[i] = float(v)
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         # speculative verify windows write n_draft+1 cache positions past
         # the commit point; reserve that margin so writes never clamp
@@ -729,7 +795,7 @@ class ContinuousBatcher:
             )
         rid = self._next_id
         self._next_id += 1
-        self.queue.append((rid, prompt, max_new_tokens))
+        self.queue.append((rid, prompt, max_new_tokens, row))
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -739,7 +805,7 @@ class ContinuousBatcher:
         so no device state needs clearing). Returns False when `rid`
         is unknown or already finished. Host bookkeeping only; safe
         between step() calls."""
-        for i, (q_rid, _prompt, _budget) in enumerate(self.queue):
+        for i, (q_rid, _prompt, _budget, _row) in enumerate(self.queue):
             if q_rid == rid:
                 del self.queue[i]
                 self.stats.pop(rid, None)
@@ -749,9 +815,26 @@ class ContinuousBatcher:
                 self.slot_req[s] = None
                 self.slot_chunks[s] = []
                 self.slot_budget[s] = 0
+                if self.samp is not None:
+                    self.samp[s] = self._samp_off
                 self.stats.pop(rid, None)
                 return True
         return False
+
+    def _samp_kwargs(self):
+        """Sampling kwargs for the jitted prefill/decode programs: the
+        traced per-row table in per-request mode, the static knobs
+        otherwise (statics are pinned to their off values in per-row
+        mode so the program signature never varies with ctor knobs)."""
+        if self.per_request:
+            return dict(top_p=None, min_p=None, rep_penalty=None,
+                        presence=self.presence, samp=jnp.asarray(self.samp))
+        return dict(top_p=self.top_p, min_p=self.min_p,
+                    rep_penalty=self.rep_penalty, presence=self.presence)
+
+    @property
+    def _static_temp(self) -> float:
+        return 0.0 if self.per_request else self.temperature
 
     def _slot_finished(self, s: int) -> bool:
         if self.slot_chunks[s]:
@@ -767,10 +850,12 @@ class ContinuousBatcher:
         the device work happens chunk-by-chunk in `_prefill_step`."""
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
-                rid, prompt, budget = self.queue.pop(0)
+                rid, prompt, budget, row = self.queue.pop(0)
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
+                if row is not None:
+                    self.samp[s] = row
                 if self.presence is not None:
                     row = np.zeros((self.pm.spec.vocab_size,), bool)
                     row[prompt] = True
@@ -860,10 +945,9 @@ class ContinuousBatcher:
                     jnp.asarray(commit), jnp.asarray(mask))
             self.state, nxt = _prefill_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
-                self.state, *args, self.temperature, sub,
+                self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                top_p=self.top_p, min_p=self.min_p,
-                rep_penalty=self.rep_penalty, presence=self.presence,
+                **self._samp_kwargs(),
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
@@ -909,10 +993,9 @@ class ContinuousBatcher:
                     self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                     self.state, jnp.asarray(s, jnp.int32), jnp.asarray(padded),
                     jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
-                    jnp.asarray(is_last), self.temperature, sub,
+                    jnp.asarray(is_last), self._static_temp, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
-                    top_p=self.top_p, min_p=self.min_p,
-                    rep_penalty=self.rep_penalty, presence=self.presence,
+                    **self._samp_kwargs(),
                 )
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
@@ -951,6 +1034,8 @@ class ContinuousBatcher:
             if self.slot_req[s] is not None and self._slot_finished(s):
                 finished[self.slot_req[s]] = self.slot_out[s]
                 self.slot_req[s] = None
+                if self.samp is not None:
+                    self.samp[s] = self._samp_off
         self._admit()
         key = self._prefill_step(key)
         # decode-active: fully prefilled, unfinished slots only (a slot
@@ -988,10 +1073,9 @@ class ContinuousBatcher:
             self.state, toks, self.presence = _decode_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask),
-                self.temperature, None, sub,
+                self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                top_p=self.top_p, min_p=self.min_p,
-                rep_penalty=self.rep_penalty, presence=self.presence,
+                **self._samp_kwargs(),
             )
             toks = np.asarray(toks)
             for s in range(self.slots):
@@ -1007,10 +1091,9 @@ class ContinuousBatcher:
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask), budgets,
                 jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
-                n, self.temperature, None, sub, has_eos=self.eos is not None,
+                n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                top_p=self.top_p, min_p=self.min_p,
-                rep_penalty=self.rep_penalty, presence=self.presence,
+                **self._samp_kwargs(),
             )
             toks, emitted = np.asarray(toks), np.asarray(emitted)
             for i in range(n):

@@ -25,11 +25,16 @@ Endpoints (stdlib `http.server`, no extra dependencies):
 Back-pressure: ``--max_queue N`` bounds requests WAITING for a slot;
 over-limit submissions get HTTP 429 instead of unbounded queueing.
 
-Sampling knobs (temperature/top_p/min_p/repetition_penalty), MoE
-execution, speculative modes, int8 weights/KV and steps_per_dispatch
-are SERVER-level configuration (they select compiled programs and
-device-resident state), not per-request fields — requests choose only
-their prompt and token budget.
+Per-request sampling: with the batcher in ``per_request_sampling``
+mode (the CLI default here), each completion request may carry its own
+``temperature`` / ``top_k`` / ``top_p`` / ``min_p`` /
+``repetition_penalty`` — they land in a traced per-slot knob table
+(models/generate.sample_rows), so any mix of greedy and sampled
+requests shares ONE compiled decode program (no per-combination
+recompiles). Fields omitted by a request fall back to the server-level
+defaults. MoE execution, speculative modes, int8 weights/KV and
+steps_per_dispatch remain SERVER-level configuration (they select
+compiled programs and device-resident state).
 
 CLI: ``python -m modegpt_tpu.server --model <artifact-or-hf-dir>
 --port 8000`` (plus the same serving knobs as modegpt_tpu.serve).
@@ -97,7 +102,11 @@ class InferenceServer:
     # -- client surface --------------------------------------------------
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
-               streaming: bool = False) -> _Request:
+               streaming: bool = False,
+               sampling: Optional[Dict[str, float]] = None) -> _Request:
+        """`sampling` holds per-request overrides (temperature/top_k/
+        top_p/min_p/repetition_penalty) forwarded to the batcher; needs
+        a per_request_sampling batcher."""
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         with self._work:
             if self.max_queue is not None:
@@ -110,7 +119,8 @@ class InferenceServer:
                         f"queue full ({len(self.batcher.queue)} waiting for "
                         f"{free} free slots, max_queue {self.max_queue})"
                     )
-            rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens)
+            rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens,
+                                      **(sampling or {}))
             req = _Request(rid, int(ids.shape[0]), streaming)
             self._requests[rid] = req
             self._work.notify()
@@ -278,7 +288,18 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             max_tokens = int(body.get("max_tokens", default_max_tokens))
             stream = bool(body.get("stream", False))
             try:
-                req = server.submit(ids, max_new_tokens=max_tokens, streaming=stream)
+                sampling = {
+                    k: (int(body[k]) if k == "top_k" else float(body[k]))
+                    for k in ("temperature", "top_k", "top_p", "min_p",
+                              "repetition_penalty")
+                    if body.get(k) is not None
+                }
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "sampling fields must be numbers"})
+                return
+            try:
+                req = server.submit(ids, max_new_tokens=max_tokens, streaming=stream,
+                                    sampling=sampling)
             except QueueFull as e:
                 self._send_json(429, {"error": str(e)})
                 return
@@ -372,6 +393,12 @@ def main(argv=None):
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--min_p", type=float, default=None)
     parser.add_argument("--repetition_penalty", type=float, default=None)
+    parser.add_argument("--per_request_sampling", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="honour per-request sampling fields via a traced "
+                        "knob table (one compiled program for any knob mix); "
+                        "--no-per_request_sampling bakes the server-level knobs "
+                        "into the programs and rejects per-request fields")
     parser.add_argument("--quantize_int8", action="store_true")
     parser.add_argument("--kv_dtype", choices=("model", "int8"), default="model")
     parser.add_argument("--moe_exec", choices=("dense", "dispatch"), default="dense")
@@ -409,6 +436,7 @@ def main(argv=None):
         moe_capacity=args.moe_capacity, kv_dtype=args.kv_dtype,
         steps_per_dispatch=args.steps_per_dispatch, prefill_exec=args.prefill_exec,
         prefix_cache=args.prefix_cache,
+        per_request_sampling=args.per_request_sampling,
     )
     server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model,
                              max_queue=args.max_queue)

@@ -13,9 +13,82 @@ import jax
 import jax.numpy as jnp
 
 from modegpt_tpu.models import forward, params_from_hf_model
-from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, generate
+from modegpt_tpu.models.generate import (
+    _sample,
+    apply_repetition_penalty,
+    generate,
+    sample_rows,
+)
 from modegpt_tpu.models.padded import pad_to_uniform
 from modegpt_tpu.models.serving import ContinuousBatcher
+
+# knob combos spanning every filter: (temperature, top_k, top_p, min_p, rep)
+_COMBOS = [
+    (0.0, None, None, None, None),
+    (1.0, None, None, None, None),
+    (0.7, 10, None, None, None),
+    (1.0, None, 0.9, None, None),
+    (1.3, None, None, 0.05, None),
+    (0.8, 20, 0.95, 0.02, None),
+    (0.9, None, 0.8, None, 1.5),
+    (0.0, None, None, None, 2.0),
+]
+
+
+def _samp_row(t, k, p, mp, rep):
+    return [t, float(k or 0), float(p if p is not None else 1.0),
+            float(mp or 0.0), float(rep or 1.0)]
+
+
+def _static_ref(logits, key, presence, combo):
+    """What the static path computes for `combo` over the full batch."""
+    t, k, p, mp, rep = combo
+    lg = logits.astype(jnp.float32)
+    if rep is not None:
+        lg = apply_repetition_penalty(lg, presence, rep)
+    return np.asarray(_sample(lg, key, t, k, top_p=p, min_p=mp))
+
+
+def test_sample_rows_uniform_matches_static():
+    """Uniform knob rows must reproduce the static `_sample` path
+    token-for-token (same key => same Gumbel noise tensor)."""
+    rng = np.random.default_rng(0)
+    S, V = 8, 97
+    logits = jnp.asarray(rng.normal(size=(S, V)) * 3.0, jnp.float32)
+    presence = jnp.asarray(rng.random((S, V)) < 0.1)
+    key = jax.random.key(42)
+    for combo in _COMBOS:
+        samp = jnp.asarray([_samp_row(*combo)] * S, jnp.float32)
+        got = np.asarray(sample_rows(logits, key, samp, presence))
+        np.testing.assert_array_equal(got, _static_ref(logits, key, presence, combo))
+
+
+def test_sample_rows_mixed_rows_exact_per_row():
+    """categorical's Gumbel noise depends only on (key, shape), so row i
+    of a MIXED-knob sample_rows call must equal row i of a full-batch
+    static `_sample` call with row i's knobs — exact, not statistical."""
+    rng = np.random.default_rng(1)
+    S, V = len(_COMBOS), 131
+    logits = jnp.asarray(rng.normal(size=(S, V)) * 3.0, jnp.float32)
+    presence = jnp.asarray(rng.random((S, V)) < 0.1)
+    key = jax.random.key(7)
+    samp = jnp.asarray([_samp_row(*c) for c in _COMBOS], jnp.float32)
+    got = np.asarray(sample_rows(logits, key, samp, presence))
+    for i, combo in enumerate(_COMBOS):
+        assert got[i] == _static_ref(logits, key, presence, combo)[i], (i, combo)
+
+
+def test_sample_rows_no_filter_path():
+    """All-off filter sentinels take the cond's identity branch and must
+    still match plain temperature sampling."""
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.normal(size=(4, 64)), jnp.float32)
+    key = jax.random.key(3)
+    samp = jnp.asarray([_samp_row(1.0, None, None, None, None)] * 4, jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(sample_rows(logits, key, samp, None)),
+        np.asarray(_sample(logits, key, 1.0, None)),
+    )
 
 
 def _tiny_llama(n_layers=2):
@@ -140,6 +213,63 @@ def test_batcher_sampled_knobs_smoke():
     for rid in rids:
         assert len(out[rid]) == 5 + 10
         assert all(0 <= t < 128 for t in out[rid])
+
+
+def test_batcher_per_request_all_greedy_matches_global():
+    """per_request_sampling with default (greedy) rows must reproduce
+    the static greedy batcher exactly — the traced knob table changes
+    the program, not the math."""
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, 128, size=(n,)).astype(np.int32) for n in (5, 9, 6)]
+    ref = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8)
+    r1 = [ref.submit(p, 8) for p in prompts]
+    out1 = ref.run()
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          per_request_sampling=True)
+    r2 = [b.submit(p, 8) for p in prompts]
+    out2 = b.run()
+    for a, c in zip(r1, r2):
+        assert out1[a] == out2[c]
+
+
+def test_batcher_per_request_mixed_greedy_row_exact():
+    """A greedy+penalty request must match generate() exactly while
+    sampled requests share the same decode dispatches (CPU f32), across
+    both the single-step and fused multi-step programs."""
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    rng = np.random.default_rng(4)
+    p_greedy = rng.integers(0, 128, size=(5,)).astype(np.int32)
+    p_samp = rng.integers(0, 128, size=(9,)).astype(np.int32)
+    ref = np.asarray(
+        generate(spec, params, p_greedy[None], max_new_tokens=8, temperature=0.0,
+                 repetition_penalty=1.5)
+    )[0]
+    for steps, pexec in ((1, "per_slot"), (4, "batched")):
+        b = ContinuousBatcher(pm, slots=3, max_len=64, prefill_bucket=8,
+                              per_request_sampling=True,
+                              steps_per_dispatch=steps, prefill_exec=pexec)
+        rid_g = b.submit(p_greedy, 8, repetition_penalty=1.5)
+        rid_s = b.submit(p_samp, 8, temperature=0.9, top_p=0.9)
+        rid_k = b.submit(p_samp, 8, temperature=1.2, top_k=12, min_p=0.02)
+        out = b.run()
+        np.testing.assert_array_equal(np.asarray(out[rid_g]), ref)
+        for rid in (rid_s, rid_k):
+            assert len(out[rid]) == 9 + 8
+            assert all(0 <= t < 128 for t in out[rid])
+
+
+def test_batcher_rejects_per_request_kwargs_without_mode():
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8)
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        b.submit(np.arange(4, dtype=np.int32), 4, temperature=0.5)
 
 
 def test_batcher_rejects_sampling_knobs_with_spec_decode():

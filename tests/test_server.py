@@ -233,3 +233,50 @@ def test_inference_server_direct_and_reuse(served, rng):
             assert r.tokens == _greedy_ref(spec, params, p, 5)
     occ = server.occupancy()
     assert occ["busy"] == 0 and occ["queued"] == 0
+
+
+def test_http_per_request_sampling(rng):
+    """Per-request sampling fields over HTTP: a greedy request and a
+    sampled request share the server; the greedy one stays exact, the
+    sampled one honours its own knobs; bad fields get 400."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16,
+                          per_request_sampling=True)
+    srv = InferenceServer(b, tokenizer=None, model_id="prs")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        prompt = rng.integers(1, spec.vocab_size, size=(5,)).tolist()
+        results = {}
+
+        def worker(name, body):
+            results[name] = _post(port, "/v1/completions", body)
+
+        threads = [
+            threading.Thread(target=worker, args=("greedy", {
+                "prompt_ids": prompt, "max_tokens": 6})),
+            threading.Thread(target=worker, args=("sampled", {
+                "prompt_ids": prompt, "max_tokens": 6,
+                "temperature": 0.9, "top_p": 0.9, "repetition_penalty": 1.2})),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        status, data = results["greedy"]
+        assert status == 200
+        got = json.loads(data)["choices"][0]["token_ids"]
+        assert prompt + got == _greedy_ref(spec, params, prompt, 6)
+        status, data = results["sampled"]
+        assert status == 200
+        got = json.loads(data)["choices"][0]["token_ids"]
+        assert len(got) == 6 and all(0 <= t < spec.vocab_size for t in got)
+
+        status, _ = _post(port, "/v1/completions",
+                          {"prompt_ids": prompt, "temperature": "hot"})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
