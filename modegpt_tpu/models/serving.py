@@ -119,10 +119,24 @@ def _step_cache(spec, layers, other, q_hd_true, tokens, lengths,
     return logits, ck, cv, ks, vs
 
 
+def _chosen_logprob(raw_logits, nxt, want_lp: bool):
+    """Log-probability of the chosen tokens under the RAW model
+    distribution (before penalty/temperature/filters — what the model
+    believed, not what the sampler drew from). raw_logits [S, V],
+    nxt [S]. Gated by the static `want_lp` so the full-vocab
+    log_softmax pass (a real HBM cost at large V) only exists in
+    programs serving a logprobs request."""
+    if not want_lp:
+        return jnp.zeros(nxt.shape, jnp.float32)
+    lp = jax.nn.log_softmax(raw_logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
+        "want_lp",
     ),
     donate_argnames=("state",),
 )
@@ -131,14 +145,17 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        commit: jax.Array, temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None):
+                       samp=None, want_lp: bool = False):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
     from the chunk's last REAL position (same temperature policy as the
     decode steps). With `samp` [slots, 5] (per-request sampling mode)
     the slot's own traced knob row drives the commit sample instead of
-    the static knobs — see generate.sample_rows."""
+    the static knobs — see generate.sample_rows.
+
+    Returns (state, lp) — lp is the committed token's raw-model
+    logprob (zeros unless want_lp)."""
     from modegpt_tpu.models.generate import _sample, sample_rows
 
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
@@ -157,6 +174,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
     )
     last_logits = logits[0, real_len - 1][None]
+    raw_logits = last_logits
     if samp is not None:
         row_samp = lax.dynamic_slice_in_dim(samp, slot, 1, axis=0)
         row_pres = (
@@ -174,6 +192,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
             logits=last_logits, key=key, temperature=temperature, top_k=None,
             top_p=top_p, min_p=min_p,
         )[0].astype(jnp.int32)
+    lp = _chosen_logprob(raw_logits, nxt[None], want_lp)[0]
     return ServeState(
         cache_k=lax.dynamic_update_index_in_dim(state.cache_k, ck[:, 0], slot, axis=1),
         cache_v=lax.dynamic_update_index_in_dim(state.cache_v, cv[:, 0], slot, axis=1),
@@ -187,13 +206,14 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         v_scale=None if vs is None else lax.dynamic_update_index_in_dim(
             state.v_scale, vs[:, 0], slot, axis=1
         ),
-    )
+    ), lp
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
+        "want_lp",
     ),
     donate_argnames=("state",),
 )
@@ -203,7 +223,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None):
+                       samp=None, want_lp: bool = False):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -229,8 +249,10 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     modes. Both are valid capacity-dispatch executions; use
     moe="dense" when exactness matters.
 
-    Returns (state, next_token [slots]) — next_token is meaningful for
-    rows with commit set (their prompt finished this round)."""
+    Returns (state, next_token [slots], lp [slots]) — next_token/lp are
+    meaningful for rows with commit set (their prompt finished this
+    round); lp is the committed token's raw-model logprob (zeros
+    unless want_lp)."""
     from modegpt_tpu.models.generate import _sample, sample_rows
 
     S = chunks.shape[1]
@@ -246,6 +268,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     )
     idx = jnp.maximum(real_len - 1, 0)
     last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    raw_logits = last_logits
     if samp is not None:
         nxt = sample_rows(last_logits, key, samp, presence)
     else:
@@ -257,12 +280,13 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
             logits=last_logits, key=key, temperature=temperature, top_k=None,
             top_p=top_p, min_p=min_p,
         ).astype(jnp.int32)
+    lp = _chosen_logprob(raw_logits, nxt, want_lp)
     return ServeState(
         cache_k=ck, cache_v=cv,
         lengths=jnp.where(prefill_mask, pos0 + real_len, state.lengths),
         last_token=jnp.where(commit, nxt, state.last_token),
         k_scale=ks, v_scale=vs,
-    ), nxt
+    ), nxt, lp
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -304,7 +328,7 @@ def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
     jax.jit,
     static_argnames=(
         "spec", "temperature", "top_k", "moe", "moe_capacity",
-        "top_p", "min_p", "rep_penalty",
+        "top_p", "min_p", "rep_penalty", "want_lp",
     ),
     donate_argnames=("state", "presence"),
 )
@@ -312,20 +336,20 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       temperature: float, top_k, key,
                       moe: str = "dense", moe_capacity: float = 2.0,
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
-                      samp=None):
+                      samp=None, want_lp: bool = False):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
-                            top_p, min_p, rep_penalty, presence, samp)
+                            top_p, min_p, rep_penalty, presence, samp, want_lp)
 
 
 def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      active: jax.Array, temperature: float, top_k, key,
                      moe: str, moe_capacity: float,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
-                     samp=None):
+                     samp=None, want_lp: bool = False):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
@@ -333,7 +357,8 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     `samp` [slots, 5] (per-request sampling mode) each row's traced
     knob row replaces the static knobs — one compiled program serves
     any mix of greedy and sampled slots (generate.sample_rows).
-    Returns (state, nxt, presence)."""
+    Returns (state, nxt, lp, presence) — lp is the chosen token's
+    raw-model logprob (zeros unless want_lp)."""
     from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, sample_rows
 
     tokens = state.last_token[:, None]
@@ -346,6 +371,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
     )
     last_logits = logits[:, -1, :]
+    raw_logits = last_logits
     if samp is not None:
         nxt = sample_rows(last_logits, key, samp, presence)
     else:
@@ -355,6 +381,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
             logits=last_logits, key=key, temperature=temperature, top_k=top_k,
             top_p=top_p, min_p=min_p,
         ).astype(jnp.int32)
+    lp = _chosen_logprob(raw_logits, nxt, want_lp)
     if presence is not None:
         S = nxt.shape[0]
         presence = presence.at[jnp.arange(S), nxt].set(
@@ -363,13 +390,14 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     new_len = jnp.where(active, state.lengths + 1, state.lengths)
     new_last = jnp.where(active, nxt, state.last_token)
     return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last,
-                      k_scale=ks, v_scale=vs), nxt, presence
+                      k_scale=ks, v_scale=vs), nxt, lp, presence
 
 
 @partial(
     jax.jit,
     static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
-                     "moe", "moe_capacity", "top_p", "min_p", "rep_penalty"),
+                     "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
+                     "want_lp"),
     donate_argnames=("state", "presence"),
 )
 def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
@@ -378,7 +406,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             has_eos: bool = False,
                             moe: str = "dense", moe_capacity: float = 2.0,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
-                            samp=None):
+                            samp=None, want_lp: bool = False):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -399,45 +427,51 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
     (the host loop stays in charge of admission — it just runs every N
     tokens instead of every token).
 
-    Returns (state, toks [n_steps, slots], emitted [n_steps, slots]):
-    `emitted[i, s]` marks tokens the host should append; tokens after a
-    slot's EOS/budget stop are garbage and masked False."""
+    Returns (state, toks [n_steps, slots], lps [n_steps, slots],
+    emitted [n_steps, slots]): `emitted[i, s]` marks tokens the host
+    should append; tokens after a slot's EOS/budget stop are garbage
+    and masked False; lps are raw-model logprobs (zeros unless
+    want_lp)."""
 
     def body(carry, _):
         st, act, bud, k2, pres = carry
         k2, sub = jax.random.split(k2)
-        st, nxt, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
-                                         temperature, top_k, sub, moe, moe_capacity,
-                                         top_p, min_p, rep_penalty, pres, samp)
+        st, nxt, lp, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
+                                             temperature, top_k, sub, moe, moe_capacity,
+                                             top_p, min_p, rep_penalty, pres, samp,
+                                             want_lp)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
         if has_eos:
             act = act & (nxt != eos)
-        return (st, act, bud, k2, pres), (nxt, emitted)
+        return (st, act, bud, k2, pres), (nxt, lp, emitted)
 
-    (state, _, _, _, presence), (toks, emitted) = lax.scan(
+    (state, _, _, _, presence), (toks, lps, emitted) = lax.scan(
         body, (state, active, budgets, key, presence), None, length=n_steps
     )
-    return state, toks, emitted, presence
+    return state, toks, lps, emitted, presence
 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "moe", "moe_capacity"),
+    static_argnames=("spec", "moe", "moe_capacity", "want_lp"),
     donate_argnames=("state",),
 )
 def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       drafts: jax.Array, max_adv: jax.Array, eos,
-                      moe: str = "dense", moe_capacity: float = 2.0):
+                      moe: str = "dense", moe_capacity: float = 2.0,
+                      want_lp: bool = False):
     """One speculative VERIFY step for all slots: each active slot checks
     its k drafted tokens in a single ragged (k+1)-position forward
     (greedy; the accepted prefix is exactly what plain decode would have
     emitted, so serving output is unchanged — only steps/token drops).
 
     drafts [slots, k]; max_adv [slots] caps the commit at the slot's
-    remaining budget. Returns (state, ttoks [slots, k+1], adv [slots],
-    acc [slots]). Inactive slots do not advance; their cache writes land
+    remaining budget. Returns (state, ttoks [slots, k+1],
+    lps [slots, k+1], adv [slots], acc [slots]) — lps are the verify
+    forward's raw-model logprobs of ttoks (zeros unless want_lp).
+    Inactive slots do not advance; their cache writes land
     beyond their length and are overwritten before ever being attended
     (same argument as _decode_slots_jit)."""
     k = drafts.shape[1]
@@ -449,6 +483,11 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
         token_valid=jnp.broadcast_to(active[:, None], window.shape),
     )
     ttoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, k+1]
+    if want_lp:
+        lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        lps = jnp.take_along_axis(lp_all, ttoks[..., None], axis=-1)[..., 0]
+    else:
+        lps = jnp.zeros(ttoks.shape, jnp.float32)
     match = drafts == ttoks[:, :k]
     acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [S]
     adv = acc + 1
@@ -468,7 +507,7 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
             last_token=jnp.where(adv > 0, last, state.last_token),
             k_scale=ks, v_scale=vs,
         ),
-        ttoks, adv, jnp.where(active, acc, 0),
+        ttoks, lps, adv, jnp.where(active, acc, 0),
     )
 
 
@@ -559,7 +598,7 @@ def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.n
         real = piece.shape[0]
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :real] = piece
-        state = _prefill_chunk_jit(
+        state, _ = _prefill_chunk_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, slot_i,
             jnp.asarray(padded), jnp.asarray(c * bucket, jnp.int32),
             jnp.asarray(real, jnp.int32), jnp.asarray(c == n_chunks - 1),
@@ -575,7 +614,7 @@ def decode_slots(pm: PaddedModel, state: ServeState, active: np.ndarray,
     """One decode step across all slots. Returns (state, tokens [slots])."""
     if key is None:
         key = jax.random.key(0)
-    state, nxt, _ = _decode_slots_jit(
+    state, nxt, _, _ = _decode_slots_jit(
         pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
         jnp.asarray(active), temperature, top_k, key, moe=moe,
         moe_capacity=moe_capacity, top_p=top_p, min_p=min_p,
@@ -753,11 +792,28 @@ class ContinuousBatcher:
         self.prefix_tokens_reused = 0
         # per-request speculative telemetry {rid: {rounds, drafted, accepted}}
         self.stats: Dict[int, Dict[str, int]] = {}
-        # (req_id, prompt, max_new, samp_row-or-None)
-        self.queue: List[Tuple[int, np.ndarray, int, Optional[np.ndarray]]] = []
+        # (req_id, prompt, max_new, samp_row-or-None, stop_seqs-or-None)
+        self.queue: List[Tuple] = []
         self.slot_req: List[Optional[int]] = [None] * slots
         self.slot_out: List[List[int]] = [[] for _ in range(slots)]
         self.slot_budget = [0] * slots
+        # per-request STOP sequences (host-side, exact): generation ends
+        # the step the generated tail contains one, and the matched
+        # tokens are excluded from the output (OpenAI `stop` semantics)
+        self.slot_stop: List[Optional[List[List[int]]]] = [None] * slots
+        self.slot_plen = [0] * slots  # prompt length per slot
+        self.slot_scanned = [0] * slots  # generated tokens already stop-scanned
+        # per-request LOGPROBS: raw-model logprob of each generated
+        # token (pre-penalty/temperature — what the model believed).
+        # The full-vocab log_softmax only exists in program variants
+        # compiled with want_lp=True, selected per dispatch by whether
+        # any resident request asked (static flag -> at most 2 cached
+        # variants per program, no recompile churn).
+        self.slot_want_lp = [False] * slots
+        self.slot_lp: List[List[float]] = [[] for _ in range(slots)]
+        # finished requests' logprob lists, keyed by rid (only for
+        # requests that asked); collect like run() results
+        self.logprobs: Dict[int, List[float]] = {}
         # pending prompt chunks per slot: list of (piece, pos0, is_last);
         # non-empty = the slot is still PREFILLING (not decode-active)
         self.slot_chunks: List[List] = [[] for _ in range(slots)]
@@ -766,11 +822,19 @@ class ContinuousBatcher:
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                temperature: Optional[float] = None, top_k: Optional[int] = None,
                top_p: Optional[float] = None, min_p: Optional[float] = None,
-               repetition_penalty: Optional[float] = None) -> int:
+               repetition_penalty: Optional[float] = None,
+               stop: Optional[List] = None, logprobs: bool = False) -> int:
         """Enqueue a prompt. The sampling kwargs are per-REQUEST
         overrides of the constructor knobs and need
         ``per_request_sampling=True`` (they land in the traced knob
-        table, so no recompilation — generate.sample_rows)."""
+        table, so no recompilation — generate.sample_rows). `stop` is
+        one token-id sequence or a list of them: generation ends as
+        soon as the generated tail contains one, with the matched
+        tokens excluded from the output (host-side check — works with
+        every execution mode including fused multi-step and
+        speculative, which just over-generate into a freed slot).
+        `logprobs=True` records each generated token's raw-model
+        logprob, collected in ``batcher.logprobs[rid]`` on finish."""
         overrides = (temperature, top_k, top_p, min_p, repetition_penalty)
         if not self.per_request and any(v is not None for v in overrides):
             raise ValueError(
@@ -783,6 +847,13 @@ class ContinuousBatcher:
             for i, v in enumerate(overrides):
                 if v is not None:
                     row[i] = float(v)
+        stop_seqs = None
+        if stop is not None:
+            if stop and isinstance(stop[0], (int, np.integer)):
+                stop = [stop]
+            stop_seqs = [[int(t) for t in q] for q in stop if len(q) > 0]
+            if not stop_seqs:
+                stop_seqs = None
         prompt = np.asarray(prompt_ids, np.int32).reshape(-1)
         # speculative verify windows write n_draft+1 cache positions past
         # the commit point; reserve that margin so writes never clamp
@@ -795,7 +866,8 @@ class ContinuousBatcher:
             )
         rid = self._next_id
         self._next_id += 1
-        self.queue.append((rid, prompt, max_new_tokens, row))
+        self.queue.append((rid, prompt, max_new_tokens, row, stop_seqs,
+                           bool(logprobs)))
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -805,7 +877,7 @@ class ContinuousBatcher:
         so no device state needs clearing). Returns False when `rid`
         is unknown or already finished. Host bookkeeping only; safe
         between step() calls."""
-        for i, (q_rid, _prompt, _budget, _row) in enumerate(self.queue):
+        for i, (q_rid, *_rest) in enumerate(self.queue):
             if q_rid == rid:
                 del self.queue[i]
                 self.stats.pop(rid, None)
@@ -815,6 +887,7 @@ class ContinuousBatcher:
                 self.slot_req[s] = None
                 self.slot_chunks[s] = []
                 self.slot_budget[s] = 0
+                self.slot_want_lp[s] = False
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
                 self.stats.pop(rid, None)
@@ -836,6 +909,12 @@ class ContinuousBatcher:
     def _static_temp(self) -> float:
         return 0.0 if self.per_request else self.temperature
 
+    def _any_want_lp(self) -> bool:
+        return any(
+            self.slot_want_lp[s] for s in range(self.slots)
+            if self.slot_req[s] is not None
+        )
+
     def _slot_finished(self, s: int) -> bool:
         if self.slot_chunks[s]:
             return False  # still prefilling
@@ -850,10 +929,15 @@ class ContinuousBatcher:
         the device work happens chunk-by-chunk in `_prefill_step`."""
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
-                rid, prompt, budget, row = self.queue.pop(0)
+                rid, prompt, budget, row, stop_seqs, want_lp = self.queue.pop(0)
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
+                self.slot_stop[s] = stop_seqs
+                self.slot_plen[s] = int(prompt.shape[0])
+                self.slot_scanned[s] = 0
+                self.slot_want_lp[s] = want_lp
+                self.slot_lp[s] = []
                 if row is not None:
                     self.samp[s] = row
                 if self.presence is not None:
@@ -908,8 +992,41 @@ class ContinuousBatcher:
                 best_skip, best_src = skip, t
         return best_skip, best_src
 
-    def _commit_prefill_token(self, s: int, tok: int) -> None:
+    def _check_stop(self, s: int) -> None:
+        """Scan slot `s`'s newly generated tokens for its stop
+        sequences; on the EARLIEST match, truncate the output at the
+        match start (stop tokens excluded) and zero the budget so the
+        next sweep frees the slot. Incremental: tokens are scanned
+        once, minus a (max_stop_len - 1) overlap for straddling
+        matches."""
+        seqs = self.slot_stop[s]
+        if not seqs:
+            return
+        plen = self.slot_plen[s]
+        region = self.slot_out[s][plen:]
+        n_gen = len(region)
+        if n_gen == 0:
+            return
+        start = max(0, self.slot_scanned[s] - max(len(q) for q in seqs) + 1)
+        earliest = None
+        for q in seqs:
+            L = len(q)
+            for j in range(start, n_gen - L + 1):
+                if region[j:j + L] == q:
+                    if earliest is None or j < earliest:
+                        earliest = j
+                    break
+        self.slot_scanned[s] = n_gen
+        if earliest is not None:
+            del self.slot_out[s][plen + earliest:]
+            del self.slot_lp[s][earliest:]
+            self.slot_budget[s] = 0
+
+    def _commit_prefill_token(self, s: int, tok: int,
+                              lp: Optional[float] = None) -> None:
         """Host bookkeeping for a slot whose prompt just finished."""
+        if self.slot_want_lp[s]:
+            self.slot_lp[s].append(float(lp))
         if self.prefix_cache:
             # the whole prompt's KV is now cache-resident (slot_out holds
             # exactly the prompt here — the first committed token is
@@ -922,6 +1039,7 @@ class ContinuousBatcher:
             self.presence = self.presence.at[s, tok].set(True)
         if self.eos is not None and tok == self.eos:
             self.slot_budget[s] = 0
+        self._check_stop(s)
 
     def _prefill_step_batched(self, key):
         """One ragged [slots, bucket] dispatch per round consuming the
@@ -943,17 +1061,18 @@ class ContinuousBatcher:
             key, sub = jax.random.split(key)
             args = (jnp.asarray(chunks), jnp.asarray(pos0), jnp.asarray(real),
                     jnp.asarray(commit), jnp.asarray(mask))
-            self.state, nxt = _prefill_slots_jit(
+            want_lp = self._any_want_lp()
+            self.state, nxt, lps = _prefill_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                **self._samp_kwargs(),
+                want_lp=want_lp, **self._samp_kwargs(),
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
                 # so the draft's own commits are suppressed and its
                 # last_token copies the target's for committed slots
-                self.draft_state, _ = _prefill_slots_jit(
+                self.draft_state, _, _ = _prefill_slots_jit(
                     self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                     self.draft_pm.q_hd_true, self.draft_state, args[0], args[1],
                     args[2], jnp.zeros((self.slots,), bool), args[4],
@@ -966,9 +1085,12 @@ class ContinuousBatcher:
                     )
                 )
             nxt = np.asarray(nxt)
+            lps = np.asarray(lps) if want_lp else None
             for s in pending:
                 if commit[s]:
-                    self._commit_prefill_token(s, int(nxt[s]))
+                    self._commit_prefill_token(
+                        s, int(nxt[s]), None if lps is None else float(lps[s])
+                    )
         return key
 
     def _prefill_step(self, key):
@@ -989,18 +1111,18 @@ class ContinuousBatcher:
                 padded = np.zeros((1, self.bucket), np.int32)
                 padded[0, :real] = piece
                 key, sub = jax.random.split(key)
-                self.state = _prefill_chunk_jit(
+                self.state, lp = _prefill_chunk_jit(
                     self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                     self.state, jnp.asarray(s, jnp.int32), jnp.asarray(padded),
                     jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                     jnp.asarray(is_last), self._static_temp, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
-                    **self._samp_kwargs(),
+                    want_lp=self.slot_want_lp[s], **self._samp_kwargs(),
                 )
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
                     # commit is discarded — the TARGET decides tokens)
-                    self.draft_state = _prefill_chunk_jit(
+                    self.draft_state, _ = _prefill_chunk_jit(
                         self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                         self.draft_pm.q_hd_true, self.draft_state,
                         jnp.asarray(s, jnp.int32), jnp.asarray(padded),
@@ -1015,7 +1137,9 @@ class ContinuousBatcher:
                         self.draft_state = self.draft_state._replace(
                             last_token=self.draft_state.last_token.at[s].set(tok)
                         )
-                    self._commit_prefill_token(s, tok)
+                    self._commit_prefill_token(
+                        s, tok, float(lp) if self.slot_want_lp[s] else None
+                    )
         return key
 
     def step(self, key) -> Tuple[jax.Array, Dict[int, List[int]], bool]:
@@ -1033,6 +1157,9 @@ class ContinuousBatcher:
         for s in range(self.slots):
             if self.slot_req[s] is not None and self._slot_finished(s):
                 finished[self.slot_req[s]] = self.slot_out[s]
+                if self.slot_want_lp[s]:
+                    self.logprobs[self.slot_req[s]] = self.slot_lp[s]
+                    self.slot_want_lp[s] = False
                 self.slot_req[s] = None
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
@@ -1069,38 +1196,49 @@ class ContinuousBatcher:
         # fused multi-step decode only when nothing is prefilling
         # (prefill chunks want per-step interleaving)
         n = self.steps_per_dispatch if not any(self.slot_chunks) else 1
+        want_lp = self._any_want_lp()
         if n == 1:
-            self.state, toks, self.presence = _decode_slots_jit(
+            self.state, toks, lps, self.presence = _decode_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask),
                 self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                **self._samp_kwargs(),
+                want_lp=want_lp, **self._samp_kwargs(),
             )
             toks = np.asarray(toks)
+            lps = np.asarray(lps) if want_lp else None
             for s in range(self.slots):
                 if active_mask[s]:
                     self.slot_out[s].append(int(toks[s]))
+                    if self.slot_want_lp[s]:
+                        self.slot_lp[s].append(float(lps[s]))
                     self.slot_budget[s] -= 1
+                    self._check_stop(s)
         else:
             budgets = jnp.asarray(
                 [self.slot_budget[s] if active_mask[s] else 0
                  for s in range(self.slots)], jnp.int32,
             )
-            self.state, toks, emitted, self.presence = _decode_slots_multi_jit(
+            self.state, toks, lps, emitted, self.presence = _decode_slots_multi_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask), budgets,
                 jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
                 n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                **self._samp_kwargs(),
+                want_lp=want_lp, **self._samp_kwargs(),
             )
             toks, emitted = np.asarray(toks), np.asarray(emitted)
+            lps = np.asarray(lps) if want_lp else None
             for i in range(n):
                 for s in range(self.slots):
                     if emitted[i, s]:
                         self.slot_out[s].append(int(toks[i, s]))
+                        if self.slot_want_lp[s]:
+                            self.slot_lp[s].append(float(lps[i, s]))
                         self.slot_budget[s] -= 1
+            for s in range(self.slots):
+                if active_mask[s]:
+                    self._check_stop(s)
 
     def run(self, max_steps: int = 10_000) -> Dict[int, List[int]]:
         """Run until the queue and all slots drain; returns {req_id: tokens}."""
@@ -1138,22 +1276,27 @@ class ContinuousBatcher:
             jnp.int32,
         )
         eos = None if self.eos is None else jnp.asarray(self.eos, jnp.int32)
-        self.state, ttoks, adv, acc = _verify_slots_jit(
+        want_lp = self._any_want_lp()
+        self.state, ttoks, lps, adv, acc = _verify_slots_jit(
             self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
             self.state, active, drafts, max_adv, eos,
-            moe=self.moe, moe_capacity=self.moe_capacity,
+            moe=self.moe, moe_capacity=self.moe_capacity, want_lp=want_lp,
         )
         if self.draft_state is not None:
             self.draft_state = _commit_draft_cache_jit(
                 self.draft_state, adv, self.state.last_token
             )
         ttoks, adv, acc = np.asarray(ttoks), np.asarray(adv), np.asarray(acc)
+        lps = np.asarray(lps) if want_lp else None
         for s in range(self.slots):
             if not active_mask[s]:
                 continue
             a = int(adv[s])
             self.slot_out[s].extend(int(t) for t in ttoks[s, :a])
+            if self.slot_want_lp[s]:
+                self.slot_lp[s].extend(float(x) for x in lps[s, :a])
             self.slot_budget[s] -= a
+            self._check_stop(s)
             st = self.stats[self.slot_req[s]]
             st["rounds"] += 1
             st["drafted"] += k

@@ -12,10 +12,26 @@ Endpoints (stdlib `http.server`, no extra dependencies):
 
 * ``POST /v1/completions`` — body ``{"prompt": str}`` (needs a
   tokenizer) or ``{"prompt_ids": [int, ...]}``; optional
-  ``max_tokens`` and ``"stream": true``. Non-streaming returns one
+  ``max_tokens``, ``"stream": true``, per-request sampling fields
+  (below), and stop sequences: ``stop_token_ids`` (a token-id
+  sequence or list of them; exact) or ``stop`` strings
+  (tokenizer-encoded; may miss a stop text the model produces via a
+  different tokenization). Generation ends at the earliest match with
+  the matched tokens excluded; streaming withholds the last
+  (max_stop_len - 1) in-flight tokens until a match is ruled out, so
+  stop tokens are never emitted. Non-streaming returns one
   OpenAI-shaped JSON object; streaming returns Server-Sent Events
   (``data: {...}`` lines, terminated by ``data: [DONE]``) with each
   event carrying the text/token delta since the previous one.
+  ``n`` > 1 returns that many independently decoded choices
+  (non-streaming only; with prefix caching enabled the siblings adopt
+  the shared prompt KV instead of re-prefilling it); ``logprobs``
+  adds each generated token's raw-model logprob.
+* ``POST /v1/chat/completions`` — body ``{"messages": [{"role",
+  "content"}, ...]}``: the tokenizer's own chat template renders the
+  turn (plain ``role: content`` transcript fallback when it has
+  none); same sampling/stop/stream/n fields; responses are
+  ``chat.completion`` / ``chat.completion.chunk``-shaped.
 * ``POST /v1/cancel`` — body ``{"id": "cmpl-<n>"}``: abort a queued or
   in-flight request, freeing its slot (also triggered automatically
   when a streaming client disconnects mid-generation).
@@ -59,17 +75,26 @@ class QueueFull(RuntimeError):
 
 
 class _Request:
-    __slots__ = ("rid", "prompt_len", "done", "tokens", "stream_q", "emitted")
+    __slots__ = ("rid", "prompt_len", "done", "tokens", "stream_q", "emitted",
+                 "holdback", "want_lp", "lp")
 
-    def __init__(self, rid: int, prompt_len: int, streaming: bool):
+    def __init__(self, rid: int, prompt_len: int, streaming: bool,
+                 holdback: int = 0, want_lp: bool = False):
         self.rid = rid
         self.prompt_len = prompt_len
         self.done = threading.Event()
         self.tokens: Optional[List[int]] = None  # full sequence when done
+        self.want_lp = want_lp
+        self.lp: Optional[List[float]] = None  # generated-token logprobs when done
         # streaming consumers read token-id deltas from this queue;
         # None terminates the stream
         self.stream_q: Optional[queue.Queue] = queue.Queue() if streaming else None
         self.emitted = 0  # generated tokens already pushed to stream_q
+        # with stop sequences, the last (max_stop_len - 1) in-flight
+        # tokens are withheld from the stream: they may be the prefix
+        # of a stop match the batcher will truncate next step (OpenAI
+        # semantics exclude stop text from output); flushed on finish
+        self.holdback = holdback
 
 
 class InferenceServer:
@@ -103,10 +128,14 @@ class InferenceServer:
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
                streaming: bool = False,
-               sampling: Optional[Dict[str, float]] = None) -> _Request:
+               sampling: Optional[Dict[str, float]] = None,
+               stop: Optional[List[List[int]]] = None,
+               logprobs: bool = False) -> _Request:
         """`sampling` holds per-request overrides (temperature/top_k/
         top_p/min_p/repetition_penalty) forwarded to the batcher; needs
-        a per_request_sampling batcher."""
+        a per_request_sampling batcher. `stop` is a list of token-id
+        sequences ending generation (matched tokens excluded).
+        `logprobs` records each generated token's raw-model logprob."""
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         with self._work:
             if self.max_queue is not None:
@@ -120,8 +149,11 @@ class InferenceServer:
                         f"{free} free slots, max_queue {self.max_queue})"
                     )
             rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens,
+                                      stop=stop, logprobs=logprobs,
                                       **(sampling or {}))
-            req = _Request(rid, int(ids.shape[0]), streaming)
+            holdback = max((len(q) for q in stop), default=1) - 1 if stop else 0
+            req = _Request(rid, int(ids.shape[0]), streaming, holdback=holdback,
+                           want_lp=logprobs)
             self._requests[rid] = req
             self._work.notify()
         return req
@@ -185,31 +217,53 @@ class InferenceServer:
                     rid = self.batcher.slot_req[s]
                     req = self._requests.get(rid) if rid is not None else None
                     if req is not None and req.stream_q is not None:
-                        gen = len(self.batcher.slot_out[s]) - req.prompt_len
+                        gen = (len(self.batcher.slot_out[s]) - req.prompt_len
+                               - req.holdback)
                         if gen > req.emitted:
-                            req.stream_q.put(
+                            req.stream_q.put((
                                 self.batcher.slot_out[s][
                                     req.prompt_len + req.emitted : req.prompt_len + gen
-                                ]
-                            )
+                                ],
+                                self.batcher.slot_lp[s][req.emitted:gen]
+                                if req.want_lp else None,
+                            ))
                             req.emitted = gen
                 for rid, tokens in finished.items():
                     req = self._requests.pop(rid, None)
                     if req is None:
                         continue
                     req.tokens = tokens
+                    if req.want_lp:
+                        req.lp = self.batcher.logprobs.pop(rid, None)
                     if req.stream_q is not None:
                         gen = len(tokens) - req.prompt_len
                         if gen > req.emitted:
-                            req.stream_q.put(
-                                tokens[req.prompt_len + req.emitted : req.prompt_len + gen]
-                            )
+                            req.stream_q.put((
+                                tokens[req.prompt_len + req.emitted : req.prompt_len + gen],
+                                req.lp[req.emitted:gen] if req.lp is not None else None,
+                            ))
                         req.stream_q.put(None)
                     req.done.set()
 
 
 def _json_bytes(obj) -> bytes:
     return json.dumps(obj).encode()
+
+
+def _chat_prompt_ids(tokenizer, messages) -> List[int]:
+    """Token ids for a chat turn: the tokenizer's own chat template
+    when it has one (`apply_chat_template` with a generation prompt),
+    else a plain `role: content` transcript ending with an open
+    `assistant:` line — a functional fallback, not any model's trained
+    format."""
+    msgs = [{"role": str(m["role"]), "content": str(m["content"])}
+            for m in messages]
+    if getattr(tokenizer, "chat_template", None):
+        return tokenizer.apply_chat_template(
+            msgs, add_generation_prompt=True, tokenize=True
+        )
+    text = "".join(f"{m['role']}: {m['content']}\n" for m in msgs) + "assistant:"
+    return tokenizer(text)["input_ids"]
 
 
 def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
@@ -257,7 +311,10 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 return
             if self.path in ("/v1/cancel", "/cancel"):
                 rid = str(body.get("id", ""))
-                rid = rid[len("cmpl-"):] if rid.startswith("cmpl-") else rid
+                for prefix in ("chatcmpl-", "cmpl-"):
+                    if rid.startswith(prefix):
+                        rid = rid[len(prefix):]
+                        break
                 try:
                     ok = server.cancel(int(rid))
                 except ValueError:
@@ -265,10 +322,26 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                     return
                 self._send_json(200 if ok else 404, {"id": f"cmpl-{rid}", "cancelled": ok})
                 return
-            if self.path not in ("/v1/completions", "/completions"):
+            is_chat = self.path in ("/v1/chat/completions", "/chat/completions")
+            if not is_chat and self.path not in ("/v1/completions", "/completions"):
                 self._send_json(404, {"error": f"no route {self.path}"})
                 return
-            if "prompt_ids" in body:
+            if is_chat:
+                msgs = body.get("messages")
+                if not msgs or not isinstance(msgs, list):
+                    self._send_json(400, {"error": "need a messages list"})
+                    return
+                if server.tokenizer is None:
+                    self._send_json(400, {"error": "chat completions need a "
+                                          "tokenizer; use /v1/completions "
+                                          "with prompt_ids"})
+                    return
+                try:
+                    ids = _chat_prompt_ids(server.tokenizer, msgs)
+                except (KeyError, TypeError) as e:
+                    self._send_json(400, {"error": f"bad messages: {e}"})
+                    return
+            elif "prompt_ids" in body:
                 try:
                     ids = [int(t) for t in body["prompt_ids"]]
                 except (TypeError, ValueError):
@@ -287,6 +360,13 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 return
             max_tokens = int(body.get("max_tokens", default_max_tokens))
             stream = bool(body.get("stream", False))
+            n_choices = int(body.get("n", 1))
+            if n_choices < 1:
+                self._send_json(400, {"error": "n must be >= 1"})
+                return
+            if stream and n_choices > 1:
+                self._send_json(400, {"error": "streaming supports n=1 only"})
+                return
             try:
                 sampling = {
                     k: (int(body[k]) if k == "top_k" else float(body[k]))
@@ -297,42 +377,93 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             except (TypeError, ValueError):
                 self._send_json(400, {"error": "sampling fields must be numbers"})
                 return
+            # stop sequences: `stop_token_ids` is exact (a sequence or a
+            # list of sequences); string `stop` is tokenizer-encoded —
+            # matching is then on the encoded ids, which can miss a stop
+            # text the model produces via a different tokenization
+            # (token-boundary caveat; pass stop_token_ids for exactness)
+            stop: List[List[int]] = []
             try:
-                req = server.submit(ids, max_new_tokens=max_tokens, streaming=stream,
-                                    sampling=sampling)
+                sti = body.get("stop_token_ids")
+                if sti:
+                    if isinstance(sti[0], int):
+                        sti = [sti]
+                    stop.extend([int(t) for t in q] for q in sti)
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "stop_token_ids must be ints"})
+                return
+            stop_strs = body.get("stop")
+            if stop_strs:
+                if server.tokenizer is None:
+                    self._send_json(
+                        400, {"error": "string stop needs a tokenizer; "
+                              "pass stop_token_ids"})
+                    return
+                if isinstance(stop_strs, str):
+                    stop_strs = [stop_strs]
+                stop.extend(
+                    server.tokenizer(s, add_special_tokens=False)["input_ids"]
+                    for s in stop_strs
+                )
+            # OpenAI legacy completions use an int here (top-N alts);
+            # we return the chosen token's raw-model logprob for any
+            # truthy value (no top-N alternatives)
+            want_lp = bool(body.get("logprobs"))
+            reqs = []
+            try:
+                for _ in range(n_choices):
+                    reqs.append(
+                        server.submit(ids, max_new_tokens=max_tokens,
+                                      streaming=stream, sampling=sampling,
+                                      stop=stop or None, logprobs=want_lp)
+                    )
             except QueueFull as e:
+                for r in reqs:
+                    server.cancel(r.rid)
                 self._send_json(429, {"error": str(e)})
                 return
             except ValueError as e:  # over max_len etc.
                 self._send_json(400, {"error": str(e)})
                 return
             if stream:
-                self._stream_response(req)
-            else:
+                self._stream_response(reqs[0], chat=is_chat)
+                return
+            choices = []
+            done_tokens = 0
+            for i, req in enumerate(reqs):
                 if not req.done.wait(timeout=request_timeout):
                     self._send_json(504, {"error": "generation timed out"})
                     return
                 new = req.tokens[req.prompt_len:]
+                done_tokens += len(new)
                 text = server.tokenizer.decode(new) if server.tokenizer else None
-                self._send_json(
-                    200,
-                    {
-                        "id": f"cmpl-{req.rid}",
-                        "object": "text_completion",
-                        "model": server.model_id,
-                        "choices": [
-                            {"index": 0, "text": text, "token_ids": new,
-                             "finish_reason": "stop"}
-                        ],
-                        "usage": {
-                            "prompt_tokens": req.prompt_len,
-                            "completion_tokens": len(new),
-                            "total_tokens": req.prompt_len + len(new),
-                        },
+                if is_chat:
+                    choice = {"index": i, "finish_reason": "stop",
+                              "message": {"role": "assistant", "content": text}}
+                else:
+                    choice = {"index": i, "text": text, "token_ids": new,
+                              "finish_reason": "stop"}
+                if req.want_lp:
+                    choice["logprobs"] = {"token_logprobs": req.lp}
+                choices.append(choice)
+            self._send_json(
+                200,
+                {
+                    "id": (f"chatcmpl-{reqs[0].rid}" if is_chat
+                           else f"cmpl-{reqs[0].rid}"),
+                    "object": ("chat.completion" if is_chat
+                               else "text_completion"),
+                    "model": server.model_id,
+                    "choices": choices,
+                    "usage": {
+                        "prompt_tokens": reqs[0].prompt_len,
+                        "completion_tokens": done_tokens,
+                        "total_tokens": reqs[0].prompt_len + done_tokens,
                     },
-                )
+                },
+            )
 
-        def _stream_response(self, req: _Request) -> None:
+        def _stream_response(self, req: _Request, chat: bool = False) -> None:
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -356,12 +487,30 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                         chunk(b"data: [DONE]\n\n")
                         chunk(b"")  # terminating chunk
                         return
+                    delta, lps = delta
                     sent_tokens.extend(delta)
-                    event = {"id": f"cmpl-{req.rid}", "token_ids": delta}
+                    text_delta = None
                     if server.tokenizer is not None:
                         full = server.tokenizer.decode(sent_tokens)
-                        event["text"] = full[len(sent_text):]
+                        text_delta = full[len(sent_text):]
                         sent_text = full
+                    if chat:
+                        event = {
+                            "id": f"chatcmpl-{req.rid}",
+                            "object": "chat.completion.chunk",
+                            "model": server.model_id,
+                            "choices": [{"index": 0,
+                                         "delta": {"content": text_delta},
+                                         "token_ids": delta}],
+                        }
+                        if lps is not None:
+                            event["choices"][0]["logprobs"] = lps
+                    else:
+                        event = {"id": f"cmpl-{req.rid}", "token_ids": delta}
+                        if lps is not None:
+                            event["logprobs"] = lps
+                        if text_delta is not None:
+                            event["text"] = text_delta
                     chunk(b"data: " + _json_bytes(event) + b"\n\n")
             except (BrokenPipeError, ConnectionResetError):
                 # client went away mid-stream: reclaim the slot so the

@@ -280,3 +280,204 @@ def test_http_per_request_sampling(rng):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_http_stop_sequences(rng):
+    """`stop_token_ids` over HTTP: non-streaming output truncates before
+    the match; streaming never emits the stop tokens (holdback)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=None, model_id="stop")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        prompt = rng.integers(1, spec.vocab_size, size=(5,)).tolist()
+        full = _greedy_ref(spec, params, prompt, 10)
+        gen = full[len(prompt):]
+        j = 4
+        stop = gen[j:j + 2]
+
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompt, "max_tokens": 10,
+                              "stop_token_ids": stop})
+        assert status == 200
+        body = json.loads(data)
+        assert body["choices"][0]["token_ids"] == gen[:j]
+        assert body["usage"]["completion_tokens"] == j
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     body=json.dumps({"prompt_ids": prompt, "max_tokens": 10,
+                                      "stop_token_ids": [stop], "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = resp.read().decode()
+        conn.close()
+        events = [line[len("data: "):] for line in raw.split("\n")
+                  if line.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        streamed = [t for e in events[:-1] for t in json.loads(e)["token_ids"]]
+        assert streamed == gen[:j]
+
+        # string stop without a tokenizer -> 400
+        status, _ = _post(port, "/v1/completions",
+                          {"prompt_ids": prompt, "stop": "foo"})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_http_logprobs(rng):
+    """`logprobs` over HTTP: non-streaming carries
+    choices[0].logprobs.token_logprobs; streaming events carry aligned
+    per-delta logprobs."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=None, model_id="lp")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        prompt = rng.integers(1, spec.vocab_size, size=(5,)).tolist()
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompt, "max_tokens": 6,
+                              "logprobs": True})
+        assert status == 200
+        body = json.loads(data)
+        lps = body["choices"][0]["logprobs"]["token_logprobs"]
+        toks = body["choices"][0]["token_ids"]
+        assert len(lps) == len(toks) == 6
+        assert all(lp <= 0.0 for lp in lps)
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     body=json.dumps({"prompt_ids": prompt, "max_tokens": 6,
+                                      "logprobs": 1, "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = resp.read().decode()
+        conn.close()
+        events = [json.loads(line[len("data: "):]) for line in raw.split("\n")
+                  if line.startswith("data: ") and "[DONE]" not in line]
+        streamed_toks = [t for e in events for t in e["token_ids"]]
+        streamed_lps = [l for e in events for l in e["logprobs"]]
+        assert streamed_toks == toks
+        assert streamed_lps == pytest.approx(lps, abs=1e-6)
+
+        # plain request on the same server: no logprobs key
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompt, "max_tokens": 4})
+        assert status == 200
+        assert "logprobs" not in json.loads(data)["choices"][0]
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def _tiny_tokenizer(vocab_size=100):
+    """From-scratch whitespace-BPE tokenizer (no network), ids < the
+    tiny llama's 128-token vocab; no chat template -> exercises the
+    chat endpoint's transcript fallback."""
+    from tokenizers import Tokenizer, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    corpus = ["the quick brown fox jumps over the lazy dog",
+              "user assistant system says hello world again and again",
+              "a b c d e f g h i j k l m n o p q r s t u v w x y z : ."]
+    tok.train_from_iterator(
+        corpus, trainers.BpeTrainer(
+            vocab_size=vocab_size, special_tokens=["<unk>", "<s>", "</s>"])
+    )
+    return transformers.PreTrainedTokenizerFast(
+        tokenizer_object=tok, unk_token="<unk>", bos_token="<s>",
+        eos_token="</s>", pad_token="</s>",
+    )
+
+
+def test_http_chat_completions(rng):
+    """/v1/chat/completions: template-fallback prompt build, greedy
+    chat.completion response equal to the manual generate of the same
+    transcript, n=2 greedy -> identical choices, streamed chunks
+    concatenate to the non-streaming content."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    tokenizer = _tiny_tokenizer()
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=tokenizer, model_id="chat")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        messages = [{"role": "system", "content": "the quick brown fox"},
+                    {"role": "user", "content": "hello world"}]
+        transcript = ("system: the quick brown fox\n"
+                      "user: hello world\n" "assistant:")
+        ids = tokenizer(transcript)["input_ids"]
+        ref = _greedy_ref(spec, params, ids, 6)
+        want = tokenizer.decode(ref[len(ids):])
+
+        status, data = _post(port, "/v1/chat/completions",
+                             {"messages": messages, "max_tokens": 6, "n": 2})
+        assert status == 200
+        body = json.loads(data)
+        assert body["object"] == "chat.completion"
+        assert len(body["choices"]) == 2
+        for i, c in enumerate(body["choices"]):
+            assert c["index"] == i
+            assert c["message"] == {"role": "assistant", "content": want}
+        assert body["usage"]["completion_tokens"] == 12
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/chat/completions",
+                     body=json.dumps({"messages": messages, "max_tokens": 6,
+                                      "stream": True}),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = resp.read().decode()
+        conn.close()
+        events = [json.loads(line[len("data: "):]) for line in raw.split("\n")
+                  if line.startswith("data: ") and "[DONE]" not in line]
+        assert all(e["object"] == "chat.completion.chunk" for e in events)
+        streamed = "".join(e["choices"][0]["delta"]["content"] for e in events)
+        assert streamed == want
+
+        # n with streaming -> 400; chat on a tokenizer-less server -> 400
+        status, _ = _post(port, "/v1/chat/completions",
+                          {"messages": messages, "stream": True, "n": 2})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_http_chat_needs_tokenizer(rng):
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=1, max_len=32, prefill_bucket=8)
+    srv = InferenceServer(b, tokenizer=None, model_id="nt")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        status, data = _post(port, "/v1/chat/completions",
+                             {"messages": [{"role": "user", "content": "x"}]})
+        assert status == 400
+        assert "tokenizer" in json.loads(data)["error"]
+        # n > 1 works tokenizer-less on plain completions
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": [3, 5, 7], "max_tokens": 4, "n": 2})
+        assert status == 200
+        body = json.loads(data)
+        assert len(body["choices"]) == 2
+        assert body["choices"][0]["token_ids"] == body["choices"][1]["token_ids"]
+    finally:
+        httpd.shutdown()
+        srv.close()

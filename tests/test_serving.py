@@ -655,3 +655,105 @@ def test_prefix_cache_with_draft_speculation(rng):
     for rp, rc in zip(ids_p, ids):
         assert got[rc] == ref[rp]
     assert b.prefix_hits == 8  # spec rounds shift admission timing by one adoption
+
+
+def test_stop_sequences_across_execution_modes(rng):
+    """Per-request stop sequences: generation must end at the EARLIEST
+    match with the matched tokens excluded, identically across plain,
+    fused multi-step, batched-prefill, and speculative execution (all
+    greedy, CPU f32)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(5,)).astype(np.int32)
+    n_new = 12
+    full = np.asarray(
+        generate(spec, params, prompt[None], max_new_tokens=n_new, temperature=0.0)
+    )[0].tolist()
+    gen = full[len(prompt):]
+    # stop on a 2-token subsequence mid-generation -> truncate before it
+    j = 5
+    stop = [gen[j:j + 2]]
+    expect = full[: len(prompt) + j]
+
+    modes = [
+        dict(),
+        dict(steps_per_dispatch=4),
+        dict(prefill_exec="batched", steps_per_dispatch=3),
+        dict(spec_decode="prompt_lookup", n_draft=3),
+        dict(per_request_sampling=True),
+    ]
+    for kw in modes:
+        b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16, **kw)
+        rid = b.submit(prompt, max_new_tokens=n_new, stop=stop)
+        out = b.run()[rid]
+        assert out == expect, (kw, out, expect)
+    # a never-matching stop changes nothing
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    rid = b.submit(prompt, max_new_tokens=n_new,
+                   stop=[[spec.vocab_size - 1] * 3])
+    assert b.run()[rid] == full
+    # flat single-sequence form + earliest-of-several semantics
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    rid = b.submit(prompt, max_new_tokens=n_new,
+                   stop=[gen[j + 2:j + 4], gen[j:j + 2]])
+    assert b.run()[rid] == expect
+
+
+def test_stop_sequence_first_token(rng):
+    """A stop matching at the FIRST generated token (committed by the
+    prefill program) yields an empty generation."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(4,)).astype(np.int32)
+    full = np.asarray(
+        generate(spec, params, prompt[None], max_new_tokens=4, temperature=0.0)
+    )[0].tolist()
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=16)
+    rid = b.submit(prompt, max_new_tokens=4, stop=[[full[len(prompt)]]])
+    assert b.run()[rid] == prompt.tolist()
+
+
+def test_logprobs_match_forward_log_softmax(rng):
+    """`logprobs=True` must record each generated token's raw-model
+    logprob (log_softmax of the forward logits at its position), across
+    plain, fused+batched, speculative, and per-request-sampling modes —
+    with a non-logprobs request sharing the dispatches untouched."""
+    import jax.numpy as jnp
+    import jax.nn
+
+    from modegpt_tpu.models import forward
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(5,)).astype(np.int32)
+    n_new = 8
+    full = np.asarray(
+        generate(spec, params, prompt[None], max_new_tokens=n_new, temperature=0.0)
+    )[0].tolist()
+    lgs, _ = forward(spec, params, np.asarray(full, np.int32)[None])
+    lp_ref = jax.nn.log_softmax(jnp.asarray(lgs[0], jnp.float32), axis=-1)
+    want = [float(lp_ref[i - 1, full[i]]) for i in range(len(prompt), len(full))]
+
+    modes = [
+        dict(),
+        dict(steps_per_dispatch=3, prefill_exec="batched"),
+        dict(spec_decode="prompt_lookup", n_draft=3),
+        dict(per_request_sampling=True),
+    ]
+    for kw in modes:
+        b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16, **kw)
+        rid = b.submit(prompt, max_new_tokens=n_new, logprobs=True)
+        rid2 = b.submit(prompt, max_new_tokens=n_new)
+        out = b.run()
+        assert out[rid] == full and out[rid2] == full, kw
+        assert rid2 not in b.logprobs
+        got = b.logprobs[rid]
+        assert len(got) == n_new, kw
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    # a stop-sequence truncation trims the logprob list in lockstep
+    gen = full[len(prompt):]
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=16)
+    rid = b.submit(prompt, max_new_tokens=n_new, logprobs=True, stop=[gen[4:6]])
+    assert b.run()[rid] == full[: len(prompt) + 4]
+    np.testing.assert_allclose(b.logprobs[rid], want[:4], atol=2e-4)
