@@ -247,21 +247,33 @@ def sample_rows(logits, key, samp, presence=None):
     temp = samp[:, 0:1]
     top_k, top_p, min_p, rep = samp[:, 1:2], samp[:, 2:3], samp[:, 3:4], samp[:, 4:5]
     if presence is not None:
-        # penalty == 1 rows: divide/multiply by 1 is the identity
-        logits = apply_repetition_penalty(logits, presence, rep)
+        # penalty == 1 rows: divide/multiply by 1 is the identity; the
+        # cond skips the two full-vocab passes when NO row penalises
+        logits = lax.cond(
+            jnp.any(rep != 1.0),
+            lambda x: apply_repetition_penalty(x, presence, rep),
+            lambda x: x,
+            logits,
+        )
     greedy = jnp.argmax(logits, axis=-1)
     scaled = logits / jnp.maximum(temp, 1e-6)
 
     def _filtered(x):
         sorted_desc = jnp.flip(jnp.sort(x, axis=-1), axis=-1)
         rank = jnp.arange(V, dtype=jnp.float32)[None, :]
-        valid = jnp.where(top_k > 0, rank < top_k, True)
+        # every filter keeps at least the top sorted token (rank 0),
+        # like HF's min_tokens_to_keep=1 — degenerate knobs (top_p=0,
+        # min_p>=1) reduce to argmax instead of an all--inf row
+        first = rank == 0
+        valid = jnp.where(top_k > 0, (rank < top_k) | first, True)
         probs = jax.nn.softmax(jnp.where(valid, sorted_desc, -jnp.inf), axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
-        valid = valid & jnp.where(top_p < 1.0, (cum - probs) < top_p, True)
+        valid = valid & jnp.where(top_p < 1.0, ((cum - probs) < top_p) | first, True)
         probs = jax.nn.softmax(jnp.where(valid, sorted_desc, -jnp.inf), axis=-1)
         # sorted descending => probs[:, :1] is each row's max prob
-        valid = valid & jnp.where(min_p > 0.0, probs >= min_p * probs[:, :1], True)
+        valid = valid & jnp.where(
+            min_p > 0.0, (probs >= min_p * probs[:, :1]) | first, True
+        )
         thr = jnp.min(jnp.where(valid, sorted_desc, jnp.inf), axis=-1, keepdims=True)
         return jnp.where(x < thr, -jnp.inf, x)
 
@@ -297,8 +309,11 @@ def _sample(
         probs = jax.nn.softmax(sorted_desc, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
         # keep a token if the cumulative mass BEFORE it is < top_p (the
-        # minimal prefix whose mass reaches top_p survives)
+        # minimal prefix whose mass reaches top_p survives); the top
+        # token always survives (HF min_tokens_to_keep=1 — top_p=0
+        # degenerates to argmax, not an all--inf row)
         keep = (cum - probs) < top_p
+        keep = keep | (jnp.arange(keep.shape[-1]) == 0)
         thr = jnp.min(
             jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
         )
@@ -306,7 +321,9 @@ def _sample(
     if min_p is not None and min_p > 0.0:
         probs = jax.nn.softmax(logits, axis=-1)
         pmax = jnp.max(probs, axis=-1, keepdims=True)
-        logits = jnp.where(probs < min_p * pmax, -jnp.inf, logits)
+        # tokens tied at pmax always survive (min_p >= 1 -> argmax)
+        logits = jnp.where((probs < min_p * pmax) & (probs < pmax),
+                           -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
 
 

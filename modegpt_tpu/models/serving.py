@@ -122,14 +122,14 @@ def _step_cache(spec, layers, other, q_hd_true, tokens, lengths,
 def _chosen_logprob(raw_logits, nxt, want_lp: bool):
     """Log-probability of the chosen tokens under the RAW model
     distribution (before penalty/temperature/filters — what the model
-    believed, not what the sampler drew from). raw_logits [S, V],
-    nxt [S]. Gated by the static `want_lp` so the full-vocab
-    log_softmax pass (a real HBM cost at large V) only exists in
-    programs serving a logprobs request."""
+    believed, not what the sampler drew from). raw_logits [..., V],
+    nxt [...] (any leading shape). Gated by the static `want_lp` so
+    the full-vocab log_softmax pass (a real HBM cost at large V) only
+    exists in programs serving a logprobs request."""
     if not want_lp:
         return jnp.zeros(nxt.shape, jnp.float32)
     lp = jax.nn.log_softmax(raw_logits.astype(jnp.float32), axis=-1)
-    return jnp.take_along_axis(lp, nxt[:, None], axis=-1)[:, 0]
+    return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
 
 
 @partial(
@@ -483,11 +483,7 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
         token_valid=jnp.broadcast_to(active[:, None], window.shape),
     )
     ttoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, k+1]
-    if want_lp:
-        lp_all = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        lps = jnp.take_along_axis(lp_all, ttoks[..., None], axis=-1)[..., 0]
-    else:
-        lps = jnp.zeros(ttoks.shape, jnp.float32)
+    lps = _chosen_logprob(logits, ttoks, want_lp)
     match = drafts == ttoks[:, :k]
     acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [S]
     adv = acc + 1
@@ -940,10 +936,16 @@ class ContinuousBatcher:
                 self.slot_lp[s] = []
                 if row is not None:
                     self.samp[s] = row
-                if self.presence is not None:
-                    row = np.zeros((self.pm.spec.vocab_size,), bool)
-                    row[prompt] = True
-                    self.presence = self.presence.at[s].set(jnp.asarray(row))
+                # the prompt-presence row only matters to a penalising
+                # request; skipping it for penalty-free ones saves a
+                # host->device vocab-row transfer per admission
+                penalising = self.rep_penalty is not None or (
+                    row is not None and row[4] != 1.0
+                )
+                if self.presence is not None and penalising:
+                    pres_row = np.zeros((self.pm.spec.vocab_size,), bool)
+                    pres_row[prompt] = True
+                    self.presence = self.presence.at[s].set(jnp.asarray(pres_row))
                 if self.spec_decode != "off":
                     self.stats[rid] = {"rounds": 0, "drafted": 0, "accepted": 0}
                 n_chunks = max(1, -(-prompt.shape[0] // self.bucket))

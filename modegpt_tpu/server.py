@@ -136,6 +136,11 @@ class InferenceServer:
         a per_request_sampling batcher. `stop` is a list of token-id
         sequences ending generation (matched tokens excluded).
         `logprobs` records each generated token's raw-model logprob."""
+        # empty sequences can never match (the batcher drops them too);
+        # dropping them HERE keeps the streaming holdback consistent
+        # with what was actually submitted
+        if stop is not None:
+            stop = [q for q in stop if len(q) > 0] or None
         ids = np.asarray(prompt_ids, np.int32).reshape(-1)
         with self._work:
             if self.max_queue is not None:
@@ -338,7 +343,10 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                     return
                 try:
                     ids = _chat_prompt_ids(server.tokenizer, msgs)
-                except (KeyError, TypeError) as e:
+                # chat templates raise model-specific errors (jinja
+                # TemplateError for role-order violations, ValueError,
+                # KeyError for missing fields) — all are client errors
+                except Exception as e:
                     self._send_json(400, {"error": f"bad messages: {e}"})
                     return
             elif "prompt_ids" in body:
@@ -358,9 +366,13 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             else:
                 self._send_json(400, {"error": "need prompt or prompt_ids"})
                 return
-            max_tokens = int(body.get("max_tokens", default_max_tokens))
+            try:
+                max_tokens = int(body.get("max_tokens", default_max_tokens))
+                n_choices = int(body.get("n", 1))
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "max_tokens and n must be ints"})
+                return
             stream = bool(body.get("stream", False))
-            n_choices = int(body.get("n", 1))
             if n_choices < 1:
                 self._send_json(400, {"error": "n must be >= 1"})
                 return
@@ -432,6 +444,11 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             done_tokens = 0
             for i, req in enumerate(reqs):
                 if not req.done.wait(timeout=request_timeout):
+                    # free the slots the timed-out request and its
+                    # unfinished siblings still occupy
+                    for r in reqs:
+                        if not r.done.is_set():
+                            server.cancel(r.rid)
                     self._send_json(504, {"error": "generation timed out"})
                     return
                 new = req.tokens[req.prompt_len:]

@@ -279,3 +279,46 @@ def test_batcher_rejects_sampling_knobs_with_spec_decode():
     with pytest.raises(ValueError, match="greedy-only"):
         ContinuousBatcher(pm, slots=2, spec_decode="prompt_lookup",
                           repetition_penalty=2.0)
+
+
+def test_degenerate_knobs_keep_top_token():
+    """top_p=0 / min_p>=1 / top_k=0-after-penalty must degenerate to
+    argmax (HF min_tokens_to_keep=1), never an all--inf row that
+    categorical silently resolves to token 0 — in BOTH the static and
+    per-row samplers."""
+    logits = _logits_for([0.5, 0.3, 0.15, 0.05])
+    keys = jax.random.split(jax.random.key(5), 64)
+    for kw in (dict(top_p=0.0), dict(min_p=1.0), dict(min_p=5.0),
+               dict(top_p=0.0, min_p=1.0)):
+        draws = np.asarray(
+            jax.vmap(lambda k: _sample(logits, k, 1.0, None, **kw)[0])(keys)
+        )
+        assert set(draws) == {0}, kw
+        samp = jnp.asarray([_samp_row(1.0, None, kw.get("top_p"),
+                                      kw.get("min_p"), None)], jnp.float32)
+        draws = np.asarray(
+            jax.vmap(lambda k: sample_rows(logits, k, samp, None)[0])(keys)
+        )
+        assert set(draws) == {0}, kw
+
+
+def test_per_request_mode_single_decode_program():
+    """The point of the traced knob table: serving a mix of greedy and
+    differently-knobbed sampled requests must add exactly ONE decode
+    program (static mode compiles one per knob combination)."""
+    from modegpt_tpu.models.serving import _decode_slots_jit
+
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    rng = np.random.default_rng(6)
+    b = ContinuousBatcher(pm, slots=4, max_len=64, prefill_bucket=8,
+                          per_request_sampling=True)
+    before = _decode_slots_jit._cache_size()
+    prompts = [rng.integers(0, 128, size=(5,)).astype(np.int32) for _ in range(4)]
+    b.submit(prompts[0], 6)
+    b.submit(prompts[1], 6, temperature=0.9, top_p=0.9)
+    b.submit(prompts[2], 6, temperature=1.2, top_k=7, min_p=0.05)
+    b.submit(prompts[3], 6, repetition_penalty=1.4)
+    b.run()
+    assert _decode_slots_jit._cache_size() - before == 1
