@@ -225,12 +225,17 @@ def apply_repetition_penalty(logits, presence, penalty: float):
     return jnp.where(presence, penalised, logits)
 
 
-def sample_rows(logits, key, samp, presence=None):
+def sample_rows(logits, key, samp, presence=None, keys=None):
     """Per-ROW sampling for mixed-request serving: `samp` [S, 5] f32
     carries (temperature, top_k, top_p, min_p, repetition_penalty) for
     each row, all TRACED — one compiled program serves any mix of
     greedy and sampled requests (``_sample``'s knobs are static, so it
     compiles one program per knob combination instead).
+
+    With `keys` [S] (a PRNG key array) each row draws from its OWN key
+    instead of the shared `key` — per-request seeded sampling: a row's
+    stream then depends only on its key and its logits, not on which
+    other requests share the batch.
 
     Row semantics match ``_sample`` exactly (same HF LogitsProcessor
     order: repetition penalty -> temperature -> top-k -> top-p ->
@@ -279,7 +284,10 @@ def sample_rows(logits, key, samp, presence=None):
 
     any_filter = jnp.any((top_k > 0) | (top_p < 1.0) | (min_p > 0.0))
     final = lax.cond(any_filter, _filtered, lambda x: x, scaled)
-    sampled = jax.random.categorical(key, final, axis=-1)
+    if keys is not None:
+        sampled = jax.vmap(lambda k, lg: jax.random.categorical(k, lg))(keys, final)
+    else:
+        sampled = jax.random.categorical(key, final, axis=-1)
     return jnp.where(temp[:, 0] == 0.0, greedy, sampled).astype(jnp.int32)
 
 

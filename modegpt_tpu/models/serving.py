@@ -145,7 +145,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        commit: jax.Array, temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None, want_lp: bool = False):
+                       samp=None, want_lp: bool = False, seed_keys=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
@@ -181,7 +181,11 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
             None if presence is None
             else lax.dynamic_index_in_dim(presence, slot, axis=0, keepdims=True)
         )
-        nxt = sample_rows(last_logits, key, row_samp, row_pres)[0]
+        rk = None
+        if seed_keys is not None:
+            # the prefill commit is the request's draw #0
+            rk = _row_keys(seed_keys[slot][None], jnp.zeros((1,), jnp.int32))
+        nxt = sample_rows(last_logits, key, row_samp, row_pres, keys=rk)[0]
     else:
         if rep_penalty is not None:
             from modegpt_tpu.models.generate import apply_repetition_penalty
@@ -223,7 +227,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None, want_lp: bool = False):
+                       samp=None, want_lp: bool = False, seed_keys=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -270,7 +274,11 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
     raw_logits = last_logits
     if samp is not None:
-        nxt = sample_rows(last_logits, key, samp, presence)
+        rk = None
+        if seed_keys is not None:
+            # each committing row's draw #0
+            rk = _row_keys(seed_keys, jnp.zeros(commit.shape, jnp.int32))
+        nxt = sample_rows(last_logits, key, samp, presence, keys=rk)
     else:
         if rep_penalty is not None:
             from modegpt_tpu.models.generate import apply_repetition_penalty
@@ -336,20 +344,31 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       temperature: float, top_k, key,
                       moe: str = "dense", moe_capacity: float = 2.0,
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
-                      samp=None, want_lp: bool = False):
+                      samp=None, want_lp: bool = False,
+                      seed_keys=None, counts=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
-                            top_p, min_p, rep_penalty, presence, samp, want_lp)
+                            top_p, min_p, rep_penalty, presence, samp, want_lp,
+                            seed_keys, counts)
+
+
+def _row_keys(seed_keys, counts):
+    """Per-row sampling keys for seeded serving: row s draws from
+    fold_in(seed_keys[s], counts[s]) — a seeded request's stream
+    depends only on its own seed and generated-token count, never on
+    batch-mates or dispatch grouping."""
+    return jax.vmap(jax.random.fold_in)(seed_keys, counts)
 
 
 def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      active: jax.Array, temperature: float, top_k, key,
                      moe: str, moe_capacity: float,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
-                     samp=None, want_lp: bool = False):
+                     samp=None, want_lp: bool = False,
+                     seed_keys=None, counts=None):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
@@ -373,7 +392,8 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     last_logits = logits[:, -1, :]
     raw_logits = last_logits
     if samp is not None:
-        nxt = sample_rows(last_logits, key, samp, presence)
+        rk = None if seed_keys is None else _row_keys(seed_keys, counts)
+        nxt = sample_rows(last_logits, key, samp, presence, keys=rk)
     else:
         if rep_penalty is not None:
             last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
@@ -406,7 +426,8 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             has_eos: bool = False,
                             moe: str = "dense", moe_capacity: float = 2.0,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
-                            samp=None, want_lp: bool = False):
+                            samp=None, want_lp: bool = False,
+                            seed_keys=None, counts=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -433,13 +454,17 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
     and masked False; lps are raw-model logprobs (zeros unless
     want_lp)."""
 
-    def body(carry, _):
+    def body(carry, i):
         st, act, bud, k2, pres = carry
         k2, sub = jax.random.split(k2)
+        # seeded rows fold their own key with (generated count + step):
+        # the stream advances one draw per emitted token, independent
+        # of how steps are grouped into dispatches
+        step_counts = None if counts is None else counts + i
         st, nxt, lp, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
                                              temperature, top_k, sub, moe, moe_capacity,
                                              top_p, min_p, rep_penalty, pres, samp,
-                                             want_lp)
+                                             want_lp, seed_keys, step_counts)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
@@ -448,7 +473,8 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
         return (st, act, bud, k2, pres), (nxt, lp, emitted)
 
     (state, _, _, _, presence), (toks, lps, emitted) = lax.scan(
-        body, (state, active, budgets, key, presence), None, length=n_steps
+        body, (state, active, budgets, key, presence),
+        jnp.arange(n_steps, dtype=jnp.int32)
     )
     return state, toks, lps, emitted, presence
 
@@ -807,6 +833,13 @@ class ContinuousBatcher:
         # variants per program, no recompile churn).
         self.slot_want_lp = [False] * slots
         self.slot_lp: List[List[float]] = [[] for _ in range(slots)]
+        # per-request SEED (per_request_sampling only): the row draws
+        # from fold_in(key(seed), n_generated) instead of the shared
+        # per-dispatch key, so a seeded request's sampled stream is a
+        # function of (seed, its own prompt/knobs) alone — identical
+        # whether it runs solo or beside arbitrary other traffic
+        # (CPU f32 exact; TPU bf16 cross-program caveats as usual)
+        self.slot_seed: List[Optional[int]] = [None] * slots
         # finished requests' logprob lists, keyed by rid (only for
         # requests that asked); collect like run() results
         self.logprobs: Dict[int, List[float]] = {}
@@ -819,7 +852,8 @@ class ContinuousBatcher:
                temperature: Optional[float] = None, top_k: Optional[int] = None,
                top_p: Optional[float] = None, min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
-               stop: Optional[List] = None, logprobs: bool = False) -> int:
+               stop: Optional[List] = None, logprobs: bool = False,
+               seed: Optional[int] = None) -> int:
         """Enqueue a prompt. The sampling kwargs are per-REQUEST
         overrides of the constructor knobs and need
         ``per_request_sampling=True`` (they land in the traced knob
@@ -830,9 +864,14 @@ class ContinuousBatcher:
         every execution mode including fused multi-step and
         speculative, which just over-generate into a freed slot).
         `logprobs=True` records each generated token's raw-model
-        logprob, collected in ``batcher.logprobs[rid]`` on finish."""
+        logprob, collected in ``batcher.logprobs[rid]`` on finish.
+        `seed` makes the request's sampled stream deterministic — a
+        function of (seed, prompt, knobs) alone, independent of what
+        other requests share the batch."""
         overrides = (temperature, top_k, top_p, min_p, repetition_penalty)
-        if not self.per_request and any(v is not None for v in overrides):
+        if not self.per_request and (
+            any(v is not None for v in overrides) or seed is not None
+        ):
             raise ValueError(
                 "per-request sampling kwargs need per_request_sampling=True "
                 "(the static-knob mode bakes sampling into the compiled programs)"
@@ -863,7 +902,7 @@ class ContinuousBatcher:
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, prompt, max_new_tokens, row, stop_seqs,
-                           bool(logprobs)))
+                           bool(logprobs), None if seed is None else int(seed)))
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -884,6 +923,7 @@ class ContinuousBatcher:
                 self.slot_chunks[s] = []
                 self.slot_budget[s] = 0
                 self.slot_want_lp[s] = False
+                self.slot_seed[s] = None
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
                 self.stats.pop(rid, None)
@@ -911,6 +951,31 @@ class ContinuousBatcher:
             if self.slot_req[s] is not None
         )
 
+    def _seed_kwargs(self, sub, with_counts: bool):
+        """seed_keys/counts for the jitted programs when any resident
+        request is seeded (the per-row-keys program variant); {} selects
+        the shared-key variant. Unseeded rows fold the per-dispatch key
+        with their slot index — a valid stream that still varies per
+        dispatch."""
+        if not self.per_request or not any(
+            self.slot_seed[s] is not None for s in range(self.slots)
+            if self.slot_req[s] is not None
+        ):
+            return {}
+        keys = [
+            jax.random.key(self.slot_seed[s])
+            if self.slot_req[s] is not None and self.slot_seed[s] is not None
+            else jax.random.fold_in(sub, s)
+            for s in range(self.slots)
+        ]
+        kw = {"seed_keys": jnp.stack(keys)}
+        if with_counts:
+            kw["counts"] = jnp.asarray(
+                [max(0, len(self.slot_out[s]) - self.slot_plen[s])
+                 for s in range(self.slots)], jnp.int32,
+            )
+        return kw
+
     def _slot_finished(self, s: int) -> bool:
         if self.slot_chunks[s]:
             return False  # still prefilling
@@ -925,7 +990,8 @@ class ContinuousBatcher:
         the device work happens chunk-by-chunk in `_prefill_step`."""
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
-                rid, prompt, budget, row, stop_seqs, want_lp = self.queue.pop(0)
+                (rid, prompt, budget, row, stop_seqs, want_lp,
+                 seed) = self.queue.pop(0)
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
@@ -934,6 +1000,7 @@ class ContinuousBatcher:
                 self.slot_scanned[s] = 0
                 self.slot_want_lp[s] = want_lp
                 self.slot_lp[s] = []
+                self.slot_seed[s] = seed
                 if row is not None:
                     self.samp[s] = row
                 # the prompt-presence row only matters to a penalising
@@ -1069,6 +1136,7 @@ class ContinuousBatcher:
                 self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
+                **self._seed_kwargs(sub, with_counts=False),
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
@@ -1120,6 +1188,7 @@ class ContinuousBatcher:
                     jnp.asarray(is_last), self._static_temp, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
                     want_lp=self.slot_want_lp[s], **self._samp_kwargs(),
+                    **self._seed_kwargs(sub, with_counts=False),
                 )
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
@@ -1163,6 +1232,7 @@ class ContinuousBatcher:
                     self.logprobs[self.slot_req[s]] = self.slot_lp[s]
                     self.slot_want_lp[s] = False
                 self.slot_req[s] = None
+                self.slot_seed[s] = None
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
         self._admit()
@@ -1206,6 +1276,7 @@ class ContinuousBatcher:
                 self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
+                **self._seed_kwargs(sub, with_counts=True),
             )
             toks = np.asarray(toks)
             lps = np.asarray(lps) if want_lp else None
@@ -1228,6 +1299,7 @@ class ContinuousBatcher:
                 n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
+                **self._seed_kwargs(sub, with_counts=True),
             )
             toks, emitted = np.asarray(toks), np.asarray(emitted)
             lps = np.asarray(lps) if want_lp else None

@@ -44,7 +44,9 @@ over-limit submissions get HTTP 429 instead of unbounded queueing.
 Per-request sampling: with the batcher in ``per_request_sampling``
 mode (the CLI default here), each completion request may carry its own
 ``temperature`` / ``top_k`` / ``top_p`` / ``min_p`` /
-``repetition_penalty`` — they land in a traced per-slot knob table
+``repetition_penalty`` / ``seed`` (a seeded request's sampled stream
+is deterministic — a function of seed+prompt+knobs alone, independent
+of batch-mates) — they land in a traced per-slot knob table
 (models/generate.sample_rows), so any mix of greedy and sampled
 requests shares ONE compiled decode program (no per-combination
 recompiles). Fields omitted by a request fall back to the server-level
@@ -381,9 +383,9 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 return
             try:
                 sampling = {
-                    k: (int(body[k]) if k == "top_k" else float(body[k]))
+                    k: (int(body[k]) if k in ("top_k", "seed") else float(body[k]))
                     for k in ("temperature", "top_k", "top_p", "min_p",
-                              "repetition_penalty")
+                              "repetition_penalty", "seed")
                     if body.get(k) is not None
                 }
             except (TypeError, ValueError):

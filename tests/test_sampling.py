@@ -322,3 +322,41 @@ def test_per_request_mode_single_decode_program():
     b.submit(prompts[3], 6, repetition_penalty=1.4)
     b.run()
     assert _decode_slots_jit._cache_size() - before == 1
+
+
+def test_per_request_seed_deterministic_across_traffic_and_grouping():
+    """A seeded request's sampled stream must be a function of
+    (seed, prompt, knobs) alone: identical when run solo, beside
+    different traffic, in a different slot, and under a different
+    steps_per_dispatch grouping — and different seeds must diverge."""
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 128, size=(5,)).astype(np.int32)
+    other = rng.integers(0, 128, size=(9,)).astype(np.int32)
+
+    def run_seeded(seed, extra_traffic, steps, occupy_first=False):
+        b = ContinuousBatcher(pm, slots=3, max_len=64, prefill_bucket=8,
+                              per_request_sampling=True,
+                              steps_per_dispatch=steps)
+        pre = []
+        if occupy_first:  # push the seeded request into a later slot
+            pre.append(b.submit(other, 8, temperature=0.7))
+        rid = b.submit(prompt, 8, temperature=0.9, top_p=0.95, seed=seed)
+        extras = [b.submit(p, 8, temperature=t)
+                  for p, t in extra_traffic]
+        out = b.run()
+        return out[rid]
+
+    base = run_seeded(123, [], 1)
+    assert base != run_seeded(124, [], 1)  # seed actually matters
+    # solo == beside mixed traffic == different slot == fused grouping
+    assert base == run_seeded(123, [(other, 0.0), (other, 1.1)], 1)
+    assert base == run_seeded(123, [(other, 0.8)], 4)
+    assert base == run_seeded(123, [], 4, occupy_first=True)
+
+    # unseeded kwargs still rejected without the mode; seed too
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8)
+    with pytest.raises(ValueError, match="per_request_sampling"):
+        b.submit(prompt, 4, seed=1)
