@@ -145,14 +145,18 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        commit: jax.Array, temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None, want_lp: bool = False, seed_keys=None):
+                       samp=None, want_lp: bool = False, seed_keys=None,
+                       allow=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
     from the chunk's last REAL position (same temperature policy as the
     decode steps). With `samp` [slots, 5] (per-request sampling mode)
     the slot's own traced knob row drives the commit sample instead of
-    the static knobs — see generate.sample_rows.
+    the static knobs — see generate.sample_rows. With `allow`
+    [slots, V] bool (guided decoding, models/guided.py) the slot's row
+    masks disallowed tokens to -inf before the commit sample; logprobs
+    stay raw-model (pre-mask).
 
     Returns (state, lp) — lp is the committed token's raw-model
     logprob (zeros unless want_lp)."""
@@ -175,6 +179,9 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     )
     last_logits = logits[0, real_len - 1][None]
     raw_logits = last_logits
+    if allow is not None:
+        row_allow = lax.dynamic_slice_in_dim(allow, slot, 1, axis=0)
+        last_logits = jnp.where(row_allow, last_logits, -jnp.inf)
     if samp is not None:
         row_samp = lax.dynamic_slice_in_dim(samp, slot, 1, axis=0)
         row_pres = (
@@ -227,7 +234,8 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None, want_lp: bool = False, seed_keys=None):
+                       samp=None, want_lp: bool = False, seed_keys=None,
+                       allow=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -273,6 +281,8 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     idx = jnp.maximum(real_len - 1, 0)
     last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
     raw_logits = last_logits
+    if allow is not None:
+        last_logits = jnp.where(allow, last_logits, -jnp.inf)
     if samp is not None:
         rk = None
         if seed_keys is not None:
@@ -345,14 +355,14 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       moe: str = "dense", moe_capacity: float = 2.0,
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
                       samp=None, want_lp: bool = False,
-                      seed_keys=None, counts=None):
+                      seed_keys=None, counts=None, allow=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
                             top_p, min_p, rep_penalty, presence, samp, want_lp,
-                            seed_keys, counts)
+                            seed_keys, counts, allow)
 
 
 def _row_keys(seed_keys, counts):
@@ -368,14 +378,19 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      moe: str, moe_capacity: float,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
                      samp=None, want_lp: bool = False,
-                     seed_keys=None, counts=None):
+                     seed_keys=None, counts=None, allow=None):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
     step reads it for the penalty and records the sampled token. With
     `samp` [slots, 5] (per-request sampling mode) each row's traced
     knob row replaces the static knobs — one compiled program serves
-    any mix of greedy and sampled slots (generate.sample_rows).
+    any mix of greedy and sampled slots (generate.sample_rows). With
+    `allow` [slots, V] bool (guided decoding) each row's disallowed
+    tokens are masked to -inf before sampling; the host computes the
+    rows from every guided slot's automaton state BEFORE the step
+    (models/guided.py), so the device sees a plain traced operand.
+    Logprobs stay raw-model (pre-mask).
     Returns (state, nxt, lp, presence) — lp is the chosen token's
     raw-model logprob (zeros unless want_lp)."""
     from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, sample_rows
@@ -391,6 +406,8 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     )
     last_logits = logits[:, -1, :]
     raw_logits = last_logits
+    if allow is not None:
+        last_logits = jnp.where(allow, last_logits, -jnp.inf)
     if samp is not None:
         rk = None if seed_keys is None else _row_keys(seed_keys, counts)
         nxt = sample_rows(last_logits, key, samp, presence, keys=rk)
@@ -846,6 +863,15 @@ class ContinuousBatcher:
         # pending prompt chunks per slot: list of (piece, pos0, is_last);
         # non-empty = the slot is still PREFILLING (not decode-active)
         self.slot_chunks: List[List] = [[] for _ in range(slots)]
+        # GUIDED decoding (models/guided.py): per-slot TokenGuide +
+        # automaton state. The host recomputes each guided slot's
+        # [V] allow row after every committed token; dispatches carrying
+        # any guided slot ship the [slots, V] table as a traced operand
+        # (one extra program variant, like presence/samp). The table is
+        # allocated lazily on the first guided request.
+        self.slot_guide: List[Optional[object]] = [None] * slots
+        self.slot_gstate: List[int] = [0] * slots
+        self._allow: Optional[np.ndarray] = None
         self._next_id = 0
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
@@ -853,7 +879,7 @@ class ContinuousBatcher:
                top_p: Optional[float] = None, min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                stop: Optional[List] = None, logprobs: bool = False,
-               seed: Optional[int] = None) -> int:
+               seed: Optional[int] = None, guide=None) -> int:
         """Enqueue a prompt. The sampling kwargs are per-REQUEST
         overrides of the constructor knobs and need
         ``per_request_sampling=True`` (they land in the traced knob
@@ -867,7 +893,14 @@ class ContinuousBatcher:
         logprob, collected in ``batcher.logprobs[rid]`` on finish.
         `seed` makes the request's sampled stream deterministic — a
         function of (seed, prompt, knobs) alone, independent of what
-        other requests share the batch."""
+        other requests share the batch. `guide` is a
+        models/guided.TokenGuide constraining the output to a grammar
+        (regex / JSON schema / choice list): every sampled token is
+        drawn from the guide's allowed set for its current automaton
+        state, and EOS becomes reachable exactly when the state
+        accepts. Guided requests force single-step decode rounds while
+        resident (the next mask depends on the previous token) and are
+        incompatible with speculative modes."""
         overrides = (temperature, top_k, top_p, min_p, repetition_penalty)
         if not self.per_request and (
             any(v is not None for v in overrides) or seed is not None
@@ -899,10 +932,32 @@ class ContinuousBatcher:
                 f"{f' + draft margin ({margin})' if margin else ''} "
                 f"exceeds max_len ({self.max_len})"
             )
+        if guide is not None:
+            if self.spec_decode != "off":
+                raise ValueError(
+                    "guided decoding is incompatible with speculative serving "
+                    "(drafted tokens cannot honour the per-step allow mask)"
+                )
+            if guide.V != self.pm.spec.vocab_size:
+                raise ValueError(
+                    f"guide vocab ({guide.V}) != model vocab "
+                    f"({self.pm.spec.vocab_size}); build the TokenGuide with "
+                    f"vocab_size=spec.vocab_size"
+                )
+            if self.eos is None or guide.eos_id != self.eos:
+                raise ValueError(
+                    "guided decoding needs the batcher's eos_token_id set and "
+                    "equal to the guide's eos_id (EOS is how a completed "
+                    "grammar terminates)"
+                )
+            if guide.dead_end(guide.start):
+                raise ValueError("guide grammar admits no token from its "
+                                 "start state with this vocabulary")
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, prompt, max_new_tokens, row, stop_seqs,
-                           bool(logprobs), None if seed is None else int(seed)))
+                           bool(logprobs), None if seed is None else int(seed),
+                           guide))
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -924,6 +979,7 @@ class ContinuousBatcher:
                 self.slot_budget[s] = 0
                 self.slot_want_lp[s] = False
                 self.slot_seed[s] = None
+                self._clear_guide(s)
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
                 self.stats.pop(rid, None)
@@ -944,6 +1000,46 @@ class ContinuousBatcher:
     @property
     def _static_temp(self) -> float:
         return 0.0 if self.per_request else self.temperature
+
+    # -- guided decoding (models/guided.py) -------------------------------
+
+    def _refresh_guide_row(self, s: int) -> None:
+        """Recompute slot `s`'s [V] allow row from its automaton state."""
+        if self._allow is None:
+            self._allow = np.ones((self.slots, self.pm.spec.vocab_size), bool)
+        self._allow[s] = self.slot_guide[s].mask_for(self.slot_gstate[s])
+
+    def _clear_guide(self, s: int) -> None:
+        if self.slot_guide[s] is not None:
+            self.slot_guide[s] = None
+            if self._allow is not None:
+                self._allow[s] = True
+
+    def _advance_guide(self, s: int, tok: int) -> None:
+        """Walk slot `s`'s automaton over a committed token and refresh
+        its allow row; a dead end (no token and no EOS reachable —
+        possible only when the vocabulary cannot spell a required byte)
+        finishes the request host-side."""
+        guide = self.slot_guide[s]
+        if guide is None or (self.eos is not None and tok == self.eos):
+            return
+        self.slot_gstate[s] = guide.advance(self.slot_gstate[s], tok)
+        if guide.dead_end(self.slot_gstate[s]):
+            self.slot_budget[s] = 0
+            self._clear_guide(s)
+        else:
+            self._refresh_guide_row(s)
+
+    def _guided_active(self) -> bool:
+        return any(g is not None for g in self.slot_guide)
+
+    def _guided_kwargs(self):
+        """The traced [slots, V] allow table when any resident request
+        is guided; {} selects the unmasked program variant (at most 2
+        cached variants per program, like want_lp)."""
+        if not self._guided_active():
+            return {}
+        return {"allow": jnp.asarray(self._allow)}
 
     def _any_want_lp(self) -> bool:
         return any(
@@ -991,7 +1087,7 @@ class ContinuousBatcher:
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
                 (rid, prompt, budget, row, stop_seqs, want_lp,
-                 seed) = self.queue.pop(0)
+                 seed, guide) = self.queue.pop(0)
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
@@ -1001,6 +1097,10 @@ class ContinuousBatcher:
                 self.slot_want_lp[s] = want_lp
                 self.slot_lp[s] = []
                 self.slot_seed[s] = seed
+                self.slot_guide[s] = guide
+                if guide is not None:
+                    self.slot_gstate[s] = guide.start
+                    self._refresh_guide_row(s)
                 if row is not None:
                     self.samp[s] = row
                 # the prompt-presence row only matters to a penalising
@@ -1104,6 +1204,7 @@ class ContinuousBatcher:
             self.slot_prompt[s] = np.asarray(self.slot_out[s], np.int32)
         self.slot_out[s].append(tok)
         self.slot_budget[s] -= 1
+        self._advance_guide(s, tok)
         if self.presence is not None:
             self.presence = self.presence.at[s, tok].set(True)
         if self.eos is not None and tok == self.eos:
@@ -1137,6 +1238,7 @@ class ContinuousBatcher:
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=False),
+                **self._guided_kwargs(),
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
@@ -1189,6 +1291,7 @@ class ContinuousBatcher:
                     moe=self.moe, moe_capacity=self.moe_capacity,
                     want_lp=self.slot_want_lp[s], **self._samp_kwargs(),
                     **self._seed_kwargs(sub, with_counts=False),
+                    **self._guided_kwargs(),
                 )
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
@@ -1233,6 +1336,7 @@ class ContinuousBatcher:
                     self.slot_want_lp[s] = False
                 self.slot_req[s] = None
                 self.slot_seed[s] = None
+                self._clear_guide(s)
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
         self._admit()
@@ -1266,8 +1370,12 @@ class ContinuousBatcher:
         """One (possibly fused multi-step) decode dispatch over the
         decode-active slots, committing emitted tokens to host state."""
         # fused multi-step decode only when nothing is prefilling
-        # (prefill chunks want per-step interleaving)
-        n = self.steps_per_dispatch if not any(self.slot_chunks) else 1
+        # (prefill chunks want per-step interleaving) and no guided
+        # request is resident (each guided step's allow mask depends on
+        # the previous token, which only the host-advanced automaton
+        # knows — fusing would decode past the mask)
+        n = (self.steps_per_dispatch
+             if not any(self.slot_chunks) and not self._guided_active() else 1)
         want_lp = self._any_want_lp()
         if n == 1:
             self.state, toks, lps, self.presence = _decode_slots_jit(
@@ -1277,6 +1385,7 @@ class ContinuousBatcher:
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
+                **self._guided_kwargs(),
             )
             toks = np.asarray(toks)
             lps = np.asarray(lps) if want_lp else None
@@ -1286,6 +1395,7 @@ class ContinuousBatcher:
                     if self.slot_want_lp[s]:
                         self.slot_lp[s].append(float(lps[s]))
                     self.slot_budget[s] -= 1
+                    self._advance_guide(s, int(toks[s]))
                     self._check_stop(s)
         else:
             budgets = jnp.asarray(

@@ -26,7 +26,10 @@ Endpoints (stdlib `http.server`, no extra dependencies):
   ``n`` > 1 returns that many independently decoded choices
   (non-streaming only; with prefix caching enabled the siblings adopt
   the shared prompt KV instead of re-prefilling it); ``logprobs``
-  adds each generated token's raw-model logprob.
+  adds each generated token's raw-model logprob. GUIDED decoding:
+  ``guided_regex`` / ``guided_choice`` / ``guided_json`` /
+  ``response_format`` constrain the output to a grammar
+  (models/guided.py; see InferenceServer.build_guide).
 * ``POST /v1/chat/completions`` — body ``{"messages": [{"role",
   "content"}, ...]}``: the tokenizer's own chat template renders the
   turn (plain ``role: content`` transcript fallback when it has
@@ -118,6 +121,13 @@ class InferenceServer:
         # back-pressure bound on REQUESTS WAITING for a slot (in-flight
         # slots are bounded by the slot table itself); None = unbounded
         self.max_queue = max_queue
+        # guided decoding: compiled TokenGuides keyed by their lowered
+        # regex (grammar compilation + token lifting are one-time costs;
+        # steady-state guided traffic is cache hits). Guides memoise
+        # per-DFA-state token rows internally, so sharing one guide
+        # across concurrent requests is what makes repeat grammars cheap.
+        self._guide_cache: Dict[str, object] = {}
+        self._token_bytes = None  # lazy token->bytes table for the tokenizer
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._requests: Dict[int, _Request] = {}
@@ -132,12 +142,14 @@ class InferenceServer:
                streaming: bool = False,
                sampling: Optional[Dict[str, float]] = None,
                stop: Optional[List[List[int]]] = None,
-               logprobs: bool = False) -> _Request:
+               logprobs: bool = False, guide=None) -> _Request:
         """`sampling` holds per-request overrides (temperature/top_k/
         top_p/min_p/repetition_penalty) forwarded to the batcher; needs
         a per_request_sampling batcher. `stop` is a list of token-id
         sequences ending generation (matched tokens excluded).
-        `logprobs` records each generated token's raw-model logprob."""
+        `logprobs` records each generated token's raw-model logprob.
+        `guide` is a models/guided.TokenGuide constraining output to a
+        grammar (see build_guide)."""
         # empty sequences can never match (the batcher drops them too);
         # dropping them HERE keeps the streaming holdback consistent
         # with what was actually submitted
@@ -157,13 +169,94 @@ class InferenceServer:
                     )
             rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens,
                                       stop=stop, logprobs=logprobs,
-                                      **(sampling or {}))
+                                      guide=guide, **(sampling or {}))
             holdback = max((len(q) for q in stop), default=1) - 1 if stop else 0
             req = _Request(rid, int(ids.shape[0]), streaming, holdback=holdback,
                            want_lp=logprobs)
             self._requests[rid] = req
             self._work.notify()
         return req
+
+    def build_guide(self, body: Dict):
+        """TokenGuide for a request body's guided-decoding fields, or
+        None when it has none. Accepted (vLLM/OpenAI-style, at most one):
+
+        * ``guided_regex``: a regex the output must fullmatch;
+        * ``guided_choice``: a list of strings, output is exactly one;
+        * ``guided_json``: a JSON-schema dict, or ``true`` for any JSON
+          object (containers nested to depth 3);
+        * ``response_format``: ``{"type": "json_object"}`` or
+          ``{"type": "json_schema", "json_schema": {"schema": {...}}}``
+          (the OpenAI shapes; ``{"type": "text"}`` means unconstrained).
+
+        Raises ValueError for client errors (conflicting fields, bad
+        grammar, no tokenizer). Compiled guides are cached by their
+        lowered regex."""
+        from modegpt_tpu.models import guided as G
+
+        fields = [k for k in ("guided_regex", "guided_choice", "guided_json")
+                  if body.get(k) is not None]
+        rf = body.get("response_format")
+        rf_type = None
+        if rf is not None:
+            if not isinstance(rf, dict) or rf.get("type") not in (
+                "text", "json_object", "json_schema"
+            ):
+                raise ValueError(
+                    'response_format must be {"type": "text" | "json_object" '
+                    '| "json_schema"}'
+                )
+            rf_type = rf["type"]
+            if rf_type != "text":
+                fields.append("response_format")
+        if len(fields) > 1:
+            raise ValueError(f"at most one guided-decoding field, got {fields}")
+        if not fields:
+            return None
+        f = fields[0]
+        if f == "guided_regex":
+            pattern = str(body["guided_regex"])
+        elif f == "guided_choice":
+            choices = body["guided_choice"]
+            if not isinstance(choices, list) or not all(
+                isinstance(c, str) for c in choices
+            ):
+                raise ValueError("guided_choice must be a list of strings")
+            pattern = G.regex_for_choice(choices)
+        elif f == "guided_json":
+            gj = body["guided_json"]
+            if isinstance(gj, str):  # vLLM also accepts an encoded schema
+                try:
+                    gj = json.loads(gj)
+                except json.JSONDecodeError as e:
+                    raise ValueError(f"guided_json is not valid JSON: {e}")
+            pattern = (G.regex_for_json_object() if gj is True
+                       else G.regex_for_json_schema(gj))
+        else:  # response_format
+            if rf_type == "json_object":
+                pattern = G.regex_for_json_object()
+            else:
+                schema = (rf.get("json_schema") or {}).get("schema")
+                if not isinstance(schema, dict):
+                    raise ValueError(
+                        "response_format json_schema needs json_schema.schema"
+                    )
+                pattern = G.regex_for_json_schema(schema)
+        guide = self._guide_cache.get(pattern)
+        if guide is None:
+            if self.tokenizer is None:
+                raise ValueError("guided decoding needs a tokenizer")
+            eos = self.batcher.eos
+            if eos is None:
+                raise ValueError("guided decoding needs an eos_token_id")
+            if self._token_bytes is None:
+                self._token_bytes = G.token_bytes_from_tokenizer(self.tokenizer)
+            guide = G.compile_regex(
+                pattern, self._token_bytes, eos,
+                vocab_size=self.batcher.pm.spec.vocab_size,
+            )
+            self._guide_cache[pattern] = guide
+        return guide
 
     def cancel(self, rid: int) -> bool:
         """Abort a queued or in-flight request (frees its slot for the
@@ -423,13 +516,21 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             # we return the chosen token's raw-model logprob for any
             # truthy value (no top-N alternatives)
             want_lp = bool(body.get("logprobs"))
+            # guided decoding (regex / choice / JSON): grammar errors
+            # and unsupported combinations are client errors
+            try:
+                guide = server.build_guide(body)
+            except ValueError as e:
+                self._send_json(400, {"error": f"bad guided request: {e}"})
+                return
             reqs = []
             try:
                 for _ in range(n_choices):
                     reqs.append(
                         server.submit(ids, max_new_tokens=max_tokens,
                                       streaming=stream, sampling=sampling,
-                                      stop=stop or None, logprobs=want_lp)
+                                      stop=stop or None, logprobs=want_lp,
+                                      guide=guide)
                     )
             except QueueFull as e:
                 for r in reqs:

@@ -481,3 +481,58 @@ def test_http_chat_needs_tokenizer(rng):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_http_guided_decoding(rng):
+    """guided_choice over HTTP: output is exactly one of the choices
+    (byte-checked through the guide's own token table) ending in EOS;
+    conflicting/malformed guided fields and grammars the vocabulary
+    cannot spell are 400s."""
+    from modegpt_tpu.models.guided import token_bytes_from_tokenizer
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    tokenizer = _tiny_tokenizer()
+    eos = tokenizer.eos_token_id
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          eos_token_id=eos, per_request_sampling=True)
+    srv = InferenceServer(b, tokenizer=tokenizer, model_id="guided")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    tb = token_bytes_from_tokenizer(tokenizer)
+    try:
+        status, data = _post(port, "/v1/completions",
+                             {"prompt": "says", "max_tokens": 16,
+                              "guided_choice": ["hello", "dog"]})
+        assert status == 200
+        out = json.loads(data)["choices"][0]["token_ids"]
+        assert out[-1] == eos
+        assert b"".join(tb[t] for t in out[:-1]).decode() in ("hello", "dog")
+        # same grammar as a regex; sampled — still constrained
+        status, data = _post(port, "/v1/completions",
+                             {"prompt": "quick", "max_tokens": 16,
+                              "guided_regex": "(hello|dog)",
+                              "temperature": 1.5, "seed": 7})
+        assert status == 200
+        out = json.loads(data)["choices"][0]["token_ids"]
+        assert b"".join(tb[t] for t in out[:-1]).decode() in ("hello", "dog")
+        # conflicting fields -> 400
+        status, data = _post(port, "/v1/completions",
+                             {"prompt": "x", "guided_choice": ["a"],
+                              "guided_regex": "a"})
+        assert status == 400 and "at most one" in json.loads(data)["error"]
+        # malformed response_format -> 400
+        status, _ = _post(port, "/v1/completions",
+                          {"prompt": "x", "response_format": {"type": "yaml"}})
+        assert status == 400
+        # grammar needing bytes no token spells ('{' is not in the
+        # tokenizer's corpus) -> 400, not a hang
+        status, data = _post(port, "/v1/completions",
+                             {"prompt": "x", "max_tokens": 8,
+                              "response_format": {"type": "json_object"}})
+        assert status == 400
+        assert "no token" in json.loads(data)["error"]
+    finally:
+        httpd.shutdown()
+        srv.close()
