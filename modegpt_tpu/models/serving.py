@@ -146,7 +146,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
                        samp=None, want_lp: bool = False, seed_keys=None,
-                       allow=None):
+                       allow=None, bias=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
@@ -182,6 +182,9 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     if allow is not None:
         row_allow = lax.dynamic_slice_in_dim(allow, slot, 1, axis=0)
         last_logits = jnp.where(row_allow, last_logits, -jnp.inf)
+    if bias is not None:
+        row_bias = lax.dynamic_slice_in_dim(bias, slot, 1, axis=0)
+        last_logits = last_logits + row_bias.astype(last_logits.dtype)
     if samp is not None:
         row_samp = lax.dynamic_slice_in_dim(samp, slot, 1, axis=0)
         row_pres = (
@@ -235,7 +238,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
                        samp=None, want_lp: bool = False, seed_keys=None,
-                       allow=None):
+                       allow=None, bias=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -283,6 +286,8 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     raw_logits = last_logits
     if allow is not None:
         last_logits = jnp.where(allow, last_logits, -jnp.inf)
+    if bias is not None:
+        last_logits = last_logits + bias.astype(last_logits.dtype)
     if samp is not None:
         rk = None
         if seed_keys is not None:
@@ -355,14 +360,14 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       moe: str = "dense", moe_capacity: float = 2.0,
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
                       samp=None, want_lp: bool = False,
-                      seed_keys=None, counts=None, allow=None):
+                      seed_keys=None, counts=None, allow=None, bias=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
                             top_p, min_p, rep_penalty, presence, samp, want_lp,
-                            seed_keys, counts, allow)
+                            seed_keys, counts, allow, bias)
 
 
 def _row_keys(seed_keys, counts):
@@ -378,7 +383,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      moe: str, moe_capacity: float,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
                      samp=None, want_lp: bool = False,
-                     seed_keys=None, counts=None, allow=None):
+                     seed_keys=None, counts=None, allow=None, bias=None):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
@@ -390,7 +395,9 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     tokens are masked to -inf before sampling; the host computes the
     rows from every guided slot's automaton state BEFORE the step
     (models/guided.py), so the device sees a plain traced operand.
-    Logprobs stay raw-model (pre-mask).
+    With `bias` [slots, V] f32 (OpenAI logit_bias; also -inf EOS
+    suppression for min_tokens) the row is ADDED to the logits before
+    sampling. Logprobs stay raw-model (pre-mask, pre-bias).
     Returns (state, nxt, lp, presence) — lp is the chosen token's
     raw-model logprob (zeros unless want_lp)."""
     from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, sample_rows
@@ -408,6 +415,8 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     raw_logits = last_logits
     if allow is not None:
         last_logits = jnp.where(allow, last_logits, -jnp.inf)
+    if bias is not None:
+        last_logits = last_logits + bias.astype(last_logits.dtype)
     if samp is not None:
         rk = None if seed_keys is None else _row_keys(seed_keys, counts)
         nxt = sample_rows(last_logits, key, samp, presence, keys=rk)
@@ -444,7 +453,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             moe: str = "dense", moe_capacity: float = 2.0,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
                             samp=None, want_lp: bool = False,
-                            seed_keys=None, counts=None):
+                            seed_keys=None, counts=None, bias=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -478,10 +487,14 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
         # the stream advances one draw per emitted token, independent
         # of how steps are grouped into dispatches
         step_counts = None if counts is None else counts + i
+        # `bias` is constant across fused steps — safe for logit_bias
+        # (per-request constants); the batcher drops to single-step
+        # rounds while any min_tokens suppression could EXPIRE mid-run
         st, nxt, lp, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
                                              temperature, top_k, sub, moe, moe_capacity,
                                              top_p, min_p, rep_penalty, pres, samp,
-                                             want_lp, seed_keys, step_counts)
+                                             want_lp, seed_keys, step_counts, None,
+                                             bias)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
@@ -872,6 +885,15 @@ class ContinuousBatcher:
         self.slot_guide: List[Optional[object]] = [None] * slots
         self.slot_gstate: List[int] = [0] * slots
         self._allow: Optional[np.ndarray] = None
+        # per-request LOGIT BIAS (OpenAI logit_bias: {token_id: bias})
+        # and MIN_TOKENS (EOS suppressed until that many tokens are
+        # generated) ride one [slots, V] f32 bias table ADDED to the
+        # logits before sampling; allocated lazily, shipped only in
+        # dispatches where a resident request uses it (one program
+        # variant, like allow/presence)
+        self.slot_bias: List[Optional[Dict[int, float]]] = [None] * slots
+        self.slot_min_tokens: List[int] = [0] * slots
+        self._bias: Optional[np.ndarray] = None
         self._next_id = 0
 
     def submit(self, prompt_ids, max_new_tokens: int = 32,
@@ -879,7 +901,9 @@ class ContinuousBatcher:
                top_p: Optional[float] = None, min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
                stop: Optional[List] = None, logprobs: bool = False,
-               seed: Optional[int] = None, guide=None) -> int:
+               seed: Optional[int] = None, guide=None,
+               logit_bias: Optional[Dict[int, float]] = None,
+               min_tokens: int = 0) -> int:
         """Enqueue a prompt. The sampling kwargs are per-REQUEST
         overrides of the constructor knobs and need
         ``per_request_sampling=True`` (they land in the traced knob
@@ -900,7 +924,13 @@ class ContinuousBatcher:
         state, and EOS becomes reachable exactly when the state
         accepts. Guided requests force single-step decode rounds while
         resident (the next mask depends on the previous token) and are
-        incompatible with speculative modes."""
+        incompatible with speculative modes. `logit_bias` is an OpenAI
+        {token_id: bias} dict added to the logits before sampling
+        (works in both sampling modes — it is not a knob-table field);
+        `min_tokens` suppresses EOS until that many tokens are
+        generated (stop sequences still apply). Both are incompatible
+        with speculative modes (the verify forward argmaxes raw
+        logits)."""
         overrides = (temperature, top_k, top_p, min_p, repetition_penalty)
         if not self.per_request and (
             any(v is not None for v in overrides) or seed is not None
@@ -953,11 +983,35 @@ class ContinuousBatcher:
             if guide.dead_end(guide.start):
                 raise ValueError("guide grammar admits no token from its "
                                  "start state with this vocabulary")
+        min_tokens = int(min_tokens)
+        if logit_bias is not None or min_tokens > 0:
+            if self.spec_decode != "off":
+                raise ValueError(
+                    "logit_bias/min_tokens are incompatible with speculative "
+                    "serving (the verify forward argmaxes raw logits)"
+                )
+        if logit_bias is not None:
+            V = self.pm.spec.vocab_size
+            logit_bias = {int(t): float(v) for t, v in logit_bias.items()}
+            bad = [t for t in logit_bias if not 0 <= t < V]
+            if bad:
+                raise ValueError(f"logit_bias token ids out of range: {bad}")
+            if not logit_bias:
+                logit_bias = None
+        if min_tokens > 0 and self.eos is None:
+            raise ValueError("min_tokens needs the batcher's eos_token_id set "
+                             "(it works by suppressing EOS)")
+        if min_tokens > 0 and guide is not None:
+            raise ValueError(
+                "min_tokens cannot combine with a guide: the grammar decides "
+                "when EOS is reachable (a completed grammar with EOS "
+                "suppressed would leave no sampleable token)"
+            )
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, prompt, max_new_tokens, row, stop_seqs,
                            bool(logprobs), None if seed is None else int(seed),
-                           guide))
+                           guide, logit_bias, min_tokens))
         return rid
 
     def cancel(self, rid: int) -> bool:
@@ -980,6 +1034,7 @@ class ContinuousBatcher:
                 self.slot_want_lp[s] = False
                 self.slot_seed[s] = None
                 self._clear_guide(s)
+                self._clear_bias(s)
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
                 self.stats.pop(rid, None)
@@ -1032,6 +1087,48 @@ class ContinuousBatcher:
 
     def _guided_active(self) -> bool:
         return any(g is not None for g in self.slot_guide)
+
+    # -- logit bias / min_tokens -------------------------------------------
+
+    def _set_bias_row(self, s: int) -> None:
+        """Rebuild slot `s`'s [V] bias row: the request's logit_bias
+        entries plus -inf EOS suppression while min_tokens remain."""
+        if self._bias is None:
+            self._bias = np.zeros((self.slots, self.pm.spec.vocab_size),
+                                  np.float32)
+        row = np.zeros((self.pm.spec.vocab_size,), np.float32)
+        if self.slot_bias[s]:
+            for t, v in self.slot_bias[s].items():
+                row[t] = v
+        if self.slot_min_tokens[s] > 0:
+            row[self.eos] = -np.inf
+        self._bias[s] = row
+
+    def _clear_bias(self, s: int) -> None:
+        if self.slot_bias[s] is not None or self.slot_min_tokens[s] > 0:
+            self.slot_bias[s] = None
+            self.slot_min_tokens[s] = 0
+            if self._bias is not None:
+                self._bias[s] = 0.0
+
+    def _tick_min_tokens(self, s: int) -> None:
+        """One token committed: count down EOS suppression; lift it the
+        moment the minimum is reached."""
+        if self.slot_min_tokens[s] > 0:
+            self.slot_min_tokens[s] -= 1
+            if self.slot_min_tokens[s] == 0:
+                self._set_bias_row(s)
+
+    def _bias_active(self) -> bool:
+        return any(
+            self.slot_bias[s] is not None or self.slot_min_tokens[s] > 0
+            for s in range(self.slots) if self.slot_req[s] is not None
+        )
+
+    def _bias_kwargs(self):
+        if not self._bias_active():
+            return {}
+        return {"bias": jnp.asarray(self._bias)}
 
     def _guided_kwargs(self):
         """The traced [slots, V] allow table when any resident request
@@ -1087,7 +1184,7 @@ class ContinuousBatcher:
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
                 (rid, prompt, budget, row, stop_seqs, want_lp,
-                 seed, guide) = self.queue.pop(0)
+                 seed, guide, logit_bias, min_tokens) = self.queue.pop(0)
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
                 self.slot_budget[s] = budget
@@ -1101,6 +1198,10 @@ class ContinuousBatcher:
                 if guide is not None:
                     self.slot_gstate[s] = guide.start
                     self._refresh_guide_row(s)
+                self.slot_bias[s] = logit_bias
+                self.slot_min_tokens[s] = min_tokens
+                if logit_bias is not None or min_tokens > 0:
+                    self._set_bias_row(s)
                 if row is not None:
                     self.samp[s] = row
                 # the prompt-presence row only matters to a penalising
@@ -1205,6 +1306,7 @@ class ContinuousBatcher:
         self.slot_out[s].append(tok)
         self.slot_budget[s] -= 1
         self._advance_guide(s, tok)
+        self._tick_min_tokens(s)
         if self.presence is not None:
             self.presence = self.presence.at[s, tok].set(True)
         if self.eos is not None and tok == self.eos:
@@ -1238,7 +1340,7 @@ class ContinuousBatcher:
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=False),
-                **self._guided_kwargs(),
+                **self._guided_kwargs(), **self._bias_kwargs(),
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
@@ -1291,7 +1393,7 @@ class ContinuousBatcher:
                     moe=self.moe, moe_capacity=self.moe_capacity,
                     want_lp=self.slot_want_lp[s], **self._samp_kwargs(),
                     **self._seed_kwargs(sub, with_counts=False),
-                    **self._guided_kwargs(),
+                    **self._guided_kwargs(), **self._bias_kwargs(),
                 )
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
@@ -1337,6 +1439,7 @@ class ContinuousBatcher:
                 self.slot_req[s] = None
                 self.slot_seed[s] = None
                 self._clear_guide(s)
+                self._clear_bias(s)
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
         self._admit()
@@ -1370,12 +1473,19 @@ class ContinuousBatcher:
         """One (possibly fused multi-step) decode dispatch over the
         decode-active slots, committing emitted tokens to host state."""
         # fused multi-step decode only when nothing is prefilling
-        # (prefill chunks want per-step interleaving) and no guided
+        # (prefill chunks want per-step interleaving), no guided
         # request is resident (each guided step's allow mask depends on
         # the previous token, which only the host-advanced automaton
-        # knows — fusing would decode past the mask)
+        # knows — fusing would decode past the mask), and no EOS
+        # suppression could expire mid-dispatch (plain logit_bias is
+        # constant per request and fuses fine)
+        min_pending = any(
+            self.slot_min_tokens[s] > 0 for s in range(self.slots)
+            if self.slot_req[s] is not None
+        )
         n = (self.steps_per_dispatch
-             if not any(self.slot_chunks) and not self._guided_active() else 1)
+             if not any(self.slot_chunks) and not self._guided_active()
+             and not min_pending else 1)
         want_lp = self._any_want_lp()
         if n == 1:
             self.state, toks, lps, self.presence = _decode_slots_jit(
@@ -1385,7 +1495,7 @@ class ContinuousBatcher:
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
-                **self._guided_kwargs(),
+                **self._guided_kwargs(), **self._bias_kwargs(),
             )
             toks = np.asarray(toks)
             lps = np.asarray(lps) if want_lp else None
@@ -1396,6 +1506,7 @@ class ContinuousBatcher:
                         self.slot_lp[s].append(float(lps[s]))
                     self.slot_budget[s] -= 1
                     self._advance_guide(s, int(toks[s]))
+                    self._tick_min_tokens(s)
                     self._check_stop(s)
         else:
             budgets = jnp.asarray(
@@ -1410,6 +1521,7 @@ class ContinuousBatcher:
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
+                **self._bias_kwargs(),
             )
             toks, emitted = np.asarray(toks), np.asarray(emitted)
             lps = np.asarray(lps) if want_lp else None

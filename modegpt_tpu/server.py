@@ -40,6 +40,9 @@ Endpoints (stdlib `http.server`, no extra dependencies):
   when a streaming client disconnects mid-generation).
 * ``GET /v1/models`` — the served model id.
 * ``GET /health`` — scheduler liveness + slot occupancy.
+* ``GET /metrics`` — Prometheus text exposition: request/token/step
+  counters, slot + queue gauges, prefix-cache and speculative
+  acceptance counters when enabled.
 
 Back-pressure: ``--max_queue N`` bounds requests WAITING for a slot;
 over-limit submissions get HTTP 429 instead of unbounded queueing.
@@ -128,6 +131,18 @@ class InferenceServer:
         # across concurrent requests is what makes repeat grammars cheap.
         self._guide_cache: Dict[str, object] = {}
         self._token_bytes = None  # lazy token->bytes table for the tokenizer
+        # serving counters for GET /metrics (guarded by self._lock)
+        import time as _time
+
+        self._t0 = _time.time()
+        self._counters = {
+            "requests_submitted": 0,
+            "requests_completed": 0,
+            "requests_cancelled": 0,
+            "prompt_tokens": 0,
+            "generated_tokens": 0,
+            "scheduler_steps": 0,
+        }
         self._lock = threading.Lock()
         self._work = threading.Condition(self._lock)
         self._requests: Dict[int, _Request] = {}
@@ -142,7 +157,9 @@ class InferenceServer:
                streaming: bool = False,
                sampling: Optional[Dict[str, float]] = None,
                stop: Optional[List[List[int]]] = None,
-               logprobs: bool = False, guide=None) -> _Request:
+               logprobs: bool = False, guide=None,
+               logit_bias: Optional[Dict[int, float]] = None,
+               min_tokens: int = 0) -> _Request:
         """`sampling` holds per-request overrides (temperature/top_k/
         top_p/min_p/repetition_penalty) forwarded to the batcher; needs
         a per_request_sampling batcher. `stop` is a list of token-id
@@ -169,11 +186,15 @@ class InferenceServer:
                     )
             rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens,
                                       stop=stop, logprobs=logprobs,
-                                      guide=guide, **(sampling or {}))
+                                      guide=guide, logit_bias=logit_bias,
+                                      min_tokens=min_tokens,
+                                      **(sampling or {}))
             holdback = max((len(q) for q in stop), default=1) - 1 if stop else 0
             req = _Request(rid, int(ids.shape[0]), streaming, holdback=holdback,
                            want_lp=logprobs)
             self._requests[rid] = req
+            self._counters["requests_submitted"] += 1
+            self._counters["prompt_tokens"] += int(ids.shape[0])
             self._work.notify()
         return req
 
@@ -269,6 +290,8 @@ class InferenceServer:
                 if req.stream_q is not None:
                     req.stream_q.put(None)
                 req.done.set()
+            if ok:
+                self._counters["requests_cancelled"] += 1
             return ok
 
     def close(self):
@@ -280,6 +303,29 @@ class InferenceServer:
     @property
     def alive(self) -> bool:
         return self._thread.is_alive()
+
+    def metrics(self) -> Dict[str, float]:
+        """Counter + gauge snapshot for GET /metrics (Prometheus text
+        exposition in the handler; this returns plain numbers)."""
+        import time as _time
+
+        with self._lock:
+            m = dict(self._counters)
+            m["slots"] = self.batcher.slots
+            m["slots_busy"] = sum(r is not None for r in self.batcher.slot_req)
+            m["queue_depth"] = len(self.batcher.queue)
+            m["uptime_seconds"] = _time.time() - self._t0
+            if self.batcher.prefix_cache:
+                m["prefix_hits"] = self.batcher.prefix_hits
+                m["prefix_tokens_reused"] = self.batcher.prefix_tokens_reused
+            if self.batcher.spec_decode != "off" and self.batcher.stats:
+                m["spec_drafted"] = sum(
+                    s["drafted"] for s in self.batcher.stats.values()
+                )
+                m["spec_accepted"] = sum(
+                    s["accepted"] for s in self.batcher.stats.values()
+                )
+            return m
 
     def occupancy(self) -> Dict[str, int]:
         with self._lock:
@@ -312,6 +358,7 @@ class InferenceServer:
                         req.done.set()
                     return
                 self._key, finished, _ = self.batcher.step(self._key)
+                self._counters["scheduler_steps"] += 1
                 # push streaming deltas for slots still in flight
                 for s in range(self.batcher.slots):
                     rid = self.batcher.slot_req[s]
@@ -332,6 +379,10 @@ class InferenceServer:
                     req = self._requests.pop(rid, None)
                     if req is None:
                         continue
+                    self._counters["requests_completed"] += 1
+                    self._counters["generated_tokens"] += (
+                        len(tokens) - req.prompt_len
+                    )
                     req.tokens = tokens
                     if req.want_lp:
                         req.lp = self.batcher.logprobs.pop(rid, None)
@@ -388,8 +439,28 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             self.end_headers()
             self.wfile.write(body)
 
+        _GAUGES = {"slots", "slots_busy", "queue_depth", "uptime_seconds"}
+
         def do_GET(self):
-            if self.path == "/health":
+            if self.path == "/metrics":
+                # Prometheus text exposition (version 0.0.4), stdlib-only
+                m = server.metrics()
+                lines = []
+                for k in sorted(m):
+                    if k in self._GAUGES:
+                        name, typ = f"modegpt_{k}", "gauge"
+                    else:
+                        name, typ = f"modegpt_{k}_total", "counter"
+                    lines.append(f"# TYPE {name} {typ}")
+                    lines.append(f"{name} {m[k]}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/health":
                 occ = server.occupancy()
                 occ["status"] = "ok" if server.alive else "dead"
                 self._send_json(200 if server.alive else 503, occ)
@@ -512,6 +583,19 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                     server.tokenizer(s, add_special_tokens=False)["input_ids"]
                     for s in stop_strs
                 )
+            # OpenAI logit_bias: {"<token_id>": bias} (string keys, like
+            # the OpenAI API) or int keys; min_tokens suppresses EOS
+            # until that many tokens are generated (vLLM field)
+            logit_bias = None
+            try:
+                if body.get("logit_bias"):
+                    logit_bias = {int(k): float(v)
+                                  for k, v in body["logit_bias"].items()}
+                min_tokens = int(body.get("min_tokens", 0))
+            except (TypeError, ValueError, AttributeError):
+                self._send_json(400, {"error": "logit_bias must map token "
+                                      "ids to numbers; min_tokens an int"})
+                return
             # OpenAI legacy completions use an int here (top-N alts);
             # we return the chosen token's raw-model logprob for any
             # truthy value (no top-N alternatives)
@@ -530,7 +614,8 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                         server.submit(ids, max_new_tokens=max_tokens,
                                       streaming=stream, sampling=sampling,
                                       stop=stop or None, logprobs=want_lp,
-                                      guide=guide)
+                                      guide=guide, logit_bias=logit_bias,
+                                      min_tokens=min_tokens)
                     )
             except QueueFull as e:
                 for r in reqs:
@@ -658,6 +743,9 @@ def main(argv=None):
     parser.add_argument("--max_queue", type=int, default=None,
                         help="reject (HTTP 429) when this many requests are "
                         "already waiting for a slot; default unbounded")
+    parser.add_argument("--eos_token_id", type=int, default=None,
+                        help="override EOS; default resolves from the "
+                        "tokenizer, then the checkpoint's config.json")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--min_p", type=float, default=None)
@@ -696,7 +784,20 @@ def main(argv=None):
         from modegpt_tpu.models.quantize import quantize_padded
 
         pm = quantize_padded(pm)
-    eos = getattr(tokenizer, "eos_token_id", None) if tokenizer is not None else None
+    eos = args.eos_token_id
+    if eos is None and tokenizer is not None:
+        eos = getattr(tokenizer, "eos_token_id", None)
+    if eos is None:
+        # tokenizer-less serving: the checkpoint's own config still
+        # knows EOS (min_tokens/guided decoding need it)
+        import os as _os
+
+        cfg_path = _os.path.join(args.model, "config.json")
+        if _os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                eos = json.load(f).get("eos_token_id")
+            if isinstance(eos, list):  # some configs carry several
+                eos = eos[0] if eos else None
     batcher = ContinuousBatcher(
         pm, slots=args.slots, max_len=args.max_len,
         prefill_bucket=args.prefill_bucket, eos_token_id=eos,

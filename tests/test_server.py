@@ -536,3 +536,78 @@ def test_http_guided_decoding(rng):
     finally:
         httpd.shutdown()
         srv.close()
+
+
+def test_http_logit_bias_and_min_tokens(rng):
+    """OpenAI-style string-keyed logit_bias and min_tokens over HTTP."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          eos_token_id=127)
+    srv = InferenceServer(b, tokenizer=None, model_id="bias")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": [3, 5, 7], "max_tokens": 5,
+                              "logit_bias": {"42": 100}})
+        assert status == 200
+        assert json.loads(data)["choices"][0]["token_ids"] == [42] * 5
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": [3, 5, 7], "max_tokens": 8,
+                              "min_tokens": 3, "logit_bias": {"127": 100}})
+        assert status == 200
+        out = json.loads(data)["choices"][0]["token_ids"]
+        assert len(out) == 4 and out[-1] == 127
+        # malformed logit_bias -> 400
+        status, _ = _post(port, "/v1/completions",
+                          {"prompt_ids": [3], "max_tokens": 2,
+                           "logit_bias": {"x": "y"}})
+        assert status == 400
+        # out-of-range id -> 400 (batcher validation surfaced)
+        status, _ = _post(port, "/v1/completions",
+                          {"prompt_ids": [3], "max_tokens": 2,
+                           "logit_bias": {"500": 1.0}})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_http_metrics_endpoint(served, rng):
+    """GET /metrics: Prometheus text exposition whose counters move
+    with traffic."""
+    spec, _, server, port = served
+
+    def scrape():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/metrics")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type").startswith("text/plain")
+        text = r.read().decode()
+        conn.close()
+        return {
+            line.split()[0]: float(line.split()[1])
+            for line in text.splitlines() if not line.startswith("#")
+        }
+
+    before = scrape()
+    prompt = rng.integers(1, spec.vocab_size, size=(4,)).tolist()
+    status, _ = _post(port, "/v1/completions",
+                      {"prompt_ids": prompt, "max_tokens": 5})
+    assert status == 200
+    after = scrape()
+    assert (after["modegpt_requests_submitted_total"]
+            - before["modegpt_requests_submitted_total"]) == 1
+    assert (after["modegpt_requests_completed_total"]
+            - before["modegpt_requests_completed_total"]) == 1
+    assert (after["modegpt_generated_tokens_total"]
+            - before["modegpt_generated_tokens_total"]) == 5
+    assert (after["modegpt_prompt_tokens_total"]
+            - before["modegpt_prompt_tokens_total"]) == 4
+    assert after["modegpt_scheduler_steps_total"] > before.get(
+        "modegpt_scheduler_steps_total", 0)
+    assert after["modegpt_slots"] == 2
+    assert after["modegpt_uptime_seconds"] > 0

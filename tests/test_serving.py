@@ -757,3 +757,114 @@ def test_logprobs_match_forward_log_softmax(rng):
     rid = b.submit(prompt, max_new_tokens=n_new, logprobs=True, stop=[gen[4:6]])
     assert b.run()[rid] == full[: len(prompt) + 4]
     np.testing.assert_allclose(b.logprobs[rid], want[:4], atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# logit_bias / min_tokens
+# ---------------------------------------------------------------------------
+
+
+def test_logit_bias_forces_and_bans_tokens(rng):
+    """OpenAI logit_bias: +100 makes a token dominate every greedy step;
+    -100 bans the token greedy would otherwise pick. Logprobs stay
+    raw-model (pre-bias)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, 100, size=(5,)).astype(np.int32)
+
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          eos_token_id=127)
+    rid = b.submit(prompt, max_new_tokens=6)
+    plain = b.run()[rid][5:]
+
+    rid = b.submit(prompt, max_new_tokens=6, logit_bias={42: 100.0})
+    forced = b.run()[rid][5:]
+    assert forced == [42] * 6
+
+    first = plain[0]
+    rid = b.submit(prompt, max_new_tokens=6, logit_bias={int(first): -100.0})
+    banned = b.run()[rid][5:]
+    assert first not in banned
+
+    # raw-model logprobs are pre-bias: the forced token's logprob is
+    # its unbiased log_softmax mass, not ~0
+    rid = b.submit(prompt, max_new_tokens=3, logit_bias={42: 100.0},
+                   logprobs=True)
+    b.run()
+    assert all(lp < -1.0 for lp in b.logprobs[rid])
+
+
+def test_min_tokens_suppresses_eos(rng):
+    """min_tokens: with EOS biased to dominate (+100), the output still
+    carries exactly min_tokens non-EOS tokens before EOS lands."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, 100, size=(4,)).astype(np.int32)
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8,
+                          eos_token_id=127)
+    rid = b.submit(prompt, max_new_tokens=12, min_tokens=5,
+                   logit_bias={127: 100.0})
+    out = b.run()[rid][4:]
+    assert len(out) == 6
+    assert all(t != 127 for t in out[:5]) and out[5] == 127
+
+    # without min_tokens the same bias EOSes immediately
+    rid = b.submit(prompt, max_new_tokens=12, logit_bias={127: 100.0})
+    out2 = b.run()[rid][4:]
+    assert out2 == [127]
+
+
+def test_logit_bias_fused_matches_single_step(rng):
+    """Constant logit_bias is fuse-safe: steps_per_dispatch=4 output
+    equals single-step output exactly (CPU f32); min_tokens forces
+    single-step rounds while suppression is pending, so its output
+    matches too."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, 100, size=(5,)).astype(np.int32)
+    kw = dict(max_new_tokens=10, logit_bias={7: 3.5, 11: -4.0})
+
+    b1 = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127)
+    rid = b1.submit(prompt, **kw)
+    ref = b1.run()[rid]
+    b4 = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, steps_per_dispatch=4)
+    rid = b4.submit(prompt, **kw)
+    assert b4.run()[rid] == ref
+
+    kw2 = dict(max_new_tokens=8, min_tokens=4, logit_bias={127: 100.0})
+    rid = b1.submit(prompt, **kw2)
+    r1 = b1.run()[rid]
+    rid = b4.submit(prompt, **kw2)
+    r4 = b4.run()[rid]
+    assert r4 == r1 and len(r1) == 5 + 5  # 4 suppressed + eos
+
+
+def test_logit_bias_min_tokens_validation(rng):
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, 100, size=(4,)).astype(np.int32)
+
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8,
+                          eos_token_id=127)
+    with pytest.raises(ValueError, match="out of range"):
+        b.submit(prompt, max_new_tokens=4, logit_bias={128: 1.0})
+
+    b2 = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8)
+    with pytest.raises(ValueError, match="min_tokens"):
+        b2.submit(prompt, max_new_tokens=4, min_tokens=2)  # no eos set
+
+    b3 = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, spec_decode="prompt_lookup")
+    with pytest.raises(ValueError, match="speculative"):
+        b3.submit(prompt, max_new_tokens=4, logit_bias={3: 1.0})
+
+    from modegpt_tpu.models.guided import compile_regex
+
+    tb = [b"" if i == 127 else bytes([i]) for i in range(128)]
+    g = compile_regex("ab", tb, 127, vocab_size=128)
+    b4 = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8,
+                           eos_token_id=127)
+    with pytest.raises(ValueError, match="grammar decides"):
+        b4.submit(prompt, max_new_tokens=4, guide=g, min_tokens=2)
