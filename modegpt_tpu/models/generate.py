@@ -225,12 +225,19 @@ def apply_repetition_penalty(logits, presence, penalty: float):
     return jnp.where(presence, penalised, logits)
 
 
-def sample_rows(logits, key, samp, presence=None, keys=None):
-    """Per-ROW sampling for mixed-request serving: `samp` [S, 5] f32
-    carries (temperature, top_k, top_p, min_p, repetition_penalty) for
+def sample_rows(logits, key, samp, presence=None, keys=None, gen_counts=None):
+    """Per-ROW sampling for mixed-request serving: `samp` [S, 5] (or
+    [S, 7]) f32 carries (temperature, top_k, top_p, min_p,
+    repetition_penalty[, presence_penalty, frequency_penalty]) for
     each row, all TRACED — one compiled program serves any mix of
     greedy and sampled requests (``_sample``'s knobs are static, so it
     compiles one program per knob combination instead).
+
+    With the 7-column form and `gen_counts` [S, V] (per-row GENERATED
+    token counts — prompt tokens excluded, the OpenAI definition),
+    rows apply the additive OpenAI penalties after the multiplicative
+    repetition penalty: ``logits - presence_penalty * (count > 0)
+    - frequency_penalty * count``. Off-sentinel 0.0 for both.
 
     With `keys` [S] (a PRNG key array) each row draws from its OWN key
     instead of the shared `key` — per-request seeded sampling: a row's
@@ -257,6 +264,15 @@ def sample_rows(logits, key, samp, presence=None, keys=None):
         logits = lax.cond(
             jnp.any(rep != 1.0),
             lambda x: apply_repetition_penalty(x, presence, rep),
+            lambda x: x,
+            logits,
+        )
+    if samp.shape[-1] >= 7 and gen_counts is not None:
+        pp, fp = samp[:, 5:6], samp[:, 6:7]
+        counts = gen_counts.astype(jnp.float32)
+        logits = lax.cond(
+            jnp.any((pp != 0.0) | (fp != 0.0)),
+            lambda x: x - pp * (counts > 0.0) - fp * counts,
             lambda x: x,
             logits,
         )

@@ -353,21 +353,22 @@ def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
         "spec", "temperature", "top_k", "moe", "moe_capacity",
         "top_p", "min_p", "rep_penalty", "want_lp",
     ),
-    donate_argnames=("state", "presence"),
+    donate_argnames=("state", "presence", "gen_counts"),
 )
 def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       temperature: float, top_k, key,
                       moe: str = "dense", moe_capacity: float = 2.0,
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
                       samp=None, want_lp: bool = False,
-                      seed_keys=None, counts=None, allow=None, bias=None):
+                      seed_keys=None, counts=None, allow=None, bias=None,
+                      gen_counts=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
                             top_p, min_p, rep_penalty, presence, samp, want_lp,
-                            seed_keys, counts, allow, bias)
+                            seed_keys, counts, allow, bias, gen_counts)
 
 
 def _row_keys(seed_keys, counts):
@@ -383,7 +384,8 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      moe: str, moe_capacity: float,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
                      samp=None, want_lp: bool = False,
-                     seed_keys=None, counts=None, allow=None, bias=None):
+                     seed_keys=None, counts=None, allow=None, bias=None,
+                     gen_counts=None):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
@@ -397,9 +399,13 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     (models/guided.py), so the device sees a plain traced operand.
     With `bias` [slots, V] f32 (OpenAI logit_bias; also -inf EOS
     suppression for min_tokens) the row is ADDED to the logits before
-    sampling. Logprobs stay raw-model (pre-mask, pre-bias).
-    Returns (state, nxt, lp, presence) — lp is the chosen token's
-    raw-model logprob (zeros unless want_lp)."""
+    sampling. `gen_counts` [slots, V] int32 counts each slot's
+    GENERATED tokens (prompt excluded) for the additive OpenAI
+    presence/frequency penalties (sample_rows 7-column form); the step
+    updates it like the presence pool. Logprobs stay raw-model
+    (pre-mask, pre-bias). Returns (state, nxt, lp, presence,
+    gen_counts) — lp is the chosen token's raw-model logprob (zeros
+    unless want_lp)."""
     from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, sample_rows
 
     tokens = state.last_token[:, None]
@@ -419,7 +425,8 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         last_logits = last_logits + bias.astype(last_logits.dtype)
     if samp is not None:
         rk = None if seed_keys is None else _row_keys(seed_keys, counts)
-        nxt = sample_rows(last_logits, key, samp, presence, keys=rk)
+        nxt = sample_rows(last_logits, key, samp, presence, keys=rk,
+                          gen_counts=gen_counts)
     else:
         if rep_penalty is not None:
             last_logits = apply_repetition_penalty(last_logits, presence, rep_penalty)
@@ -433,10 +440,15 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         presence = presence.at[jnp.arange(S), nxt].set(
             active | presence[jnp.arange(S), nxt]
         )
+    if gen_counts is not None:
+        S = nxt.shape[0]
+        gen_counts = gen_counts.at[jnp.arange(S), nxt].add(
+            active.astype(jnp.int32)
+        )
     new_len = jnp.where(active, state.lengths + 1, state.lengths)
     new_last = jnp.where(active, nxt, state.last_token)
     return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last,
-                      k_scale=ks, v_scale=vs), nxt, lp, presence
+                      k_scale=ks, v_scale=vs), nxt, lp, presence, gen_counts
 
 
 @partial(
@@ -444,7 +456,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
                      "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
                      "want_lp"),
-    donate_argnames=("state", "presence"),
+    donate_argnames=("state", "presence", "gen_counts"),
 )
 def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             active: jax.Array, budgets: jax.Array, eos: jax.Array,
@@ -453,7 +465,8 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             moe: str = "dense", moe_capacity: float = 2.0,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
                             samp=None, want_lp: bool = False,
-                            seed_keys=None, counts=None, bias=None):
+                            seed_keys=None, counts=None, bias=None,
+                            gen_counts=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -481,7 +494,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
     want_lp)."""
 
     def body(carry, i):
-        st, act, bud, k2, pres = carry
+        st, act, bud, k2, pres, gcnt = carry
         k2, sub = jax.random.split(k2)
         # seeded rows fold their own key with (generated count + step):
         # the stream advances one draw per emitted token, independent
@@ -489,24 +502,26 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
         step_counts = None if counts is None else counts + i
         # `bias` is constant across fused steps — safe for logit_bias
         # (per-request constants); the batcher drops to single-step
-        # rounds while any min_tokens suppression could EXPIRE mid-run
-        st, nxt, lp, pres = _one_decode_step(spec, layers, other, q_hd_true, st, act,
-                                             temperature, top_k, sub, moe, moe_capacity,
-                                             top_p, min_p, rep_penalty, pres, samp,
-                                             want_lp, seed_keys, step_counts, None,
-                                             bias)
+        # rounds while any min_tokens suppression could EXPIRE mid-run.
+        # gen_counts rides the carry, so additive penalties evolve
+        # per step exactly like single-step dispatches
+        st, nxt, lp, pres, gcnt = _one_decode_step(
+            spec, layers, other, q_hd_true, st, act,
+            temperature, top_k, sub, moe, moe_capacity,
+            top_p, min_p, rep_penalty, pres, samp,
+            want_lp, seed_keys, step_counts, None, bias, gcnt)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
         if has_eos:
             act = act & (nxt != eos)
-        return (st, act, bud, k2, pres), (nxt, lp, emitted)
+        return (st, act, bud, k2, pres, gcnt), (nxt, lp, emitted)
 
-    (state, _, _, _, presence), (toks, lps, emitted) = lax.scan(
-        body, (state, active, budgets, key, presence),
+    (state, _, _, _, presence, gen_counts), (toks, lps, emitted) = lax.scan(
+        body, (state, active, budgets, key, presence, gen_counts),
         jnp.arange(n_steps, dtype=jnp.int32)
     )
-    return state, toks, lps, emitted, presence
+    return state, toks, lps, emitted, presence, gen_counts
 
 
 @partial(
@@ -666,7 +681,7 @@ def decode_slots(pm: PaddedModel, state: ServeState, active: np.ndarray,
     """One decode step across all slots. Returns (state, tokens [slots])."""
     if key is None:
         key = jax.random.key(0)
-    state, nxt, _, _ = _decode_slots_jit(
+    state, nxt, _, _, _ = _decode_slots_jit(
         pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
         jnp.asarray(active), temperature, top_k, key, moe=moe,
         moe_capacity=moe_capacity, top_p=top_p, min_p=min_p,
@@ -734,20 +749,32 @@ class ContinuousBatcher:
         # instead. The presence pool is always allocated here because
         # any request may enable a penalty.
         self.per_request = per_request_sampling
+        # columns: temperature, top_k, top_p, min_p, repetition_penalty,
+        # presence_penalty, frequency_penalty (the last two are the
+        # additive OpenAI penalties over GENERATED tokens, driven by the
+        # gen_counts pool; per-request only)
         self._samp_default = np.asarray(
             [temperature, 0.0, top_p if top_p is not None else 1.0,
              min_p if min_p is not None else 0.0,
-             self.rep_penalty if self.rep_penalty is not None else 1.0],
+             self.rep_penalty if self.rep_penalty is not None else 1.0,
+             0.0, 0.0],
             np.float32,
         )
         # off-sentinel rows (greedy, no filters) for idle slots so a
         # stale sampled row can't force the filter path on greedy steps
-        self._samp_off = np.asarray([0.0, 0.0, 1.0, 0.0, 1.0], np.float32)
+        self._samp_off = np.asarray([0.0, 0.0, 1.0, 0.0, 1.0, 0.0, 0.0],
+                                    np.float32)
         self.samp = np.tile(self._samp_off, (slots, 1)) if per_request_sampling else None
         self.presence = (
             jnp.zeros((slots, pm.spec.vocab_size), bool)
             if self.rep_penalty is not None or per_request_sampling
             else None
+        )
+        # generated-token counts for the additive penalties (device-
+        # resident, updated inside the decode programs like presence)
+        self.gen_counts = (
+            jnp.zeros((slots, pm.spec.vocab_size), jnp.int32)
+            if per_request_sampling else None
         )
         if spec_decode != "off" and (top_p or min_p or self.rep_penalty
                                      or per_request_sampling):
@@ -900,6 +927,8 @@ class ContinuousBatcher:
                temperature: Optional[float] = None, top_k: Optional[int] = None,
                top_p: Optional[float] = None, min_p: Optional[float] = None,
                repetition_penalty: Optional[float] = None,
+               presence_penalty: Optional[float] = None,
+               frequency_penalty: Optional[float] = None,
                stop: Optional[List] = None, logprobs: bool = False,
                seed: Optional[int] = None, guide=None,
                logit_bias: Optional[Dict[int, float]] = None,
@@ -931,7 +960,8 @@ class ContinuousBatcher:
         generated (stop sequences still apply). Both are incompatible
         with speculative modes (the verify forward argmaxes raw
         logits)."""
-        overrides = (temperature, top_k, top_p, min_p, repetition_penalty)
+        overrides = (temperature, top_k, top_p, min_p, repetition_penalty,
+                     presence_penalty, frequency_penalty)
         if not self.per_request and (
             any(v is not None for v in overrides) or seed is not None
         ):
@@ -1214,6 +1244,10 @@ class ContinuousBatcher:
                     pres_row = np.zeros((self.pm.spec.vocab_size,), bool)
                     pres_row[prompt] = True
                     self.presence = self.presence.at[s].set(jnp.asarray(pres_row))
+                if self.gen_counts is not None:
+                    # additive penalties count GENERATED tokens only;
+                    # a fresh request starts from zero
+                    self.gen_counts = self.gen_counts.at[s].set(0)
                 if self.spec_decode != "off":
                     self.stats[rid] = {"rounds": 0, "drafted": 0, "accepted": 0}
                 n_chunks = max(1, -(-prompt.shape[0] // self.bucket))
@@ -1309,6 +1343,8 @@ class ContinuousBatcher:
         self._tick_min_tokens(s)
         if self.presence is not None:
             self.presence = self.presence.at[s, tok].set(True)
+        if self.gen_counts is not None:
+            self.gen_counts = self.gen_counts.at[s, tok].add(1)
         if self.eos is not None and tok == self.eos:
             self.slot_budget[s] = 0
         self._check_stop(s)
@@ -1488,12 +1524,14 @@ class ContinuousBatcher:
              and not min_pending else 1)
         want_lp = self._any_want_lp()
         if n == 1:
-            self.state, toks, lps, self.presence = _decode_slots_jit(
+            (self.state, toks, lps, self.presence,
+             self.gen_counts) = _decode_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask),
                 self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, **self._samp_kwargs(),
+                want_lp=want_lp, gen_counts=self.gen_counts,
+                **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
                 **self._guided_kwargs(), **self._bias_kwargs(),
             )
@@ -1513,13 +1551,15 @@ class ContinuousBatcher:
                 [self.slot_budget[s] if active_mask[s] else 0
                  for s in range(self.slots)], jnp.int32,
             )
-            self.state, toks, lps, emitted, self.presence = _decode_slots_multi_jit(
+            (self.state, toks, lps, emitted, self.presence,
+             self.gen_counts) = _decode_slots_multi_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask), budgets,
                 jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
                 n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, **self._samp_kwargs(),
+                want_lp=want_lp, gen_counts=self.gen_counts,
+                **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
                 **self._bias_kwargs(),
             )

@@ -549,7 +549,8 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 sampling = {
                     k: (int(body[k]) if k in ("top_k", "seed") else float(body[k]))
                     for k in ("temperature", "top_k", "top_p", "min_p",
-                              "repetition_penalty", "seed")
+                              "repetition_penalty", "presence_penalty",
+                              "frequency_penalty", "seed")
                     if body.get(k) is not None
                 }
             except (TypeError, ValueError):

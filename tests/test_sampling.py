@@ -360,3 +360,97 @@ def test_per_request_seed_deterministic_across_traffic_and_grouping():
     b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8)
     with pytest.raises(ValueError, match="per_request_sampling"):
         b.submit(prompt, 4, seed=1)
+
+
+# ---------------------------------------------------------------------------
+# additive OpenAI penalties (presence_penalty / frequency_penalty)
+# ---------------------------------------------------------------------------
+
+
+def test_sample_rows_additive_penalties_exact():
+    """7-column rows + gen_counts apply the OpenAI formula
+    (logits - pp*(count>0) - fp*count) per row; 5-column rows and rows
+    with pp=fp=0 are untouched (back-compat)."""
+    logits = jnp.asarray([[2.0, -1.0, 3.0, 0.5],
+                          [2.0, -1.0, 3.0, 0.5],
+                          [2.0, -1.0, 3.0, 0.5]])
+    counts = jnp.asarray([[2, 0, 1, 0],
+                          [2, 0, 1, 0],
+                          [0, 0, 0, 0]], jnp.int32)
+    samp7 = jnp.asarray([
+        [0.0, 0, 1.0, 0.0, 1.0, 0.9, 0.4],   # greedy + both penalties
+        [0.0, 0, 1.0, 0.0, 1.0, 0.0, 0.0],   # penalties off
+        [0.0, 0, 1.0, 0.0, 1.0, 5.0, 5.0],   # on, but zero counts
+    ], jnp.float32)
+    key = jax.random.key(0)
+    got = np.asarray(sample_rows(logits, key, samp7, None, gen_counts=counts))
+    # row 0: token 2 penalised by 0.9 + 0.4 -> 1.7; token 0 by 0.9+0.8
+    # -> 0.3; argmax moves to token 2 still (1.7 > 0.5 > 0.3)? compute:
+    row0 = np.asarray([2.0 - 0.9 - 0.8, -1.0, 3.0 - 0.9 - 0.4, 0.5])
+    assert got[0] == int(np.argmax(row0))
+    assert got[1] == 2 and got[2] == 2  # unpenalised argmax
+    # 5-column form still accepted (no gen_counts)
+    got5 = np.asarray(sample_rows(logits, key, samp7[:, :5], None))
+    assert list(got5) == [2, 2, 2]
+
+
+def test_batcher_additive_penalties_match_manual(rng):
+    """Greedy serving with presence/frequency penalties equals a manual
+    forward loop applying the OpenAI formula over GENERATED tokens only
+    (prompt excluded, unlike the multiplicative repetition penalty)."""
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(0, spec.vocab_size, size=(1, 5)).astype(np.int32)
+    pp, fp, T_new = 1.1, 0.6, 8
+
+    seq = prompt.copy()
+    counts = np.zeros(spec.vocab_size, np.float64)
+    for _ in range(T_new):
+        logits, _ = forward(spec, params, seq)
+        lg = np.asarray(logits[0, -1], np.float64)
+        lg = lg - pp * (counts > 0) - fp * counts
+        tok = int(np.argmax(lg))
+        counts[tok] += 1
+        seq = np.concatenate([seq, [[tok]]], axis=1).astype(np.int32)
+
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          per_request_sampling=True)
+    rid = b.submit(prompt[0], max_new_tokens=T_new,
+                   presence_penalty=pp, frequency_penalty=fp)
+    out = b.run()[rid]
+    np.testing.assert_array_equal(np.asarray(out), seq[0])
+
+
+def test_batcher_additive_penalties_fused_and_isolated(rng):
+    """Penalised decoding under steps_per_dispatch=4 equals single-step
+    (gen_counts rides the fused carry); an unpenalised batch-mate is
+    unaffected; slot reuse resets the counts."""
+    m = _tiny_llama()
+    spec, params = params_from_hf_model(m)
+    pm = pad_to_uniform(spec, params)
+    rng2 = np.random.default_rng(9)
+    p1 = rng2.integers(0, spec.vocab_size, size=(5,)).astype(np.int32)
+    p2 = rng2.integers(0, spec.vocab_size, size=(6,)).astype(np.int32)
+    kw = dict(max_new_tokens=8, frequency_penalty=0.8)
+
+    b1 = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           per_request_sampling=True)
+    r_pen = b1.submit(p1, **kw)
+    r_free = b1.submit(p2, max_new_tokens=8)
+    done1 = b1.run()
+    # unpenalised mate matches its solo greedy decode
+    ref_free = np.asarray(
+        generate(spec, params, p2[None], max_new_tokens=8, temperature=0.0)
+    )[0].tolist()
+    assert done1[r_free] == ref_free
+
+    b4 = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           per_request_sampling=True, steps_per_dispatch=4)
+    r4 = b4.submit(p1, **kw)
+    assert b4.run()[r4] == done1[r_pen]
+
+    # slot reuse: an identical follow-up request gets identical output
+    # (stale counts would change the penalties)
+    r_again = b1.submit(p1, **kw)
+    assert b1.run()[r_again] == done1[r_pen]
