@@ -24,8 +24,9 @@ Endpoints (stdlib `http.server`, no extra dependencies):
   (``data: {...}`` lines, terminated by ``data: [DONE]``) with each
   event carrying the text/token delta since the previous one.
   ``n`` > 1 returns that many independently decoded choices
-  (non-streaming only; with prefix caching enabled the siblings adopt
-  the shared prompt KV instead of re-prefilling it); ``logprobs``
+  (streaming included — each SSE event carries its choice ``index``;
+  with prefix caching enabled the siblings adopt the shared prompt KV
+  instead of re-prefilling it); ``logprobs``
   adds each generated token's raw-model logprob. GUIDED decoding:
   ``guided_regex`` / ``guided_choice`` / ``guided_json`` /
   ``response_format`` constrain the output to a grammar
@@ -542,9 +543,6 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             if n_choices < 1:
                 self._send_json(400, {"error": "n must be >= 1"})
                 return
-            if stream and n_choices > 1:
-                self._send_json(400, {"error": "streaming supports n=1 only"})
-                return
             try:
                 sampling = {
                     k: (int(body[k]) if k in ("top_k", "seed") else float(body[k]))
@@ -627,7 +625,7 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 self._send_json(400, {"error": str(e)})
                 return
             if stream:
-                self._stream_response(reqs[0], chat=is_chat)
+                self._stream_response(reqs, chat=is_chat)
                 return
             choices = []
             done_tokens = 0
@@ -669,7 +667,15 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 },
             )
 
-        def _stream_response(self, req: _Request, chat: bool = False) -> None:
+        def _stream_response(self, reqs: List[_Request],
+                             chat: bool = False) -> None:
+            """SSE-stream one or several choices (OpenAI n>1 streaming:
+            every event carries its choice `index`; [DONE] after ALL
+            choices finish). Multiple queues are drained round-robin
+            with a short poll so one slow choice never starves the
+            others' deltas."""
+            import time as _time
+
             self.send_response(200)
             self.send_header("Content-Type", "text/event-stream")
             self.send_header("Cache-Control", "no-cache")
@@ -684,44 +690,64 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
             # are not per-token decodable, so each event's `text` is the
             # tail of decode(all generated so far) beyond what was
             # already sent (the standard streaming-detokenizer trick).
-            sent_tokens: List[int] = []
-            sent_text = ""
+            rid0 = reqs[0].rid
+            multi = len(reqs) > 1
+            live: Dict[int, _Request] = dict(enumerate(reqs))
+            sent_tokens: Dict[int, List[int]] = {i: [] for i in live}
+            sent_text: Dict[int, str] = {i: "" for i in live}
+            deadline = _time.time() + request_timeout
             try:
-                while True:
-                    delta = req.stream_q.get(timeout=request_timeout)
-                    if delta is None:
-                        chunk(b"data: [DONE]\n\n")
-                        chunk(b"")  # terminating chunk
-                        return
-                    delta, lps = delta
-                    sent_tokens.extend(delta)
-                    text_delta = None
-                    if server.tokenizer is not None:
-                        full = server.tokenizer.decode(sent_tokens)
-                        text_delta = full[len(sent_text):]
-                        sent_text = full
-                    if chat:
-                        event = {
-                            "id": f"chatcmpl-{req.rid}",
-                            "object": "chat.completion.chunk",
-                            "model": server.model_id,
-                            "choices": [{"index": 0,
-                                         "delta": {"content": text_delta},
-                                         "token_ids": delta}],
-                        }
-                        if lps is not None:
-                            event["choices"][0]["logprobs"] = lps
-                    else:
-                        event = {"id": f"cmpl-{req.rid}", "token_ids": delta}
-                        if lps is not None:
-                            event["logprobs"] = lps
-                        if text_delta is not None:
-                            event["text"] = text_delta
-                    chunk(b"data: " + _json_bytes(event) + b"\n\n")
+                while live:
+                    if _time.time() > deadline:
+                        raise BrokenPipeError  # treat as gone: cancel all
+                    got_any = False
+                    for i, req in list(live.items()):
+                        try:
+                            delta = req.stream_q.get(
+                                timeout=0.02 if multi else request_timeout
+                            )
+                        except queue.Empty:
+                            continue
+                        got_any = True
+                        if delta is None:
+                            del live[i]
+                            continue
+                        delta, lps = delta
+                        sent_tokens[i].extend(delta)
+                        text_delta = None
+                        if server.tokenizer is not None:
+                            full = server.tokenizer.decode(sent_tokens[i])
+                            text_delta = full[len(sent_text[i]):]
+                            sent_text[i] = full
+                        if chat:
+                            event = {
+                                "id": f"chatcmpl-{rid0}",
+                                "object": "chat.completion.chunk",
+                                "model": server.model_id,
+                                "choices": [{"index": i,
+                                             "delta": {"content": text_delta},
+                                             "token_ids": delta}],
+                            }
+                            if lps is not None:
+                                event["choices"][0]["logprobs"] = lps
+                        else:
+                            event = {"id": f"cmpl-{rid0}", "token_ids": delta}
+                            if multi:
+                                event["index"] = i
+                            if lps is not None:
+                                event["logprobs"] = lps
+                            if text_delta is not None:
+                                event["text"] = text_delta
+                        chunk(b"data: " + _json_bytes(event) + b"\n\n")
+                    if multi and not got_any:
+                        _time.sleep(0.01)
+                chunk(b"data: [DONE]\n\n")
+                chunk(b"")  # terminating chunk
             except (BrokenPipeError, ConnectionResetError):
-                # client went away mid-stream: reclaim the slot so the
+                # client went away mid-stream: reclaim the slots so the
                 # rest of the generation budget isn't burnt for nobody
-                server.cancel(req.rid)
+                for req in reqs:
+                    server.cancel(req.rid)
                 self.close_connection = True
 
     httpd = ThreadingHTTPServer((host, port), Handler)

@@ -449,10 +449,20 @@ def test_http_chat_completions(rng):
         streamed = "".join(e["choices"][0]["delta"]["content"] for e in events)
         assert streamed == want
 
-        # n with streaming -> 400; chat on a tokenizer-less server -> 400
-        status, _ = _post(port, "/v1/chat/completions",
-                          {"messages": messages, "stream": True, "n": 2})
-        assert status == 400
+        # n=2 streaming: every chunk carries its choice index; per-index
+        # concatenations both equal the non-streaming content (greedy)
+        status, data = _post(port, "/v1/chat/completions",
+                             {"messages": messages, "stream": True, "n": 2,
+                              "max_tokens": 6})
+        assert status == 200
+        events = [json.loads(line[len("data: "):]) for line in
+                  data.decode().split("\n")
+                  if line.startswith("data: ") and "[DONE]" not in line]
+        by_idx = {0: "", 1: ""}
+        for e in events:
+            c = e["choices"][0]
+            by_idx[c["index"]] += c["delta"]["content"]
+        assert by_idx[0] == by_idx[1] != ""
     finally:
         httpd.shutdown()
         srv.close()
