@@ -532,16 +532,22 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
 def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       drafts: jax.Array, max_adv: jax.Array, eos,
                       moe: str = "dense", moe_capacity: float = 2.0,
-                      want_lp: bool = False):
+                      want_lp: bool = False, allow=None):
     """One speculative VERIFY step for all slots: each active slot checks
     its k drafted tokens in a single ragged (k+1)-position forward
     (greedy; the accepted prefix is exactly what plain decode would have
     emitted, so serving output is unchanged — only steps/token drops).
 
     drafts [slots, k]; max_adv [slots] caps the commit at the slot's
-    remaining budget. Returns (state, ttoks [slots, k+1],
-    lps [slots, k+1], adv [slots], acc [slots]) — lps are the verify
-    forward's raw-model logprobs of ttoks (zeros unless want_lp).
+    remaining budget. With `allow` [slots, k+1, V] bool (guided
+    speculative serving) position j's logits are masked with the
+    automaton state the HOST walked for the draft prefix drafts[:j] —
+    the masked argmax at every accepted position equals what plain
+    guided decode would emit, so guided output stays greedy-exact
+    under speculation (logprobs stay raw-model, pre-mask). Returns
+    (state, ttoks [slots, k+1], lps [slots, k+1], adv [slots],
+    acc [slots]) — lps are the verify forward's raw-model logprobs of
+    ttoks (zeros unless want_lp).
     Inactive slots do not advance; their cache writes land
     beyond their length and are overwritten before ever being attended
     (same argument as _decode_slots_jit)."""
@@ -553,8 +559,11 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
         moe=moe, moe_capacity=moe_capacity,
         token_valid=jnp.broadcast_to(active[:, None], window.shape),
     )
+    raw_logits = logits
+    if allow is not None:
+        logits = jnp.where(allow, logits, -jnp.inf)
     ttoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, k+1]
-    lps = _chosen_logprob(logits, ttoks, want_lp)
+    lps = _chosen_logprob(raw_logits, ttoks, want_lp)
     match = drafts == ttoks[:, :k]
     acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [S]
     adv = acc + 1
@@ -952,8 +961,10 @@ class ContinuousBatcher:
         drawn from the guide's allowed set for its current automaton
         state, and EOS becomes reachable exactly when the state
         accepts. Guided requests force single-step decode rounds while
-        resident (the next mask depends on the previous token) and are
-        incompatible with speculative modes. `logit_bias` is an OpenAI
+        resident (the next mask depends on the previous token); they
+        compose with spec_decode='prompt_lookup' (host-repaired drafts
+        + per-position verify masks, still guided-greedy-exact) but
+        not 'draft'. `logit_bias` is an OpenAI
         {token_id: bias} dict added to the logits before sampling
         (works in both sampling modes — it is not a knob-table field);
         `min_tokens` suppresses EOS until that many tokens are
@@ -993,10 +1004,12 @@ class ContinuousBatcher:
                 f"exceeds max_len ({self.max_len})"
             )
         if guide is not None:
-            if self.spec_decode != "off":
+            if self.spec_decode == "draft":
                 raise ValueError(
-                    "guided decoding is incompatible with speculative serving "
-                    "(drafted tokens cannot honour the per-step allow mask)"
+                    "guided decoding composes with spec_decode='prompt_lookup'"
+                    " (host-repaired drafts + per-position verify masks) but "
+                    "not 'draft': repairing a draft MODEL's tokens would "
+                    "poison its cache with K/V of tokens it never produced"
                 )
             if guide.V != self.pm.spec.vocab_size:
                 raise ValueError(
@@ -1607,16 +1620,63 @@ class ContinuousBatcher:
                     for s in range(self.slots)
                 ])
             )
-        max_adv = jnp.asarray(
-            [self.slot_budget[s] if active_mask[s] else 0 for s in range(self.slots)],
-            jnp.int32,
+        max_adv_np = np.asarray(
+            [self.slot_budget[s] if active_mask[s] else 0
+             for s in range(self.slots)], np.int32,
         )
+        # GUIDED speculative rounds (prompt_lookup only): the host walks
+        # each guided slot's drafts through its automaton, repairing the
+        # first disallowed token (and everything after it) with an
+        # allowed one so every verify position has a live state, and
+        # ships per-position [slots, k+1, V] masks. The masked argmax at
+        # every committed position is exactly what plain guided decode
+        # would emit (same state -> same mask -> same argmax), so the
+        # output stays guided-greedy-exact — speculation only changes
+        # steps/token.
+        allow_kw = {}
+        guided_rows = [s for s in range(self.slots)
+                       if active_mask[s] and self.slot_guide[s] is not None]
+        if guided_rows:
+            drafts_np = np.asarray(drafts).copy()
+            allow3 = np.ones((self.slots, k + 1, self.pm.spec.vocab_size),
+                             bool)
+            for s in guided_rows:
+                g = self.slot_guide[s]
+                st = self.slot_gstate[s]
+                valid_upto = k + 1
+                for j in range(k + 1):
+                    mask = g.mask_for(st)
+                    if not mask.any():  # dead end (unspellable byte):
+                        valid_upto = j  # never commit at/after j
+                        break           # rows j.. stay all-True (garbage,
+                    allow3[s, j] = mask  # clamped out by max_adv)
+                    if j == k:
+                        break
+                    content = np.nonzero(mask)[0]
+                    content = content[content != g.eos_id]
+                    if content.size == 0:
+                        # grammar complete: position j's mask is
+                        # eos-only, the verify argmax is forced to EOS
+                        # there and adv caps at it; later rows are
+                        # unreachable
+                        valid_upto = j + 1
+                        break
+                    t = int(drafts_np[s, j])
+                    if not mask[t] or t == g.eos_id:
+                        t = int(content[0])  # repair the draft
+                        drafts_np[s, j] = t
+                    st = g.advance(st, t)
+                max_adv_np[s] = min(max_adv_np[s], valid_upto)
+            drafts = jnp.asarray(drafts_np)
+            allow_kw = {"allow": jnp.asarray(allow3)}
+        max_adv = jnp.asarray(max_adv_np)
         eos = None if self.eos is None else jnp.asarray(self.eos, jnp.int32)
         want_lp = self._any_want_lp()
         self.state, ttoks, lps, adv, acc = _verify_slots_jit(
             self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
             self.state, active, drafts, max_adv, eos,
             moe=self.moe, moe_capacity=self.moe_capacity, want_lp=want_lp,
+            **allow_kw,
         )
         if self.draft_state is not None:
             self.draft_state = _commit_draft_cache_jit(
@@ -1628,10 +1688,13 @@ class ContinuousBatcher:
             if not active_mask[s]:
                 continue
             a = int(adv[s])
-            self.slot_out[s].extend(int(t) for t in ttoks[s, :a])
+            committed = [int(t) for t in ttoks[s, :a]]
+            self.slot_out[s].extend(committed)
             if self.slot_want_lp[s]:
                 self.slot_lp[s].extend(float(x) for x in lps[s, :a])
             self.slot_budget[s] -= a
+            for t in committed:
+                self._advance_guide(s, t)
             self._check_stop(s)
             st = self.stats[self.slot_req[s]]
             st["rounds"] += 1

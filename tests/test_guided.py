@@ -389,11 +389,6 @@ def test_guided_validation_errors(rng):
     ok = compile_regex("ab", tb, EOS, vocab_size=spec.vocab_size)
     prompt = rng.integers(1, 100, size=(3,)).astype(np.int32)
 
-    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8,
-                          eos_token_id=EOS, spec_decode="prompt_lookup")
-    with pytest.raises(ValueError, match="speculative"):
-        b.submit(prompt, max_new_tokens=4, guide=ok)
-
     b2 = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8)
     with pytest.raises(ValueError, match="eos"):
         b2.submit(prompt, max_new_tokens=4, guide=ok)  # no eos_token_id
@@ -407,3 +402,54 @@ def test_guided_validation_errors(rng):
     dead = compile_regex("\\xff+", tb, EOS, vocab_size=spec.vocab_size)
     with pytest.raises(ValueError, match="no token"):
         b3.submit(prompt, max_new_tokens=4, guide=dead)
+
+
+def test_guided_speculative_prompt_lookup_exact(rng):
+    """Guided + prompt_lookup speculative serving: the host repairs
+    drafts through the automaton and ships per-position verify masks —
+    output must EXACTLY equal plain guided decode (CPU f32), with the
+    unguided batch-mate staying greedy-exact too."""
+    spec, params, pm = _pm()
+    tb = _byte_vocab(128, EOS)
+    pattern = "(ab|cd){2,8}e"
+    prompt = rng.integers(1, 100, size=(5,)).astype(np.int32)
+    free = rng.integers(1, 100, size=(6,)).astype(np.int32)
+
+    g0 = compile_regex(pattern, tb, EOS, vocab_size=spec.vocab_size)
+    b0 = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=EOS)
+    r0 = b0.submit(prompt, max_new_tokens=20, guide=g0)
+    ref = b0.run()[r0]
+
+    ref_free = np.asarray(
+        generate(spec, params, free[None, :], max_new_tokens=8,
+                 temperature=0.0, eos_token_id=EOS)
+    )[0].tolist()
+
+    g1 = compile_regex(pattern, tb, EOS, vocab_size=spec.vocab_size)
+    b1 = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=EOS, spec_decode="prompt_lookup",
+                           n_draft=3)
+    r1 = b1.submit(prompt, max_new_tokens=20, guide=g1)
+    rf = b1.submit(free, max_new_tokens=8)
+    done = b1.run()
+    assert done[r1] == ref
+    n = len(done[rf]) - 6
+    assert done[rf] == ref_free[: 6 + n]
+    # the guided output itself is grammar-exact
+    out = done[r1][5:]
+    assert out[-1] == EOS
+    assert pyre.fullmatch(pattern, b"".join(tb[t] for t in out[:-1]).decode())
+    # telemetry recorded rounds for the guided request
+    assert b1.stats[r1]["rounds"] >= 1
+
+
+def test_guided_rejects_draft_model_speculation(rng):
+    spec, params, pm = _pm()
+    tb = _byte_vocab(128, EOS)
+    g = compile_regex("ab", tb, EOS, vocab_size=spec.vocab_size)
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=8,
+                          eos_token_id=EOS, spec_decode="draft", draft_pm=pm)
+    with pytest.raises(ValueError, match="draft"):
+        b.submit(rng.integers(1, 100, size=(3,)).astype(np.int32),
+                 max_new_tokens=4, guide=g)
