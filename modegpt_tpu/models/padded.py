@@ -512,21 +512,38 @@ def _layer_padded(
         # grouped-query contraction: k_all/v_all stay at Hk heads (the
         # repeated-to-H copy ~6x'd decode-step HBM traffic; forward.py
         # gqa_scores docstring has the measurement)
-        from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
+        use_ragged = (
+            attn_impl == "ragged" and S == 1
+            and spec.attn_logit_softcap is None
+            and window is None and win_arr is None and not quantized
+        )
+        if use_ragged:
+            # Pallas flash-decoding over the slot table: K/V tiles past
+            # each slot's length are never fetched from HBM (clamped
+            # block index maps), so cache-read bandwidth scales with
+            # actual occupancy instead of max_len
+            # (kernels/ragged_decode.py).
+            from modegpt_tpu.kernels.ragged_decode import ragged_gqa_decode
 
-        scores = gqa_scores(q, k_all)
+            attn = ragged_gqa_decode(
+                q[:, :, 0, :], k_all, v_all, pos + 1
+            )[:, :, None, :]
+        else:
+            from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
 
-        scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
-        t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
-        s_ids = pos[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
-        mask = t_ids <= s_ids  # [B, S, max_len]
-        if window is not None:
-            mask = mask & (t_ids > s_ids - window)
-        if win_arr is not None:
-            mask = mask & jnp.where(win_arr > 0, t_ids > s_ids - win_arr, True)
-        scores = jnp.where(mask[:, None], scores, -jnp.inf)
-        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-        attn = gqa_attend(probs, v_all)
+            scores = gqa_scores(q, k_all)
+
+            scores = _softcap(scores.astype(jnp.float32), spec.attn_logit_softcap)
+            t_ids = jnp.arange(max_len, dtype=jnp.int32)[None, None, :]
+            s_ids = pos[:, None, None] + jnp.arange(S, dtype=jnp.int32)[None, :, None]
+            mask = t_ids <= s_ids  # [B, S, max_len]
+            if window is not None:
+                mask = mask & (t_ids > s_ids - window)
+            if win_arr is not None:
+                mask = mask & jnp.where(win_arr > 0, t_ids > s_ids - win_arr, True)
+            scores = jnp.where(mask[:, None], scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+            attn = gqa_attend(probs, v_all)
 
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Rv)
     a_out = _linear(attn, p["o"])
@@ -667,13 +684,13 @@ def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "moe", "moe_capacity"),
+    static_argnames=("spec", "moe", "moe_capacity", "decode_attn"),
     donate_argnames=("cache_k", "cache_v", "cache_scales"),
 )
 def _model_step_padded(
     spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length,
     moe: str = "dense", moe_capacity: float = 2.0, token_valid=None,
-    cache_scales=None,
+    cache_scales=None, decode_attn: str = "xla",
 ):
     """New tokens [B, S] through the padded stack with a stacked cache.
 
@@ -684,6 +701,11 @@ def _model_step_padded(
     token_valid [B, S]: rows/positions whose compute is masked out by the
     caller (inactive serving slots, padded prefill tails) — consumed by
     the dispatch-MoE path so garbage tokens never claim expert capacity.
+
+    decode_attn: "xla" (masked full-pool contraction) or "ragged" (the
+    Pallas flash-decoding kernel whose cache reads scale with per-slot
+    lengths; single-position full-precision non-windowed layers only —
+    ineligible layers fall back to xla).
     """
     B, S = tokens.shape
     pos = jnp.broadcast_to(jnp.atleast_1d(length), (B,)).astype(jnp.int32)
@@ -711,7 +733,7 @@ def _model_step_padded(
             x, ck, cv, ks, vs = carry
             p, r_true, li = inputs
             x, (ck, cv, ks, vs) = _layer_padded(
-                spec, p, r_true, x, cos, sin, "xla",
+                spec, p, r_true, x, cos, sin, decode_attn,
                 cache_kv=(ck, cv, ks, vs), pos=pos, layer_ix=li,
                 moe=moe, moe_capacity=moe_capacity, token_valid=token_valid,
             )
@@ -726,7 +748,7 @@ def _model_step_padded(
         x, ck, cv = carry
         p, r_true, li = inputs
         x, (ck, cv) = _layer_padded(
-            spec, p, r_true, x, cos, sin, "xla", cache_kv=(ck, cv), pos=pos,
+            spec, p, r_true, x, cos, sin, decode_attn, cache_kv=(ck, cv), pos=pos,
             layer_ix=li, moe=moe, moe_capacity=moe_capacity, token_valid=token_valid,
         )
         return (x, ck, cv), None

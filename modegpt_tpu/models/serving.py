@@ -351,7 +351,7 @@ def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
     jax.jit,
     static_argnames=(
         "spec", "temperature", "top_k", "moe", "moe_capacity",
-        "top_p", "min_p", "rep_penalty", "want_lp",
+        "top_p", "min_p", "rep_penalty", "want_lp", "decode_attn",
     ),
     donate_argnames=("state", "presence", "gen_counts"),
 )
@@ -361,14 +361,15 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
                       samp=None, want_lp: bool = False,
                       seed_keys=None, counts=None, allow=None, bias=None,
-                      gen_counts=None):
+                      gen_counts=None, decode_attn: str = "xla"):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
                             top_p, min_p, rep_penalty, presence, samp, want_lp,
-                            seed_keys, counts, allow, bias, gen_counts)
+                            seed_keys, counts, allow, bias, gen_counts,
+                            decode_attn)
 
 
 def _row_keys(seed_keys, counts):
@@ -385,7 +386,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
                      samp=None, want_lp: bool = False,
                      seed_keys=None, counts=None, allow=None, bias=None,
-                     gen_counts=None):
+                     gen_counts=None, decode_attn: str = "xla"):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
@@ -416,6 +417,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         spec, layers, other, q_hd_true, tokens, state.lengths,
         state.cache_k, state.cache_v, state.scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
+        decode_attn=decode_attn,
     )
     last_logits = logits[:, -1, :]
     raw_logits = last_logits
@@ -455,7 +457,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     jax.jit,
     static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
                      "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-                     "want_lp"),
+                     "want_lp", "decode_attn"),
     donate_argnames=("state", "presence", "gen_counts"),
 )
 def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
@@ -466,7 +468,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
                             samp=None, want_lp: bool = False,
                             seed_keys=None, counts=None, bias=None,
-                            gen_counts=None):
+                            gen_counts=None, decode_attn: str = "xla"):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -509,7 +511,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
             spec, layers, other, q_hd_true, st, act,
             temperature, top_k, sub, moe, moe_capacity,
             top_p, min_p, rep_penalty, pres, samp,
-            want_lp, seed_keys, step_counts, None, bias, gcnt)
+            want_lp, seed_keys, step_counts, None, bias, gcnt, decode_attn)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
@@ -589,11 +591,12 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "k", "moe", "moe_capacity"),
+    static_argnames=("spec", "k", "moe", "moe_capacity", "decode_attn"),
     donate_argnames=("state",),
 )
 def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
-                     k: int, moe: str = "dense", moe_capacity: float = 2.0):
+                     k: int, moe: str = "dense", moe_capacity: float = 2.0,
+                     decode_attn: str = "xla"):
     """k greedy draft steps for all slots (lax.scan over the slot table)
     plus one cache-fill step so every drafted token's K/V is present
     (speculative.py invariant). Returns (state', dtoks [slots, k]) with
@@ -606,6 +609,7 @@ def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: 
         logits, ck, cv, ks, vs = _step_cache(
             spec, layers, other, q_hd_true, tok[:, None], lens, ck, cv, scales,
             moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
+            decode_attn=decode_attn,
         )
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         new_scales = None if ks is None else (ks, vs)
@@ -616,6 +620,7 @@ def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: 
     _, ck, cv, ks, vs = _step_cache(
         spec, layers, other, q_hd_true, last[:, None], lens, ck, cv, scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
+        decode_attn=decode_attn,
     )
     return (
         ServeState(cache_k=ck, cache_v=cv, lengths=len0, last_token=state.last_token,
@@ -732,7 +737,8 @@ class ContinuousBatcher:
                  top_p: Optional[float] = None, min_p: Optional[float] = None,
                  repetition_penalty: Optional[float] = None,
                  mesh=None, prefix_cache: bool = False,
-                 per_request_sampling: bool = False):
+                 per_request_sampling: bool = False,
+                 decode_attn: str = "auto"):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -841,6 +847,16 @@ class ContinuousBatcher:
         if prefill_exec not in ("per_slot", "batched"):
             raise ValueError(f"prefill_exec must be per_slot or batched, got {prefill_exec!r}")
         self.prefill_exec = prefill_exec
+        # Decode attention: "xla" contracts each step over the FULL
+        # [slots, Hk, max_len, R] pool (masked); "ragged" uses the
+        # Pallas flash-decoding kernel whose cache reads scale with each
+        # slot's actual length (kernels/ragged_decode.py; single-
+        # position full-precision non-windowed layers — others fall
+        # back per layer). "auto" currently resolves to xla pending a
+        # hardware A/B; numerics differ in reduction order only.
+        if decode_attn not in ("auto", "xla", "ragged"):
+            raise ValueError(f"decode_attn must be auto/xla/ragged, got {decode_attn!r}")
+        self.decode_attn = "xla" if decode_attn == "auto" else decode_attn
         self.state = init_serve_state(pm, slots, max_len,
                                       dtype=pm.other["embed_tokens"].dtype,
                                       kv_dtype=kv_dtype)
@@ -1544,6 +1560,7 @@ class ContinuousBatcher:
                 self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, gen_counts=self.gen_counts,
+                decode_attn=self.decode_attn,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
                 **self._guided_kwargs(), **self._bias_kwargs(),
@@ -1572,6 +1589,7 @@ class ContinuousBatcher:
                 n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, gen_counts=self.gen_counts,
+                decode_attn=self.decode_attn,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
                 **self._bias_kwargs(),
@@ -1610,6 +1628,7 @@ class ContinuousBatcher:
                 self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                 self.draft_pm.q_hd_true, self.draft_state, active, k,
                 moe=self.moe, moe_capacity=self.moe_capacity,
+                decode_attn=self.decode_attn,
             )
             drafts = dtoks
         else:

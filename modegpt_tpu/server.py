@@ -790,6 +790,11 @@ def main(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=1)
     parser.add_argument("--prefill_exec", choices=("per_slot", "batched"),
                         default="batched")
+    parser.add_argument("--decode_attn", choices=("auto", "xla", "ragged"),
+                        default="auto",
+                        help="decode attention: xla = masked full-pool "
+                        "contraction; ragged = Pallas flash-decoding whose "
+                        "cache reads scale with per-slot lengths")
     parser.add_argument("--prefix_cache", action="store_true",
                         help="reuse cache-resident KV for bucket-aligned shared "
                         "prompt prefixes (e.g. a common system prompt) instead "
@@ -834,6 +839,7 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch, prefill_exec=args.prefill_exec,
         prefix_cache=args.prefix_cache,
         per_request_sampling=args.per_request_sampling,
+        decode_attn=args.decode_attn,
     )
     server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model,
                              max_queue=args.max_queue)

@@ -137,9 +137,14 @@ def main():
         return
 
 
+    # decode attention impl A/B (xla full-pool contraction vs the ragged
+    # Pallas flash-decoding kernel): MODEGPT_DECODE_ATTN=ragged
+    DECODE_ATTN = os.environ.get("MODEGPT_DECODE_ATTN", "xla")
+
     def step(state):
-        st, toks, _, _ = _decode_slots_jit(
-            pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active, 0.0, None, key
+        st, toks, _, _, _ = _decode_slots_jit(
+            pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active, 0.0, None, key,
+            decode_attn=DECODE_ATTN,
         )
         return st, toks
 
@@ -172,9 +177,9 @@ def main():
     eos = jnp.asarray(-1, jnp.int32)
 
     def multi(state):
-        st, toks, _, emitted, _ = _decode_slots_multi_jit(
+        st, toks, _, emitted, _, _ = _decode_slots_multi_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active,
-            budgets, eos, MULTI, 0.0, None, key,
+            budgets, eos, MULTI, 0.0, None, key, decode_attn=DECODE_ATTN,
         )
         return st, toks, emitted
 
@@ -254,6 +259,7 @@ def main():
         "eval_tok_s_wall": round(B * T / eval_wall, 1),
         "eval_tok_s_on_chip": round(B * T / eval_on_chip, 1),
         "slots": SLOTS,
+        "decode_attn": DECODE_ATTN,
         "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
     }))
 
