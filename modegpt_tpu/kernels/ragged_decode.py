@@ -4,25 +4,43 @@ The serving decode step attends each slot's single new query over its
 own cache prefix [0, count_s). The XLA path contracts over the full
 [slots, Hk, max_len, R] pool and masks — every decode step reads the
 WHOLE cache pool from HBM no matter how full each slot actually is.
-This kernel tiles the length axis and CLAMPS the K/V block index map at
-each slot's last live block: Pallas skips the HBM->VMEM copy whenever
+This kernel tiles the length axis and CLAMPS the K/V block index map to
+each slot's live block range: Pallas skips the HBM->VMEM copy whenever
 consecutive grid steps map to the same block, so per-slot traffic is
-ceil(count_s / block_t) tiles instead of max_len / block_t — the
+ceil(live_len_s / block_t) tiles instead of max_len / block_t — the
 slot-table analogue of flash-decoding over a paged cache. At 25 %
 average occupancy that is ~4x less cache-read bandwidth, which is where
 the decode step's HBM time goes once weights are amortised over slots.
 
-Grid (B, Hk, n_blocks) with `counts` scalar-prefetched so the index
-maps can clamp; online-softmax state (m, l, acc) persists in VMEM
-scratch across the innermost (length) grid axis — init at j == 0,
-accumulate under ``pl.when(j <= last_block)``, finalize into the output
-on the last grid step. GQA is native: each (b, kv-head) program attends
-its whole q-head group [G, Rq] against one [block_t, Rq] tile, so K/V
-are read once per kv head (never repeated to H).
+Grid (B, Hk, n_blocks) with `counts` and the `window` scalar-prefetched
+so the index maps can clamp; online-softmax state (m, l, acc) persists
+in VMEM scratch across the innermost (length) grid axis — init at
+j == 0, accumulate under ``pl.when(first <= j <= last)``, finalize into
+the output on the last grid step. GQA is native: each (b, kv-head)
+program attends its whole q-head group [G, Rq] against one
+[block_t, Rq] tile, so K/V are read once per kv head (never repeated
+to H).
 
-Scope (serving fast path): single-position queries, full-precision
-cache, no logit softcap, no sliding window — the caller falls back to
-the XLA contraction otherwise.
+Covered beyond the plain case (each lifts an XLA-fallback from the
+serving fast path):
+
+* **int8 KV** (``k_scale``/``v_scale`` given): K/V are int8 codes with
+  per-(slot, head, position) symmetric scales. The codes hit the MXU
+  directly (cast in VMEM — ints <= 127 are exact in bf16) and the
+  position-wise scales fold into the score columns / probability rows,
+  so the kernel reads HALF the bytes of the bf16 pool and never
+  materialises a dequantised cache — the XLA path's dequant temp is
+  exactly what made int8 KV capacity-only on v5e
+  (bench_results/r02).
+* **sliding window** (``window`` > 0, static or traced): attends
+  t in [max(0, count-window), count). The block range clamps at BOTH
+  ends, so an 8k-context 512-window layer reads 512 positions' worth
+  of tiles, not 8k.
+* **logit softcap** (static float): s -> cap * tanh(s / cap) before
+  masking, matching forward._softcap (gemma2).
+
+Scope: single-position queries (the decode/draft step); multi-position
+verification and prefill fall back to the XLA contraction.
 """
 
 from __future__ import annotations
@@ -45,13 +63,26 @@ def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(counts_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
-            *, block_t: int):
+def _live_range(cnt, win, block_t: int):
+    """Per-slot live position/block range: [start_pos, cnt) over blocks
+    [first, last]. win <= 0 means full attention."""
+    start_pos = jnp.where(win > 0, jnp.maximum(cnt - win, 0), 0)
+    return start_pos, start_pos // block_t, (cnt - 1) // block_t
+
+
+def _kernel(counts_ref, win_ref, q_ref, k_ref, v_ref, *rest,
+            block_t: int, quantized: bool, softcap: Optional[float],
+            out_dtype):
+    if quantized:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
+        ks_ref = vs_ref = None
     b = pl.program_id(0)
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
     cnt = counts_ref[b]
-    last = (cnt - 1) // block_t
+    start_pos, first, last = _live_range(cnt, win_ref[0], block_t)
 
     in_dtype = q_ref.dtype
     mxu_precision = (
@@ -64,23 +95,37 @@ def _kernel(counts_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(j <= last)
+    @pl.when((j >= first) & (j <= last))
     def _step():
         q = q_ref[0, 0]   # [G, Rq] (pre-scaled by caller)
-        kb = k_ref[0, 0]  # [block_t, Rq]
+        kb = k_ref[0, 0]  # [block_t, Rq] (int8 codes when quantized)
         vb = v_ref[0, 0]  # [block_t, Rv]
+        if quantized:
+            # codes are integers <= 127: exact in bf16, so the cast in
+            # VMEM is lossless and the MXU sees the same operands the
+            # dequantised-bf16 matmul would — minus half the HBM reads
+            kb = kb.astype(in_dtype)
+            vb = vb.astype(in_dtype)
         s = lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=mxu_precision,
         )  # [G, block_t] f32
+        if quantized:
+            # per-position K scale factors out of the Rq contraction
+            s = s * ks_ref[0, 0][None, :].astype(jnp.float32)
+        if softcap is not None:
+            s = jnp.tanh(s / softcap) * softcap
         k_ids = j * block_t + lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_ids < cnt, s, NEG_INF)
+        s = jnp.where((k_ids < cnt) & (k_ids >= start_pos), s, NEG_INF)
 
         m_prev = m_ref[:, 0]  # [G]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
         p = jnp.exp(s - m_cur[:, None])  # [G, block_t] f32
         l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        if quantized:
+            # per-position V scale folds into the probability rows
+            p = p * vs_ref[0, 0][None, :].astype(jnp.float32)
         acc_ref[:] = acc_ref[:] * alpha[:, None] + lax.dot_general(
             p.astype(in_dtype) if in_dtype != jnp.float32 else p, vb,
             (((1,), (0,)), ((), ())),
@@ -93,15 +138,21 @@ def _kernel(counts_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     def _finish():
         o_ref[0, 0] = (
             acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
-        ).astype(o_ref.dtype)
+        ).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_t", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "interpret", "softcap")
+)
 def ragged_gqa_decode(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     counts: jax.Array,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    window=None,
+    softcap: Optional[float] = None,
     block_t: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -109,13 +160,22 @@ def ragged_gqa_decode(
 
     Args:
       q: [B, H, Rq] — each slot's single query, ALREADY scaled.
-      k: [B, Hk, T, Rq] cache pool (Hk divides H).
-      v: [B, Hk, T, Rv] cache pool.
+      k: [B, Hk, T, Rq] cache pool (Hk divides H); int8 codes when
+        `k_scale` is given.
+      v: [B, Hk, T, Rv] cache pool; int8 codes when `v_scale` is given.
       counts: [B] int32 — positions attended per slot (>= 1; the decode
         step attends t < counts[b], i.e. counts = length + 1 after the
         new token's K/V is written).
+      k_scale, v_scale: [B, Hk, T] per-position dequant scales (int8 KV),
+        or None for a full-precision cache. Give both or neither.
+      window: sliding window size (int or traced scalar; None/0 = full
+        attention) — attends t in [max(0, counts-window), counts).
+      softcap: static logit softcap (gemma2) or None.
     Returns [B, H, Rv] in q's dtype.
     """
+    if (k_scale is None) != (v_scale is None):
+        raise ValueError("give both k_scale and v_scale, or neither")
+    quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, Rq = q.shape
@@ -128,26 +188,45 @@ def ragged_gqa_decode(
     if t_pad != T:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+        if quantized:
+            k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, t_pad - T)))
+            v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, t_pad - T)))
     n_blk = t_pad // block_t
     q4 = q.reshape(B, Hk, G, Rq)
     counts = counts.astype(jnp.int32)
+    win = jnp.asarray(0 if window is None else window, jnp.int32).reshape(1)
 
-    def q_map(b, h, j, cnt):
+    def q_map(b, h, j, cnt, w):
         return (b, h, 0, 0)
 
-    def kv_map(b, h, j, cnt):
-        # clamp at the slot's last live block: grid steps past it revisit
-        # the same tile, and Pallas skips the copy for a repeated block
-        return (b, h, jnp.minimum(j, (cnt[b] - 1) // block_t), 0)
+    def kv_map(b, h, j, cnt, w):
+        # clamp to the slot's live block range: grid steps outside it
+        # revisit an edge tile, and Pallas skips the copy for a
+        # repeated block — reads scale with live length, not max_len
+        _, first, last = _live_range(cnt[b], w[0], block_t)
+        return (b, h, jnp.clip(j, first, last), 0)
+
+    def sc_map(b, h, j, cnt, w):
+        _, first, last = _live_range(cnt[b], w[0], block_t)
+        return (b, h, jnp.clip(j, first, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, G, Rq), q_map),
+        pl.BlockSpec((1, 1, block_t, Rq), kv_map),
+        pl.BlockSpec((1, 1, block_t, Rv), kv_map),
+    ]
+    operands = [q4, k, v]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec((1, 1, block_t), sc_map),
+            pl.BlockSpec((1, 1, block_t), sc_map),
+        ]
+        operands += [k_scale, v_scale]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, Hk, n_blk),
-        in_specs=[
-            pl.BlockSpec((1, 1, G, Rq), q_map),
-            pl.BlockSpec((1, 1, block_t, Rq), kv_map),
-            pl.BlockSpec((1, 1, block_t, Rv), kv_map),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, G, Rv), q_map),
         scratch_shapes=[
             pltpu.VMEM((G, Rv), jnp.float32),
@@ -156,9 +235,12 @@ def ragged_gqa_decode(
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, block_t=block_t),
+        functools.partial(
+            _kernel, block_t=block_t, quantized=quantized,
+            softcap=softcap, out_dtype=q.dtype,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hk, G, Rv), q.dtype),
         interpret=interpret,
-    )(counts, q4, k, v)
+    )(counts, win, *operands)
     return out.reshape(B, H, Rv)

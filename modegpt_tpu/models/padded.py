@@ -475,15 +475,19 @@ def _layer_padded(
         def slab(c):  # this layer's [B, Hk, T(, R)] view
             return lax.dynamic_index_in_dim(c, layer_ix, 0, keepdims=False)
 
+        use_ragged = attn_impl == "ragged" and S == 1
         if quantized:
             # int8 KV: per-(head, position) symmetric scales — halves
-            # cache HBM CAPACITY (2x slots/context per chip). It does
-            # NOT speed decode on v5e: dequantising the slab below
-            # materialises a bf16 temp that costs what the smaller
-            # reads save (measured, bench_results/r02). bf16->int8
-            # rounding costs ~0.4% rel error per vector, tested to
-            # leave greedy serving outputs intact at small scale and
-            # logits within ~1e-2.
+            # cache HBM CAPACITY (2x slots/context per chip). On the
+            # XLA path it does NOT speed decode on v5e: dequantising
+            # the slab below materialises a bf16 temp that costs what
+            # the smaller reads save (measured, bench_results/r02) —
+            # the ragged kernel instead feeds the codes straight to
+            # the MXU and folds the scales into score columns /
+            # probability rows, so there the halved reads are real.
+            # bf16->int8 rounding costs ~0.4% rel error per vector,
+            # tested to leave greedy serving outputs intact at small
+            # scale and logits within ~1e-2.
             ck, cv, ks, vs = cache_kv
 
             def quant(x_new):  # [B, Hk, S, R] -> int8 codes + scales
@@ -501,32 +505,38 @@ def _layer_padded(
             ks = scatter(ks, k_sc)
             vs = scatter(vs, v_sc)
             new_cache = (ck, cv, ks, vs)
-            k_all = slab(ck).astype(q.dtype) * slab(ks)[..., None].astype(q.dtype)
-            v_all = slab(cv).astype(q.dtype) * slab(vs)[..., None].astype(q.dtype)
+            if use_ragged:
+                k_all, v_all = slab(ck), slab(cv)  # int8 codes
+                kv_scales = (slab(ks), slab(vs))
+            else:
+                k_all = slab(ck).astype(q.dtype) * slab(ks)[..., None].astype(q.dtype)
+                v_all = slab(cv).astype(q.dtype) * slab(vs)[..., None].astype(q.dtype)
+                kv_scales = (None, None)
         else:
             ck, cv = cache_kv
             ck = scatter(ck, k)
             cv = scatter(cv, v)
             new_cache = (ck, cv)
             k_all, v_all = slab(ck), slab(cv)
+            kv_scales = (None, None)
         # grouped-query contraction: k_all/v_all stay at Hk heads (the
         # repeated-to-H copy ~6x'd decode-step HBM traffic; forward.py
         # gqa_scores docstring has the measurement)
-        use_ragged = (
-            attn_impl == "ragged" and S == 1
-            and spec.attn_logit_softcap is None
-            and window is None and win_arr is None and not quantized
-        )
         if use_ragged:
             # Pallas flash-decoding over the slot table: K/V tiles past
-            # each slot's length are never fetched from HBM (clamped
-            # block index maps), so cache-read bandwidth scales with
-            # actual occupancy instead of max_len
+            # each slot's live window are never fetched from HBM
+            # (clamped block index maps), so cache-read bandwidth
+            # scales with actual occupancy instead of max_len; int8
+            # caches stream as codes (half the bytes), windows clamp
+            # the block range at both ends, softcap applies in-kernel
             # (kernels/ragged_decode.py).
             from modegpt_tpu.kernels.ragged_decode import ragged_gqa_decode
 
+            eff_win = win_arr if win_arr is not None else window
             attn = ragged_gqa_decode(
-                q[:, :, 0, :], k_all, v_all, pos + 1
+                q[:, :, 0, :], k_all, v_all, pos + 1,
+                k_scale=kv_scales[0], v_scale=kv_scales[1],
+                window=eff_win, softcap=spec.attn_logit_softcap,
             )[:, :, None, :]
         else:
             from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
@@ -704,8 +714,9 @@ def _model_step_padded(
 
     decode_attn: "xla" (masked full-pool contraction) or "ragged" (the
     Pallas flash-decoding kernel whose cache reads scale with per-slot
-    lengths; single-position full-precision non-windowed layers only —
-    ineligible layers fall back to xla).
+    live lengths; covers bf16 AND int8 caches, sliding windows, and
+    logit softcap — single-position steps only, multi-position steps
+    fall back to xla).
     """
     B, S = tokens.shape
     pos = jnp.broadcast_to(jnp.atleast_1d(length), (B,)).astype(jnp.int32)

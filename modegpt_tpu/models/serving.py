@@ -849,11 +849,12 @@ class ContinuousBatcher:
         self.prefill_exec = prefill_exec
         # Decode attention: "xla" contracts each step over the FULL
         # [slots, Hk, max_len, R] pool (masked); "ragged" uses the
-        # Pallas flash-decoding kernel whose cache reads scale with each
-        # slot's actual length (kernels/ragged_decode.py; single-
-        # position full-precision non-windowed layers — others fall
-        # back per layer). "auto" currently resolves to xla pending a
-        # hardware A/B; numerics differ in reduction order only.
+        # Pallas flash-decoding kernel whose cache reads scale with
+        # each slot's live length (kernels/ragged_decode.py; covers
+        # bf16 + int8 caches, sliding windows, softcap — single-
+        # position steps; multi-position verification falls back).
+        # "auto" currently resolves to xla pending a hardware A/B;
+        # numerics differ in reduction order only.
         if decode_attn not in ("auto", "xla", "ragged"):
             raise ValueError(f"decode_attn must be auto/xla/ragged, got {decode_attn!r}")
         self.decode_attn = "xla" if decode_attn == "auto" else decode_attn

@@ -1,7 +1,7 @@
-"""Ragged flash-decoding kernel: numerics vs a dense reference, the
-padded decode step, and the serving batcher (Pallas interpret mode on
-CPU; on TPU the kernel's clamped block maps skip cache reads past each
-slot's length)."""
+"""Ragged flash-decoding kernel: numerics vs a dense reference (incl.
+sliding windows, logit softcap, int8 KV), the padded decode step, and
+the serving batcher (Pallas interpret mode on CPU; on TPU the kernel's
+clamped block maps skip cache reads outside each slot's live window)."""
 
 import numpy as np
 import pytest
@@ -12,18 +12,28 @@ import jax.numpy as jnp
 from modegpt_tpu.kernels.ragged_decode import ragged_gqa_decode
 
 
-def _dense_ref(q, k, v, counts):
+def _dense_ref(q, k, v, counts, window=0, softcap=None,
+               k_scale=None, v_scale=None):
     B, H, Rv = q.shape[0], q.shape[1], v.shape[-1]
     G = H // k.shape[1]
+    k = np.asarray(k, np.float64)
+    v = np.asarray(v, np.float64)
+    if k_scale is not None:
+        k = k * np.asarray(k_scale, np.float64)[..., None]
+        v = v * np.asarray(v_scale, np.float64)[..., None]
     out = np.zeros((B, H, Rv), np.float32)
     for b in range(B):
+        lo = max(0, int(counts[b]) - window) if window > 0 else 0
         for h in range(H):
             kh = h // G
-            s = np.asarray(q[b, h], np.float64) @ np.asarray(k[b, kh], np.float64).T
+            s = np.asarray(q[b, h], np.float64) @ k[b, kh].T
+            if softcap is not None:
+                s = softcap * np.tanh(s / softcap)
             s[int(counts[b]):] = -np.inf
+            s[:lo] = -np.inf
             p = np.exp(s - s.max())
             p /= p.sum()
-            out[b, h] = p @ np.asarray(v[b, kh], np.float64)
+            out[b, h] = p @ v[b, kh]
     return out
 
 
@@ -43,6 +53,75 @@ def test_ragged_kernel_matches_dense(rng, B, H, Hk, T, Rq, Rv, bt):
     got = np.asarray(ragged_gqa_decode(q, k, v, jnp.asarray(counts), block_t=bt))
     np.testing.assert_allclose(got, _dense_ref(q, k, v, counts),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("window", [1, 7, 100, 512, 4096])
+def test_ragged_kernel_sliding_window(rng, window):
+    """Window clamps BOTH block-range ends: only [cnt-window, cnt) is
+    attended, incl. windows smaller/larger than a block and than cnt."""
+    B, H, Hk, T = 3, 4, 2, 512
+    q = jnp.asarray(rng.standard_normal((B, H, 48)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, 48)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, 48)), jnp.float32)
+    counts = np.asarray([1, 300, 512], np.int32)
+    got = np.asarray(ragged_gqa_decode(
+        q, k, v, jnp.asarray(counts), window=window, block_t=128))
+    np.testing.assert_allclose(
+        got, _dense_ref(q, k, v, counts, window=window), rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_kernel_window_zero_is_full(rng):
+    B, H, Hk, T = 2, 4, 2, 256
+    q = jnp.asarray(rng.standard_normal((B, H, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, 32)), jnp.float32)
+    counts = jnp.asarray([100, 256], jnp.int32)
+    full = ragged_gqa_decode(q, k, v, counts)
+    w0 = ragged_gqa_decode(q, k, v, counts, window=0)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(w0))
+
+
+def test_ragged_kernel_softcap(rng):
+    B, H, Hk, T = 2, 4, 2, 384
+    q = jnp.asarray(rng.standard_normal((B, H, 32)) * 4, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, 32)) * 4, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, 32)), jnp.float32)
+    counts = np.asarray([5, 300], np.int32)
+    got = np.asarray(ragged_gqa_decode(
+        q, k, v, jnp.asarray(counts), softcap=50.0, block_t=128))
+    np.testing.assert_allclose(
+        got, _dense_ref(q, k, v, counts, softcap=50.0), rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_kernel_int8_cache(rng):
+    """int8 codes + per-position scales: the kernel's
+    score-column/probability-row scale folding must equal dequantising
+    the cache up front (f32: both orders are exact to reduction order)."""
+    B, H, Hk, T, R = 3, 8, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, R)), jnp.float32)
+    codes_k = rng.integers(-127, 128, size=(B, Hk, T, R)).astype(np.int8)
+    codes_v = rng.integers(-127, 128, size=(B, Hk, T, R)).astype(np.int8)
+    ksc = (rng.random((B, Hk, T)) * 0.05 + 1e-3).astype(np.float32)
+    vsc = (rng.random((B, Hk, T)) * 0.05 + 1e-3).astype(np.float32)
+    counts = np.asarray([2, 317, 512], np.int32)
+    got = np.asarray(ragged_gqa_decode(
+        q, jnp.asarray(codes_k), jnp.asarray(codes_v), jnp.asarray(counts),
+        k_scale=jnp.asarray(ksc), v_scale=jnp.asarray(vsc), block_t=128))
+    ref = _dense_ref(q, codes_k, codes_v, counts, k_scale=ksc, v_scale=vsc)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    # int8 + window + softcap compose
+    got = np.asarray(ragged_gqa_decode(
+        q, jnp.asarray(codes_k), jnp.asarray(codes_v), jnp.asarray(counts),
+        k_scale=jnp.asarray(ksc), v_scale=jnp.asarray(vsc),
+        window=130, softcap=30.0, block_t=128))
+    ref = _dense_ref(q, codes_k, codes_v, counts, window=130, softcap=30.0,
+                     k_scale=ksc, v_scale=vsc)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="k_scale"):
+        ragged_gqa_decode(q, jnp.asarray(codes_k), jnp.asarray(codes_v),
+                          jnp.asarray(counts), k_scale=jnp.asarray(ksc))
 
 
 def test_ragged_kernel_ignores_garbage_past_count(rng):
@@ -72,7 +151,7 @@ from modegpt_tpu.models.padded import (  # noqa: E402
     init_cache_padded,
     pad_to_uniform,
 )
-from modegpt_tpu.models.serving import ContinuousBatcher  # noqa: E402
+from modegpt_tpu.models.serving import ContinuousBatcher, init_serve_state  # noqa: E402
 
 
 def _tiny_llama(seed=0):
@@ -82,6 +161,18 @@ def _tiny_llama(seed=0):
     )
     torch.manual_seed(seed)
     return transformers.LlamaForCausalLM(cfg).eval()
+
+
+def _tiny_gemma2(seed=0):
+    cfg = transformers.Gemma2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+        max_position_embeddings=128, sliding_window=8,
+        query_pre_attn_scalar=32, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+    )
+    torch.manual_seed(seed)
+    return transformers.Gemma2ForCausalLM(cfg).eval()
 
 
 def test_padded_step_ragged_matches_xla(rng):
@@ -110,6 +201,64 @@ def test_padded_step_ragged_matches_xla(rng):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_padded_step_ragged_gemma2_windows_softcap(rng):
+    """gemma2's alternating sliding/full layers (traced per-layer window
+    through the scan) + attention softcap through the ragged kernel:
+    logits match the XLA path at lengths beyond the window."""
+    spec, params = params_from_hf_model(_tiny_gemma2())
+    assert spec.mixed_windows and spec.attn_logit_softcap == 50.0
+    pm = pad_to_uniform(spec, params)
+    B, max_len = 3, 64
+    ck, cv, _ = init_cache_padded(pm, B, max_len)
+    lengths = jnp.asarray([3, 21, 50], jnp.int32)  # 21, 50 > window 8
+    ck = ck + jnp.asarray(rng.standard_normal(ck.shape), ck.dtype) * 0.3
+    cv = cv + jnp.asarray(rng.standard_normal(cv.shape), cv.dtype) * 0.3
+    tokens = jnp.asarray(rng.integers(1, 100, size=(B, 1)), jnp.int32)
+
+    lx, _, _, _ = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, tokens,
+        ck.copy(), cv.copy(), lengths, decode_attn="xla",
+    )
+    lr, _, _, _ = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, tokens,
+        ck.copy(), cv.copy(), lengths, decode_attn="ragged",
+    )
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lx),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_padded_step_ragged_int8_matches_xla(rng):
+    """int8 KV through the ragged kernel (codes to the MXU, scales
+    folded) vs the XLA dequant-slab path: same quantisation, same
+    logits up to matmul-order effects."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    B, max_len = 3, 64
+    st = init_serve_state(pm, B, max_len, kv_dtype="int8")
+    ck, cv = st.cache_k, st.cache_v
+    ks, vs = st.scales
+    # junk codes + plausible scales so ragged masking is observable
+    ck = ck + jnp.asarray(rng.integers(-40, 40, size=ck.shape), ck.dtype)
+    cv = cv + jnp.asarray(rng.integers(-40, 40, size=cv.shape), cv.dtype)
+    ks = ks + jnp.asarray(rng.random(ks.shape) * 0.02, ks.dtype)
+    vs = vs + jnp.asarray(rng.random(vs.shape) * 0.02, vs.dtype)
+    lengths = jnp.asarray([5, 17, 1], jnp.int32)
+    tokens = jnp.asarray(rng.integers(1, 100, size=(B, 1)), jnp.int32)
+
+    lx, _, _, _, _ = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, tokens,
+        ck.copy(), cv.copy(), lengths, cache_scales=(ks.copy(), vs.copy()),
+        decode_attn="xla",
+    )
+    lr, _, _, _, _ = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, tokens,
+        ck.copy(), cv.copy(), lengths, cache_scales=(ks.copy(), vs.copy()),
+        decode_attn="ragged",
+    )
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lx),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_batcher_ragged_decode_serves(rng):
     """End-to-end serving with decode_attn='ragged' (interpret mode):
     mixed prompt lengths, slot reuse — outputs match the xla batcher's
@@ -136,3 +285,26 @@ def test_batcher_ragged_decode_serves(rng):
     with pytest.raises(ValueError, match="decode_attn"):
         ContinuousBatcher(pm, slots=1, max_len=32, prefill_bucket=8,
                           decode_attn="nope")
+
+
+def test_batcher_ragged_int8_serves(rng):
+    """kv_dtype='int8' + decode_attn='ragged': token-for-token with the
+    int8 xla batcher (same quantisation; this tiny model's greedy
+    stream is robust to matmul-order wiggle)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
+               for p in (4, 11)]
+
+    bx = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, kv_dtype="int8")
+    ref = [bx.submit(p, max_new_tokens=5) for p in prompts]
+    ref_out = bx.run()
+
+    br = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, kv_dtype="int8",
+                           decode_attn="ragged")
+    rids = [br.submit(p, max_new_tokens=5) for p in prompts]
+    done = br.run()
+    for rr, rg in zip(ref, rids):
+        assert done[rg] == ref_out[rr]
