@@ -371,12 +371,23 @@ def _layer_padded(
     moe_capacity: float = 2.0,
     token_valid=None,
     layer_ix=None,
+    tp=None,
 ):
     """One padded layer. Without a cache: full causal self-attention.
     With cache_kv = the FULL stacked (ck, cv[, k_scale, v_scale]) plus
     pos and a traced layer_ix: incremental step scattering this layer's
     new K/V into its slab at offset pos and attending over the slab.
-    Returns (x_out, new_cache or None) — new_cache is the full stack."""
+    Returns (x_out, new_cache or None) — new_cache is the full stack.
+
+    tp: None, or a static ``(Mesh, axis_name)`` pair when the serving
+    stack is tensor-parallel AND attn_impl == "ragged": GSPMD cannot
+    partition a ``pallas_call`` (it would reshard the operands to
+    replicated around an opaque custom call), so the ragged kernel runs
+    under ``shard_map`` over the TP axis instead. Attention is
+    head-local (each q-head group attends only its own kv head), so
+    every device attends its local Hk shard of the cache — the wrap
+    adds ZERO collectives; the o-projection row-parallel psum
+    downstream is unchanged."""
     B, S, _ = x.shape
     H, Hk = spec.n_heads, spec.n_kv_heads
     Rq = spec.q_ranks[0] // H
@@ -533,11 +544,57 @@ def _layer_padded(
             from modegpt_tpu.kernels.ragged_decode import ragged_gqa_decode
 
             eff_win = win_arr if win_arr is not None else window
-            attn = ragged_gqa_decode(
-                q[:, :, 0, :], k_all, v_all, pos + 1,
-                k_scale=kv_scales[0], v_scale=kv_scales[1],
-                window=eff_win, softcap=spec.attn_logit_softcap,
-            )[:, :, None, :]
+            if tp is None:
+                attn = ragged_gqa_decode(
+                    q[:, :, 0, :], k_all, v_all, pos + 1,
+                    k_scale=kv_scales[0], v_scale=kv_scales[1],
+                    window=eff_win, softcap=spec.attn_logit_softcap,
+                )[:, :, None, :]
+            else:
+                # TP: run the kernel per-shard over the "model" axis
+                # (see the docstring). Head layout makes this exact:
+                # q heads are kv-head-major ([Hk, G] order), so the
+                # Megatron column shards of q line up with the cache's
+                # Hk shards and each device's local reshape to
+                # [Hk/mp, G] groups q heads with their own kv head.
+                mesh, ax = tp
+                from jax.sharding import PartitionSpec as P
+                try:  # jax >= 0.4.35 exports shard_map at the top level
+                    from jax import shard_map
+                except ImportError:  # pragma: no cover
+                    from jax.experimental.shard_map import shard_map
+
+                operands = [q[:, :, 0, :], k_all, v_all, pos + 1]
+                specs = [P(None, ax, None), P(None, ax, None, None),
+                         P(None, ax, None, None), P()]
+                have_sc = kv_scales[0] is not None
+                if have_sc:
+                    operands += [kv_scales[0], kv_scales[1]]
+                    specs += [P(None, ax, None), P(None, ax, None)]
+                win_traced = eff_win is not None and not isinstance(
+                    eff_win, (int, float)
+                )
+                if win_traced:
+                    operands.append(jnp.asarray(eff_win, jnp.int32).reshape(()))
+                    specs.append(P())
+                softcap = spec.attn_logit_softcap
+
+                def _local(q_, k_, v_, cnt, *rest):
+                    ksl = vsl = None
+                    i = 0
+                    if have_sc:
+                        ksl, vsl = rest[0], rest[1]
+                        i = 2
+                    w = rest[i] if win_traced else eff_win
+                    return ragged_gqa_decode(
+                        q_, k_, v_, cnt, k_scale=ksl, v_scale=vsl,
+                        window=w, softcap=softcap,
+                    )
+
+                attn = shard_map(
+                    _local, mesh=mesh, in_specs=tuple(specs),
+                    out_specs=P(None, ax, None), check_vma=False,
+                )(*operands)[:, :, None, :]
         else:
             from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
 
@@ -694,13 +751,13 @@ def init_cache_padded(pm: PaddedModel, batch: int, max_len: int, dtype=jnp.float
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "moe", "moe_capacity", "decode_attn"),
+    static_argnames=("spec", "moe", "moe_capacity", "decode_attn", "tp"),
     donate_argnames=("cache_k", "cache_v", "cache_scales"),
 )
 def _model_step_padded(
     spec: ModelSpec, layers, other, q_hd_true, tokens, cache_k, cache_v, length,
     moe: str = "dense", moe_capacity: float = 2.0, token_valid=None,
-    cache_scales=None, decode_attn: str = "xla",
+    cache_scales=None, decode_attn: str = "xla", tp=None,
 ):
     """New tokens [B, S] through the padded stack with a stacked cache.
 
@@ -747,6 +804,7 @@ def _model_step_padded(
                 spec, p, r_true, x, cos, sin, decode_attn,
                 cache_kv=(ck, cv, ks, vs), pos=pos, layer_ix=li,
                 moe=moe, moe_capacity=moe_capacity, token_valid=token_valid,
+                tp=tp,
             )
             return (x, ck, cv, ks, vs), None
 
@@ -761,6 +819,7 @@ def _model_step_padded(
         x, (ck, cv) = _layer_padded(
             spec, p, r_true, x, cos, sin, decode_attn, cache_kv=(ck, cv), pos=pos,
             layer_ix=li, moe=moe, moe_capacity=moe_capacity, token_valid=token_valid,
+            tp=tp,
         )
         return (x, ck, cv), None
 

@@ -351,7 +351,7 @@ def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
     jax.jit,
     static_argnames=(
         "spec", "temperature", "top_k", "moe", "moe_capacity",
-        "top_p", "min_p", "rep_penalty", "want_lp", "decode_attn",
+        "top_p", "min_p", "rep_penalty", "want_lp", "decode_attn", "tp",
     ),
     donate_argnames=("state", "presence", "gen_counts"),
 )
@@ -361,7 +361,7 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
                       samp=None, want_lp: bool = False,
                       seed_keys=None, counts=None, allow=None, bias=None,
-                      gen_counts=None, decode_attn: str = "xla"):
+                      gen_counts=None, decode_attn: str = "xla", tp=None):
     """One ragged decode step for ALL slots; inactive rows are masked
     (their length does not advance and their cache write lands at their
     current position, to be overwritten on reuse)."""
@@ -369,7 +369,7 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                             temperature, top_k, key, moe, moe_capacity,
                             top_p, min_p, rep_penalty, presence, samp, want_lp,
                             seed_keys, counts, allow, bias, gen_counts,
-                            decode_attn)
+                            decode_attn, tp)
 
 
 def _row_keys(seed_keys, counts):
@@ -386,7 +386,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
                      samp=None, want_lp: bool = False,
                      seed_keys=None, counts=None, allow=None, bias=None,
-                     gen_counts=None, decode_attn: str = "xla"):
+                     gen_counts=None, decode_attn: str = "xla", tp=None):
     """THE decode step, shared by the single-dispatch and fused-scan
     programs so their step math cannot drift apart. With a repetition
     penalty, `presence` [slots, V] marks each slot's seen tokens; the
@@ -417,7 +417,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
         spec, layers, other, q_hd_true, tokens, state.lengths,
         state.cache_k, state.cache_v, state.scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
-        decode_attn=decode_attn,
+        decode_attn=decode_attn, tp=tp,
     )
     last_logits = logits[:, -1, :]
     raw_logits = last_logits
@@ -457,7 +457,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     jax.jit,
     static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
                      "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-                     "want_lp", "decode_attn"),
+                     "want_lp", "decode_attn", "tp"),
     donate_argnames=("state", "presence", "gen_counts"),
 )
 def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
@@ -468,7 +468,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
                             samp=None, want_lp: bool = False,
                             seed_keys=None, counts=None, bias=None,
-                            gen_counts=None, decode_attn: str = "xla"):
+                            gen_counts=None, decode_attn: str = "xla", tp=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
     steps). Each step runs the same `_one_decode_step` the
     single-dispatch program uses; the per-slot active/budget/EOS
@@ -511,7 +511,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
             spec, layers, other, q_hd_true, st, act,
             temperature, top_k, sub, moe, moe_capacity,
             top_p, min_p, rep_penalty, pres, samp,
-            want_lp, seed_keys, step_counts, None, bias, gcnt, decode_attn)
+            want_lp, seed_keys, step_counts, None, bias, gcnt, decode_attn, tp)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
@@ -591,12 +591,12 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "k", "moe", "moe_capacity", "decode_attn"),
+    static_argnames=("spec", "k", "moe", "moe_capacity", "decode_attn", "tp"),
     donate_argnames=("state",),
 )
 def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                      k: int, moe: str = "dense", moe_capacity: float = 2.0,
-                     decode_attn: str = "xla"):
+                     decode_attn: str = "xla", tp=None):
     """k greedy draft steps for all slots (lax.scan over the slot table)
     plus one cache-fill step so every drafted token's K/V is present
     (speculative.py invariant). Returns (state', dtoks [slots, k]) with
@@ -609,7 +609,7 @@ def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: 
         logits, ck, cv, ks, vs = _step_cache(
             spec, layers, other, q_hd_true, tok[:, None], lens, ck, cv, scales,
             moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
-            decode_attn=decode_attn,
+            decode_attn=decode_attn, tp=tp,
         )
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
         new_scales = None if ks is None else (ks, vs)
@@ -620,7 +620,7 @@ def _draft_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: 
     _, ck, cv, ks, vs = _step_cache(
         spec, layers, other, q_hd_true, last[:, None], lens, ck, cv, scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=active[:, None],
-        decode_attn=decode_attn,
+        decode_attn=decode_attn, tp=tp,
     )
     return (
         ServeState(cache_k=ck, cache_v=cv, lengths=len0, last_token=state.last_token,
@@ -880,6 +880,17 @@ class ContinuousBatcher:
                 self.draft_pm, self.draft_state = shard_serving(
                     mesh, self.draft_pm, self.draft_state
                 )
+        # ragged decode under TP needs the mesh at trace time: the
+        # Pallas kernel is opaque to GSPMD, so _layer_padded wraps it in
+        # shard_map over the "model" axis (head-local — no collectives
+        # added). Static (mesh, axis) pair; None when single-device, TP
+        # width 1, or the xla decode path (which GSPMD propagates fine).
+        self._tp = (
+            (mesh, "model")
+            if (self.decode_attn == "ragged" and mesh is not None
+                and "model" in mesh.axis_names and mesh.shape["model"] > 1)
+            else None
+        )
         # Prefix caching: on admission, the longest bucket-aligned common
         # prefix between the new prompt and any slot's still-resident
         # prefilled prompt is ADOPTED (slot-row cache copy + skipping
@@ -1561,7 +1572,7 @@ class ContinuousBatcher:
                 self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, gen_counts=self.gen_counts,
-                decode_attn=self.decode_attn,
+                decode_attn=self.decode_attn, tp=self._tp,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
                 **self._guided_kwargs(), **self._bias_kwargs(),
@@ -1590,7 +1601,7 @@ class ContinuousBatcher:
                 n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, gen_counts=self.gen_counts,
-                decode_attn=self.decode_attn,
+                decode_attn=self.decode_attn, tp=self._tp,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
                 **self._bias_kwargs(),
@@ -1629,7 +1640,7 @@ class ContinuousBatcher:
                 self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                 self.draft_pm.q_hd_true, self.draft_state, active, k,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                decode_attn=self.decode_attn,
+                decode_attn=self.decode_attn, tp=self._tp,
             )
             drafts = dtoks
         else:

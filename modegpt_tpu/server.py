@@ -799,6 +799,11 @@ def main(argv=None):
                         help="reuse cache-resident KV for bucket-aligned shared "
                         "prompt prefixes (e.g. a common system prompt) instead "
                         "of re-prefilling them")
+    parser.add_argument("--tensor_parallel", type=int, default=1,
+                        help="shard the model + KV pools over this many devices "
+                        "(Megatron TP over a 'model' mesh axis; remaining "
+                        "devices replicate over 'data'); needs "
+                        "n_kv_heads %% tensor_parallel == 0")
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -830,6 +835,24 @@ def main(argv=None):
                 eos = json.load(f).get("eos_token_id")
             if isinstance(eos, list):  # some configs carry several
                 eos = eos[0] if eos else None
+    mesh = None
+    if args.tensor_parallel > 1:
+        import numpy as _np
+
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        tp = args.tensor_parallel
+        if len(devs) % tp != 0:
+            raise SystemExit(
+                f"--tensor_parallel {tp} does not divide the "
+                f"{len(devs)} available devices"
+            )
+        mesh = Mesh(
+            _np.asarray(devs).reshape(len(devs) // tp, tp), ("data", "model")
+        )
+        logger.info("tensor-parallel serving over %s", mesh)
     batcher = ContinuousBatcher(
         pm, slots=args.slots, max_len=args.max_len,
         prefill_bucket=args.prefill_bucket, eos_token_id=eos,
@@ -839,7 +862,7 @@ def main(argv=None):
         steps_per_dispatch=args.steps_per_dispatch, prefill_exec=args.prefill_exec,
         prefix_cache=args.prefix_cache,
         per_request_sampling=args.per_request_sampling,
-        decode_attn=args.decode_attn,
+        decode_attn=args.decode_attn, mesh=mesh,
     )
     server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model,
                              max_queue=args.max_queue)

@@ -308,3 +308,70 @@ def test_batcher_ragged_int8_serves(rng):
     done = br.run()
     for rr, rg in zip(ref, rids):
         assert done[rg] == ref_out[rr]
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel ragged decode: the Pallas kernel is opaque to GSPMD, so
+# under a TP mesh _layer_padded wraps it in shard_map over "model" (heads
+# are attention-local -> per-head math is UNCHANGED by the head sharding,
+# so TP output must equal single-device ragged output exactly on CPU f32)
+# ---------------------------------------------------------------------------
+
+
+def _tp_mesh(data=2, model=2):
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < data * model:
+        pytest.skip(f"needs {data * model} devices")
+    return Mesh(np.asarray(devs[: data * model]).reshape(data, model),
+                ("data", "model"))
+
+
+def _run_batcher(pm, prompts, rng_unused=None, **kw):
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                          eos_token_id=127, **kw)
+    rids = [b.submit(p, max_new_tokens=6) for p in prompts]
+    out = b.run()
+    return [out[r] for r in rids]
+
+
+def test_batcher_tp_ragged_matches_single_device(rng):
+    """TP-mesh ragged decode (shard_map over 'model') must emit exactly
+    the single-device ragged batcher's tokens — head sharding does not
+    change any head's reduction order."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
+               for p in (5, 9, 3)]
+    ref = _run_batcher(pm, prompts, decode_attn="ragged")
+    got = _run_batcher(pm, prompts, decode_attn="ragged", mesh=_tp_mesh())
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_batcher_tp_ragged_int8_and_fused(rng):
+    """int8 KV (scale operands through the shard_map) + fused multi-step
+    decode under the TP mesh, vs the single-device int8 ragged batcher."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
+               for p in (4, 11)]
+    ref = _run_batcher(pm, prompts, decode_attn="ragged", kv_dtype="int8")
+    got = _run_batcher(pm, prompts, decode_attn="ragged", kv_dtype="int8",
+                       mesh=_tp_mesh(), steps_per_dispatch=3)
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_batcher_tp_ragged_gemma2_traced_window(rng):
+    """gemma2's per-layer traced window rides the shard_map as a scalar
+    operand (mixed sliding/full layers + softcap under TP)."""
+    spec, params = params_from_hf_model(_tiny_gemma2())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
+               for p in (5, 13)]
+    ref = _run_batcher(pm, prompts, decode_attn="ragged")
+    got = _run_batcher(pm, prompts, decode_attn="ragged", mesh=_tp_mesh())
+    for a, b_ in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
