@@ -83,6 +83,22 @@ def main():
     rng = np.random.default_rng(0)
     for s in range(SLOTS):
         state = prefill_slot(pm, state, s, rng.integers(1, V, size=24).astype(np.int32), 32)
+    # MODEGPT_SERVE_OCC=0.25: set per-slot lengths to a ragged spread
+    # with this MEAN occupancy (0.5x..1.5x, clamped to the pool) before
+    # timing. The decode A/B depends on it: the xla path reads the FULL
+    # [slots, Hk, max_len, R] pool every step regardless, while the
+    # ragged kernel's cache reads scale with the live lengths. Timing is
+    # content-independent (same bytes read either way), so overriding
+    # lengths after one real prefill is an honest occupancy model.
+    OCC = float(os.environ.get("MODEGPT_SERVE_OCC", "0"))
+    if OCC > 0:
+        spread = (0.5 + np.arange(SLOTS) / max(SLOTS - 1, 1))  # 0.5x..1.5x
+        lens = np.clip((OCC * MAXLEN * spread).astype(np.int64),
+                       8, MAXLEN - STEPS - 8).astype(np.int32)
+        rng.shuffle(lens)
+        state = state._replace(lengths=jnp.asarray(lens))
+        log(f"occupancy {OCC}: lengths {int(lens.min())}..{int(lens.max())} "
+            f"(mean {lens.mean():.0f} of {MAXLEN})")
     active = jnp.ones((SLOTS,), bool)
     key = jax.random.key(1)
 
@@ -219,7 +235,8 @@ def main():
             "fused_steps_per_dispatch": MULTI,
             "dispatch_floor_ms": round(floor * 1e3, 3),
             "decode_tok_s_fused": round(SLOTS / fused_step, 1),
-            "slots": SLOTS, "max_len": MAXLEN, "kv": KV,
+            "slots": SLOTS, "max_len": MAXLEN, "kv": KV, "occupancy": OCC,
+            "decode_attn": DECODE_ATTN,
             "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
         }))
         return
@@ -258,7 +275,7 @@ def main():
         "decode_tok_s_fused": round(SLOTS / fused_step, 1),
         "eval_tok_s_wall": round(B * T / eval_wall, 1),
         "eval_tok_s_on_chip": round(B * T / eval_on_chip, 1),
-        "slots": SLOTS,
+        "slots": SLOTS, "max_len": MAXLEN, "kv": KV, "occupancy": OCC,
         "decode_attn": DECODE_ATTN,
         "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
     }))

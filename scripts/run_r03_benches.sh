@@ -37,6 +37,40 @@ run_one() {
   return $rc
 }
 
+# Serving decode A/B: xla full-pool contraction vs the ragged Pallas
+# flash-decoding kernel, bf16 vs int8 KV, partial vs near-full
+# occupancy. Resolves decode_attn="auto" with hardware evidence
+# (kernels/ragged_decode.py predicts ~4x less cache-read bandwidth at
+# 25% occupancy; int8 KV should become a real decode speedup only on
+# the ragged path, where codes feed the MXU without a dequant temp).
+serving_ab() {
+  mkdir -p bench_results/r03/serving_ab
+  local common="MODEGPT_SERVE_SLOTS=64 MODEGPT_SERVE_MAXLEN=2048 \
+MODEGPT_SERVE_STEPS=64 MODEGPT_SERVE_MULTI=16 MODEGPT_SERVE_SKIP_EVAL=1"
+  for cfg in \
+      "xla__bf16__0.25:" \
+      "ragged_bf16__0.25:MODEGPT_DECODE_ATTN=ragged" \
+      "xla__int8__0.25:MODEGPT_SERVE_KV_INT8=1" \
+      "ragged_int8__0.25:MODEGPT_DECODE_ATTN=ragged MODEGPT_SERVE_KV_INT8=1" \
+      "xla__bf16__0.85:" \
+      "ragged_bf16__0.85:MODEGPT_DECODE_ATTN=ragged"; do
+    local name="${cfg%%:*}" extra="${cfg#*:}"
+    local occ="0.25"
+    case "$name" in *0.85) occ="0.85" ;; esac
+    local out="bench_results/r03/serving_ab/${name}.json"
+    local log="/tmp/bench_ab_${name}.log"
+    echo "=== serving A/B ${name}"
+    env ${common} MODEGPT_SERVE_OCC="${occ}" ${extra} \
+      timeout 2400 python scripts/bench_serving.py > "${log}" 2>&1
+    if [ $? -eq 0 ] && grep -q decode_step_fused_ms "${log}"; then
+      grep decode_step_fused_ms "${log}" | tail -1 > "${out}"
+      echo "captured: $(cat "${out}")"
+    else
+      echo "FAILED; tail of ${log}:"; tail -5 "${log}"
+    fi
+  done
+}
+
 if [ $# -gt 0 ]; then
   for p in "$@"; do
     case "$p" in
@@ -44,12 +78,14 @@ if [ $# -gt 0 ]; then
       large32) run_one large32 9000 ;;
       large13B) run_one large13B 14000 ;;
       moe8) run_one moe8 14000 ;;
+      serving_ab) serving_ab ;;
       *) echo "unknown preset $p"; exit 2 ;;
     esac
   done
 else
   run_one small 7200
   run_one large32 9000
+  serving_ab
   run_one large13B 14000
   run_one moe8 14000
 fi
