@@ -12,7 +12,7 @@ slot-table analogue of flash-decoding over a paged cache. At 25 %
 average occupancy that is ~4x less cache-read bandwidth, which is where
 the decode step's HBM time goes once weights are amortised over slots.
 
-Grid (B, Hk, n_blocks) with `counts` and the `window` scalar-prefetched
+Grid (B, Hk, n_blocks) with `pos` and the `window` scalar-prefetched
 so the index maps can clamp; online-softmax state (m, l, acc) persists
 in VMEM scratch across the innermost (length) grid axis — init at
 j == 0, accumulate under ``pl.when(first <= j <= last)``, finalize into
@@ -39,8 +39,14 @@ serving fast path):
 * **logit softcap** (static float): s -> cap * tanh(s / cap) before
   masking, matching forward._softcap (gemma2).
 
-Scope: single-position queries (the decode/draft step); multi-position
-verification and prefill fall back to the XLA contraction.
+Multi-position queries (``ragged_gqa_attend``) cover the OTHER ragged
+serving dispatches — chunked/batched prefill and the speculative
+(k+1)-position verify step: each slot's S queries sit at absolute
+positions pos[b]..pos[b]+S-1 and query s attends t <= pos[b]+s
+(causal over the new positions, full prefix before them), so one
+kernel serves decode (S=1), draft, verify and prefill chunks. The
+q-head group and the S positions share the MXU tile ([G*S, Rq] rows),
+and the live block range is the UNION of the rows' windows.
 """
 
 from __future__ import annotations
@@ -56,23 +62,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-__all__ = ["ragged_gqa_decode"]
+__all__ = ["ragged_gqa_decode", "ragged_gqa_attend"]
 
 
 def _ceil_to(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _live_range(cnt, win, block_t: int):
-    """Per-slot live position/block range: [start_pos, cnt) over blocks
-    [first, last]. win <= 0 means full attention."""
-    start_pos = jnp.where(win > 0, jnp.maximum(cnt - win, 0), 0)
-    return start_pos, start_pos // block_t, (cnt - 1) // block_t
+def _live_range(pos0, s_len: int, win, block_t: int):
+    """Union block range [first, last] of the S queries' live keys:
+    query s attends t in [lo(s), pos0 + s] with
+    lo(s) = max(0, pos0 + s + 1 - win) (0 when win <= 0), so the union
+    is [lo(0), pos0 + S - 1]. Returns (lo(0), first_blk, last_blk)."""
+    start_pos = jnp.where(win > 0, jnp.maximum(pos0 + 1 - win, 0), 0)
+    return start_pos, start_pos // block_t, (pos0 + s_len - 1) // block_t
 
 
-def _kernel(counts_ref, win_ref, q_ref, k_ref, v_ref, *rest,
-            block_t: int, quantized: bool, softcap: Optional[float],
-            out_dtype):
+def _kernel(pos_ref, win_ref, q_ref, k_ref, v_ref, *rest,
+            block_t: int, s_len: int, quantized: bool,
+            softcap: Optional[float], out_dtype):
     if quantized:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -81,8 +89,9 @@ def _kernel(counts_ref, win_ref, q_ref, k_ref, v_ref, *rest,
     b = pl.program_id(0)
     j = pl.program_id(2)
     n_j = pl.num_programs(2)
-    cnt = counts_ref[b]
-    start_pos, first, last = _live_range(cnt, win_ref[0], block_t)
+    p0 = pos_ref[b]
+    win = win_ref[0]
+    _, first, last = _live_range(p0, s_len, win, block_t)
 
     in_dtype = q_ref.dtype
     mxu_precision = (
@@ -97,7 +106,7 @@ def _kernel(counts_ref, win_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when((j >= first) & (j <= last))
     def _step():
-        q = q_ref[0, 0]   # [G, Rq] (pre-scaled by caller)
+        q = q_ref[0, 0]   # [G*S, Rq] (pre-scaled by caller; row = g*S + s)
         kb = k_ref[0, 0]  # [block_t, Rq] (int8 codes when quantized)
         vb = v_ref[0, 0]  # [block_t, Rv]
         if quantized:
@@ -109,19 +118,25 @@ def _kernel(counts_ref, win_ref, q_ref, k_ref, v_ref, *rest,
         s = lax.dot_general(
             q, kb, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=mxu_precision,
-        )  # [G, block_t] f32
+        )  # [G*S, block_t] f32
         if quantized:
             # per-position K scale factors out of the Rq contraction
             s = s * ks_ref[0, 0][None, :].astype(jnp.float32)
         if softcap is not None:
             s = jnp.tanh(s / softcap) * softcap
         k_ids = j * block_t + lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where((k_ids < cnt) & (k_ids >= start_pos), s, NEG_INF)
+        if s_len == 1:
+            limit = p0  # scalar broadcasts — skip the row-index modulo
+        else:
+            rows = lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            limit = p0 + rows % s_len  # query s at position pos0 + s
+        lo = jnp.where(win > 0, jnp.maximum(limit + 1 - win, 0), 0)
+        s = jnp.where((k_ids <= limit) & (k_ids >= lo), s, NEG_INF)
 
-        m_prev = m_ref[:, 0]  # [G]
+        m_prev = m_ref[:, 0]  # [G*S]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
         alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])  # [G, block_t] f32
+        p = jnp.exp(s - m_cur[:, None])  # [G*S, block_t] f32
         l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         if quantized:
             # per-position V scale folds into the probability rows
@@ -144,11 +159,11 @@ def _kernel(counts_ref, win_ref, q_ref, k_ref, v_ref, *rest,
 @functools.partial(
     jax.jit, static_argnames=("block_t", "interpret", "softcap")
 )
-def ragged_gqa_decode(
+def ragged_gqa_attend(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
-    counts: jax.Array,
+    pos: jax.Array,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
     window=None,
@@ -156,29 +171,34 @@ def ragged_gqa_decode(
     block_t: int = 256,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """One-position ragged GQA attention over a slot-table cache.
+    """S-position ragged GQA attention over a slot-table cache.
+
+    Slot b's query s sits at absolute position ``pos[b] + s`` and
+    attends ``t in [max(0, pos[b]+s+1-window), pos[b]+s]`` — causal
+    over the new positions, full (or windowed) prefix before them. The
+    new positions' own K/V must already be scattered into the pools
+    (the padded decode/prefill step writes before it reads).
 
     Args:
-      q: [B, H, Rq] — each slot's single query, ALREADY scaled.
+      q: [B, H, S, Rq] — each slot's S queries, ALREADY scaled.
       k: [B, Hk, T, Rq] cache pool (Hk divides H); int8 codes when
         `k_scale` is given.
       v: [B, Hk, T, Rv] cache pool; int8 codes when `v_scale` is given.
-      counts: [B] int32 — positions attended per slot (>= 1; the decode
-        step attends t < counts[b], i.e. counts = length + 1 after the
-        new token's K/V is written).
+      pos: [B] int32 — each slot's first query position (its current
+        length before the S new tokens).
       k_scale, v_scale: [B, Hk, T] per-position dequant scales (int8 KV),
         or None for a full-precision cache. Give both or neither.
       window: sliding window size (int or traced scalar; None/0 = full
-        attention) — attends t in [max(0, counts-window), counts).
+        attention).
       softcap: static logit softcap (gemma2) or None.
-    Returns [B, H, Rv] in q's dtype.
+    Returns [B, H, S, Rv] in q's dtype.
     """
     if (k_scale is None) != (v_scale is None):
         raise ValueError("give both k_scale and v_scale, or neither")
     quantized = k_scale is not None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, H, Rq = q.shape
+    B, H, S, Rq = q.shape
     _, Hk, T, _ = k.shape
     Rv = v.shape[-1]
     G = H // Hk
@@ -192,26 +212,33 @@ def ragged_gqa_decode(
             k_scale = jnp.pad(k_scale, ((0, 0), (0, 0), (0, t_pad - T)))
             v_scale = jnp.pad(v_scale, ((0, 0), (0, 0), (0, t_pad - T)))
     n_blk = t_pad // block_t
-    q4 = q.reshape(B, Hk, G, Rq)
-    counts = counts.astype(jnp.int32)
+    # row = g*S + s: the q-head group and the chunk positions share the
+    # MXU tile, so K/V are still read once per kv head per block
+    q4 = q.reshape(B, Hk, G * S, Rq)
+    pos = pos.astype(jnp.int32)
     win = jnp.asarray(0 if window is None else window, jnp.int32).reshape(1)
 
-    def q_map(b, h, j, cnt, w):
+    def q_map(b, h, j, p, w):
         return (b, h, 0, 0)
 
-    def kv_map(b, h, j, cnt, w):
+    def _blk(b, j, p, w):
         # clamp to the slot's live block range: grid steps outside it
         # revisit an edge tile, and Pallas skips the copy for a
-        # repeated block — reads scale with live length, not max_len
-        _, first, last = _live_range(cnt[b], w[0], block_t)
-        return (b, h, jnp.clip(j, first, last), 0)
+        # repeated block — reads scale with live length, not max_len.
+        # The outer clip keeps masked serving rows (whose pos may sit
+        # at/past the pool edge, e.g. non-prefilling slots in a batched
+        # prefill) inside the array; their output is discarded.
+        _, first, last = _live_range(p[b], S, w[0], block_t)
+        return jnp.clip(jnp.clip(j, first, last), 0, n_blk - 1)
 
-    def sc_map(b, h, j, cnt, w):
-        _, first, last = _live_range(cnt[b], w[0], block_t)
-        return (b, h, jnp.clip(j, first, last))
+    def kv_map(b, h, j, p, w):
+        return (b, h, _blk(b, j, p, w), 0)
+
+    def sc_map(b, h, j, p, w):
+        return (b, h, _blk(b, j, p, w))
 
     in_specs = [
-        pl.BlockSpec((1, 1, G, Rq), q_map),
+        pl.BlockSpec((1, 1, G * S, Rq), q_map),
         pl.BlockSpec((1, 1, block_t, Rq), kv_map),
         pl.BlockSpec((1, 1, block_t, Rv), kv_map),
     ]
@@ -227,20 +254,50 @@ def ragged_gqa_decode(
         num_scalar_prefetch=2,
         grid=(B, Hk, n_blk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G, Rv), q_map),
+        out_specs=pl.BlockSpec((1, 1, G * S, Rv), q_map),
         scratch_shapes=[
-            pltpu.VMEM((G, Rv), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
-            pltpu.VMEM((G, 128), jnp.float32),
+            pltpu.VMEM((G * S, Rv), jnp.float32),
+            pltpu.VMEM((G * S, 128), jnp.float32),
+            pltpu.VMEM((G * S, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, block_t=block_t, quantized=quantized,
+            _kernel, block_t=block_t, s_len=S, quantized=quantized,
             softcap=softcap, out_dtype=q.dtype,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hk, G, Rv), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, G * S, Rv), q.dtype),
         interpret=interpret,
-    )(counts, win, *operands)
-    return out.reshape(B, H, Rv)
+    )(pos, win, *operands)
+    return out.reshape(B, H, S, Rv)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_t", "interpret", "softcap")
+)
+def ragged_gqa_decode(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    counts: jax.Array,
+    k_scale: Optional[jax.Array] = None,
+    v_scale: Optional[jax.Array] = None,
+    window=None,
+    softcap: Optional[float] = None,
+    block_t: int = 256,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """One-position ragged GQA attention (the decode/draft step).
+
+    ``counts`` [B] is the number of positions attended per slot (>= 1;
+    the decode step attends t < counts[b], i.e. counts = length + 1
+    after the new token's K/V is written). Equivalent to
+    ``ragged_gqa_attend`` with S = 1 and pos = counts - 1; see it for
+    the other arguments. Returns [B, H, Rv]."""
+    out = ragged_gqa_attend(
+        q[:, :, None, :], k, v, counts.astype(jnp.int32) - 1,
+        k_scale=k_scale, v_scale=v_scale, window=window, softcap=softcap,
+        block_t=block_t, interpret=interpret,
+    )
+    return out[:, :, 0, :]

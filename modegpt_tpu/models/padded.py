@@ -486,7 +486,7 @@ def _layer_padded(
         def slab(c):  # this layer's [B, Hk, T(, R)] view
             return lax.dynamic_index_in_dim(c, layer_ix, 0, keepdims=False)
 
-        use_ragged = attn_impl == "ragged" and S == 1
+        use_ragged = attn_impl == "ragged"
         if quantized:
             # int8 KV: per-(head, position) symmetric scales — halves
             # cache HBM CAPACITY (2x slots/context per chip). On the
@@ -534,22 +534,24 @@ def _layer_padded(
         # repeated-to-H copy ~6x'd decode-step HBM traffic; forward.py
         # gqa_scores docstring has the measurement)
         if use_ragged:
-            # Pallas flash-decoding over the slot table: K/V tiles past
+            # Pallas flash attention over the slot table: K/V tiles past
             # each slot's live window are never fetched from HBM
             # (clamped block index maps), so cache-read bandwidth
             # scales with actual occupancy instead of max_len; int8
             # caches stream as codes (half the bytes), windows clamp
-            # the block range at both ends, softcap applies in-kernel
-            # (kernels/ragged_decode.py).
-            from modegpt_tpu.kernels.ragged_decode import ragged_gqa_decode
+            # the block range at both ends, softcap applies in-kernel.
+            # S == 1 is the decode/draft step; S > 1 serves prefill
+            # chunks and the speculative verify (queries causal over
+            # the new positions — kernels/ragged_decode.py).
+            from modegpt_tpu.kernels.ragged_decode import ragged_gqa_attend
 
             eff_win = win_arr if win_arr is not None else window
             if tp is None:
-                attn = ragged_gqa_decode(
-                    q[:, :, 0, :], k_all, v_all, pos + 1,
+                attn = ragged_gqa_attend(
+                    q, k_all, v_all, pos,
                     k_scale=kv_scales[0], v_scale=kv_scales[1],
                     window=eff_win, softcap=spec.attn_logit_softcap,
-                )[:, :, None, :]
+                )
             else:
                 # TP: run the kernel per-shard over the "model" axis
                 # (see the docstring). Head layout makes this exact:
@@ -564,8 +566,8 @@ def _layer_padded(
                 except ImportError:  # pragma: no cover
                     from jax.experimental.shard_map import shard_map
 
-                operands = [q[:, :, 0, :], k_all, v_all, pos + 1]
-                specs = [P(None, ax, None), P(None, ax, None, None),
+                operands = [q, k_all, v_all, pos]
+                specs = [P(None, ax, None, None), P(None, ax, None, None),
                          P(None, ax, None, None), P()]
                 have_sc = kv_scales[0] is not None
                 if have_sc:
@@ -579,22 +581,22 @@ def _layer_padded(
                     specs.append(P())
                 softcap = spec.attn_logit_softcap
 
-                def _local(q_, k_, v_, cnt, *rest):
+                def _local(q_, k_, v_, p_, *rest):
                     ksl = vsl = None
                     i = 0
                     if have_sc:
                         ksl, vsl = rest[0], rest[1]
                         i = 2
                     w = rest[i] if win_traced else eff_win
-                    return ragged_gqa_decode(
-                        q_, k_, v_, cnt, k_scale=ksl, v_scale=vsl,
+                    return ragged_gqa_attend(
+                        q_, k_, v_, p_, k_scale=ksl, v_scale=vsl,
                         window=w, softcap=softcap,
                     )
 
                 attn = shard_map(
                     _local, mesh=mesh, in_specs=tuple(specs),
-                    out_specs=P(None, ax, None), check_vma=False,
-                )(*operands)[:, :, None, :]
+                    out_specs=P(None, ax, None, None), check_vma=False,
+                )(*operands)
         else:
             from modegpt_tpu.models.forward import _softcap, gqa_attend, gqa_scores
 
@@ -770,10 +772,10 @@ def _model_step_padded(
     the dispatch-MoE path so garbage tokens never claim expert capacity.
 
     decode_attn: "xla" (masked full-pool contraction) or "ragged" (the
-    Pallas flash-decoding kernel whose cache reads scale with per-slot
-    live lengths; covers bf16 AND int8 caches, sliding windows, and
-    logit softcap — single-position steps only, multi-position steps
-    fall back to xla).
+    Pallas flash attention kernel whose cache reads scale with per-slot
+    live lengths; covers bf16 AND int8 caches, sliding windows, logit
+    softcap, and BOTH single-position decode steps and multi-position
+    prefill/verify chunks — kernels/ragged_decode.py).
     """
     B, S = tokens.shape
     pos = jnp.broadcast_to(jnp.atleast_1d(length), (B,)).astype(jnp.int32)

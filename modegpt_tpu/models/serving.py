@@ -136,7 +136,7 @@ def _chosen_logprob(raw_logits, nxt, want_lp: bool):
     jax.jit,
     static_argnames=(
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-        "want_lp",
+        "want_lp", "decode_attn", "tp",
     ),
     donate_argnames=("state",),
 )
@@ -146,7 +146,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
                        samp=None, want_lp: bool = False, seed_keys=None,
-                       allow=None, bias=None):
+                       allow=None, bias=None, decode_attn: str = "xla", tp=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
     chunk). When `commit` is set (final chunk), the next token is sampled
@@ -176,6 +176,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     logits, ck, cv, ks, vs = _step_cache(
         spec, layers, other, q_hd_true, chunk, pos0, ck, cv, scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
+        decode_attn=decode_attn, tp=tp,
     )
     last_logits = logits[0, real_len - 1][None]
     raw_logits = last_logits
@@ -227,7 +228,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     jax.jit,
     static_argnames=(
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-        "want_lp",
+        "want_lp", "decode_attn", "tp",
     ),
     donate_argnames=("state",),
 )
@@ -238,7 +239,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
                        samp=None, want_lp: bool = False, seed_keys=None,
-                       allow=None, bias=None):
+                       allow=None, bias=None, decode_attn: str = "xla", tp=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
@@ -280,6 +281,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
         spec, layers, other, q_hd_true, chunks, pos_arg,
         state.cache_k, state.cache_v, state.scales,
         moe=moe, moe_capacity=moe_capacity, token_valid=tail_valid,
+        decode_attn=decode_attn, tp=tp,
     )
     idx = jnp.maximum(real_len - 1, 0)
     last_logits = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
@@ -528,13 +530,14 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "moe", "moe_capacity", "want_lp"),
+    static_argnames=("spec", "moe", "moe_capacity", "want_lp", "decode_attn", "tp"),
     donate_argnames=("state",),
 )
 def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       drafts: jax.Array, max_adv: jax.Array, eos,
                       moe: str = "dense", moe_capacity: float = 2.0,
-                      want_lp: bool = False, allow=None):
+                      want_lp: bool = False, allow=None,
+                      decode_attn: str = "xla", tp=None):
     """One speculative VERIFY step for all slots: each active slot checks
     its k drafted tokens in a single ragged (k+1)-position forward
     (greedy; the accepted prefix is exactly what plain decode would have
@@ -560,6 +563,7 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
         state.cache_k, state.cache_v, state.scales,
         moe=moe, moe_capacity=moe_capacity,
         token_valid=jnp.broadcast_to(active[:, None], window.shape),
+        decode_attn=decode_attn, tp=tp,
     )
     raw_logits = logits
     if allow is not None:
@@ -849,12 +853,14 @@ class ContinuousBatcher:
         self.prefill_exec = prefill_exec
         # Decode attention: "xla" contracts each step over the FULL
         # [slots, Hk, max_len, R] pool (masked); "ragged" uses the
-        # Pallas flash-decoding kernel whose cache reads scale with
+        # Pallas flash attention kernel whose cache reads scale with
         # each slot's live length (kernels/ragged_decode.py; covers
-        # bf16 + int8 caches, sliding windows, softcap — single-
-        # position steps; multi-position verification falls back).
-        # "auto" currently resolves to xla pending a hardware A/B;
-        # numerics differ in reduction order only.
+        # bf16 + int8 caches, sliding windows, softcap, and every
+        # slot-table dispatch: decode, draft, prefill chunks and the
+        # speculative multi-position verify).
+        # "auto" currently resolves to xla pending a hardware A/B
+        # (scripts/run_r03_benches.sh serving_ab); numerics differ in
+        # reduction order only.
         if decode_attn not in ("auto", "xla", "ragged"):
             raise ValueError(f"decode_attn must be auto/xla/ragged, got {decode_attn!r}")
         self.decode_attn = "xla" if decode_attn == "auto" else decode_attn
@@ -1415,7 +1421,8 @@ class ContinuousBatcher:
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, **self._samp_kwargs(),
+                want_lp=want_lp, decode_attn=self.decode_attn, tp=self._tp,
+                **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=False),
                 **self._guided_kwargs(), **self._bias_kwargs(),
             )
@@ -1428,6 +1435,7 @@ class ContinuousBatcher:
                     self.draft_pm.q_hd_true, self.draft_state, args[0], args[1],
                     args[2], jnp.zeros((self.slots,), bool), args[4],
                     self.temperature, sub, moe=self.moe, moe_capacity=self.moe_capacity,
+                    decode_attn=self.decode_attn, tp=self._tp,
                 )
                 self.draft_state = self.draft_state._replace(
                     last_token=jnp.where(
@@ -1468,7 +1476,9 @@ class ContinuousBatcher:
                     jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                     jnp.asarray(is_last), self._static_temp, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
-                    want_lp=self.slot_want_lp[s], **self._samp_kwargs(),
+                    want_lp=self.slot_want_lp[s],
+                    decode_attn=self.decode_attn, tp=self._tp,
+                    **self._samp_kwargs(),
                     **self._seed_kwargs(sub, with_counts=False),
                     **self._guided_kwargs(), **self._bias_kwargs(),
                 )
@@ -1482,6 +1492,7 @@ class ContinuousBatcher:
                         jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                         jnp.asarray(False), self.temperature, sub,
                         moe=self.moe, moe_capacity=self.moe_capacity,
+                        decode_attn=self.decode_attn, tp=self._tp,
                     )
                 done_budget -= 1
                 if is_last:
@@ -1707,6 +1718,7 @@ class ContinuousBatcher:
             self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
             self.state, active, drafts, max_adv, eos,
             moe=self.moe, moe_capacity=self.moe_capacity, want_lp=want_lp,
+            decode_attn=self.decode_attn, tp=self._tp,
             **allow_kw,
         )
         if self.draft_state is not None:

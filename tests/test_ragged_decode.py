@@ -142,6 +142,89 @@ def test_ragged_kernel_ignores_garbage_past_count(rng):
     np.testing.assert_array_equal(clean, dirty)
 
 
+# ---------------------------------------------------------------------------
+# multi-position queries (ragged_gqa_attend): prefill chunks / speculative
+# verify — query s at absolute position pos[b]+s attends t <= pos[b]+s
+# ---------------------------------------------------------------------------
+
+from modegpt_tpu.kernels.ragged_decode import ragged_gqa_attend  # noqa: E402
+
+
+def _dense_ref_multi(q, k, v, pos, window=0, softcap=None,
+                     k_scale=None, v_scale=None):
+    B, H, S = q.shape[0], q.shape[1], q.shape[2]
+    Rv = v.shape[-1]
+    G = H // k.shape[1]
+    k = np.asarray(k, np.float64)
+    v = np.asarray(v, np.float64)
+    if k_scale is not None:
+        k = k * np.asarray(k_scale, np.float64)[..., None]
+        v = v * np.asarray(v_scale, np.float64)[..., None]
+    out = np.zeros((B, H, S, Rv), np.float32)
+    for b in range(B):
+        for s_ix in range(S):
+            limit = int(pos[b]) + s_ix
+            lo = max(0, limit + 1 - window) if window > 0 else 0
+            for h in range(H):
+                kh = h // G
+                sc = np.asarray(q[b, h, s_ix], np.float64) @ k[b, kh].T
+                if softcap is not None:
+                    sc = softcap * np.tanh(sc / softcap)
+                sc[limit + 1:] = -np.inf
+                sc[:lo] = -np.inf
+                p = np.exp(sc - sc.max())
+                p /= p.sum()
+                out[b, h, s_ix] = p @ v[b, kh]
+    return out
+
+
+@pytest.mark.parametrize("S,window,softcap", [
+    (4, 0, None),        # plain causal chunk
+    (8, 100, None),      # sliding window crossing block edges
+    (3, 0, 40.0),        # softcap
+])
+def test_ragged_attend_multi_matches_dense(rng, S, window, softcap):
+    B, H, Hk, T, R = 3, 4, 2, 512, 48
+    q = jnp.asarray(rng.standard_normal((B, H, S, R)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, R)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, R)), jnp.float32)
+    pos = np.asarray([0, 200, T - S], np.int32)  # incl. first chunk + pool edge
+    got = np.asarray(ragged_gqa_attend(
+        q, k, v, jnp.asarray(pos), window=window or None,
+        softcap=softcap, block_t=128))
+    ref = _dense_ref_multi(q, k, v, pos, window=window, softcap=softcap)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_ragged_attend_multi_int8(rng):
+    """Multi-position + int8 codes: scale folding matches up-front
+    dequantisation."""
+    B, H, Hk, T, R, S = 2, 8, 2, 384, 64, 5
+    q = jnp.asarray(rng.standard_normal((B, H, S, R)), jnp.float32)
+    ck = rng.integers(-127, 128, size=(B, Hk, T, R)).astype(np.int8)
+    cv = rng.integers(-127, 128, size=(B, Hk, T, R)).astype(np.int8)
+    ksc = (rng.random((B, Hk, T)) * 0.05 + 1e-3).astype(np.float32)
+    vsc = (rng.random((B, Hk, T)) * 0.05 + 1e-3).astype(np.float32)
+    pos = np.asarray([3, 250], np.int32)
+    got = np.asarray(ragged_gqa_attend(
+        q, jnp.asarray(ck), jnp.asarray(cv), jnp.asarray(pos),
+        k_scale=jnp.asarray(ksc), v_scale=jnp.asarray(vsc), block_t=128))
+    ref = _dense_ref_multi(q, ck, cv, pos, k_scale=ksc, v_scale=vsc)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_ragged_attend_s1_equals_decode(rng):
+    """The decode wrapper is exactly attend at S=1, pos=counts-1."""
+    B, H, Hk, T, R = 2, 4, 2, 256, 32
+    q = jnp.asarray(rng.standard_normal((B, H, R)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hk, T, R)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hk, T, R)), jnp.float32)
+    counts = jnp.asarray([9, 201], jnp.int32)
+    a = ragged_gqa_decode(q, k, v, counts)
+    b = ragged_gqa_attend(q[:, :, None, :], k, v, counts - 1)[:, :, 0, :]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 
@@ -257,6 +340,58 @@ def test_padded_step_ragged_int8_matches_xla(rng):
     )
     np.testing.assert_allclose(np.asarray(lr), np.asarray(lx),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_padded_step_ragged_multi_position(rng):
+    """A multi-token chunk (prefill/verify shape) through the padded
+    stack: ragged logits match the masked XLA contraction at every
+    position."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    B, S, max_len = 3, 4, 64
+    ck, cv, _ = init_cache_padded(pm, B, max_len)
+    lengths = jnp.asarray([0, 17, 33], jnp.int32)  # incl. a first chunk
+    ck = ck + jnp.asarray(rng.standard_normal(ck.shape), ck.dtype) * 0.3
+    cv = cv + jnp.asarray(rng.standard_normal(cv.shape), cv.dtype) * 0.3
+    tokens = jnp.asarray(rng.integers(1, 100, size=(B, S)), jnp.int32)
+
+    lx, _, _, _ = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, tokens,
+        ck.copy(), cv.copy(), lengths, decode_attn="xla",
+    )
+    lr, _, _, _ = _model_step_padded(
+        pm.spec, pm.layers, pm.other, pm.q_hd_true, tokens,
+        ck.copy(), cv.copy(), lengths, decode_attn="ragged",
+    )
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lx),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_batcher_ragged_batched_prefill_and_spec(rng):
+    """decode_attn='ragged' through the multi-position serving paths —
+    batched prefill chunks and prompt-lookup speculative verify — must
+    reproduce the xla batcher's greedy streams."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
+               for p in (5, 21, 9)]
+
+    for kw in (
+        dict(prefill_exec="batched"),
+        dict(spec_decode="prompt_lookup", n_draft=3),
+    ):
+        bx = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                               eos_token_id=127, **kw)
+        rids = [bx.submit(p, max_new_tokens=6) for p in prompts]
+        ref_out = bx.run()
+        ref = [ref_out[r] for r in rids]
+
+        br = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                               eos_token_id=127, decode_attn="ragged", **kw)
+        rids = [br.submit(p, max_new_tokens=6) for p in prompts]
+        got_out = br.run()
+        for a, r in zip(ref, rids):
+            assert got_out[r] == a, f"diverged under {kw}"
 
 
 def test_batcher_ragged_decode_serves(rng):
