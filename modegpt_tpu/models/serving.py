@@ -230,7 +230,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
         "want_lp", "decode_attn", "tp",
     ),
-    donate_argnames=("state",),
+    donate_argnames=("state", "presence", "gen_counts"),
 )
 def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        chunks: jax.Array, pos0: jax.Array, real_len: jax.Array,
@@ -239,10 +239,22 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
                        samp=None, want_lp: bool = False, seed_keys=None,
+                       counts=None, gen_counts=None,
                        allow=None, bias=None, decode_attn: str = "xla", tp=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
     prefill_mask selecting the rows that are actually prefilling.
+
+    This is ALSO the mixed prefill+decode program (Sarathi-style
+    chunked-prefill piggyback, Batcher._mixed_round): a decode-active
+    slot rides the same dispatch as a 1-token "chunk" (its last
+    committed token at pos0 = its length, commit=True), so admission
+    rounds never cost a second dispatch and decode never stalls behind
+    long prompts. Committed rows' sampled tokens update the
+    presence/gen_counts penalty pools ON DEVICE (masked by `commit`) —
+    identical bookkeeping to _one_decode_step — and seeded rows fold
+    their key with `counts` (each row's generated-so-far; still-
+    prefilling rows are at draw #0).
 
     Per-slot-per-chunk dispatches cost a fixed host/tunnel latency
     each; an admission burst of N slots pays it N times per chunk
@@ -265,10 +277,11 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     modes. Both are valid capacity-dispatch executions; use
     moe="dense" when exactness matters.
 
-    Returns (state, next_token [slots], lp [slots]) — next_token/lp are
-    meaningful for rows with commit set (their prompt finished this
-    round); lp is the committed token's raw-model logprob (zeros
-    unless want_lp)."""
+    Returns (state, next_token [slots], lp [slots], presence,
+    gen_counts) — next_token/lp are meaningful for rows with commit set
+    (their prompt finished this round, or they are decode piggyback
+    rows); lp is the committed token's raw-model logprob (zeros unless
+    want_lp)."""
     from modegpt_tpu.models.generate import _sample, sample_rows
 
     S = chunks.shape[1]
@@ -293,9 +306,12 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     if samp is not None:
         rk = None
         if seed_keys is not None:
-            # each committing row's draw #0
-            rk = _row_keys(seed_keys, jnp.zeros(commit.shape, jnp.int32))
-        nxt = sample_rows(last_logits, key, samp, presence, keys=rk)
+            # each row's own draw index: generated-so-far for decode
+            # piggyback rows, 0 for prefill commits (their first draw)
+            cnt = jnp.zeros(commit.shape, jnp.int32) if counts is None else counts
+            rk = _row_keys(seed_keys, cnt)
+        nxt = sample_rows(last_logits, key, samp, presence, keys=rk,
+                          gen_counts=gen_counts)
     else:
         if rep_penalty is not None:
             from modegpt_tpu.models.generate import apply_repetition_penalty
@@ -306,12 +322,24 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
             top_p=top_p, min_p=min_p,
         ).astype(jnp.int32)
     lp = _chosen_logprob(raw_logits, nxt, want_lp)
+    # committed rows' tokens enter the penalty pools exactly like a
+    # decode step's (_one_decode_step) — `commit` is the active mask
+    if presence is not None:
+        n = nxt.shape[0]
+        presence = presence.at[jnp.arange(n), nxt].set(
+            commit | presence[jnp.arange(n), nxt]
+        )
+    if gen_counts is not None:
+        n = nxt.shape[0]
+        gen_counts = gen_counts.at[jnp.arange(n), nxt].add(
+            commit.astype(jnp.int32)
+        )
     return ServeState(
         cache_k=ck, cache_v=cv,
         lengths=jnp.where(prefill_mask, pos0 + real_len, state.lengths),
         last_token=jnp.where(commit, nxt, state.last_token),
         k_scale=ks, v_scale=vs,
-    ), nxt, lp
+    ), nxt, lp, presence, gen_counts
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -742,7 +770,8 @@ class ContinuousBatcher:
                  repetition_penalty: Optional[float] = None,
                  mesh=None, prefix_cache: bool = False,
                  per_request_sampling: bool = False,
-                 decode_attn: str = "auto"):
+                 decode_attn: str = "auto",
+                 mixed_prefill_decode: bool = True):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -851,6 +880,16 @@ class ContinuousBatcher:
         if prefill_exec not in ("per_slot", "batched"):
             raise ValueError(f"prefill_exec must be per_slot or batched, got {prefill_exec!r}")
         self.prefill_exec = prefill_exec
+        # Mixed prefill+decode rounds (Sarathi-style piggyback): while
+        # prompts are prefilling under prefill_exec="batched" (and
+        # spec_decode is off), decode-active slots advance one token
+        # INSIDE each batched prefill dispatch instead of in a separate
+        # decode dispatch — halves the per-round dispatch floor during
+        # admission and decode never stalls behind long prompts. Token
+        # semantics are the single-step decode's (same sampling/pool
+        # bookkeeping, per-row exact for seeded requests); only
+        # scheduling changes.
+        self.mixed_prefill_decode = mixed_prefill_decode
         # Decode attention: "xla" contracts each step over the FULL
         # [slots, Hk, max_len, R] pool (masked); "ragged" uses the
         # Pallas flash attention kernel whose cache reads scale with
@@ -1374,8 +1413,12 @@ class ContinuousBatcher:
             self.slot_budget[s] = 0
 
     def _commit_prefill_token(self, s: int, tok: int,
-                              lp: Optional[float] = None) -> None:
-        """Host bookkeeping for a slot whose prompt just finished."""
+                              lp: Optional[float] = None,
+                              update_pools: bool = True) -> None:
+        """Host bookkeeping for a slot whose prompt just finished.
+        update_pools=False when the committing program already recorded
+        the token into the presence/gen_counts pools on device (the
+        batched/mixed path) — updating here too would double-count."""
         if self.slot_want_lp[s]:
             self.slot_lp[s].append(float(lp))
         if self.prefix_cache:
@@ -1388,10 +1431,11 @@ class ContinuousBatcher:
         self.slot_budget[s] -= 1
         self._advance_guide(s, tok)
         self._tick_min_tokens(s)
-        if self.presence is not None:
-            self.presence = self.presence.at[s, tok].set(True)
-        if self.gen_counts is not None:
-            self.gen_counts = self.gen_counts.at[s, tok].add(1)
+        if update_pools:
+            if self.presence is not None:
+                self.presence = self.presence.at[s, tok].set(True)
+            if self.gen_counts is not None:
+                self.gen_counts = self.gen_counts.at[s, tok].add(1)
         if self.eos is not None and tok == self.eos:
             self.slot_budget[s] = 0
         self._check_stop(s)
@@ -1417,20 +1461,22 @@ class ContinuousBatcher:
             args = (jnp.asarray(chunks), jnp.asarray(pos0), jnp.asarray(real),
                     jnp.asarray(commit), jnp.asarray(mask))
             want_lp = self._any_want_lp()
-            self.state, nxt, lps = _prefill_slots_jit(
+            (self.state, nxt, lps, self.presence,
+             self.gen_counts) = _prefill_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, decode_attn=self.decode_attn, tp=self._tp,
+                gen_counts=self.gen_counts,
                 **self._samp_kwargs(),
-                **self._seed_kwargs(sub, with_counts=False),
+                **self._seed_kwargs(sub, with_counts=True),
                 **self._guided_kwargs(), **self._bias_kwargs(),
             )
             if self.draft_state is not None:
                 # mirror into the draft pool; the TARGET decides tokens,
                 # so the draft's own commits are suppressed and its
                 # last_token copies the target's for committed slots
-                self.draft_state, _, _ = _prefill_slots_jit(
+                self.draft_state, _, _, _, _ = _prefill_slots_jit(
                     self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                     self.draft_pm.q_hd_true, self.draft_state, args[0], args[1],
                     args[2], jnp.zeros((self.slots,), bool), args[4],
@@ -1448,8 +1494,79 @@ class ContinuousBatcher:
             for s in pending:
                 if commit[s]:
                     self._commit_prefill_token(
-                        s, int(nxt[s]), None if lps is None else float(lps[s])
+                        s, int(nxt[s]), None if lps is None else float(lps[s]),
+                        update_pools=False,  # recorded on device
                     )
+        return key
+
+    def _mixed_round(self, key):
+        """Chunked-prefill rounds with decode piggyback (one dispatch
+        per round — the Sarathi-style schedule; see the
+        mixed_prefill_decode ctor comment). Each round, every
+        prefilling slot consumes its next chunk and every decode-active
+        slot advances one token as a 1-token commit row: its input is
+        its last committed token at pos0 = its current length — both
+        host-known (slot_out[-1] and len(slot_out) - 1; the last
+        committed token's own KV is not yet cache-resident, exactly
+        _one_decode_step's input contract) — so the merge adds no
+        device fetch. Sampling, penalty-pool, guided, bias, seed and
+        logprob semantics are the single-step decode's."""
+        for _ in range(self.prefill_chunks_per_step):
+            pending = [s for s in range(self.slots) if self.slot_chunks[s]]
+            if not pending:
+                break
+            decode_rows = [
+                s for s in range(self.slots)
+                if self.slot_req[s] is not None and not self.slot_chunks[s]
+                and not self._slot_finished(s)
+            ]
+            chunks = np.zeros((self.slots, self.bucket), np.int32)
+            pos0 = np.zeros((self.slots,), np.int32)
+            real = np.zeros((self.slots,), np.int32)
+            commit = np.zeros((self.slots,), bool)
+            mask = np.zeros((self.slots,), bool)
+            for s in pending:
+                piece, p0, is_last = self.slot_chunks[s].pop(0)
+                chunks[s, : piece.shape[0]] = piece
+                pos0[s], real[s], commit[s], mask[s] = (
+                    p0, piece.shape[0], is_last, True
+                )
+            for s in decode_rows:
+                chunks[s, 0] = self.slot_out[s][-1]
+                pos0[s] = len(self.slot_out[s]) - 1
+                real[s], commit[s], mask[s] = 1, True, True
+            key, sub = jax.random.split(key)
+            want_lp = self._any_want_lp()
+            (self.state, nxt, lps, self.presence,
+             self.gen_counts) = _prefill_slots_jit(
+                self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                self.state,
+                jnp.asarray(chunks), jnp.asarray(pos0), jnp.asarray(real),
+                jnp.asarray(commit), jnp.asarray(mask),
+                self._static_temp, sub,
+                moe=self.moe, moe_capacity=self.moe_capacity,
+                want_lp=want_lp, decode_attn=self.decode_attn, tp=self._tp,
+                gen_counts=self.gen_counts,
+                **self._samp_kwargs(),
+                **self._seed_kwargs(sub, with_counts=True),
+                **self._guided_kwargs(), **self._bias_kwargs(),
+            )
+            nxt = np.asarray(nxt)
+            lps = np.asarray(lps) if want_lp else None
+            for s in pending:
+                if commit[s]:
+                    self._commit_prefill_token(
+                        s, int(nxt[s]), None if lps is None else float(lps[s]),
+                        update_pools=False,  # recorded on device
+                    )
+            for s in decode_rows:
+                self.slot_out[s].append(int(nxt[s]))
+                if self.slot_want_lp[s]:
+                    self.slot_lp[s].append(float(lps[s]))
+                self.slot_budget[s] -= 1
+                self._advance_guide(s, int(nxt[s]))
+                self._tick_min_tokens(s)
+                self._check_stop(s)
         return key
 
     def _prefill_step(self, key):
@@ -1531,6 +1648,14 @@ class ContinuousBatcher:
                 if self.samp is not None:
                     self.samp[s] = self._samp_off
         self._admit()
+        if (self.mixed_prefill_decode and self.prefill_exec == "batched"
+                and self.spec_decode == "off" and any(self.slot_chunks)):
+            # one mixed dispatch per round serves prefill chunks AND the
+            # decode-active slots — no separate decode round this
+            # iteration (steady-state iterations take the fused path
+            # below the moment the chunks drain)
+            key = self._mixed_round(key)
+            return key, finished, False
         key = self._prefill_step(key)
         # decode-active: fully prefilled, unfinished slots only (a slot
         # that finished AT prefill — eos first token or budget 1 —

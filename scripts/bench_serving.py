@@ -123,7 +123,7 @@ def main():
             return state
 
         def batched(state):
-            state, _, _ = _prefill_slots_jit(
+            state, _, _, _, _ = _prefill_slots_jit(
                 pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
                 jnp.asarray(padded), jnp.zeros((SLOTS,), jnp.int32),
                 jnp.full((SLOTS,), 24, jnp.int32), jnp.ones((SLOTS,), bool),

@@ -371,6 +371,75 @@ def test_batcher_batched_prefill_matches_per_slot(rng):
         assert got2[rb] == want[rp]
 
 
+def test_mixed_round_decode_piggyback(rng):
+    """Mixed prefill+decode rounds (the default under
+    prefill_exec='batched'): while one slot prefills a multi-chunk
+    prompt, decode-active slots advance one token PER ROUND inside the
+    same dispatch — with mixed off they advance once per step, after
+    the prefill dispatches."""
+    import jax
+
+    spec, params = params_from_hf_model(_tiny_llama(seed=41))
+    pm = pad_to_uniform(spec, params)
+    short = rng.integers(1, 128, size=(5,)).astype(np.int32)
+    long_p = rng.integers(1, 128, size=(60,)).astype(np.int32)  # 4 chunks of 16
+
+    def run(mixed):
+        b = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                              prefill_exec="batched",
+                              prefill_chunks_per_step=2,
+                              mixed_prefill_decode=mixed)
+        key = jax.random.key(0)
+        ra = b.submit(short, max_new_tokens=20)
+        key, _, _ = b.step(key)  # A prefills + commits its first token
+        a_len0 = len(b.slot_out[0])
+        b.submit(long_p, max_new_tokens=4)
+        key, _, _ = b.step(key)  # B's first 2 chunk rounds
+        return len(b.slot_out[0]) - a_len0, b, ra, key
+
+    gained_mixed, bm, ra, key = run(True)
+    gained_plain, *_ = run(False)
+    assert gained_mixed == 2, gained_mixed  # one decode per chunk round
+    assert gained_plain == 1, gained_plain  # one decode round per step
+    # and the mixed batcher still drains to the exact per-slot output
+    done = bm.run()
+    plain = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16)
+    r2 = plain.submit(short, max_new_tokens=20)
+    assert done[ra] == plain.run()[r2]
+
+
+def test_mixed_round_matches_unmixed_features(rng):
+    """Seeded sampled + greedy + stop + logprobs traffic through mixed
+    rounds equals the unmixed batched-prefill batcher exactly (seeded
+    streams are schedule-independent by design; greedy rows are
+    deterministic)."""
+    spec, params = params_from_hf_model(_tiny_llama(seed=43))
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 128, size=(n,)).astype(np.int32)
+               for n in (25, 6, 18)]
+
+    def run(mixed):
+        b = ContinuousBatcher(pm, slots=2, max_len=96, prefill_bucket=16,
+                              prefill_exec="batched",
+                              per_request_sampling=True,
+                              mixed_prefill_decode=mixed)
+        rids = [
+            b.submit(prompts[0], max_new_tokens=8, temperature=0.9,
+                     top_p=0.9, seed=11),
+            b.submit(prompts[1], max_new_tokens=8, logprobs=True),
+            b.submit(prompts[2], max_new_tokens=8, temperature=0.7,
+                     seed=5, repetition_penalty=1.3),
+        ]
+        out = b.run()
+        return [out[r] for r in rids], [b.logprobs.get(r) for r in rids]
+
+    ref, ref_lp = run(False)
+    got, got_lp = run(True)
+    for a, g in zip(ref, got):
+        assert g == a
+    assert got_lp[1] == ref_lp[1]
+
+
 def test_batcher_batched_prefill_with_draft_spec(tmp_path, rng):
     """Batched prefill mirrors chunks into the draft pool; speculative
     serving output still equals plain serving of the target."""
