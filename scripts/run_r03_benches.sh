@@ -71,6 +71,37 @@ MODEGPT_SERVE_STEPS=64 MODEGPT_SERVE_MULTI=16 MODEGPT_SERVE_SKIP_EVAL=1"
   done
 }
 
+# Serving LOAD benchmark (scripts/bench_serving_load.py): Poisson
+# arrivals through the real scheduler — TTFT/TPOT percentiles +
+# sustained throughput. A/B: mixed prefill+decode rounds (decode
+# piggybacks on batched prefill dispatches — the win scales with the
+# per-dispatch tunnel floor), and the ragged decode kernel under load.
+serving_load() {
+  mkdir -p bench_results/r03/serving_load
+  local common="MODEGPT_LOAD_SLOTS=16 MODEGPT_LOAD_N=48 MODEGPT_LOAD_RATE=8 \
+MODEGPT_LOAD_MULTI=8"
+  for cfg in \
+      "mixed1:" \
+      "mixed0:MODEGPT_LOAD_MIXED=0" \
+      "mixed1_ragged:MODEGPT_LOAD_DECODE_ATTN=ragged"; do
+    local name="${cfg%%:*}" extra="${cfg#*:}"
+    local out="bench_results/r03/serving_load/${name}.json"
+    local log="/tmp/bench_load_${name}.log"
+    echo "=== serving load ${name}"
+    env ${common} ${extra} \
+      timeout 2400 python scripts/bench_serving_load.py > "${log}" 2>&1
+    if [ $? -eq 0 ] && grep -q ttft_p50_ms "${log}"; then
+      if grep ttft_p50_ms "${log}" | tail -1 | grep -q '"device_kind": "cpu"'; then
+        echo "SKIPPED capture: CPU fallback"; continue
+      fi
+      grep ttft_p50_ms "${log}" | tail -1 > "${out}"
+      echo "captured: $(cat "${out}")"
+    else
+      echo "FAILED; tail of ${log}:"; tail -5 "${log}"
+    fi
+  done
+}
+
 if [ $# -gt 0 ]; then
   for p in "$@"; do
     case "$p" in
@@ -79,6 +110,7 @@ if [ $# -gt 0 ]; then
       large13B) run_one large13B 14000 ;;
       moe8) run_one moe8 14000 ;;
       serving_ab) serving_ab ;;
+      serving_load) serving_load ;;
       *) echo "unknown preset $p"; exit 2 ;;
     esac
   done
@@ -86,6 +118,7 @@ else
   run_one small 7200
   run_one large32 9000
   serving_ab
+  serving_load
   run_one large13B 14000
   run_one moe8 14000
 fi
