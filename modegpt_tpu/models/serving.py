@@ -132,11 +132,31 @@ def _chosen_logprob(raw_logits, nxt, want_lp: bool):
     return jnp.take_along_axis(lp, nxt[..., None], axis=-1)[..., 0]
 
 
+# device-side top-logprobs width: one static size keeps this a single
+# program variant (like want_lp); OpenAI caps top_logprobs at 20 and
+# the host slices each request's smaller k out of the fetched rows
+TOP_LP_K = 20
+
+
+def _top_logprobs(raw_logits, top_lp: bool):
+    """Top-TOP_LP_K raw-model (token, logprob) rows per position —
+    OpenAI `top_logprobs`. Gated by the static `top_lp` flag exactly
+    like want_lp; off returns zero-width arrays so the pytree shape is
+    stable. raw_logits [..., V] -> (ids [..., K] i32, lps [..., K])."""
+    if not top_lp:
+        shape = raw_logits.shape[:-1] + (0,)
+        return (jnp.zeros(shape, jnp.int32), jnp.zeros(shape, jnp.float32))
+    k = min(TOP_LP_K, raw_logits.shape[-1])
+    lp = jax.nn.log_softmax(raw_logits.astype(jnp.float32), axis=-1)
+    top_lps, top_ids = lax.top_k(lp, k)
+    return top_ids.astype(jnp.int32), top_lps
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-        "want_lp", "decode_attn", "tp",
+        "want_lp", "top_lp", "decode_attn", "tp",
     ),
     donate_argnames=("state",),
 )
@@ -145,7 +165,8 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
                        commit: jax.Array, temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None, want_lp: bool = False, seed_keys=None,
+                       samp=None, want_lp: bool = False, top_lp: bool = False,
+                       seed_keys=None,
                        allow=None, bias=None, decode_attn: str = "xla", tp=None):
     """Run one prompt chunk [1, bucket] through `slot` at offset pos0
     (traced slot index — one compiled program serves every slot and every
@@ -158,8 +179,9 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
     masks disallowed tokens to -inf before the commit sample; logprobs
     stay raw-model (pre-mask).
 
-    Returns (state, lp) — lp is the committed token's raw-model
-    logprob (zeros unless want_lp)."""
+    Returns (state, lp, tids, tlps) — lp is the committed token's
+    raw-model logprob (zeros unless want_lp); tids/tlps [K] its
+    top-TOP_LP_K alternatives (zero-width unless top_lp)."""
     from modegpt_tpu.models.generate import _sample, sample_rows
 
     ck = lax.dynamic_slice_in_dim(state.cache_k, slot, 1, axis=1)
@@ -208,6 +230,7 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
             top_p=top_p, min_p=min_p,
         )[0].astype(jnp.int32)
     lp = _chosen_logprob(raw_logits, nxt[None], want_lp)[0]
+    tids, tlps = _top_logprobs(raw_logits, top_lp)
     return ServeState(
         cache_k=lax.dynamic_update_index_in_dim(state.cache_k, ck[:, 0], slot, axis=1),
         cache_v=lax.dynamic_update_index_in_dim(state.cache_v, cv[:, 0], slot, axis=1),
@@ -221,14 +244,14 @@ def _prefill_chunk_jit(spec, layers, other, q_hd_true, state: ServeState, slot: 
         v_scale=None if vs is None else lax.dynamic_update_index_in_dim(
             state.v_scale, vs[:, 0], slot, axis=1
         ),
-    ), lp
+    ), lp, tids[0], tlps[0]
 
 
 @partial(
     jax.jit,
     static_argnames=(
         "spec", "temperature", "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-        "want_lp", "decode_attn", "tp",
+        "want_lp", "top_lp", "decode_attn", "tp",
     ),
     donate_argnames=("state", "presence", "gen_counts"),
 )
@@ -238,8 +261,8 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
                        temperature: float, key: jax.Array,
                        moe: str = "dense", moe_capacity: float = 2.0,
                        top_p=None, min_p=None, rep_penalty=None, presence=None,
-                       samp=None, want_lp: bool = False, seed_keys=None,
-                       counts=None, gen_counts=None,
+                       samp=None, want_lp: bool = False, top_lp: bool = False,
+                       seed_keys=None, counts=None, gen_counts=None,
                        allow=None, bias=None, decode_attn: str = "xla", tp=None):
     """One prompt chunk for EVERY admitting slot in a single ragged
     dispatch: chunks [slots, bucket] at per-slot offsets pos0, with
@@ -277,11 +300,12 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
     modes. Both are valid capacity-dispatch executions; use
     moe="dense" when exactness matters.
 
-    Returns (state, next_token [slots], lp [slots], presence,
-    gen_counts) — next_token/lp are meaningful for rows with commit set
-    (their prompt finished this round, or they are decode piggyback
-    rows); lp is the committed token's raw-model logprob (zeros unless
-    want_lp)."""
+    Returns (state, next_token [slots], lp [slots], tids/tlps
+    [slots, K], presence, gen_counts) — next_token/lp are meaningful
+    for rows with commit set (their prompt finished this round, or
+    they are decode piggyback rows); lp is the committed token's
+    raw-model logprob (zeros unless want_lp), tids/tlps its
+    top-TOP_LP_K alternatives (zero-width unless top_lp)."""
     from modegpt_tpu.models.generate import _sample, sample_rows
 
     S = chunks.shape[1]
@@ -322,6 +346,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
             top_p=top_p, min_p=min_p,
         ).astype(jnp.int32)
     lp = _chosen_logprob(raw_logits, nxt, want_lp)
+    tids, tlps = _top_logprobs(raw_logits, top_lp)
     # committed rows' tokens enter the penalty pools exactly like a
     # decode step's (_one_decode_step) — `commit` is the active mask
     if presence is not None:
@@ -339,7 +364,7 @@ def _prefill_slots_jit(spec, layers, other, q_hd_true, state: ServeState,
         lengths=jnp.where(prefill_mask, pos0 + real_len, state.lengths),
         last_token=jnp.where(commit, nxt, state.last_token),
         k_scale=ks, v_scale=vs,
-    ), nxt, lp, presence, gen_counts
+    ), nxt, lp, tids, tlps, presence, gen_counts
 
 
 @partial(jax.jit, donate_argnames=("state",))
@@ -381,7 +406,8 @@ def _adopt_prefix_jit(state: ServeState, src: jax.Array, dst: jax.Array,
     jax.jit,
     static_argnames=(
         "spec", "temperature", "top_k", "moe", "moe_capacity",
-        "top_p", "min_p", "rep_penalty", "want_lp", "decode_attn", "tp",
+        "top_p", "min_p", "rep_penalty", "want_lp", "top_lp",
+        "decode_attn", "tp",
     ),
     donate_argnames=("state", "presence", "gen_counts"),
 )
@@ -389,7 +415,7 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
                       temperature: float, top_k, key,
                       moe: str = "dense", moe_capacity: float = 2.0,
                       top_p=None, min_p=None, rep_penalty=None, presence=None,
-                      samp=None, want_lp: bool = False,
+                      samp=None, want_lp: bool = False, top_lp: bool = False,
                       seed_keys=None, counts=None, allow=None, bias=None,
                       gen_counts=None, decode_attn: str = "xla", tp=None):
     """One ragged decode step for ALL slots; inactive rows are masked
@@ -398,7 +424,7 @@ def _decode_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
     return _one_decode_step(spec, layers, other, q_hd_true, state, active,
                             temperature, top_k, key, moe, moe_capacity,
                             top_p, min_p, rep_penalty, presence, samp, want_lp,
-                            seed_keys, counts, allow, bias, gen_counts,
+                            top_lp, seed_keys, counts, allow, bias, gen_counts,
                             decode_attn, tp)
 
 
@@ -414,7 +440,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
                      active: jax.Array, temperature: float, top_k, key,
                      moe: str, moe_capacity: float,
                      top_p=None, min_p=None, rep_penalty=None, presence=None,
-                     samp=None, want_lp: bool = False,
+                     samp=None, want_lp: bool = False, top_lp: bool = False,
                      seed_keys=None, counts=None, allow=None, bias=None,
                      gen_counts=None, decode_attn: str = "xla", tp=None):
     """THE decode step, shared by the single-dispatch and fused-scan
@@ -434,9 +460,10 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     GENERATED tokens (prompt excluded) for the additive OpenAI
     presence/frequency penalties (sample_rows 7-column form); the step
     updates it like the presence pool. Logprobs stay raw-model
-    (pre-mask, pre-bias). Returns (state, nxt, lp, presence,
-    gen_counts) — lp is the chosen token's raw-model logprob (zeros
-    unless want_lp)."""
+    (pre-mask, pre-bias). Returns (state, nxt, lp, tids, tlps,
+    presence, gen_counts) — lp is the chosen token's raw-model logprob
+    (zeros unless want_lp); tids/tlps are the top-TOP_LP_K raw-model
+    alternatives (zero-width unless top_lp)."""
     from modegpt_tpu.models.generate import _sample, apply_repetition_penalty, sample_rows
 
     tokens = state.last_token[:, None]
@@ -467,6 +494,7 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
             top_p=top_p, min_p=min_p,
         ).astype(jnp.int32)
     lp = _chosen_logprob(raw_logits, nxt, want_lp)
+    tids, tlps = _top_logprobs(raw_logits, top_lp)
     if presence is not None:
         S = nxt.shape[0]
         presence = presence.at[jnp.arange(S), nxt].set(
@@ -480,14 +508,14 @@ def _one_decode_step(spec, layers, other, q_hd_true, state: ServeState,
     new_len = jnp.where(active, state.lengths + 1, state.lengths)
     new_last = jnp.where(active, nxt, state.last_token)
     return ServeState(cache_k=ck, cache_v=cv, lengths=new_len, last_token=new_last,
-                      k_scale=ks, v_scale=vs), nxt, lp, presence, gen_counts
+                      k_scale=ks, v_scale=vs), nxt, lp, tids, tlps, presence, gen_counts
 
 
 @partial(
     jax.jit,
     static_argnames=("spec", "n_steps", "temperature", "top_k", "has_eos",
                      "moe", "moe_capacity", "top_p", "min_p", "rep_penalty",
-                     "want_lp", "decode_attn", "tp"),
+                     "want_lp", "top_lp", "decode_attn", "tp"),
     donate_argnames=("state", "presence", "gen_counts"),
 )
 def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
@@ -496,7 +524,7 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
                             has_eos: bool = False,
                             moe: str = "dense", moe_capacity: float = 2.0,
                             top_p=None, min_p=None, rep_penalty=None, presence=None,
-                            samp=None, want_lp: bool = False,
+                            samp=None, want_lp: bool = False, top_lp: bool = False,
                             seed_keys=None, counts=None, bias=None,
                             gen_counts=None, decode_attn: str = "xla", tp=None):
     """`n_steps` ragged decode steps in ONE dispatch (lax.scan over
@@ -520,10 +548,11 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
     tokens instead of every token).
 
     Returns (state, toks [n_steps, slots], lps [n_steps, slots],
-    emitted [n_steps, slots]): `emitted[i, s]` marks tokens the host
-    should append; tokens after a slot's EOS/budget stop are garbage
-    and masked False; lps are raw-model logprobs (zeros unless
-    want_lp)."""
+    tids/tlps [n_steps, slots, K], emitted [n_steps, slots]):
+    `emitted[i, s]` marks tokens the host should append; tokens after
+    a slot's EOS/budget stop are garbage and masked False; lps are
+    raw-model logprobs (zeros unless want_lp), tids/tlps the
+    top-TOP_LP_K alternatives (zero-width unless top_lp)."""
 
     def body(carry, i):
         st, act, bud, k2, pres, gcnt = carry
@@ -537,34 +566,36 @@ def _decode_slots_multi_jit(spec, layers, other, q_hd_true, state: ServeState,
         # rounds while any min_tokens suppression could EXPIRE mid-run.
         # gen_counts rides the carry, so additive penalties evolve
         # per step exactly like single-step dispatches
-        st, nxt, lp, pres, gcnt = _one_decode_step(
+        st, nxt, lp, tids, tlps, pres, gcnt = _one_decode_step(
             spec, layers, other, q_hd_true, st, act,
             temperature, top_k, sub, moe, moe_capacity,
             top_p, min_p, rep_penalty, pres, samp,
-            want_lp, seed_keys, step_counts, None, bias, gcnt, decode_attn, tp)
+            want_lp, top_lp, seed_keys, step_counts, None, bias, gcnt,
+            decode_attn, tp)
         emitted = act
         bud = jnp.where(act, bud - 1, bud)
         act = act & (bud > 0)
         if has_eos:
             act = act & (nxt != eos)
-        return (st, act, bud, k2, pres, gcnt), (nxt, lp, emitted)
+        return (st, act, bud, k2, pres, gcnt), (nxt, lp, tids, tlps, emitted)
 
-    (state, _, _, _, presence, gen_counts), (toks, lps, emitted) = lax.scan(
+    (state, _, _, _, presence, gen_counts), (toks, lps, tids, tlps, emitted) = lax.scan(
         body, (state, active, budgets, key, presence, gen_counts),
         jnp.arange(n_steps, dtype=jnp.int32)
     )
-    return state, toks, lps, emitted, presence, gen_counts
+    return state, toks, lps, tids, tlps, emitted, presence, gen_counts
 
 
 @partial(
     jax.jit,
-    static_argnames=("spec", "moe", "moe_capacity", "want_lp", "decode_attn", "tp"),
+    static_argnames=("spec", "moe", "moe_capacity", "want_lp", "top_lp",
+                     "decode_attn", "tp"),
     donate_argnames=("state",),
 )
 def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active: jax.Array,
                       drafts: jax.Array, max_adv: jax.Array, eos,
                       moe: str = "dense", moe_capacity: float = 2.0,
-                      want_lp: bool = False, allow=None,
+                      want_lp: bool = False, top_lp: bool = False, allow=None,
                       decode_attn: str = "xla", tp=None):
     """One speculative VERIFY step for all slots: each active slot checks
     its k drafted tokens in a single ragged (k+1)-position forward
@@ -598,6 +629,7 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
         logits = jnp.where(allow, logits, -jnp.inf)
     ttoks = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [S, k+1]
     lps = _chosen_logprob(raw_logits, ttoks, want_lp)
+    tids, tlps = _top_logprobs(raw_logits, top_lp)  # [S, k+1, K]
     match = drafts == ttoks[:, :k]
     acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)  # [S]
     adv = acc + 1
@@ -617,7 +649,7 @@ def _verify_slots_jit(spec, layers, other, q_hd_true, state: ServeState, active:
             last_token=jnp.where(adv > 0, last, state.last_token),
             k_scale=ks, v_scale=vs,
         ),
-        ttoks, lps, adv, jnp.where(active, acc, 0),
+        ttoks, lps, tids, tlps, adv, jnp.where(active, acc, 0),
     )
 
 
@@ -711,7 +743,7 @@ def prefill_slot(pm: PaddedModel, state: ServeState, slot: int, prompt_ids: np.n
         real = piece.shape[0]
         padded = np.zeros((1, bucket), np.int32)
         padded[0, :real] = piece
-        state, _ = _prefill_chunk_jit(
+        state, _, _, _ = _prefill_chunk_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, slot_i,
             jnp.asarray(padded), jnp.asarray(c * bucket, jnp.int32),
             jnp.asarray(real, jnp.int32), jnp.asarray(c == n_chunks - 1),
@@ -727,7 +759,7 @@ def decode_slots(pm: PaddedModel, state: ServeState, active: np.ndarray,
     """One decode step across all slots. Returns (state, tokens [slots])."""
     if key is None:
         key = jax.random.key(0)
-    state, nxt, _, _, _ = _decode_slots_jit(
+    state, nxt, _, _, _, _, _ = _decode_slots_jit(
         pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
         jnp.asarray(active), temperature, top_k, key, moe=moe,
         moe_capacity=moe_capacity, top_p=top_p, min_p=min_p,
@@ -972,6 +1004,13 @@ class ContinuousBatcher:
         # variants per program, no recompile churn).
         self.slot_want_lp = [False] * slots
         self.slot_lp: List[List[float]] = [[] for _ in range(slots)]
+        # per-request TOP-LOGPROBS (OpenAI top_logprobs): requested k
+        # per slot (0 = off) and the recorded (ids, lps) pair per
+        # generated token; the device computes a fixed TOP_LP_K row in
+        # the top_lp=True program variant, the host slices each
+        # request's k
+        self.slot_top_k = [0] * slots
+        self.slot_top: List[List] = [[] for _ in range(slots)]
         # per-request SEED (per_request_sampling only): the row draws
         # from fold_in(key(seed), n_generated) instead of the shared
         # per-dispatch key, so a seeded request's sampled stream is a
@@ -982,6 +1021,8 @@ class ContinuousBatcher:
         # finished requests' logprob lists, keyed by rid (only for
         # requests that asked); collect like run() results
         self.logprobs: Dict[int, List[float]] = {}
+        # finished requests' top-logprob lists: rid -> [(ids, lps), ...]
+        self.top_logprobs: Dict[int, List] = {}
         # pending prompt chunks per slot: list of (piece, pos0, is_last);
         # non-empty = the slot is still PREFILLING (not decode-active)
         self.slot_chunks: List[List] = [[] for _ in range(slots)]
@@ -1012,6 +1053,7 @@ class ContinuousBatcher:
                presence_penalty: Optional[float] = None,
                frequency_penalty: Optional[float] = None,
                stop: Optional[List] = None, logprobs: bool = False,
+               top_logprobs: int = 0,
                seed: Optional[int] = None, guide=None,
                logit_bias: Optional[Dict[int, float]] = None,
                min_tokens: int = 0) -> int:
@@ -1026,6 +1068,13 @@ class ContinuousBatcher:
         speculative, which just over-generate into a freed slot).
         `logprobs=True` records each generated token's raw-model
         logprob, collected in ``batcher.logprobs[rid]`` on finish.
+        `top_logprobs=k` (1..TOP_LP_K, OpenAI's cap) additionally
+        records the top-k raw-model (token, logprob) alternatives per
+        generated position, collected in ``batcher.top_logprobs[rid]``
+        as a list of (ids, lps) pairs; implies logprobs recording. The
+        device always computes TOP_LP_K rows when any resident request
+        asks (one extra program variant, like want_lp) and the host
+        slices each request's k.
         `seed` makes the request's sampled stream deterministic — a
         function of (seed, prompt, knobs) alone, independent of what
         other requests share the batch. `guide` is a
@@ -1123,10 +1172,16 @@ class ContinuousBatcher:
                 "when EOS is reachable (a completed grammar with EOS "
                 "suppressed would leave no sampleable token)"
             )
+        top_logprobs = int(top_logprobs)
+        if not 0 <= top_logprobs <= TOP_LP_K:
+            raise ValueError(
+                f"top_logprobs must be in [0, {TOP_LP_K}], got {top_logprobs}"
+            )
         rid = self._next_id
         self._next_id += 1
         self.queue.append((rid, prompt, max_new_tokens, row, stop_seqs,
-                           bool(logprobs), None if seed is None else int(seed),
+                           bool(logprobs) or top_logprobs > 0, top_logprobs,
+                           None if seed is None else int(seed),
                            guide, logit_bias, min_tokens))
         return rid
 
@@ -1148,6 +1203,7 @@ class ContinuousBatcher:
                 self.slot_chunks[s] = []
                 self.slot_budget[s] = 0
                 self.slot_want_lp[s] = False
+                self.slot_top_k[s] = 0
                 self.slot_seed[s] = None
                 self._clear_guide(s)
                 self._clear_bias(s)
@@ -1260,6 +1316,22 @@ class ContinuousBatcher:
             if self.slot_req[s] is not None
         )
 
+    def _top_lp_active(self) -> bool:
+        return any(
+            self.slot_top_k[s] for s in range(self.slots)
+            if self.slot_req[s] is not None
+        )
+
+    def _record_top(self, s: int, tids_row, tlps_row) -> None:
+        """Record one generated position's top-logprob row for slot `s`
+        (sliced to the request's k)."""
+        k = self.slot_top_k[s]
+        if k:
+            self.slot_top[s].append(
+                ([int(t) for t in tids_row[:k]],
+                 [float(v) for v in tlps_row[:k]])
+            )
+
     def _seed_kwargs(self, sub, with_counts: bool):
         """seed_keys/counts for the jitted programs when any resident
         request is seeded (the per-row-keys program variant); {} selects
@@ -1299,7 +1371,7 @@ class ContinuousBatcher:
         the device work happens chunk-by-chunk in `_prefill_step`."""
         for s in range(self.slots):
             if self.slot_req[s] is None and self.queue:
-                (rid, prompt, budget, row, stop_seqs, want_lp,
+                (rid, prompt, budget, row, stop_seqs, want_lp, top_k_lp,
                  seed, guide, logit_bias, min_tokens) = self.queue.pop(0)
                 self.slot_req[s] = rid
                 self.slot_out[s] = list(prompt.tolist())
@@ -1309,6 +1381,8 @@ class ContinuousBatcher:
                 self.slot_scanned[s] = 0
                 self.slot_want_lp[s] = want_lp
                 self.slot_lp[s] = []
+                self.slot_top_k[s] = top_k_lp
+                self.slot_top[s] = []
                 self.slot_seed[s] = seed
                 self.slot_guide[s] = guide
                 if guide is not None:
@@ -1410,17 +1484,23 @@ class ContinuousBatcher:
         if earliest is not None:
             del self.slot_out[s][plen + earliest:]
             del self.slot_lp[s][earliest:]
+            del self.slot_top[s][earliest:]
             self.slot_budget[s] = 0
 
     def _commit_prefill_token(self, s: int, tok: int,
                               lp: Optional[float] = None,
-                              update_pools: bool = True) -> None:
+                              update_pools: bool = True,
+                              top=None) -> None:
         """Host bookkeeping for a slot whose prompt just finished.
         update_pools=False when the committing program already recorded
         the token into the presence/gen_counts pools on device (the
-        batched/mixed path) — updating here too would double-count."""
+        batched/mixed path) — updating here too would double-count.
+        `top` is the committed position's (tids_row, tlps_row) when the
+        dispatch computed top-logprobs."""
         if self.slot_want_lp[s]:
             self.slot_lp[s].append(float(lp))
+        if top is not None:
+            self._record_top(s, top[0], top[1])
         if self.prefix_cache:
             # the whole prompt's KV is now cache-resident (slot_out holds
             # exactly the prompt here — the first committed token is
@@ -1461,12 +1541,14 @@ class ContinuousBatcher:
             args = (jnp.asarray(chunks), jnp.asarray(pos0), jnp.asarray(real),
                     jnp.asarray(commit), jnp.asarray(mask))
             want_lp = self._any_want_lp()
-            (self.state, nxt, lps, self.presence,
+            top_lp = self._top_lp_active()
+            (self.state, nxt, lps, tids, tlps, self.presence,
              self.gen_counts) = _prefill_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, decode_attn=self.decode_attn, tp=self._tp,
+                want_lp=want_lp, top_lp=top_lp,
+                decode_attn=self.decode_attn, tp=self._tp,
                 gen_counts=self.gen_counts,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
@@ -1476,7 +1558,7 @@ class ContinuousBatcher:
                 # mirror into the draft pool; the TARGET decides tokens,
                 # so the draft's own commits are suppressed and its
                 # last_token copies the target's for committed slots
-                self.draft_state, _, _, _, _ = _prefill_slots_jit(
+                self.draft_state, _, _, _, _, _, _ = _prefill_slots_jit(
                     self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                     self.draft_pm.q_hd_true, self.draft_state, args[0], args[1],
                     args[2], jnp.zeros((self.slots,), bool), args[4],
@@ -1491,11 +1573,14 @@ class ContinuousBatcher:
                 )
             nxt = np.asarray(nxt)
             lps = np.asarray(lps) if want_lp else None
+            tids = np.asarray(tids) if top_lp else None
+            tlps = np.asarray(tlps) if top_lp else None
             for s in pending:
                 if commit[s]:
                     self._commit_prefill_token(
                         s, int(nxt[s]), None if lps is None else float(lps[s]),
                         update_pools=False,  # recorded on device
+                        top=None if tids is None else (tids[s], tlps[s]),
                     )
         return key
 
@@ -1537,7 +1622,8 @@ class ContinuousBatcher:
                 real[s], commit[s], mask[s] = 1, True, True
             key, sub = jax.random.split(key)
             want_lp = self._any_want_lp()
-            (self.state, nxt, lps, self.presence,
+            top_lp = self._top_lp_active()
+            (self.state, nxt, lps, tids, tlps, self.presence,
              self.gen_counts) = _prefill_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state,
@@ -1545,7 +1631,8 @@ class ContinuousBatcher:
                 jnp.asarray(commit), jnp.asarray(mask),
                 self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, decode_attn=self.decode_attn, tp=self._tp,
+                want_lp=want_lp, top_lp=top_lp,
+                decode_attn=self.decode_attn, tp=self._tp,
                 gen_counts=self.gen_counts,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
@@ -1553,16 +1640,21 @@ class ContinuousBatcher:
             )
             nxt = np.asarray(nxt)
             lps = np.asarray(lps) if want_lp else None
+            tids = np.asarray(tids) if top_lp else None
+            tlps = np.asarray(tlps) if top_lp else None
             for s in pending:
                 if commit[s]:
                     self._commit_prefill_token(
                         s, int(nxt[s]), None if lps is None else float(lps[s]),
                         update_pools=False,  # recorded on device
+                        top=None if tids is None else (tids[s], tlps[s]),
                     )
             for s in decode_rows:
                 self.slot_out[s].append(int(nxt[s]))
                 if self.slot_want_lp[s]:
                     self.slot_lp[s].append(float(lps[s]))
+                if tids is not None:
+                    self._record_top(s, tids[s], tlps[s])
                 self.slot_budget[s] -= 1
                 self._advance_guide(s, int(nxt[s]))
                 self._tick_min_tokens(s)
@@ -1587,13 +1679,14 @@ class ContinuousBatcher:
                 padded = np.zeros((1, self.bucket), np.int32)
                 padded[0, :real] = piece
                 key, sub = jax.random.split(key)
-                self.state, lp = _prefill_chunk_jit(
+                self.state, lp, tids, tlps = _prefill_chunk_jit(
                     self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                     self.state, jnp.asarray(s, jnp.int32), jnp.asarray(padded),
                     jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                     jnp.asarray(is_last), self._static_temp, sub,
                     moe=self.moe, moe_capacity=self.moe_capacity,
                     want_lp=self.slot_want_lp[s],
+                    top_lp=bool(self.slot_top_k[s]),
                     decode_attn=self.decode_attn, tp=self._tp,
                     **self._samp_kwargs(),
                     **self._seed_kwargs(sub, with_counts=False),
@@ -1602,7 +1695,7 @@ class ContinuousBatcher:
                 if self.draft_state is not None:
                     # mirror the chunk into the draft pool (its own sampled
                     # commit is discarded — the TARGET decides tokens)
-                    self.draft_state, _ = _prefill_chunk_jit(
+                    self.draft_state, _, _, _ = _prefill_chunk_jit(
                         self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
                         self.draft_pm.q_hd_true, self.draft_state,
                         jnp.asarray(s, jnp.int32), jnp.asarray(padded),
@@ -1619,7 +1712,9 @@ class ContinuousBatcher:
                             last_token=self.draft_state.last_token.at[s].set(tok)
                         )
                     self._commit_prefill_token(
-                        s, tok, float(lp) if self.slot_want_lp[s] else None
+                        s, tok, float(lp) if self.slot_want_lp[s] else None,
+                        top=(np.asarray(tids), np.asarray(tlps))
+                        if self.slot_top_k[s] else None,
                     )
         return key
 
@@ -1641,6 +1736,9 @@ class ContinuousBatcher:
                 if self.slot_want_lp[s]:
                     self.logprobs[self.slot_req[s]] = self.slot_lp[s]
                     self.slot_want_lp[s] = False
+                if self.slot_top_k[s]:
+                    self.top_logprobs[self.slot_req[s]] = self.slot_top[s]
+                    self.slot_top_k[s] = 0
                 self.slot_req[s] = None
                 self.slot_seed[s] = None
                 self._clear_guide(s)
@@ -1700,14 +1798,15 @@ class ContinuousBatcher:
              if not any(self.slot_chunks) and not self._guided_active()
              and not min_pending else 1)
         want_lp = self._any_want_lp()
+        top_lp = self._top_lp_active()
         if n == 1:
-            (self.state, toks, lps, self.presence,
+            (self.state, toks, lps, tids, tlps, self.presence,
              self.gen_counts) = _decode_slots_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask),
                 self._static_temp, None, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, gen_counts=self.gen_counts,
+                want_lp=want_lp, top_lp=top_lp, gen_counts=self.gen_counts,
                 decode_attn=self.decode_attn, tp=self._tp,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
@@ -1715,11 +1814,15 @@ class ContinuousBatcher:
             )
             toks = np.asarray(toks)
             lps = np.asarray(lps) if want_lp else None
+            tids = np.asarray(tids) if top_lp else None
+            tlps = np.asarray(tlps) if top_lp else None
             for s in range(self.slots):
                 if active_mask[s]:
                     self.slot_out[s].append(int(toks[s]))
                     if self.slot_want_lp[s]:
                         self.slot_lp[s].append(float(lps[s]))
+                    if tids is not None:
+                        self._record_top(s, tids[s], tlps[s])
                     self.slot_budget[s] -= 1
                     self._advance_guide(s, int(toks[s]))
                     self._tick_min_tokens(s)
@@ -1729,14 +1832,14 @@ class ContinuousBatcher:
                 [self.slot_budget[s] if active_mask[s] else 0
                  for s in range(self.slots)], jnp.int32,
             )
-            (self.state, toks, lps, emitted, self.presence,
+            (self.state, toks, lps, tids, tlps, emitted, self.presence,
              self.gen_counts) = _decode_slots_multi_jit(
                 self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
                 self.state, jnp.asarray(active_mask), budgets,
                 jnp.asarray(-1 if self.eos is None else self.eos, jnp.int32),
                 n, self._static_temp, None, sub, has_eos=self.eos is not None,
                 moe=self.moe, moe_capacity=self.moe_capacity,
-                want_lp=want_lp, gen_counts=self.gen_counts,
+                want_lp=want_lp, top_lp=top_lp, gen_counts=self.gen_counts,
                 decode_attn=self.decode_attn, tp=self._tp,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
@@ -1744,12 +1847,16 @@ class ContinuousBatcher:
             )
             toks, emitted = np.asarray(toks), np.asarray(emitted)
             lps = np.asarray(lps) if want_lp else None
+            tids = np.asarray(tids) if top_lp else None
+            tlps = np.asarray(tlps) if top_lp else None
             for i in range(n):
                 for s in range(self.slots):
                     if emitted[i, s]:
                         self.slot_out[s].append(int(toks[i, s]))
                         if self.slot_want_lp[s]:
                             self.slot_lp[s].append(float(lps[i, s]))
+                        if tids is not None:
+                            self._record_top(s, tids[i, s], tlps[i, s])
                         self.slot_budget[s] -= 1
             for s in range(self.slots):
                 if active_mask[s]:
@@ -1839,11 +1946,12 @@ class ContinuousBatcher:
         max_adv = jnp.asarray(max_adv_np)
         eos = None if self.eos is None else jnp.asarray(self.eos, jnp.int32)
         want_lp = self._any_want_lp()
-        self.state, ttoks, lps, adv, acc = _verify_slots_jit(
+        top_lp = self._top_lp_active()
+        self.state, ttoks, lps, tids, tlps, adv, acc = _verify_slots_jit(
             self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
             self.state, active, drafts, max_adv, eos,
             moe=self.moe, moe_capacity=self.moe_capacity, want_lp=want_lp,
-            decode_attn=self.decode_attn, tp=self._tp,
+            top_lp=top_lp, decode_attn=self.decode_attn, tp=self._tp,
             **allow_kw,
         )
         if self.draft_state is not None:
@@ -1852,6 +1960,8 @@ class ContinuousBatcher:
             )
         ttoks, adv, acc = np.asarray(ttoks), np.asarray(adv), np.asarray(acc)
         lps = np.asarray(lps) if want_lp else None
+        tids = np.asarray(tids) if top_lp else None
+        tlps = np.asarray(tlps) if top_lp else None
         for s in range(self.slots):
             if not active_mask[s]:
                 continue
@@ -1860,6 +1970,9 @@ class ContinuousBatcher:
             self.slot_out[s].extend(committed)
             if self.slot_want_lp[s]:
                 self.slot_lp[s].extend(float(x) for x in lps[s, :a])
+            if tids is not None:
+                for j in range(a):
+                    self._record_top(s, tids[s, j], tlps[s, j])
             self.slot_budget[s] -= a
             for t in committed:
                 self._advance_guide(s, t)

@@ -85,16 +85,18 @@ class QueueFull(RuntimeError):
 
 class _Request:
     __slots__ = ("rid", "prompt_len", "done", "tokens", "stream_q", "emitted",
-                 "holdback", "want_lp", "lp")
+                 "holdback", "want_lp", "lp", "top_k_lp", "top")
 
     def __init__(self, rid: int, prompt_len: int, streaming: bool,
-                 holdback: int = 0, want_lp: bool = False):
+                 holdback: int = 0, want_lp: bool = False, top_k_lp: int = 0):
         self.rid = rid
         self.prompt_len = prompt_len
         self.done = threading.Event()
         self.tokens: Optional[List[int]] = None  # full sequence when done
         self.want_lp = want_lp
         self.lp: Optional[List[float]] = None  # generated-token logprobs when done
+        self.top_k_lp = top_k_lp  # OpenAI top_logprobs k (0 = off)
+        self.top: Optional[List] = None  # [(ids, lps), ...] when done
         # streaming consumers read token-id deltas from this queue;
         # None terminates the stream
         self.stream_q: Optional[queue.Queue] = queue.Queue() if streaming else None
@@ -158,16 +160,18 @@ class InferenceServer:
                streaming: bool = False,
                sampling: Optional[Dict[str, float]] = None,
                stop: Optional[List[List[int]]] = None,
-               logprobs: bool = False, guide=None,
+               logprobs: bool = False, top_logprobs: int = 0, guide=None,
                logit_bias: Optional[Dict[int, float]] = None,
                min_tokens: int = 0) -> _Request:
         """`sampling` holds per-request overrides (temperature/top_k/
         top_p/min_p/repetition_penalty) forwarded to the batcher; needs
         a per_request_sampling batcher. `stop` is a list of token-id
         sequences ending generation (matched tokens excluded).
-        `logprobs` records each generated token's raw-model logprob.
-        `guide` is a models/guided.TokenGuide constraining output to a
-        grammar (see build_guide)."""
+        `logprobs` records each generated token's raw-model logprob;
+        `top_logprobs=k` also records the top-k raw-model alternatives
+        per position (implies logprobs). `guide` is a
+        models/guided.TokenGuide constraining output to a grammar (see
+        build_guide)."""
         # empty sequences can never match (the batcher drops them too);
         # dropping them HERE keeps the streaming holdback consistent
         # with what was actually submitted
@@ -187,12 +191,14 @@ class InferenceServer:
                     )
             rid = self.batcher.submit(ids, max_new_tokens=max_new_tokens,
                                       stop=stop, logprobs=logprobs,
+                                      top_logprobs=top_logprobs,
                                       guide=guide, logit_bias=logit_bias,
                                       min_tokens=min_tokens,
                                       **(sampling or {}))
             holdback = max((len(q) for q in stop), default=1) - 1 if stop else 0
             req = _Request(rid, int(ids.shape[0]), streaming, holdback=holdback,
-                           want_lp=logprobs)
+                           want_lp=logprobs or top_logprobs > 0,
+                           top_k_lp=int(top_logprobs))
             self._requests[rid] = req
             self._counters["requests_submitted"] += 1
             self._counters["prompt_tokens"] += int(ids.shape[0])
@@ -374,6 +380,8 @@ class InferenceServer:
                                 ],
                                 self.batcher.slot_lp[s][req.emitted:gen]
                                 if req.want_lp else None,
+                                self.batcher.slot_top[s][req.emitted:gen]
+                                if req.top_k_lp else None,
                             ))
                             req.emitted = gen
                 for rid, tokens in finished.items():
@@ -387,12 +395,15 @@ class InferenceServer:
                     req.tokens = tokens
                     if req.want_lp:
                         req.lp = self.batcher.logprobs.pop(rid, None)
+                    if req.top_k_lp:
+                        req.top = self.batcher.top_logprobs.pop(rid, None)
                     if req.stream_q is not None:
                         gen = len(tokens) - req.prompt_len
                         if gen > req.emitted:
                             req.stream_q.put((
                                 tokens[req.prompt_len + req.emitted : req.prompt_len + gen],
                                 req.lp[req.emitted:gen] if req.lp is not None else None,
+                                req.top[req.emitted:gen] if req.top is not None else None,
                             ))
                         req.stream_q.put(None)
                     req.done.set()
@@ -595,10 +606,29 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                 self._send_json(400, {"error": "logit_bias must map token "
                                       "ids to numbers; min_tokens an int"})
                 return
-            # OpenAI legacy completions use an int here (top-N alts);
-            # we return the chosen token's raw-model logprob for any
-            # truthy value (no top-N alternatives)
-            want_lp = bool(body.get("logprobs"))
+            # OpenAI logprobs, both API shapes: legacy completions take
+            # an int N here (chosen-token logprob + top-N alternatives
+            # per position); chat takes logprobs: true plus
+            # top_logprobs: N. Either shape works on either route.
+            raw_lp = body.get("logprobs")
+            top_k_lp = 0
+            try:
+                if isinstance(raw_lp, bool) or raw_lp is None:
+                    want_lp = bool(raw_lp)
+                else:
+                    top_k_lp = int(raw_lp)
+                    want_lp = True
+                top_k_lp = max(top_k_lp, int(body.get("top_logprobs") or 0))
+            except (TypeError, ValueError):
+                self._send_json(400, {"error": "logprobs must be a bool or "
+                                      "an int; top_logprobs an int"})
+                return
+            from modegpt_tpu.models.serving import TOP_LP_K
+
+            if not 0 <= top_k_lp <= TOP_LP_K:
+                self._send_json(400, {"error": f"top_logprobs must be in "
+                                      f"[0, {TOP_LP_K}], got {top_k_lp}"})
+                return
             # guided decoding (regex / choice / JSON): grammar errors
             # and unsupported combinations are client errors
             try:
@@ -613,6 +643,7 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                         server.submit(ids, max_new_tokens=max_tokens,
                                       streaming=stream, sampling=sampling,
                                       stop=stop or None, logprobs=want_lp,
+                                      top_logprobs=top_k_lp,
                                       guide=guide, logit_bias=logit_bias,
                                       min_tokens=min_tokens)
                     )
@@ -648,7 +679,36 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                     choice = {"index": i, "text": text, "token_ids": new,
                               "finish_reason": "stop"}
                 if req.want_lp:
-                    choice["logprobs"] = {"token_logprobs": req.lp}
+                    tok_s = (
+                        (lambda t: server.tokenizer.decode([t]))
+                        if server.tokenizer else str
+                    )
+                    if is_chat:
+                        # OpenAI chat shape: logprobs.content[] entries
+                        content_lp = []
+                        for j, t in enumerate(new):
+                            entry = {"token": tok_s(t),
+                                     "logprob": req.lp[j]}
+                            if req.top is not None:
+                                ids_j, lps_j = req.top[j]
+                                entry["top_logprobs"] = [
+                                    {"token": tok_s(ti), "token_id": ti,
+                                     "logprob": lj}
+                                    for ti, lj in zip(ids_j, lps_j)
+                                ]
+                            content_lp.append(entry)
+                        choice["logprobs"] = {"content": content_lp}
+                    else:
+                        # OpenAI legacy completions shape
+                        lpd = {"token_logprobs": req.lp,
+                               "tokens": [tok_s(t) for t in new]}
+                        if req.top is not None:
+                            lpd["top_logprobs"] = [
+                                {tok_s(ti): lj
+                                 for ti, lj in zip(ids_j, lps_j)}
+                                for ids_j, lps_j in req.top
+                            ]
+                        choice["logprobs"] = lpd
                 choices.append(choice)
             self._send_json(
                 200,
@@ -712,7 +772,7 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                         if delta is None:
                             del live[i]
                             continue
-                        delta, lps = delta
+                        delta, lps, tops = delta
                         sent_tokens[i].extend(delta)
                         text_delta = None
                         if server.tokenizer is not None:
@@ -730,12 +790,19 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                             }
                             if lps is not None:
                                 event["choices"][0]["logprobs"] = lps
+                            if tops is not None:
+                                # raw (ids, lps) pairs, token-id level
+                                # like token_ids (non-stream responses
+                                # carry the OpenAI-shaped form)
+                                event["choices"][0]["top_logprobs"] = tops
                         else:
                             event = {"id": f"cmpl-{rid0}", "token_ids": delta}
                             if multi:
                                 event["index"] = i
                             if lps is not None:
                                 event["logprobs"] = lps
+                            if tops is not None:
+                                event["top_logprobs"] = tops
                             if text_delta is not None:
                                 event["text"] = text_delta
                         chunk(b"data: " + _json_bytes(event) + b"\n\n")

@@ -114,7 +114,7 @@ def main():
 
         def per_slot(state):
             for s in range(SLOTS):
-                state, _ = _prefill_chunk_jit(
+                state, _, _, _ = _prefill_chunk_jit(
                     pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
                     jnp.asarray(s, jnp.int32), jnp.asarray(padded[s : s + 1]),
                     jnp.asarray(0, jnp.int32), jnp.asarray(24, jnp.int32),
@@ -123,7 +123,7 @@ def main():
             return state
 
         def batched(state):
-            state, _, _, _, _ = _prefill_slots_jit(
+            state, _, _, _, _, _, _ = _prefill_slots_jit(
                 pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
                 jnp.asarray(padded), jnp.zeros((SLOTS,), jnp.int32),
                 jnp.full((SLOTS,), 24, jnp.int32), jnp.ones((SLOTS,), bool),
@@ -158,7 +158,7 @@ def main():
     DECODE_ATTN = os.environ.get("MODEGPT_DECODE_ATTN", "xla")
 
     def step(state):
-        st, toks, _, _, _ = _decode_slots_jit(
+        st, toks, _, _, _, _, _ = _decode_slots_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active, 0.0, None, key,
             decode_attn=DECODE_ATTN,
         )
@@ -193,7 +193,7 @@ def main():
     eos = jnp.asarray(-1, jnp.int32)
 
     def multi(state):
-        st, toks, _, emitted, _, _ = _decode_slots_multi_jit(
+        st, toks, _, _, _, emitted, _, _ = _decode_slots_multi_jit(
             pm.spec, pm.layers, pm.other, pm.q_hd_true, state, active,
             budgets, eos, MULTI, 0.0, None, key, decode_attn=DECODE_ATTN,
         )

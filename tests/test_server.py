@@ -380,6 +380,79 @@ def test_http_logprobs(rng):
         srv.close()
 
 
+def test_http_top_logprobs(rng):
+    """OpenAI top-logprob alternatives over HTTP: legacy completions
+    `logprobs: N` returns top-N dicts per position (chosen token always
+    among them, rows sorted descending); chat `logprobs: true,
+    top_logprobs: N` returns the chat `content` shape; out-of-range N
+    is a 400."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=None, model_id="toplp")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        prompt = rng.integers(1, spec.vocab_size, size=(5,)).tolist()
+        status, data = _post(port, "/v1/completions",
+                             {"prompt_ids": prompt, "max_tokens": 5,
+                              "logprobs": 3})
+        assert status == 200
+        ch = json.loads(data)["choices"][0]
+        lpd = ch["logprobs"]
+        assert len(lpd["token_logprobs"]) == 5
+        assert len(lpd["top_logprobs"]) == 5
+        for j, row in enumerate(lpd["top_logprobs"]):
+            assert len(row) == 3
+            vals = sorted(row.values(), reverse=True)
+            assert vals == sorted(row.values(), reverse=True)
+            # greedy decode: the chosen token is the argmax -> its
+            # (stringified) id heads the row and matches token_logprobs
+            assert str(ch["token_ids"][j]) in row
+            assert row[str(ch["token_ids"][j])] == pytest.approx(
+                lpd["token_logprobs"][j], abs=1e-6
+            )
+            assert max(row.values()) == pytest.approx(
+                lpd["token_logprobs"][j], abs=1e-6
+            )
+
+        status, _ = _post(port, "/v1/completions",
+                          {"prompt_ids": prompt, "max_tokens": 2,
+                           "logprobs": 50})
+        assert status == 400
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+    # chat shape (logprobs: true + top_logprobs: N) needs a tokenizer
+    tokenizer = _tiny_tokenizer()
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=tokenizer, model_id="toplp-chat")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        status, data = _post(port, "/v1/chat/completions",
+                             {"messages": [{"role": "user",
+                                            "content": "hello there"}],
+                              "max_tokens": 4,
+                              "logprobs": True, "top_logprobs": 2})
+        assert status == 200
+        chc = json.loads(data)["choices"][0]
+        content = chc["logprobs"]["content"]
+        assert len(content) == 4
+        for entry in content:
+            assert len(entry["top_logprobs"]) == 2
+            # greedy: the chosen token is the distribution's argmax
+            assert entry["top_logprobs"][0]["logprob"] == pytest.approx(
+                entry["logprob"], abs=1e-6
+            )
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
 def _tiny_tokenizer(vocab_size=100):
     """From-scratch whitespace-BPE tokenizer (no network), ids < the
     tiny llama's 128-token vocab; no chat template -> exercises the

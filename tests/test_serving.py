@@ -828,6 +828,69 @@ def test_logprobs_match_forward_log_softmax(rng):
     np.testing.assert_allclose(b.logprobs[rid], want[:4], atol=2e-4)
 
 
+def test_top_logprobs_match_forward(rng):
+    """`top_logprobs=k` records the top-k raw-model (token, logprob)
+    alternatives per generated position — equal to sorting the forward
+    log_softmax — across plain, mixed batched-prefill, fused, and
+    speculative modes; a batch-mate without the flag is untouched and
+    stop truncation trims the list in lockstep."""
+    import jax.nn
+    import jax.numpy as jnp
+
+    from modegpt_tpu.models import forward
+
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompt = rng.integers(1, spec.vocab_size, size=(5,)).astype(np.int32)
+    n_new, k = 7, 4
+    full = np.asarray(
+        generate(spec, params, prompt[None], max_new_tokens=n_new, temperature=0.0)
+    )[0].tolist()
+    lgs, _ = forward(spec, params, np.asarray(full, np.int32)[None])
+    lp_ref = np.asarray(
+        jax.nn.log_softmax(jnp.asarray(lgs[0], jnp.float32), axis=-1)
+    )
+
+    def want_row(pos):  # top-k of the distribution that produced full[pos]
+        row = lp_ref[pos - 1]
+        ids = np.argsort(-row)[:k]
+        return ids.tolist(), row[ids].tolist()
+
+    modes = [
+        dict(),
+        dict(prefill_exec="batched"),  # mixed rounds
+        dict(steps_per_dispatch=3),
+        dict(spec_decode="prompt_lookup", n_draft=3),
+    ]
+    for kw in modes:
+        b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16, **kw)
+        rid = b.submit(prompt, max_new_tokens=n_new, top_logprobs=k)
+        rid2 = b.submit(prompt, max_new_tokens=n_new)
+        out = b.run()
+        assert out[rid] == full and out[rid2] == full, kw
+        assert rid2 not in b.top_logprobs
+        got = b.top_logprobs[rid]
+        assert len(got) == n_new, kw
+        # top_logprobs implies chosen-logprob recording too
+        assert len(b.logprobs[rid]) == n_new, kw
+        for j in range(n_new):
+            w_ids, w_lps = want_row(len(prompt) + j)
+            g_ids, g_lps = got[j]
+            assert g_ids == w_ids, (kw, j)
+            np.testing.assert_allclose(g_lps, w_lps, atol=2e-4)
+
+    with pytest.raises(ValueError, match="top_logprobs"):
+        b.submit(prompt, max_new_tokens=2, top_logprobs=99)
+
+    # stop truncation trims top rows in lockstep with tokens/logprobs
+    gen = full[len(prompt):]
+    b = ContinuousBatcher(pm, slots=1, max_len=64, prefill_bucket=16)
+    rid = b.submit(prompt, max_new_tokens=n_new, top_logprobs=k,
+                   stop=[gen[3:5]])
+    assert b.run()[rid] == full[: len(prompt) + 3]
+    assert len(b.top_logprobs[rid]) == 3
+
+
 # ---------------------------------------------------------------------------
 # logit_bias / min_tokens
 # ---------------------------------------------------------------------------
