@@ -80,8 +80,38 @@ def _norm(x, p, kind: str, eps: float):
     return out * p["scale"] + p["bias"]
 
 
+def _act_quant(x):
+    """Dynamic symmetric per-token int8 quantization of the LAST axis:
+    x [..., d] -> (codes int8 [..., d], scale f32 [..., 1]). max|code| is
+    127 by construction (the clip only guards f32 division rounding)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _dot_w8a8(x, kq, wscale):
+    """W8A8 matmul: int8 activations x int8 weights -> int32 on the MXU
+    (2x the bf16 peak on v5e), rescaled by (per-token act scale) x
+    (per-out-channel weight scale). Used on compute-bound paths (serving
+    prefill); decode stays weight-only int8 (memory-bound — the win
+    there is the halved weight read, which both modes share)."""
+    xq, xs = _act_quant(x)
+    acc = lax.dot_general(
+        xq, kq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * xs * wscale.astype(jnp.float32)).astype(x.dtype)
+
+
 def _linear(x, p):
-    if "kernel_q" in p:
+    if "kernel_qa" in p:
+        # W8A8 execution view (quantize.with_act_quant): same resident
+        # int8 codes as the weight-only path, but the activation is
+        # dynamically quantized per token and the dot runs int8 x int8.
+        y = _dot_w8a8(x, p["kernel_qa"], p["scale"])
+    elif "kernel_q" in p:
         # int8-resident weights: the convert fuses into the dot's operand
         # read (weight HBM traffic stays int8 — decode is memory-bound),
         # and the symmetric per-out-channel scale applies to the OUTPUT,
@@ -189,19 +219,26 @@ def _moe_mlp(spec: ModelSpec, p: Dict, x: jax.Array, collect: bool):
     hot = jax.nn.one_hot(idx, E, dtype=jnp.float32)  # [B, T, k, E]
     w_full = jnp.einsum("btke,btk->bte", hot, w).astype(x.dtype)  # 0 or renormalised weight
 
-    def expert_mm(xx, ep, eq):  # [.., d] x [E, d, f] (+ per-channel scales)
+    def expert_mm(xx, ep, eq, xs_expand=False):  # [.., d] x [E, d, f]
+        if "kernel_qa" in ep:
+            # W8A8: per-token act scale broadcasts onto the einsum output
+            # (xs_expand adds the new expert axis for btd->btef outputs).
+            xq, xs = _act_quant(xx)
+            out = jnp.einsum(eq, xq, ep["kernel_qa"], preferred_element_type=jnp.int32)
+            s = xs[..., None] if xs_expand else xs
+            return (out.astype(jnp.float32) * s
+                    * ep["scale"].astype(jnp.float32)).astype(xx.dtype)
         if "kernel_q" in ep:
             out = jnp.einsum(eq, xx, ep["kernel_q"].astype(xx.dtype))
             return out * ep["scale"].astype(xx.dtype)
         return jnp.einsum(eq, xx, ep["kernel"])
 
-    g = expert_mm(x, p["experts"]["gate"], "btd,edf->btef")
-    u = expert_mm(x, p["experts"]["up"], "btd,edf->btef")
+    g = expert_mm(x, p["experts"]["gate"], "btd,edf->btef", xs_expand=True)
+    u = expert_mm(x, p["experts"]["up"], "btd,edf->btef", xs_expand=True)
     h = _act(g, spec.act) * u  # [B, T, E, D]
     down = p["experts"]["down"]
-    if "kernel_q" in down:
-        y_e = jnp.einsum("btef,efd->bted", h, down["kernel_q"].astype(h.dtype))
-        y_e = y_e * down["scale"].astype(h.dtype)
+    if "kernel_qa" in down or "kernel_q" in down:
+        y_e = expert_mm(h, down, "btef,efd->bted")
         y = jnp.einsum("bted,bte->btd", y_e, w_full)
     else:
         y = jnp.einsum("btef,efd,bte->btd", h, down["kernel"], w_full)
@@ -317,6 +354,15 @@ def _moe_mlp_dispatch(
     buf = buf.at[sorted_e, slot].add(vals)
 
     def expert_mm(xx, ep, eq):
+        if "kernel_qa" in ep:
+            # W8A8: xx is [E, C, d] so the per-token act scale [E, C, 1]
+            # broadcasts directly onto the [E, C, f] output.
+            xq, xs = _act_quant(xx)
+            out = jnp.einsum(eq, xq, ep["kernel_qa"], preferred_element_type=jnp.int32)
+            scale = ep["scale"]
+            scale = scale[:, None, :] if scale.ndim == 2 else scale
+            return (out.astype(jnp.float32) * xs
+                    * scale.astype(jnp.float32)).astype(xx.dtype)
         if "kernel_q" in ep:
             # int8/int4 scales: per-(expert, out-channel) [E, f] from the
             # in-memory quantizer, or flat [f] from older artifacts —

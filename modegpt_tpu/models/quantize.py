@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from modegpt_tpu.models.padded import PaddedModel
 
-__all__ = ["quantize_linear", "quantize_params", "quantize_padded"]
+__all__ = [
+    "quantize_linear",
+    "quantize_params",
+    "quantize_padded",
+    "with_act_quant",
+]
 
 
 def quantize_linear(p: Dict) -> Dict:
@@ -75,3 +80,51 @@ def quantize_padded(pm: PaddedModel) -> PaddedModel:
     if pm.other.get("lm_head") is not None:
         other["lm_head"] = quantize_linear(pm.other["lm_head"])
     return PaddedModel(spec=pm.spec, layers=layers, other=other, q_hd_true=pm.q_hd_true)
+
+
+def _qa_view_linear(p: Dict) -> Dict:
+    # Rename kernel_q -> kernel_qa; the int8 codes array is SHARED, only
+    # the pytree structure (and thus the compiled program) changes. int4
+    # codes stay weight-only: the MXU has no int4 x int8 dot.
+    if "kernel_q" in p and p["kernel_q"].dtype == jnp.int8:
+        q = {k: v for k, v in p.items() if k != "kernel_q"}
+        q["kernel_qa"] = p["kernel_q"]
+        return q
+    return p
+
+
+def _qa_view_layer(lp: Dict) -> Dict:
+    out = {}
+    for name, sub in lp.items():
+        if name in ("q", "k", "v", "o", "up", "gate", "down"):
+            out[name] = _qa_view_linear(sub)
+        elif name in ("experts", "shared"):
+            out[name] = {k: _qa_view_linear(v) for k, v in sub.items()}
+        else:
+            out[name] = sub
+    return out
+
+
+def with_act_quant(pm):
+    """W8A8 execution VIEW of an int8-quantized model: every projection's
+    codes are re-keyed ``kernel_q`` -> ``kernel_qa`` so ``forward._linear``
+    dynamically quantizes the activation per token and runs the dot
+    int8 x int8 -> int32 on the MXU (2x the bf16 peak on v5e — the win on
+    COMPUTE-bound paths, i.e. prefill; decode is memory-bound and keeps
+    the weight-only program). Zero-copy: both views share the resident
+    int8 buffers, they just compile to different programs. lm_head stays
+    weight-only (the logit matmul is the most quantization-sensitive).
+
+    Accepts a PaddedModel or a plain params pytree; non-int8 (int4/bf16)
+    projections pass through unchanged.
+    """
+    if isinstance(pm, PaddedModel):
+        return PaddedModel(
+            spec=pm.spec,
+            layers=_qa_view_layer(pm.layers),
+            other=pm.other,
+            q_hd_true=pm.q_hd_true,
+        )
+    out = dict(pm)
+    out["layers"] = [_qa_view_layer(lp) for lp in pm["layers"]]
+    return out

@@ -803,7 +803,8 @@ class ContinuousBatcher:
                  mesh=None, prefix_cache: bool = False,
                  per_request_sampling: bool = False,
                  decode_attn: str = "auto",
-                 mixed_prefill_decode: bool = True):
+                 mixed_prefill_decode: bool = True,
+                 a8_prefill: bool = False):
         self.pm = pm
         self.slots = slots
         self.max_len = max_len
@@ -957,6 +958,27 @@ class ContinuousBatcher:
                 self.draft_pm, self.draft_state = shard_serving(
                     mesh, self.draft_pm, self.draft_state
                 )
+        # W8A8 prefill: a zero-copy execution VIEW of the int8 model
+        # whose projections re-key kernel_q -> kernel_qa, compiling the
+        # prefill programs to dynamic-per-token-int8 activations and
+        # int8 x int8 -> int32 MXU dots (2x the bf16 peak on v5e).
+        # Prefill is the compute-bound half of serving; decode keeps the
+        # weight-only program (memory-bound — both modes already share
+        # the halved weight read). Under mixed_prefill_decode the
+        # piggybacked decode rows inside a prefill dispatch execute W8A8
+        # too — an explicit part of this opt-in's quality contract.
+        # Identity on unquantized models (no kernel_q keys to re-key).
+        self.a8_prefill = bool(a8_prefill)
+        if self.a8_prefill:
+            from modegpt_tpu.models.quantize import with_act_quant
+
+            self.pm_pf = with_act_quant(self.pm)
+            self.draft_pm_pf = (
+                with_act_quant(self.draft_pm) if draft_pm is not None else None
+            )
+        else:
+            self.pm_pf = self.pm
+            self.draft_pm_pf = self.draft_pm if draft_pm is not None else None
         # ragged decode under TP needs the mesh at trace time: the
         # Pallas kernel is opaque to GSPMD, so _layer_padded wraps it in
         # shard_map over the "model" axis (head-local — no collectives
@@ -1544,8 +1566,8 @@ class ContinuousBatcher:
             top_lp = self._top_lp_active()
             (self.state, nxt, lps, tids, tlps, self.presence,
              self.gen_counts) = _prefill_slots_jit(
-                self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
-                self.state, *args, self._static_temp, sub,
+                self.pm_pf.spec, self.pm_pf.layers, self.pm_pf.other,
+                self.pm_pf.q_hd_true, self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, top_lp=top_lp,
                 decode_attn=self.decode_attn, tp=self._tp,
@@ -1559,8 +1581,9 @@ class ContinuousBatcher:
                 # so the draft's own commits are suppressed and its
                 # last_token copies the target's for committed slots
                 self.draft_state, _, _, _, _, _, _ = _prefill_slots_jit(
-                    self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
-                    self.draft_pm.q_hd_true, self.draft_state, args[0], args[1],
+                    self.draft_pm_pf.spec, self.draft_pm_pf.layers,
+                    self.draft_pm_pf.other,
+                    self.draft_pm_pf.q_hd_true, self.draft_state, args[0], args[1],
                     args[2], jnp.zeros((self.slots,), bool), args[4],
                     self.temperature, sub, moe=self.moe, moe_capacity=self.moe_capacity,
                     decode_attn=self.decode_attn, tp=self._tp,
@@ -1625,8 +1648,8 @@ class ContinuousBatcher:
             top_lp = self._top_lp_active()
             (self.state, nxt, lps, tids, tlps, self.presence,
              self.gen_counts) = _prefill_slots_jit(
-                self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
-                self.state,
+                self.pm_pf.spec, self.pm_pf.layers, self.pm_pf.other,
+                self.pm_pf.q_hd_true, self.state,
                 jnp.asarray(chunks), jnp.asarray(pos0), jnp.asarray(real),
                 jnp.asarray(commit), jnp.asarray(mask),
                 self._static_temp, sub,
@@ -1680,7 +1703,8 @@ class ContinuousBatcher:
                 padded[0, :real] = piece
                 key, sub = jax.random.split(key)
                 self.state, lp, tids, tlps = _prefill_chunk_jit(
-                    self.pm.spec, self.pm.layers, self.pm.other, self.pm.q_hd_true,
+                    self.pm_pf.spec, self.pm_pf.layers, self.pm_pf.other,
+                    self.pm_pf.q_hd_true,
                     self.state, jnp.asarray(s, jnp.int32), jnp.asarray(padded),
                     jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                     jnp.asarray(is_last), self._static_temp, sub,
@@ -1696,8 +1720,9 @@ class ContinuousBatcher:
                     # mirror the chunk into the draft pool (its own sampled
                     # commit is discarded — the TARGET decides tokens)
                     self.draft_state, _, _, _ = _prefill_chunk_jit(
-                        self.draft_pm.spec, self.draft_pm.layers, self.draft_pm.other,
-                        self.draft_pm.q_hd_true, self.draft_state,
+                        self.draft_pm_pf.spec, self.draft_pm_pf.layers,
+                        self.draft_pm_pf.other,
+                        self.draft_pm_pf.q_hd_true, self.draft_state,
                         jnp.asarray(s, jnp.int32), jnp.asarray(padded),
                         jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                         jnp.asarray(False), self.temperature, sub,

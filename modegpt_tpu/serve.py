@@ -89,6 +89,12 @@ def main(argv=None):
         "under --moe_exec dispatch, where expert capacity pools across "
         "admitting slots",
     )
+    parser.add_argument(
+        "--a8_prefill", action="store_true",
+        help="with --quantize_int8: run prefill W8A8 (dynamic per-token "
+        "int8 activations, int8 x int8 MXU dots — 2x the bf16 peak on "
+        "v5e). Decode stays weight-only int8.",
+    )
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -137,6 +143,7 @@ def main(argv=None):
         n_draft=args.n_draft, lookup_ngram=args.lookup_ngram, draft_pm=draft_pm,
         kv_dtype=args.kv_dtype, steps_per_dispatch=args.steps_per_dispatch,
         prefill_exec=args.prefill_exec, prefix_cache=args.prefix_cache,
+        a8_prefill=args.a8_prefill,
     )
     rid_to_idx = {}
     prompt_lens = {}

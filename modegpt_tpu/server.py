@@ -851,6 +851,10 @@ def main(argv=None):
                         "--no-per_request_sampling bakes the server-level knobs "
                         "into the programs and rejects per-request fields")
     parser.add_argument("--quantize_int8", action="store_true")
+    parser.add_argument("--a8_prefill", action="store_true",
+                        help="with --quantize_int8: W8A8 prefill (dynamic "
+                        "per-token int8 activations, int8 x int8 MXU dots — "
+                        "2x the bf16 peak on v5e); decode stays weight-only")
     parser.add_argument("--kv_dtype", choices=("model", "int8"), default="model")
     parser.add_argument("--moe_exec", choices=("dense", "dispatch"), default="dense")
     parser.add_argument("--moe_capacity", type=float, default=2.0)
@@ -930,6 +934,7 @@ def main(argv=None):
         prefix_cache=args.prefix_cache,
         per_request_sampling=args.per_request_sampling,
         decode_attn=args.decode_attn, mesh=mesh,
+        a8_prefill=args.a8_prefill,
     )
     server = InferenceServer(batcher, tokenizer=tokenizer, model_id=args.model,
                              max_queue=args.max_queue)
