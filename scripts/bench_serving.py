@@ -78,6 +78,18 @@ def main():
 
         pm = quantize_padded(pm)
         log("int8-resident weights")
+    # W8A8 prefill view: same int8 buffers, prefill programs compile to
+    # int8 x int8 -> int32 MXU dots (2x bf16 peak on v5e). Only the
+    # prefill-burst section consumes it (prefill is the compute-bound
+    # half; decode is memory-bound and keeps weight-only).
+    A8 = bool(os.environ.get("MODEGPT_SERVE_A8"))
+    if A8:
+        from modegpt_tpu.models.quantize import with_act_quant
+
+        pm_pf = with_act_quant(pm)
+        log("W8A8 prefill view")
+    else:
+        pm_pf = pm
     KV = "int8" if os.environ.get("MODEGPT_SERVE_KV_INT8") else "model"
     state = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16, kv_dtype=KV)
     rng = np.random.default_rng(0)
@@ -107,26 +119,27 @@ def main():
     if os.environ.get("MODEGPT_SERVE_PREFILL"):
         from modegpt_tpu.models.serving import _prefill_chunk_jit, _prefill_slots_jit
 
-        BUCKET = 32
-        prompts = rng.integers(1, V, size=(SLOTS, 24)).astype(np.int32)
+        PLEN = int(os.environ.get("MODEGPT_SERVE_PROMPT", "24"))
+        BUCKET = max(32, -(-PLEN // 32) * 32)
+        prompts = rng.integers(1, V, size=(SLOTS, PLEN)).astype(np.int32)
         padded = np.zeros((SLOTS, BUCKET), np.int32)
-        padded[:, :24] = prompts
+        padded[:, :PLEN] = prompts
 
         def per_slot(state):
             for s in range(SLOTS):
                 state, _, _, _ = _prefill_chunk_jit(
-                    pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
+                    pm_pf.spec, pm_pf.layers, pm_pf.other, pm_pf.q_hd_true, state,
                     jnp.asarray(s, jnp.int32), jnp.asarray(padded[s : s + 1]),
-                    jnp.asarray(0, jnp.int32), jnp.asarray(24, jnp.int32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(PLEN, jnp.int32),
                     jnp.asarray(True), 0.0, key,
                 )
             return state
 
         def batched(state):
             state, _, _, _, _, _, _ = _prefill_slots_jit(
-                pm.spec, pm.layers, pm.other, pm.q_hd_true, state,
+                pm_pf.spec, pm_pf.layers, pm_pf.other, pm_pf.q_hd_true, state,
                 jnp.asarray(padded), jnp.zeros((SLOTS,), jnp.int32),
-                jnp.full((SLOTS,), 24, jnp.int32), jnp.ones((SLOTS,), bool),
+                jnp.full((SLOTS,), PLEN, jnp.int32), jnp.ones((SLOTS,), bool),
                 jnp.ones((SLOTS,), bool), 0.0, key,
             )
             return state
@@ -148,7 +161,9 @@ def main():
         print(json.dumps({
             "prefill_burst_per_slot_ms": round(times["per_slot"] * 1e3, 2),
             "prefill_burst_batched_ms": round(times["batched"] * 1e3, 2),
-            "slots": SLOTS, "prompt_tokens": 24, "bucket": BUCKET,
+            "slots": SLOTS, "prompt_tokens": PLEN, "bucket": BUCKET,
+            "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
+            "a8_prefill": A8,
         }))
         return
 

@@ -71,6 +71,34 @@ MODEGPT_SERVE_STEPS=64 MODEGPT_SERVE_MULTI=16 MODEGPT_SERVE_SKIP_EVAL=1"
   done
 }
 
+# Prefill W8A8 A/B (scripts/bench_serving.py prefill-burst section):
+# bf16 vs int8 weight-only vs int8+W8A8 at a compute-bound shape
+# (64 slots x 256-token prompts, 0.5B model). The int8 x int8 MXU runs
+# at 2x the bf16 peak on v5e, so the batched burst should show up to
+# ~2x vs bf16 once compute-bound.
+prefill_a8() {
+  mkdir -p bench_results/r03/prefill_a8
+  local common="MODEGPT_SERVE_PREFILL=1 MODEGPT_SERVE_SLOTS=64 \
+MODEGPT_SERVE_PROMPT=256 MODEGPT_SERVE_MAXLEN=1024"
+  for cfg in \
+      "bf16:" \
+      "int8:MODEGPT_SERVE_INT8=1" \
+      "w8a8:MODEGPT_SERVE_INT8=1 MODEGPT_SERVE_A8=1"; do
+    local name="${cfg%%:*}" extra="${cfg#*:}"
+    local out="bench_results/r03/prefill_a8/${name}.json"
+    local log="/tmp/bench_a8_${name}.log"
+    echo "=== prefill A/B ${name}"
+    env ${common} ${extra} \
+      timeout 2400 python scripts/bench_serving.py > "${log}" 2>&1
+    if [ $? -eq 0 ] && grep -q prefill_burst_batched_ms "${log}"; then
+      grep prefill_burst_batched_ms "${log}" | tail -1 > "${out}"
+      echo "captured: $(cat "${out}")"
+    else
+      echo "FAILED; tail of ${log}:"; tail -5 "${log}"
+    fi
+  done
+}
+
 # Serving LOAD benchmark (scripts/bench_serving_load.py): Poisson
 # arrivals through the real scheduler — TTFT/TPOT percentiles +
 # sustained throughput. A/B: mixed prefill+decode rounds (decode
@@ -111,6 +139,7 @@ if [ $# -gt 0 ]; then
       moe8) run_one moe8 14000 ;;
       serving_ab) serving_ab ;;
       serving_load) serving_load ;;
+      prefill_a8) prefill_a8 ;;
       *) echo "unknown preset $p"; exit 2 ;;
     esac
   done
