@@ -207,21 +207,38 @@ def shard_serving(mesh: Mesh, pm, state):
     bias_col = NamedSharding(mesh, P(None, "model"))
     ep = NamedSharding(mesh, P(None, "model", None, None))  # [L, E, ., .]
 
+    ep_scale = NamedSharding(mesh, P(None, "model", None))  # [L, E, out]
+
+    def lin(sub, ker, sc, b):
+        # Works for plain ({kernel}), weight-only int8 ({kernel_q, scale})
+        # and W8A8-view ({kernel_qa, scale}) linears: codes shard like the
+        # kernel they replace; the per-out-channel scale follows the OUT
+        # axis (sharded for column-parallel, replicated for row-parallel).
+        out = {}
+        for k in sub:
+            if k in ("kernel", "kernel_q", "kernel_qa"):
+                out[k] = ker
+            elif k == "scale":
+                out[k] = sc
+            elif k == "bias":
+                out[k] = b
+            else:
+                out[k] = rep
+        return out
+
     def leaf(name, sub):
         if name in ("q", "k", "v", "up", "gate"):
-            out = {"kernel": col}
-            if "bias" in sub:
-                out["bias"] = bias_col
-            return out
+            return lin(sub, col, bias_col, bias_col)
         if name in ("o", "down"):
-            out = {"kernel": row}
-            if "bias" in sub:
-                out["bias"] = rep
-            return out
+            return lin(sub, row, rep, rep)
         if name == "experts" and spec.n_experts % n_model == 0:
-            return {k: {"kernel": ep} for k in sub}
+            return {k: lin(v, ep, ep_scale, rep) for k, v in sub.items()}
         if name == "shared":
-            return {"gate": {"kernel": col}, "up": {"kernel": col}, "down": {"kernel": row}}
+            return {
+                "gate": lin(sub["gate"], col, bias_col, bias_col),
+                "up": lin(sub["up"], col, bias_col, bias_col),
+                "down": lin(sub["down"], row, rep, rep),
+            }
         return jax.tree_util.tree_map(lambda _: rep, sub)
 
     layer_sh = {name: leaf(name, sub) for name, sub in pm.layers.items()}

@@ -189,3 +189,54 @@ def test_serving_a8_prefill_quantized_generates():
     base = _run_batcher(pm, prompts, a8=False)
     agree = sum(o[len(p)] == b[len(p)] for p, o, b in zip(prompts, outs, base))
     assert agree >= 2, (outs, base)
+
+
+def test_serving_a8_prefill_tp_mesh_matches_single_device():
+    """W8A8 prefill under tensor parallelism: the int8 x int8 dots ride
+    the same Megatron shardings (GSPMD partitions the int8 dot_general
+    like any other); a 4x2 virtual-mesh batcher must emit the same
+    greedy tokens as the single-device W8A8 batcher."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("data", "model"))
+
+    spec = _tiny_spec()
+    params = init_params(spec, jax.random.key(10))
+    from modegpt_tpu.models.padded import pad_to_uniform
+
+    pm = quantize_padded(pad_to_uniform(spec, params))
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(0, spec.vocab_size, n).tolist() for n in (5, 17)]
+    ref = _run_batcher(pm, prompts, a8=True)
+    got = _run_batcher(pm, prompts, a8=True, mesh=mesh)
+    for a, b in zip(ref, got):
+        assert a == b
+
+
+def test_serving_int8_tp_mesh_matches_single_device():
+    """Weight-only int8 under TP (regression: shard_serving used to
+    build its sharding tree with plain `kernel` keys and crashed on
+    quantized models)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.asarray(devs[:8]).reshape(4, 2), ("data", "model"))
+
+    spec = _tiny_spec()
+    params = init_params(spec, jax.random.key(12))
+    from modegpt_tpu.models.padded import pad_to_uniform
+
+    pm = quantize_padded(pad_to_uniform(spec, params))
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, spec.vocab_size, n).tolist() for n in (6, 14)]
+    ref = _run_batcher(pm, prompts, a8=False)
+    got = _run_batcher(pm, prompts, a8=False, mesh=mesh)
+    for a, b in zip(ref, got):
+        assert a == b
