@@ -703,11 +703,19 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                         lpd = {"token_logprobs": req.lp,
                                "tokens": [tok_s(t) for t in new]}
                         if req.top is not None:
-                            lpd["top_logprobs"] = [
-                                {tok_s(ti): lj
-                                 for ti, lj in zip(ids_j, lps_j)}
-                                for ids_j, lps_j in req.top
-                            ]
+                            # the legacy dict is keyed by decoded text;
+                            # distinct ids can decode to the same string
+                            # (byte-fallback pieces) — keep the highest
+                            # logprob rather than last-write-wins
+                            rows = []
+                            for ids_j, lps_j in req.top:
+                                row: Dict[str, float] = {}
+                                for ti, lj in zip(ids_j, lps_j):
+                                    s = tok_s(ti)
+                                    if s not in row or lj > row[s]:
+                                        row[s] = lj
+                                rows.append(row)
+                            lpd["top_logprobs"] = rows
                         choice["logprobs"] = lpd
                 choices.append(choice)
             self._send_json(
@@ -789,12 +797,27 @@ def make_http_server(server: InferenceServer, host: str = "127.0.0.1",
                                              "token_ids": delta}],
                             }
                             if lps is not None:
-                                event["choices"][0]["logprobs"] = lps
-                            if tops is not None:
-                                # raw (ids, lps) pairs, token-id level
-                                # like token_ids (non-stream responses
-                                # carry the OpenAI-shaped form)
-                                event["choices"][0]["top_logprobs"] = tops
+                                # OpenAI chat shape, same as non-stream:
+                                # logprobs.content[] entries per token
+                                tok_s = (
+                                    (lambda t: server.tokenizer.decode([t]))
+                                    if server.tokenizer else str
+                                )
+                                content_lp = []
+                                for j, t in enumerate(delta):
+                                    entry = {"token": tok_s(t),
+                                             "logprob": lps[j]}
+                                    if tops is not None:
+                                        ids_j, lps_j = tops[j]
+                                        entry["top_logprobs"] = [
+                                            {"token": tok_s(ti),
+                                             "token_id": ti, "logprob": lj}
+                                            for ti, lj in zip(ids_j, lps_j)
+                                        ]
+                                    content_lp.append(entry)
+                                event["choices"][0]["logprobs"] = {
+                                    "content": content_lp
+                                }
                         else:
                             event = {"id": f"cmpl-{rid0}", "token_ids": delta}
                             if multi:

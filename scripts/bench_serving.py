@@ -38,6 +38,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _env_on(name: str) -> bool:
+    return os.environ.get(name, "0").lower() not in ("", "0", "false")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,7 +75,8 @@ def main():
     )
     params = init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
     pm = pad_to_uniform(spec, params)
-    if os.environ.get("MODEGPT_SERVE_INT8"):
+    INT8 = _env_on("MODEGPT_SERVE_INT8")
+    if INT8:
         # int8-resident weights: decode streams every weight byte each
         # step, so halving them should show up ~1:1 in fused step time
         from modegpt_tpu.models.quantize import quantize_padded
@@ -82,7 +87,10 @@ def main():
     # int8 x int8 -> int32 MXU dots (2x bf16 peak on v5e). Only the
     # prefill-burst section consumes it (prefill is the compute-bound
     # half; decode is memory-bound and keeps weight-only).
-    A8 = bool(os.environ.get("MODEGPT_SERVE_A8"))
+    A8 = _env_on("MODEGPT_SERVE_A8") and INT8
+    if _env_on("MODEGPT_SERVE_A8") and not INT8:
+        log("MODEGPT_SERVE_A8 ignored: needs MODEGPT_SERVE_INT8 "
+            "(W8A8 quantizes activations against int8 weights)")
     if A8:
         from modegpt_tpu.models.quantize import with_act_quant
 
@@ -90,7 +98,7 @@ def main():
         log("W8A8 prefill view")
     else:
         pm_pf = pm
-    KV = "int8" if os.environ.get("MODEGPT_SERVE_KV_INT8") else "model"
+    KV = "int8" if _env_on("MODEGPT_SERVE_KV_INT8") else "model"
     state = init_serve_state(pm, SLOTS, MAXLEN, dtype=jnp.bfloat16, kv_dtype=KV)
     rng = np.random.default_rng(0)
     for s in range(SLOTS):
@@ -162,7 +170,7 @@ def main():
             "prefill_burst_per_slot_ms": round(times["per_slot"] * 1e3, 2),
             "prefill_burst_batched_ms": round(times["batched"] * 1e3, 2),
             "slots": SLOTS, "prompt_tokens": PLEN, "bucket": BUCKET,
-            "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
+            "weights": "int8" if INT8 else "bf16",
             "a8_prefill": A8,
         }))
         return
@@ -252,7 +260,7 @@ def main():
             "decode_tok_s_fused": round(SLOTS / fused_step, 1),
             "slots": SLOTS, "max_len": MAXLEN, "kv": KV, "occupancy": OCC,
             "decode_attn": DECODE_ATTN,
-            "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
+            "weights": "int8" if INT8 else "bf16",
         }))
         return
 
@@ -292,7 +300,7 @@ def main():
         "eval_tok_s_on_chip": round(B * T / eval_on_chip, 1),
         "slots": SLOTS, "max_len": MAXLEN, "kv": KV, "occupancy": OCC,
         "decode_attn": DECODE_ATTN,
-        "weights": "int8" if os.environ.get("MODEGPT_SERVE_INT8") else "bf16",
+        "weights": "int8" if INT8 else "bf16",
     }))
 
 

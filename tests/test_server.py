@@ -406,7 +406,7 @@ def test_http_top_logprobs(rng):
         for j, row in enumerate(lpd["top_logprobs"]):
             assert len(row) == 3
             vals = sorted(row.values(), reverse=True)
-            assert vals == sorted(row.values(), reverse=True)
+            assert list(row.values()) == vals
             # greedy decode: the chosen token is the argmax -> its
             # (stringified) id heads the row and matches token_logprobs
             assert str(ch["token_ids"][j]) in row
@@ -448,6 +448,52 @@ def test_http_top_logprobs(rng):
             assert entry["top_logprobs"][0]["logprob"] == pytest.approx(
                 entry["logprob"], abs=1e-6
             )
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_streaming_chat_logprobs_shape():
+    """Streaming chat chunks carry the same OpenAI logprobs.content[]
+    shape as non-stream responses; concatenated over chunks they equal
+    the non-stream entries (greedy, same prompt)."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    tokenizer = _tiny_tokenizer()
+    b = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=16)
+    srv = InferenceServer(b, tokenizer=tokenizer, model_id="toplp-stream")
+    httpd = make_http_server(srv, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    body = {"messages": [{"role": "user", "content": "hello there"}],
+            "max_tokens": 4, "logprobs": True, "top_logprobs": 2}
+    try:
+        status, data = _post(port, "/v1/chat/completions", body)
+        assert status == 200
+        ref = json.loads(data)["choices"][0]["logprobs"]["content"]
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/chat/completions",
+                     body=json.dumps(dict(body, stream=True)),
+                     headers={"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        raw = resp.read().decode()
+        conn.close()
+        events = [line[len("data: "):] for line in raw.split("\n")
+                  if line.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        got = []
+        for e in events[:-1]:
+            ch = json.loads(e)["choices"][0]
+            if "logprobs" in ch:
+                got.extend(ch["logprobs"]["content"])
+        assert len(got) == len(ref) == 4
+        for g, r in zip(got, ref):
+            assert g["token"] == r["token"]
+            assert g["logprob"] == pytest.approx(r["logprob"], abs=1e-6)
+            assert ([t["token_id"] for t in g["top_logprobs"]]
+                    == [t["token_id"] for t in r["top_logprobs"]])
     finally:
         httpd.shutdown()
         srv.close()
