@@ -318,6 +318,11 @@ def bench_jax() -> float:
         compression_ratio=RATIO, solver_precision="f32_device",
         sparsity_smoothing=0.5, calib_size=CALIB_SEQS, calibs_batch_size=BATCH,
         seq_len=SEQ, model_dtype="bfloat16", layers_per_step=LAYERS_PER_STEP,
+        # auto = background window flush when host-resident (overlaps the
+        # HBM->host factor fetch with compute); MODEGPT_STREAM_ASYNC=on
+        # forces it for resident-weight presets (large32) to measure the
+        # overlap against the tighter HBM headroom.
+        stream_async_flush=_os.environ.get("MODEGPT_STREAM_ASYNC", "auto"),
     )
     batches = load_calibration_batches(None, "synthetic", CALIB_SEQS, BATCH, SEQ,
                                        vocab_size=VOCAB)

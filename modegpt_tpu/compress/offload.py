@@ -45,6 +45,7 @@ device arrays (resident — staging is then a no-op).
 from __future__ import annotations
 
 import logging
+import time as _time
 from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -302,12 +303,50 @@ def stream_calibrate_solve(
     seq_len = int(batches[0].shape[1])
     total_tokens = n_seq * seq_len
 
+    # Async window flush: the HBM->host factor transfer is the streamed
+    # sweep's idle time on tunneled hosts (the device drains while the
+    # main thread blocks in np.asarray), so eligible windows solve+fetch
+    # in ONE background worker while the main thread keeps the device
+    # fed with the next layers' forwards. Bounded to one window in
+    # flight (the next flush waits first), preserving flush order and
+    # capping the extra residency at one window's solve working set —
+    # which is why 'auto' only enables it when weights are host-staged
+    # (beyond-HBM: HBM holds just 2 staged layers + activations) and
+    # never for MoE windows (their [E, d_int, d_int] taps are too big to
+    # double-buffer; their flush also gates the next H2D prefetch).
+    host_staged = not isinstance(
+        jax.tree_util.tree_leaves(params["layers"][0])[0], jax.Array
+    )
+    use_async = config.stream_async_flush == "on" or (
+        config.stream_async_flush == "auto" and host_staged
+    )
+    executor = None
+    pending = None
+    flush_wait_s = 0.0
+    if use_async:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=1)
+
     bi_pass = np.zeros(spec.n_layers, dtype=np.float64)
     factors: Dict[str, Dict[int, Dict]] = {}
     window_taps: Dict[int, Dict] = {}
     window_lp: Dict[int, Dict] = {}
 
+    def _merge(chunks: Dict[str, Dict[int, Dict]]):
+        for s, by_layer in chunks.items():
+            factors.setdefault(s, {}).update(by_layer)
+
+    def _drain_pending():
+        nonlocal pending, flush_wait_s
+        if pending is not None:
+            t0 = _time.perf_counter()
+            _merge(pending.result())
+            flush_wait_s += _time.perf_counter() - t0
+            pending = None
+
     def flush_window():
+        nonlocal pending, flush_wait_s
         if not window_taps:
             return
         layers = sorted(window_taps)
@@ -335,63 +374,82 @@ def stream_calibrate_solve(
             if moe_layers and len(moe_layers) != len(layers)
             else [layers]
         )
-        for g in groups:
-            if not g:
-                continue
-            chunk = solve_chunk_batched(
-                spec, {"layers": window_lp}, g, keep_ratios, calib, config, order,
-                fetch="host",
-            )
-            for s, by_layer in chunk.items():
-                factors.setdefault(s, {}).update(by_layer)
-            if on_window is not None:
-                on_window(g, chunk)
+        wlp = dict(window_lp)
+
+        def run() -> Dict[str, Dict[int, Dict]]:
+            out: Dict[str, Dict[int, Dict]] = {}
+            for g in groups:
+                if not g:
+                    continue
+                chunk = solve_chunk_batched(
+                    spec, {"layers": wlp}, g, keep_ratios, calib, config, order,
+                    fetch="host",
+                )
+                for s, by_layer in chunk.items():
+                    out.setdefault(s, {}).update(by_layer)
+                if on_window is not None:
+                    on_window(g, chunk)
+            return out
+
+        _drain_pending()  # at most one window in flight
+        if use_async and not moe_layers:
+            pending = executor.submit(run)
+        else:
+            t0 = _time.perf_counter()
+            _merge(run())
+            flush_wait_s += _time.perf_counter() - t0
         window_taps.clear()
         window_lp.clear()
 
     staged = _stage(params["layers"][0])
-    for l in range(spec.n_layers):
-        lp = staged
-        collect = l in targets
-        # MoE flush windows hold [E, d_int, d_int] taps + the window's
-        # expert stacks — at Mixtral geometry the solver needs every byte
-        # beside them, so the next layer's H2D prefetch (enqueue-time
-        # allocation!) is DEFERRED past the flush. Dense layers keep the
-        # prefetch overlapping compute (their flush working set is small).
-        # ONE predicate for both the deferral and the flush below: this
-        # layer's taps (if collected) make the window full, or it's the
-        # last layer. A drifted copy would silently re-introduce the
-        # prefetch-over-flush enqueue allocation.
-        will_flush = (
-            len(window_taps) + (1 if collect else 0) >= width
-            or l == spec.n_layers - 1
-        )
-        defer = will_flush and spec.is_moe_layer(l)
-        if l + 1 < spec.n_layers and not defer:
-            staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
-        rep = _rep_index(spec, l)
-        taps_l = None
-        for i in range(len(stacks)):
-            stacks[i], taps, bi_l = _stream_layer_step(
-                spec, lp, stacks[i], rep, collect, attn_impl, config.gram_precision
+    try:
+        for l in range(spec.n_layers):
+            lp = staged
+            collect = l in targets
+            # MoE flush windows hold [E, d_int, d_int] taps + the window's
+            # expert stacks — at Mixtral geometry the solver needs every byte
+            # beside them, so the next layer's H2D prefetch (enqueue-time
+            # allocation!) is DEFERRED past the flush. Dense layers keep the
+            # prefetch overlapping compute (their flush working set is small).
+            # ONE predicate for both the deferral and the flush below: this
+            # layer's taps (if collected) make the window full, or it's the
+            # last layer. A drifted copy would silently re-introduce the
+            # prefetch-over-flush enqueue allocation.
+            will_flush = (
+                len(window_taps) + (1 if collect else 0) >= width
+                or l == spec.n_layers - 1
             )
-            bi_pass[l] += float(bi_l)
+            defer = will_flush and spec.is_moe_layer(l)
+            if l + 1 < spec.n_layers and not defer:
+                staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
+            rep = _rep_index(spec, l)
+            taps_l = None
+            for i in range(len(stacks)):
+                stacks[i], taps, bi_l = _stream_layer_step(
+                    spec, lp, stacks[i], rep, collect, attn_impl, config.gram_precision
+                )
+                bi_pass[l] += float(bi_l)
+                if collect:
+                    taps_l = taps if taps_l is None else {
+                        k: taps_l[k] + taps[k] for k in taps_l
+                    }
             if collect:
-                taps_l = taps if taps_l is None else {
-                    k: taps_l[k] + taps[k] for k in taps_l
-                }
-        if collect:
-            window_taps[l] = taps_l
-            window_lp[l] = lp
-        if will_flush and window_taps:
-            flush_window()
-        if l + 1 < spec.n_layers and defer:
-            staged = _stage(params["layers"][l + 1])
+                window_taps[l] = taps_l
+                window_lp[l] = lp
+            if will_flush and window_taps:
+                flush_window()
+            if l + 1 < spec.n_layers and defer:
+                staged = _stage(params["layers"][l + 1])
+        _drain_pending()
+    finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
 
     if not bi_scores:
         bi_scores = (bi_pass / n_seq).tolist()
     logger.info(
-        "streamed calibrate+solve: %d layers, %d sequences x %d tokens, width %d",
-        spec.n_layers, n_seq, seq_len, width,
+        "streamed calibrate+solve: %d layers, %d sequences x %d tokens, "
+        "width %d, async_flush=%s (main-thread flush wait %.2fs)",
+        spec.n_layers, n_seq, seq_len, width, use_async, flush_wait_s,
     )
     return factors, bi_scores, keep_ratios

@@ -86,6 +86,14 @@ class CompressionConfig:
     # in place, one compile per layers_per_step sweep) for models whose
     # weights fill most of device memory.
     calib_exec: str = "auto"
+    # Streamed-sweep window flush (compress/offload.py): 'auto' runs each
+    # window's solve + factor fetch in a background worker when weights
+    # are host-staged (beyond-HBM presets — the HBM->host factor transfer
+    # then overlaps the next layers' compute instead of idling the
+    # device), synchronously when weights are device-resident (the
+    # overlap would double the flush working set against a nearly-full
+    # HBM). 'on'/'off' force it.
+    stream_async_flush: str = "auto"
     # Fused compression (compress/fused.py): the whole calibrate ->
     # allocate -> solve -> surgery job in 3 dispatches + 1 tiny fetch.
     # Dense RoPE-family stacks only; bypasses the factor store/resume.
@@ -177,6 +185,11 @@ class CompressionConfig:
         if self.calib_exec not in ("auto", "window", "stream"):
             raise ValueError(
                 f"calib_exec must be auto, window or stream, got {self.calib_exec!r}"
+            )
+        if self.stream_async_flush not in ("auto", "on", "off"):
+            raise ValueError(
+                f"stream_async_flush must be auto, on or off, "
+                f"got {self.stream_async_flush!r}"
             )
         if self.gram_precision not in ("highest", "high", "bf16"):
             raise ValueError(

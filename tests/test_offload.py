@@ -159,6 +159,49 @@ def test_stream_moe_mixed_stack():
             )
 
 
+def test_stream_async_flush_equals_sync():
+    """stream_async_flush on == off, bit for bit, on a mixed dense/MoE
+    stack at width 1 (dense windows flush in the background worker; the
+    MoE window falls back to the synchronous path inside async mode).
+    on_window sees every window in layer order either way."""
+    spec = ModelSpec(
+        arch="mixtral", vocab_size=128, d_model=64, n_layers=3, n_heads=4,
+        n_kv_heads=2, head_dim=16, d_int=48, max_position_embeddings=128,
+        act="silu", norm="rmsnorm", norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        q_ranks=(64,) * 3, k_ranks=(32,) * 3, v_ranks=(32,) * 3,
+        o_ranks=(64,) * 3, gate_ranks=(96, 48, 96),
+        n_experts=4, experts_per_tok=2, moe_layers=(1,),
+    )
+    params = init_params(spec, jax.random.key(4))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    runs = {}
+    for mode in ("on", "off"):
+        windows = []
+        config = _config(layers_per_step=1, stream_async_flush=mode)
+        factors, bi, keep = stream_calibrate_solve(
+            spec, params, batches, config,
+            on_window=lambda layers, chunk: windows.append(list(layers)),
+        )
+        runs[mode] = (factors, bi, keep)
+        assert windows == [[0], [1], [2]]
+
+    f_on, bi_on, keep_on = runs["on"]
+    f_off, bi_off, keep_off = runs["off"]
+    assert bi_on == bi_off
+    np.testing.assert_array_equal(np.asarray(keep_on), np.asarray(keep_off))
+    assert sorted(f_on) == sorted(f_off)
+    for s in f_off:
+        assert sorted(f_on[s]) == sorted(f_off[s])
+        for l in f_off[s]:
+            for k, v in f_off[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(f_on[s][l][k]), np.asarray(v),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
+
+
 def test_stream_pipeline_end_to_end(tmp_path):
     """--calib_exec stream through run_compression: same compressed
     kernels as the default chunked pipeline, factor store populated
