@@ -262,6 +262,9 @@ def _host_init_params(spec):
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
+STREAM_STATS = {}  # streamed-sweep telemetry of the last pass (bench_jax)
+
+
 def bench_jax() -> float:
     import jax
 
@@ -378,8 +381,10 @@ def bench_jax() -> float:
 
             from modegpt_tpu.compress.offload import stream_calibrate_solve
 
+            STREAM_STATS.clear()
             factors, _bi, keep = stream_calibrate_solve(
-                spec, params, batches, config, keep_ratios=keep_fixed
+                spec, params, batches, config, keep_ratios=keep_fixed,
+                stats_out=STREAM_STATS,
             )
             ctx = (
                 jax.default_device(jax.local_devices(backend="cpu")[0])
@@ -750,6 +755,14 @@ def main():
     }
     if hbm_peak is not None:
         out["hbm_peak_gib"] = round(hbm_peak, 2)
+    if STREAM_STATS:
+        # streamed-sweep telemetry: whether the window flush ran in the
+        # background, how long the main thread still blocked on it, and
+        # the factor bytes that crossed the HBM->host link (the tunnel's
+        # ~30 MB/s D2H makes this the streamed large-preset bottleneck).
+        out["async_flush"] = bool(STREAM_STATS["async_flush"])
+        out["flush_wait_s"] = round(STREAM_STATS["flush_wait_s"], 2)
+        out["fetched_gb"] = round(STREAM_STATS["fetched_bytes"] / 2**30, 3)
     print(json.dumps(out))
 
 

@@ -256,6 +256,7 @@ def stream_calibrate_solve(
     keep_ratios: Optional[np.ndarray] = None,
     on_window=None,
     target_layers: Optional[Sequence[int]] = None,
+    stats_out: Optional[Dict] = None,
 ) -> Tuple[Dict[str, Dict[int, Dict]], List[float], np.ndarray]:
     """Calibrate + solve every layer in one streamed sweep.
 
@@ -447,6 +448,16 @@ def stream_calibrate_solve(
 
     if not bi_scores:
         bi_scores = (bi_pass / n_seq).tolist()
+    if stats_out is not None:
+        stats_out["async_flush"] = use_async
+        stats_out["flush_wait_s"] = flush_wait_s
+        stats_out["fetched_bytes"] = sum(
+            a.nbytes
+            for by_layer in factors.values()
+            for f in by_layer.values()
+            for a in f.values()
+            if hasattr(a, "nbytes")
+        )
     logger.info(
         "streamed calibrate+solve: %d layers, %d sequences x %d tokens, "
         "width %d, async_flush=%s (main-thread flush wait %.2fs)",
