@@ -412,11 +412,15 @@ def run_compression(
                     for l, f in by_layer.items():
                         save_layer_factors(config.temp_storage_dir, l, s, f)
 
+            stream_stats = {}
             with trace(config.profile_dir or None):
                 _, bi_scores, _keep = stream_calibrate_solve(
                     spec, params, calib_batches, config, order,
                     on_window=_persist, target_layers=pending_all,
+                    stats_out=stream_stats,
                 )
+            metrics["stream_async_flush"] = bool(stream_stats["async_flush"])
+            metrics["stream_flush_wait_s"] = round(stream_stats["flush_wait_s"], 3)
             _, max_sp = allocate_keep_ratios(
                 bi_scores, config.compression_ratio,
                 smoothing=config.sparsity_smoothing,
