@@ -385,6 +385,11 @@ def bench_jax() -> float:
             factors, _bi, keep = stream_calibrate_solve(
                 spec, params, batches, config, keep_ratios=keep_fixed,
                 stats_out=STREAM_STATS,
+                # free each layer's dense projections as its factors land
+                # (device HBM for resident weights, host RAM for staged):
+                # headroom GROWS over the sweep instead of waiting for
+                # surgery's release_dense
+                release_params=True,
             )
             ctx = (
                 jax.default_device(jax.local_devices(backend="cpu")[0])

@@ -188,6 +188,29 @@ def _stage(lp) -> Dict:
     return jax.tree_util.tree_map(jax.device_put, lp)
 
 
+def _release_solved(spec: ModelSpec, params: Dict, chunk: Dict) -> None:
+    """Pop the dense projection leaves that ``chunk``'s factors replace
+    (mirrors apply_factors(release_dense=True), compress/surgery.py): a
+    layer's dense q/k, v/o, up/gate/down (or experts/shared) are dead
+    once its factors are solved — the sweep only moves forward and the
+    later surgery consumes factors, not these leaves."""
+    for l in chunk.get("qk", {}):
+        params["layers"][l].pop("q", None)
+        params["layers"][l].pop("k", None)
+    for l in chunk.get("vo", {}):
+        params["layers"][l].pop("v", None)
+        params["layers"][l].pop("o", None)
+    for l, f in chunk.get("mlp", {}).items():
+        src = params["layers"][l]
+        if spec.is_moe_layer(l):
+            src.pop("experts", None)
+            if f.get("shared_up") is not None:
+                src.pop("shared", None)
+        else:
+            for key in ("up", "gate", "down"):
+                src.pop(key, None)
+
+
 def _group_batches(batches: Sequence[np.ndarray]) -> List[np.ndarray]:
     """Stack uniform-shaped batches into [N, B, T] groups (the ragged
     tail batch becomes its own group)."""
@@ -257,6 +280,7 @@ def stream_calibrate_solve(
     on_window=None,
     target_layers: Optional[Sequence[int]] = None,
     stats_out: Optional[Dict] = None,
+    release_params: bool = False,
 ) -> Tuple[Dict[str, Dict[int, Dict]], List[float], np.ndarray]:
     """Calibrate + solve every layer in one streamed sweep.
 
@@ -270,6 +294,14 @@ def stream_calibrate_solve(
       target_layers: layers to SOLVE (default all). Non-target layers
         still flow activations (the forward needs them) but pay no tap
         FLOPs — resume sweeps skip already-solved layers' Grams.
+      release_params: MUTATES the caller's ``params`` — as each window's
+        factors land, pop the dense projection leaves the solved factors
+        replace (the same leaves apply_factors(release_dense=True) would
+        pop). The sweep is strictly forward, so a solved layer's dense
+        projections are dead for the rest of the run: releasing them as
+        the sweep advances frees device HBM (resident weights) or host
+        RAM (staged weights) monotonically instead of holding the whole
+        dense model until surgery.
 
     Returns (factors, bi_scores, keep_ratios); factors as host numpy,
     keyed [suffix][layer].
@@ -390,6 +422,8 @@ def stream_calibrate_solve(
                     out.setdefault(s, {}).update(by_layer)
                 if on_window is not None:
                     on_window(g, chunk)
+            if release_params:
+                _release_solved(spec, params, out)
             return out
 
         _drain_pending()  # at most one window in flight

@@ -202,6 +202,52 @@ def test_stream_async_flush_equals_sync():
                 )
 
 
+def test_stream_release_params_equals_keep():
+    """release_params=True yields identical factors, pops exactly the
+    solver-replaced dense leaves, and surgery on the released tree
+    builds the same compressed model as on an untouched tree."""
+    from modegpt_tpu.compress.surgery import apply_factors
+
+    spec = _llama_spec()
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=1)
+
+    params_keep = init_params(spec, jax.random.key(0))
+    params_rel = init_params(spec, jax.random.key(0))
+    f_keep, _, keep = stream_calibrate_solve(spec, params_keep, batches, config)
+    f_rel, _, keep_r = stream_calibrate_solve(
+        spec, params_rel, batches, config, release_params=True
+    )
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_r))
+    for s in f_keep:
+        for l in f_keep[s]:
+            for k, v in f_keep[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(f_rel[s][l][k]), np.asarray(v),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
+    for l in range(spec.n_layers):
+        lp = params_rel["layers"][l]
+        for key in ("q", "k", "v", "o", "up", "gate", "down"):
+            assert key not in lp, f"layer {l} still holds dense {key}"
+        assert "input_ln" in lp or "ln1" in lp or len(lp) > 0  # norms survive
+
+    cs_keep, cp_keep = apply_factors(
+        spec, params_keep, f_keep["mlp"], f_keep["qk"], f_keep["vo"]
+    )
+    cs_rel, cp_rel = apply_factors(
+        spec, params_rel, f_rel["mlp"], f_rel["qk"], f_rel["vo"],
+        release_dense=True,  # pops already-released leaves: must no-op
+    )
+    assert cs_keep == cs_rel
+    k_leaves = jax.tree_util.tree_leaves_with_path(cp_keep)
+    r_leaves = jax.tree_util.tree_leaves_with_path(cp_rel)
+    assert len(k_leaves) == len(r_leaves)
+    for (pk, vk), (pr, vr) in zip(k_leaves, r_leaves):
+        assert pk == pr
+        np.testing.assert_array_equal(np.asarray(vk), np.asarray(vr))
+
+
 def test_stream_pipeline_end_to_end(tmp_path):
     """--calib_exec stream through run_compression: same compressed
     kernels as the default chunked pipeline, factor store populated
