@@ -12,14 +12,19 @@ slot-table analogue of flash-decoding over a paged cache. At 25 %
 average occupancy that is ~4x less cache-read bandwidth, which is where
 the decode step's HBM time goes once weights are amortised over slots.
 
-Grid (B, Hk, n_blocks) with `pos` and the `window` scalar-prefetched
-so the index maps can clamp; online-softmax state (m, l, acc) persists
-in VMEM scratch across the innermost (length) grid axis — init at
-j == 0, accumulate under ``pl.when(first <= j <= last)``, finalize into
-the output on the last grid step. GQA is native: each (b, kv-head)
-program attends its whole q-head group [G, Rq] against one
-[block_t, Rq] tile, so K/V are read once per kv head (never repeated
-to H).
+Grid (B, n_blocks) with `pos` and the `window` scalar-prefetched so
+the index maps can clamp; online-softmax state (m, l, acc) persists in
+VMEM scratch across the innermost (length) grid axis — init at j == 0,
+accumulate under ``pl.when(first <= j <= last)``, finalize into the
+output on the last grid step. Each program carries ALL Hk kv heads'
+tiles ([Hk, block_t, R] blocks, a static in-kernel head loop): the
+per-step DMA is Hk-fold bigger and the grid Hk-fold shorter than a
+(B, Hk, n_blocks) layout, which matters because the kernel is
+DMA-issue-bound, not FLOP-bound (measured on v5e: 64 KB blocks over a
+4096-step grid ran 2.2x slower than XLA's full-pool contraction;
+bench_results/r03/serving_ab). GQA is native: each kv head attends its
+whole q-head group [G, Rq] against one [block_t, Rq] tile, so K/V are
+read once per kv head (never repeated to H).
 
 Covered beyond the plain case (each lifts an XLA-fallback from the
 serving fast path):
@@ -79,7 +84,7 @@ def _live_range(pos0, s_len: int, win, block_t: int):
 
 
 def _kernel(pos_ref, win_ref, q_ref, k_ref, v_ref, *rest,
-            block_t: int, s_len: int, quantized: bool,
+            block_t: int, s_len: int, n_hk: int, quantized: bool,
             softcap: Optional[float], out_dtype):
     if quantized:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
@@ -87,8 +92,8 @@ def _kernel(pos_ref, win_ref, q_ref, k_ref, v_ref, *rest,
         o_ref, acc_ref, m_ref, l_ref = rest
         ks_ref = vs_ref = None
     b = pl.program_id(0)
-    j = pl.program_id(2)
-    n_j = pl.num_programs(2)
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
     p0 = pos_ref[b]
     win = win_ref[0]
     _, first, last = _live_range(p0, s_len, win, block_t)
@@ -106,54 +111,62 @@ def _kernel(pos_ref, win_ref, q_ref, k_ref, v_ref, *rest,
 
     @pl.when((j >= first) & (j <= last))
     def _step():
-        q = q_ref[0, 0]   # [G*S, Rq] (pre-scaled by caller; row = g*S + s)
-        kb = k_ref[0, 0]  # [block_t, Rq] (int8 codes when quantized)
-        vb = v_ref[0, 0]  # [block_t, Rv]
-        if quantized:
-            # codes are integers <= 127: exact in bf16, so the cast in
-            # VMEM is lossless and the MXU sees the same operands the
-            # dequantised-bf16 matmul would — minus half the HBM reads
-            kb = kb.astype(in_dtype)
-            vb = vb.astype(in_dtype)
-        s = lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=mxu_precision,
-        )  # [G*S, block_t] f32
-        if quantized:
-            # per-position K scale factors out of the Rq contraction
-            s = s * ks_ref[0, 0][None, :].astype(jnp.float32)
-        if softcap is not None:
-            s = jnp.tanh(s / softcap) * softcap
-        k_ids = j * block_t + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # the causal/window mask is head-independent: build it once for
+        # the whole static head loop below
+        rows_shape = (q_ref.shape[2], block_t)  # [G*S, block_t]
+        k_ids = j * block_t + lax.broadcasted_iota(jnp.int32, rows_shape, 1)
         if s_len == 1:
             limit = p0  # scalar broadcasts — skip the row-index modulo
         else:
-            rows = lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            rows = lax.broadcasted_iota(jnp.int32, rows_shape, 0)
             limit = p0 + rows % s_len  # query s at position pos0 + s
         lo = jnp.where(win > 0, jnp.maximum(limit + 1 - win, 0), 0)
-        s = jnp.where((k_ids <= limit) & (k_ids >= lo), s, NEG_INF)
+        live = (k_ids <= limit) & (k_ids >= lo)
 
-        m_prev = m_ref[:, 0]  # [G*S]
-        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur[:, None])  # [G*S, block_t] f32
-        l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        if quantized:
-            # per-position V scale folds into the probability rows
-            p = p * vs_ref[0, 0][None, :].astype(jnp.float32)
-        acc_ref[:] = acc_ref[:] * alpha[:, None] + lax.dot_general(
-            p.astype(in_dtype) if in_dtype != jnp.float32 else p, vb,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=mxu_precision,
-        )
-        m_ref[:] = jnp.broadcast_to(m_cur[:, None], m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new[:, None], l_ref.shape)
+        for h in range(n_hk):
+            q = q_ref[0, h]   # [G*S, Rq] (pre-scaled; row = g*S + s)
+            kb = k_ref[0, h]  # [block_t, Rq] (int8 codes when quantized)
+            vb = v_ref[0, h]  # [block_t, Rv]
+            if quantized:
+                # codes are integers <= 127: exact in bf16, so the cast
+                # in VMEM is lossless and the MXU sees the same operands
+                # the dequantised-bf16 matmul would — minus half the HBM
+                # reads
+                kb = kb.astype(in_dtype)
+                vb = vb.astype(in_dtype)
+            s = lax.dot_general(
+                q, kb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_precision,
+            )  # [G*S, block_t] f32
+            if quantized:
+                # per-position K scale factors out of the Rq contraction
+                s = s * ks_ref[0, h].astype(jnp.float32)  # [1, block_t]
+            if softcap is not None:
+                s = jnp.tanh(s / softcap) * softcap
+            s = jnp.where(live, s, NEG_INF)
+
+            m_prev = m_ref[h, :, 0]  # [G*S]
+            m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+            alpha = jnp.exp(m_prev - m_cur)
+            p = jnp.exp(s - m_cur[:, None])  # [G*S, block_t] f32
+            l_new = l_ref[h, :, 0] * alpha + jnp.sum(p, axis=1)
+            if quantized:
+                # per-position V scale folds into the probability rows
+                p = p * vs_ref[0, h].astype(jnp.float32)  # [1, block_t]
+            acc_ref[h] = acc_ref[h] * alpha[:, None] + lax.dot_general(
+                p.astype(in_dtype) if in_dtype != jnp.float32 else p, vb,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=mxu_precision,
+            )
+            m_ref[h] = jnp.broadcast_to(m_cur[:, None], m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(l_new[:, None], l_ref.shape[1:])
 
     @pl.when(j == n_j - 1)
     def _finish():
-        o_ref[0, 0] = (
-            acc_ref[:] / jnp.maximum(l_ref[:, :1], 1e-30)
-        ).astype(out_dtype)
+        for h in range(n_hk):
+            o_ref[0, h] = (
+                acc_ref[h] / jnp.maximum(l_ref[h, :, :1], 1e-30)
+            ).astype(out_dtype)
 
 
 @functools.partial(
@@ -203,6 +216,12 @@ def ragged_gqa_attend(
     Rv = v.shape[-1]
     G = H // Hk
 
+    # Each program holds all Hk heads' K/V tiles (double-buffered by the
+    # Pallas pipeline): shrink block_t so the in-flight working set
+    # stays well under VMEM even for MHA-wide Hk or fat head dims.
+    bytes_per_t = Hk * (Rq + Rv) * (1 if quantized else k.dtype.itemsize)
+    while block_t > 128 and 2 * block_t * bytes_per_t > 6 * 1024 * 1024:
+        block_t //= 2
     block_t = min(block_t, _ceil_to(T, 128))
     t_pad = _ceil_to(T, block_t)
     if t_pad != T:
@@ -217,9 +236,15 @@ def ragged_gqa_attend(
     q4 = q.reshape(B, Hk, G * S, Rq)
     pos = pos.astype(jnp.int32)
     win = jnp.asarray(0 if window is None else window, jnp.int32).reshape(1)
+    if quantized:
+        # [B, Hk, 1, T]: the length axis lands on lanes, so the scale
+        # block (1, Hk, 1, block_t) satisfies Mosaic's last-two-dims
+        # tiling rule (1 == the array's own third dim; block_t % 128)
+        k_scale = k_scale[:, :, None, :]
+        v_scale = v_scale[:, :, None, :]
 
-    def q_map(b, h, j, p, w):
-        return (b, h, 0, 0)
+    def q_map(b, j, p, w):
+        return (b, 0, 0, 0)
 
     def _blk(b, j, p, w):
         # clamp to the slot's live block range: grid steps outside it
@@ -231,39 +256,39 @@ def ragged_gqa_attend(
         _, first, last = _live_range(p[b], S, w[0], block_t)
         return jnp.clip(jnp.clip(j, first, last), 0, n_blk - 1)
 
-    def kv_map(b, h, j, p, w):
-        return (b, h, _blk(b, j, p, w), 0)
+    def kv_map(b, j, p, w):
+        return (b, 0, _blk(b, j, p, w), 0)
 
-    def sc_map(b, h, j, p, w):
-        return (b, h, _blk(b, j, p, w))
+    def sc_map(b, j, p, w):
+        return (b, 0, 0, _blk(b, j, p, w))
 
     in_specs = [
-        pl.BlockSpec((1, 1, G * S, Rq), q_map),
-        pl.BlockSpec((1, 1, block_t, Rq), kv_map),
-        pl.BlockSpec((1, 1, block_t, Rv), kv_map),
+        pl.BlockSpec((1, Hk, G * S, Rq), q_map),
+        pl.BlockSpec((1, Hk, block_t, Rq), kv_map),
+        pl.BlockSpec((1, Hk, block_t, Rv), kv_map),
     ]
     operands = [q4, k, v]
     if quantized:
         in_specs += [
-            pl.BlockSpec((1, 1, block_t), sc_map),
-            pl.BlockSpec((1, 1, block_t), sc_map),
+            pl.BlockSpec((1, Hk, 1, block_t), sc_map),
+            pl.BlockSpec((1, Hk, 1, block_t), sc_map),
         ]
         operands += [k_scale, v_scale]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, Hk, n_blk),
+        grid=(B, n_blk),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, G * S, Rv), q_map),
+        out_specs=pl.BlockSpec((1, Hk, G * S, Rv), q_map),
         scratch_shapes=[
-            pltpu.VMEM((G * S, Rv), jnp.float32),
-            pltpu.VMEM((G * S, 128), jnp.float32),
-            pltpu.VMEM((G * S, 128), jnp.float32),
+            pltpu.VMEM((Hk, G * S, Rv), jnp.float32),
+            pltpu.VMEM((Hk, G * S, 128), jnp.float32),
+            pltpu.VMEM((Hk, G * S, 128), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, block_t=block_t, s_len=S, quantized=quantized,
+            _kernel, block_t=block_t, s_len=S, n_hk=Hk, quantized=quantized,
             softcap=softcap, out_dtype=q.dtype,
         ),
         grid_spec=grid_spec,
