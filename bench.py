@@ -143,6 +143,36 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def rss_gib() -> float:
+    """Current host RSS (GiB) — post-mortem telemetry for the
+    host-resident presets (the 13B run was host-OOM-killed at 130 GB on
+    a 125 GB host; the milestone trail localises where that grows)."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096 / 2**30
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+def rss_peak_gib() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024 / 2**30
+
+
+if _HOST_RESIDENT:
+    # The streamed sweep logs per-layer/per-window progress (with RSS) at
+    # INFO — on the hour-scale host-resident presets that trail is the
+    # only post-mortem evidence when the OS OOM-kills the process.
+    import logging as _logging
+
+    _logging.basicConfig(
+        level=_logging.INFO,
+        stream=sys.stderr,
+        format="%(asctime)s %(levelname).1s %(message)s",
+    )
+
+
 # ---- analytic workload FLOPs (MFU numerator) ----
 
 def workload_flops() -> float:
@@ -317,6 +347,8 @@ def bench_jax() -> float:
         return _jit_init()
 
     params = fresh_params()
+    if _HOST_RESIDENT:
+        log(f"host params built [rss {rss_gib():.1f} GiB]")
     config = CompressionConfig(
         compression_ratio=RATIO, solver_precision="f32_device",
         sparsity_smoothing=0.5, calib_size=CALIB_SEQS, calibs_batch_size=BATCH,
@@ -326,6 +358,11 @@ def bench_jax() -> float:
         # forces it for resident-weight presets (large32) to measure the
         # overlap against the tighter HBM headroom.
         stream_async_flush=_os.environ.get("MODEGPT_STREAM_ASYNC", "auto"),
+        # Gram speed/precision A/B knob: highest (parity oracle, 6-pass
+        # MXU) | high (3-pass) | bf16 (1-pass, f32 accumulate). Factor
+        # deviation vs the oracle is bounded in
+        # tests/test_calibration.py::test_gram_precision.
+        gram_precision=_os.environ.get("MODEGPT_BENCH_GRAM", "highest"),
     )
     batches = load_calibration_batches(None, "synthetic", CALIB_SEQS, BATCH, SEQ,
                                        vocab_size=VOCAB)
@@ -457,7 +494,8 @@ def bench_jax() -> float:
         cspec, wparams, keep_w = one_pass()
         sync(wparams["layers"])
         warmup_s = time.perf_counter() - t
-        log(f"jax warmup (compile): {warmup_s:.2f}s")
+        log(f"jax warmup (compile): {warmup_s:.2f}s "
+            f"[rss {rss_gib():.1f} GiB, peak {rss_peak_gib():.1f}]")
         keep_host = np.asarray(keep_w)
 
     # min of N timed passes: the tunneled backend adds multi-hundred-ms
@@ -475,6 +513,7 @@ def bench_jax() -> float:
         cspec, cparams, _ = one_pass()
         sync(cparams["layers"])
         times.append(time.perf_counter() - t0)
+        log(f"timed pass done [rss {rss_gib():.1f} GiB, peak {rss_peak_gib():.1f}]")
         wparams = cparams
     elapsed = min(times)
     log(
@@ -760,6 +799,8 @@ def main():
     }
     if hbm_peak is not None:
         out["hbm_peak_gib"] = round(hbm_peak, 2)
+    if _HOST_RESIDENT:
+        out["host_rss_peak_gib"] = round(rss_peak_gib(), 2)
     if STREAM_STATS:
         # streamed-sweep telemetry: whether the window flush ran in the
         # background, how long the main thread still blocked on it, and

@@ -190,6 +190,25 @@ def _grid_pad(n: int, dim: int) -> int:
     return min(dim, -(-int(n) // _FETCH_GRID) * _FETCH_GRID)
 
 
+def _global_rank_hint(spec, keep_ratios, suffix: str) -> int:
+    """Max rank across ALL layers of the model, not just this call's
+    chunk. Feeding it into the solver grid pads makes every window/chunk
+    compile the SAME program: the streamed path flushes 1-layer windows,
+    and per-window pads (each window's own max rank on the 512-grid)
+    still compiled ~5 distinct [pad, pad] solver programs per factor
+    kind at 7B — each a full AOT round trip on remote backends. Padded
+    entries are exact regardless of pad (identity block, ops/mlp.py), so
+    the only cost is the smaller layers' Cholesky running at the global
+    pad. Requires the full per-layer allocation (len == n_layers);
+    chunk-local keep lists fall back to the chunk max."""
+    if len(keep_ratios) != spec.n_layers:
+        return 0
+    return max(
+        compress_ranks_for_layer(spec, keep_ratios[l], suffix)
+        for l in range(spec.n_layers)
+    )
+
+
 def _fetch_ragged(stack, ranks, fdt, axis: int):
     """Fetch per-layer slices of a padded [n, ...] stack in ONE
     HBM->host transfer: slice the stack device-side to the max rank
@@ -223,7 +242,7 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
 
 def _solve_mlp_moe(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
-    shared_ranks=None,
+    shared_ranks=None, pad_hint=0, shared_pad_hint=0,
 ) -> Dict[int, Dict]:
     """Per-expert Type-I solves for MoE layers: the (layer, expert) pairs
     are one flat batch through the SAME padded Nystrom program as the
@@ -241,7 +260,7 @@ def _solve_mlp_moe(
     fdt = _fetch_dtype(config)
     # grid pad (identity-block exact): per-window streamed calls
     # otherwise compile one expert-solve program per distinct layer rank
-    pad_all = _grid_pad(max(ranks), spec.d_int)
+    pad_all = _grid_pad(max([*ranks, pad_hint]), spec.d_int)
     units = _mlp_layers_per_program(spec, pad_all, mesh)  # (layer, expert) units
     step = max(1, units // E)
     e_step = E if units >= E else max(1, units)
@@ -278,6 +297,11 @@ def _solve_mlp_moe(
             es = slice(e0, min(e0 + e_step, E))
             ne = es.stop - es.start
             if use_dev:
+                # Drain the device queue before enqueuing the chunk's cov
+                # slice: TPU buffers allocate at ENQUEUE time, and at
+                # Mixtral geometry this [ne, d_int, d_int] copy must not
+                # land while the window's forward/solve temps are live.
+                np.asarray(calib.cov_mlp[sub[0]][(0,) * calib.cov_mlp[sub[0]].ndim])
                 cov = jnp.stack([calib.cov_mlp[l][es] for l in sub]).astype(dt)
             else:
                 # slice FIRST, then materialise: cov_mlp[l][es] is a view
@@ -366,7 +390,7 @@ def _solve_mlp_moe(
         # Type-I program at the shared intermediate's own ranks.
         shared = _solve_mlp_dense(
             spec, layer_params, layers, shared_ranks, calib, config, dt, use_dev, mesh,
-            fetch, module="shared",
+            fetch, module="shared", pad_hint=shared_pad_hint,
         )
         for l in layers:
             out[l].update(shared[l])
@@ -375,7 +399,7 @@ def _solve_mlp_moe(
 
 def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
-    shared_ranks=None,
+    shared_ranks=None, pad_hint=0, shared_pad_hint=0,
 ) -> Dict[int, Dict]:
     if spec.n_experts:
         # mixed qwen3_moe stacks: solve the MoE and dense layer subsets
@@ -390,24 +414,26 @@ def _solve_mlp_batched(
                     spec, layer_params, [l for l, _ in moe], [r for _, r in moe],
                     calib, config, dt, use_dev, mesh, fetch,
                     shared_ranks=[sr_by_layer[l] for l, _ in moe] if sr_by_layer else None,
+                    pad_hint=pad_hint, shared_pad_hint=shared_pad_hint,
                 )
             )
         if dense:
             out.update(
                 _solve_mlp_dense(
                     spec, layer_params, [l for l, _ in dense], [r for _, r in dense],
-                    calib, config, dt, use_dev, mesh, fetch,
+                    calib, config, dt, use_dev, mesh, fetch, pad_hint=pad_hint,
                 )
             )
         return out
     return _solve_mlp_dense(
-        spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch
+        spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch,
+        pad_hint=pad_hint,
     )
 
 
 def _solve_mlp_dense(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
-    module=None,
+    module=None, pad_hint=0,
 ) -> Dict[int, Dict]:
     """module=None: the layer's own MLP (cov_mlp). module="shared": the
     DeepSeek/qwen2_moe shared expert (lp["shared"], cov_shared, always
@@ -421,7 +447,7 @@ def _solve_mlp_dense(
     gated = True if shared else spec.gated_mlp
     prefix = "shared_" if shared else ""
     fdt = _fetch_dtype(config)
-    pad_all = int(max(ranks))
+    pad_all = int(max([*ranks, pad_hint]))
     step = _mlp_layers_per_program(
         spec, pad_all, mesh, d_int=spec.shared_d_int if shared else 0
     )
@@ -780,6 +806,11 @@ def solve_chunk_batched(
             out["mlp"] = _solve_mlp_batched(
                 spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch,
                 shared_ranks=shared_ranks,
+                pad_hint=_global_rank_hint(spec, keep_ratios, "mlp"),
+                shared_pad_hint=(
+                    _global_rank_hint(spec, keep_ratios, "shared")
+                    if spec.shared_d_int else 0
+                ),
             )
         if "qk" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "qk") for l in layers]

@@ -63,6 +63,32 @@ logger = logging.getLogger("modegpt_tpu")
 __all__ = ["stream_calibrate_solve", "stream_bi_sweep"]
 
 
+@partial(jax.jit, donate_argnums=0)
+def _scale_tap_donated(tap: jax.Array, inv: jax.Array) -> jax.Array:
+    return tap * inv
+
+
+def _scale_tap(tap, inv):
+    """Normalize a Gram accumulator by 1/total_tokens, reusing its buffer.
+
+    Donation matters only where HBM is the constraint; CPU does not
+    support donation (it would just log a warning per call)."""
+    if isinstance(tap, jax.Array) and jax.default_backend() != "cpu":
+        return _scale_tap_donated(tap, inv)
+    return tap * inv
+
+
+def _host_rss_gib() -> float:
+    """Current host RSS (GiB) — the sweep logs it per layer/window so an
+    OS OOM kill (the 13B host-resident run died at 130 GB anon RSS)
+    leaves a trail localising WHERE host memory grew."""
+    try:
+        with open("/proc/self/statm") as f:
+            return int(f.read().split()[1]) * 4096 / 2**30
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
 def _layer_signature(spec: ModelSpec, l: int):
     """Layers with equal signatures share one compiled step program."""
     return (
@@ -253,6 +279,10 @@ def stream_bi_sweep(
                 spec, lp, stacks[i], rep, False, attn_impl, "highest"
             )
             bi[l] += float(bi_l)
+        logger.info(
+            "BI prepass: layer %d/%d done (rss %.1f GiB)",
+            l + 1, spec.n_layers, _host_rss_gib(),
+        )
     return (bi / n_seq).tolist()
 
 
@@ -385,16 +415,24 @@ def stream_calibrate_solve(
         layers = sorted(window_taps)
         inv = jnp.float32(1.0 / total_tokens)
         moe_layers = [l for l in layers if spec.is_moe_layer(l)]
+
+        def scaled(l, key):
+            # Donate the accumulator buffer into the scale: the tap and
+            # its scaled copy must never be alive together — at Mixtral
+            # geometry cov_mlp is [E, d_int, d_int] f32 = 6.6 GB per
+            # layer, and holding both was the moe8 RESOURCE_EXHAUSTED.
+            return _scale_tap(window_taps[l].pop(key), inv)
+
         calib = CalibrationResult(
-            cov_mlp={l: window_taps[l]["cov_mlp"] * inv for l in layers},
-            cov_q={l: window_taps[l]["cov_q"] * inv for l in layers},
-            cov_k={l: window_taps[l]["cov_k"] * inv for l in layers},
-            cov_x={l: window_taps[l]["cov_x"] * inv for l in layers},
+            cov_mlp={l: scaled(l, "cov_mlp") for l in layers},
+            cov_q={l: scaled(l, "cov_q") for l in layers},
+            cov_k={l: scaled(l, "cov_k") for l in layers},
+            cov_x={l: scaled(l, "cov_x") for l in layers},
             bi_scores=list(bi_scores),
             n_sequences=n_seq,
             total_tokens=total_tokens,
             cov_shared={
-                l: window_taps[l]["cov_shared"] * inv
+                l: scaled(l, "cov_shared")
                 for l in moe_layers
                 if "cov_shared" in window_taps[l]
             }
@@ -433,6 +471,10 @@ def stream_calibrate_solve(
             t0 = _time.perf_counter()
             _merge(run())
             flush_wait_s += _time.perf_counter() - t0
+            logger.info(
+                "window %s flushed in %.1fs (rss %.1f GiB)",
+                layers, _time.perf_counter() - t0, _host_rss_gib(),
+            )
         window_taps.clear()
         window_lp.clear()
 
@@ -471,6 +513,10 @@ def stream_calibrate_solve(
             if collect:
                 window_taps[l] = taps_l
                 window_lp[l] = lp
+            logger.info(
+                "streamed sweep: layer %d/%d done (rss %.1f GiB)",
+                l + 1, spec.n_layers, _host_rss_gib(),
+            )
             if will_flush and window_taps:
                 flush_window()
             if l + 1 < spec.n_layers and defer:

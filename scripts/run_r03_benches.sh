@@ -18,8 +18,15 @@ run_one() {
   local out="bench_results/r03/${preset}.json"
   local log="/tmp/bench_r03_${preset}.log"
   echo "=== preset=${preset} budget=${budget}s -> ${out}"
-  MODEGPT_BENCH_PRESET="${preset}" timeout "${budget}" \
-    python bench.py > "${log}" 2>&1
+  # Host-resident presets skip the separate warmup pass: the 13B run was
+  # host-OOM-killed (130 GB RSS / 125 GB host) holding warmup leftovers
+  # beside a second fresh 25 GB model — one pass halves host exposure
+  # (n_compiles/compile_s in the JSON keep the timing honest; the disk
+  # compile cache makes repeat runs cheap anyway).
+  local skip=""
+  case "$preset" in large13B|large32B|moe8) skip=1 ;; esac
+  MODEGPT_BENCH_PRESET="${preset}" MODEGPT_BENCH_SKIP_WARMUP="${skip}" \
+    timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
   # bench prints exactly one JSON line on success; a CPU-fallback line
   # (tunnel bounced mid-run) must not be recorded as a TPU capture
