@@ -277,7 +277,12 @@ def _host_init_params(spec):
     shapes = jax.eval_shape(
         lambda: init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
     )
-    rng = np.random.default_rng(0)
+    # SFC64 uniform + truncating bf16 cast: ~4x faster than
+    # PCG64 standard_normal + round-to-nearest astype on this host's ONE
+    # core (25 GB of weights would otherwise take ~40 min to fabricate).
+    # Solver/Gram workload cost is value-independent; uniform at the same
+    # std (half-width 0.02*sqrt(3)) keeps activation scales equivalent.
+    rng = np.random.Generator(np.random.SFC64(0))
 
     def fill(path, sd):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
@@ -285,9 +290,10 @@ def _host_init_params(spec):
             return np.ones(sd.shape, dtype=ml_dtypes.bfloat16)
         if name == "bias":
             return np.zeros(sd.shape, dtype=ml_dtypes.bfloat16)
-        return (rng.standard_normal(sd.shape, dtype=np.float32) * 0.02).astype(
-            ml_dtypes.bfloat16
-        )
+        a = rng.random(sd.shape, dtype=np.float32)
+        a -= 0.5
+        a *= 2.0 * 0.02 * np.sqrt(3.0)
+        return (a.view(np.uint32) >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
 
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
