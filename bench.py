@@ -768,7 +768,14 @@ def main():
         _PRESET == "small" or _os.environ.get("MODEGPT_BENCH_FULL_BASELINE") == "1"
     )
     injected_baseline = _os.environ.get("MODEGPT_BENCH_BASELINE_S", "")
-    if injected_baseline:
+    if injected_baseline == "none":
+        # No torch baseline at all: the 13B/32B-geometry t(1)/t(2)
+        # measurement takes ~50 min on this host's ONE core, and a
+        # runner timeout there would destroy the whole capture. The JSON
+        # records vs_baseline null + baseline_source "unmeasured".
+        baseline = None
+        log("torch baseline: skipped (unmeasured)")
+    elif injected_baseline:
         # Re-captures on the SAME preset reuse the audited torch number
         # instead of burning ~25 min re-measuring an unchanged CPU
         # baseline (t(1)/t(2) extrapolation, below). The JSON labels it.
@@ -793,7 +800,7 @@ def main():
         "metric": f"e2e_compress_seconds_synthetic_llama_{_LABEL}@30%",
         "value": round(ours, 3),
         "unit": "s",
-        "vs_baseline": round(baseline / ours, 3),
+        "vs_baseline": round(baseline / ours, 3) if baseline is not None else None,
         # analytic workload FLOPs / queue-amortised on-chip time / nominal
         # dense-bf16 chip peak. Conservative: the numerator excludes
         # padding and elementwise work.
@@ -811,7 +818,7 @@ def main():
         "compile_s": round(sum(compile_events), 2),
     }
     if injected_baseline:
-        out["baseline_source"] = "injected"
+        out["baseline_source"] = "unmeasured" if injected_baseline == "none" else "injected"
     if hbm_peak is not None:
         out["hbm_peak_gib"] = round(hbm_peak, 2)
     if _HOST_RESIDENT:
