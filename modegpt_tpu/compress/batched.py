@@ -34,7 +34,11 @@ from modegpt_tpu.calib.engine import CalibrationResult
 from modegpt_tpu.compress.surgery import compress_ranks_for_layer
 from modegpt_tpu.config import CompressionConfig
 from modegpt_tpu.models.spec import ModelSpec
-from modegpt_tpu.ops.mlp import nystrom_mlp_padded
+from modegpt_tpu.ops.mlp import (
+    nystrom_factor_padded,
+    nystrom_mlp_padded,
+    nystrom_select_padded,
+)
 from modegpt_tpu.ops.qk import DEFAULT_SQRT_RIDGE
 from modegpt_tpu.ops.vo import vo_factors_from_full, vo_full_factors
 from modegpt_tpu.utils.precision import solver_dtype, solver_placement
@@ -84,6 +88,19 @@ def _lowmem_rows(kernel, idx, valid):
     upcast to f32 after the gather (exact for bf16 inputs)."""
     rows = jnp.take(kernel, idx, axis=1).T.astype(jnp.float32)
     return jnp.where(valid[:, None], rows, 0.0)
+
+
+# Two-phase batched Type-I (ops/mlp.py split entries): the selection
+# pass's Cholesky-inverse workspace retires before the factor pass
+# allocates its [pad, D] gathers, and the factor pass's donated inputs
+# (the cov/weight chunk copies — dead afterwards) free into its arena.
+_select_padded_batched = jax.jit(
+    jax.vmap(nystrom_select_padded, in_axes=(0, 0, None, None)),
+    static_argnums=(2,),
+)
+_factor_padded_batched = jax.jit(
+    jax.vmap(nystrom_factor_padded), donate_argnums=(0, 1, 2, 3)
+)
 
 
 def _stack_covs(covs: Dict[int, object], layers, dt, use_dev: bool) -> jax.Array:
@@ -290,6 +307,60 @@ def _solve_mlp_moe(
 
     out = {}
     pieces: Dict[int, Dict[str, list]] = {}
+    if (
+        use_dev
+        and mesh is None
+        and spec.d_int ** 2 * jnp.dtype(dt).itemsize > _LOWMEM_COV_BYTES
+    ):
+        # Beyond-HBM MoE geometry (Mixtral: E=8, d_int 14336 -> the
+        # resident [E, D, D] tap stack alone is 6.6 GB of a 16 GB chip):
+        # even ONE expert's batched solve next to it RESOURCE_EXHAUSTEDs.
+        # Run the dense path's lowmem sequence per (layer, expert) —
+        # three drained programs reading the resident bf16 expert kernels
+        # in place (exact upcast), so the peak beside the tap stack is
+        # one [D, D] cov slice + one phase's workspace. Shapes are
+        # expert-uniform: still 3 compiled programs total.
+        for l, r in zip(layers, ranks):
+            ek = layer_params[l]["experts"]
+            rank_t = jnp.asarray(r, dtype=jnp.int32)
+            ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
+            ups_l, gates_l, downs_l, idxs_l = [], [], [], []
+            for e in range(E):
+                C_e = calib.cov_mlp[l][e].astype(dt)
+                idx_e, valid_e = nystrom_select_padded(C_e, rank_t, pad_all, ridge_arr)
+                np.asarray(idx_e[:1])  # retire the score workspace
+                down_e = _lowmem_down(C_e, ek["down"]["kernel"][e], idx_e, valid_e)
+                np.asarray(down_e[:1, :1])
+                del C_e
+                up_e = _lowmem_rows(ek["up"]["kernel"][e], idx_e, valid_e)
+                gate_e = _lowmem_rows(ek["gate"]["kernel"][e], idx_e, valid_e)
+                if fetch == "device":
+                    ups_l.append(up_e[:r].astype(fdt or up_e.dtype))
+                    gates_l.append(gate_e[:r].astype(fdt or gate_e.dtype))
+                    downs_l.append(down_e[:, :r].astype(fdt or down_e.dtype))
+                    idxs_l.append(np.asarray(idx_e[:r]))
+                else:
+                    ups_l.append(_fetch(up_e[:r], fdt))
+                    gates_l.append(_fetch(gate_e[:r], fdt))
+                    downs_l.append(_fetch(down_e[:, :r], fdt))
+                    idxs_l.append(np.asarray(idx_e[:r]))
+            stk = jnp.stack if fetch == "device" else np.stack
+            out[l] = {
+                "up": stk(ups_l), "gate": stk(gates_l), "down": stk(downs_l),
+                "idx": np.stack(idxs_l),
+            }
+            logger.info(
+                "[MLP-MoE] layer %d: %d experts compressed to rank %d (lowmem)",
+                l, E, r,
+            )
+        if spec.shared_d_int and shared_ranks:
+            shared = _solve_mlp_dense(
+                spec, layer_params, layers, shared_ranks, calib, config, dt,
+                use_dev, mesh, fetch, module="shared", pad_hint=shared_pad_hint,
+            )
+            for l in layers:
+                out[l].update(shared[l])
+        return out
     for s in range(0, len(layers), step):
         sub = layers[s : s + step]
         sub_ranks = ranks[s : s + step]
@@ -319,9 +390,18 @@ def _solve_mlp_moe(
             (cov, W_u, W_g, W_d), ranks_arr, n_real = _shard_layers(
                 (cov, W_u, W_g, W_d), ranks_arr, mesh
             )
-            up, gate, down, idx, valid = jax.vmap(
-                nystrom_mlp_padded, in_axes=(0, 0, 0, 0, 0, None, None)
-            )(cov, W_u, W_g, W_d, ranks_arr, pad_all, jnp.asarray(config.nystrom_ridge, dt))
+            # Two-phase split (ops/mlp.py): the score pass's
+            # Cholesky-inverse workspace (~2x[D,D] — 1.6 GB at Mixtral
+            # geometry) retires before the factor pass allocates its
+            # [pad,D] gathers, and the donated chunk copies (cov 822 MB +
+            # three 235 MB weight stacks per expert) are freed into the
+            # factor program's arena. The monolithic nystrom_mlp_padded
+            # held all of it live at once and RESOURCE_EXHAUSTED the
+            # moe8 flush next to the resident [E,D,D] tap stack.
+            idx, valid = _select_padded_batched(
+                cov, ranks_arr, pad_all, jnp.asarray(config.nystrom_ridge, dt)
+            )
+            up, gate, down = _factor_padded_batched(cov, W_u, W_g, W_d, idx, valid)
 
             if fetch == "device":
                 idx_dev = np.asarray(idx)

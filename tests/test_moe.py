@@ -141,6 +141,47 @@ def test_batched_moe_solver_matches_per_layer(tmp_path, rng):
         np.testing.assert_array_equal(batched[l]["idx"], ref["idx"])
 
 
+@pytest.mark.parametrize("family", ["mixtral", "qwen2_moe"])
+def test_lowmem_moe_solve_matches_batched(monkeypatch, rng, family):
+    """The sequenced low-memory per-(layer, expert) MoE solve (taken when
+    one layer's expert stack would not fit beside the resident [E, D, D]
+    tap stack — Mixtral geometry on a 16 GB chip) must match the stacked
+    batched path: idx/up/gate are exact (same select program + gathers),
+    down drifts only by f32 accumulation order (per-expert vs vmapped
+    Cholesky tiling)."""
+    import modegpt_tpu.compress.batched as B
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    maker = _tiny_mixtral if family == "mixtral" else _tiny_qwen2_moe
+    spec, params = params_from_hf_model(maker())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1], accumulate="device")
+    config = CompressionConfig(
+        compression_ratio=0.3, sparsity_smoothing=0.2, solver_precision="f32_device"
+    )
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, smoothing=0.2, max_sparsity=0.8)
+
+    ref = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    monkeypatch.setattr(B, "_LOWMEM_COV_BYTES", 0)
+    got = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    for l in (0, 1):
+        assert set(got[l]) == set(ref[l])
+        for k, v in ref[l].items():
+            if "idx" in k:
+                np.testing.assert_array_equal(got[l][k], v, err_msg=f"{l}/{k}")
+            elif "down" in k:
+                np.testing.assert_allclose(
+                    np.asarray(got[l][k]), np.asarray(v), rtol=2e-3, atol=1e-5,
+                    err_msg=f"{l}/{k}",
+                )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got[l][k]), np.asarray(v), rtol=1e-6, atol=1e-7,
+                    err_msg=f"{l}/{k}",
+                )
+
+
 def test_moe_compression_end_to_end(tmp_path, rng):
     spec, params = params_from_hf_model(_tiny_mixtral())
     config = CompressionConfig(
