@@ -1,31 +1,29 @@
-"""Probe: does H2D staging leak HOST memory on the tunneled backend?
+"""Probe: host-RSS lifetime of H2D staging buffers on the tunneled backend.
 
-The large13B host-resident bench was OS-OOM-killed at 130 GB anon RSS on
-a 125 GB host; the legitimate host working set is ~56 GB. The unaccounted
-~75 GB matches the total bytes staged host->device across the run's three
-layer sweeps (25 GB model x 3), suggesting the IFRT-proxy client retains
-a host-side copy of every MakeArrayFromHostBuffer transfer.
+The streamed beyond-HBM sweep observes RSS growing by ~one staged layer
+per layer (large13B BI prepass: +0.6 GiB/layer over 40 layers despite
+gc+malloc_trim each layer — compress/offload.py:_trim_host). That reads
+as the PJRT client pinning a host transfer buffer per device_put and
+not returning it. At 32B geometry (64 x ~1 GiB layers x 2 passes) the
+pinned set alone would OOM the 125 GB host, so large32B is blocked on
+understanding WHAT releases these buffers.
 
-This probe stages a 1 GiB numpy array to the default device N times,
-dropping the device array each iteration, and prints RSS per iteration:
+Each variant stages N buffers of SIZE_MB and logs RSS after every
+stage; between variants everything is deleted + synced + trimmed.
 
-  * RSS flat            -> no client-side retention; the 13B OOM is ours.
-  * RSS +1 GiB/iter     -> the client pins per-transfer host copies; test
-                           the mitigations below.
+  plain      device_put, drop the python ref
+  sync       device_put, tiny D2H fetch (forces queue drain), drop
+  delete     device_put, jax.Array.delete() (explicit buffer free)
+  consume    device_put, run a jitted reduce on it, fetch, drop
+  reuse_src  device_put the SAME numpy buffer every time (tests
+             whether pinning is keyed by source address)
 
-Mitigation variants (one per phase, N iterations each):
-  A  plain device_put, del ref
-  B  device_put, block_until_ready, del ref, gc.collect()
-  C  device_put onto device, CONSUME via donated jit (x+0), del both
-  D  reuse ONE source buffer (np array) for every transfer
-
-Run it only while no other process is using the tunnel (the tunnel
-misbehaves with two TPU clients).
+Run: python scripts/probe_h2d_rss.py [N] [SIZE_MB]
 """
 
-from __future__ import annotations
-
+import ctypes
 import gc
+import sys
 import time
 
 import numpy as np
@@ -36,82 +34,81 @@ def rss_gib() -> float:
         return int(f.read().split()[1]) * 4096 / 2**30
 
 
-def main(n: int = 6, gib: float = 1.0) -> None:
-    from modegpt_tpu.utils.backend import ensure_available_backend
+def trim() -> None:
+    gc.collect()
+    try:
+        ctypes.CDLL("libc.so.6").malloc_trim(0)
+    except Exception:
+        pass
 
-    ensure_available_backend()
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    size_mb = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    import os
+
     import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # this host's sitecustomize forces the axon backend; honor an
+        # explicit env request (e.g. CPU smoke while the TPU is busy)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
-    print(f"device: {dev.device_kind if hasattr(dev, 'device_kind') else dev}")
-    elems = int(gib * 2**30 // 4)
+    print(f"backend={dev.platform} device={dev.device_kind} n={n} size={size_mb}MB")
+    shape = (size_mb * 1024 * 1024 // 2,)  # bf16 elements
 
-    @jax.jit
-    def probe(x):
-        return x.reshape(-1)[:1]
+    reduce_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
-    def sync(a):
-        np.asarray(probe(a))
-
-    consume = jax.jit(lambda x: x + 0.0, donate_argnums=0)
-
-    def phase(name, body):
-        gc.collect()
+    def variant(name, step):
+        trim()
         base = rss_gib()
         print(f"--- {name} (rss base {base:.2f} GiB)")
+        src = np.ones(shape, dtype=np.uint16).view(jnp.bfloat16.dtype)
+        keep = None
         for i in range(n):
-            t0 = time.perf_counter()
-            body()
-            gc.collect()
-            print(
-                f"  iter {i}: rss {rss_gib():.2f} GiB "
-                f"(+{rss_gib() - base:.2f}) {time.perf_counter() - t0:.1f}s",
-                flush=True,
-            )
+            buf = src if name == "reuse_src" else src.copy()
+            keep = step(buf, keep)
+            trim()
+            print(f"  {name} {i + 1}/{n}: rss {rss_gib():.2f} GiB (+{rss_gib() - base:.2f})")
+        del keep, src
+        trim()
+        time.sleep(0.5)
+        print(f"  {name} end: rss {rss_gib():.2f} GiB (+{rss_gib() - base:.2f})")
 
-    def body_a():
-        src = np.ones((elems,), np.float32)
-        a = jax.device_put(src)
-        sync(a)
-        del a, src
+    def plain(buf, _):
+        d = jax.device_put(buf)
+        del d
+        return None
 
-    phase("A plain device_put + del", body_a)
+    def sync(buf, _):
+        d = jax.device_put(buf)
+        np.asarray(d[:1])
+        del d
+        return None
 
-    def body_b():
-        src = np.ones((elems,), np.float32)
-        a = jax.device_put(src)
-        jax.block_until_ready(a)
-        del a, src
+    def delete(buf, _):
+        d = jax.device_put(buf)
+        np.asarray(d[:1])
+        d.delete()
+        return None
 
-    phase("B block_until_ready + del + gc", body_b)
+    def consume(buf, _):
+        d = jax.device_put(buf)
+        s = reduce_fn(d)
+        float(s)
+        del d, s
+        return None
 
-    def body_c():
-        src = np.ones((elems,), np.float32)
-        a = jax.device_put(src)
-        b = consume(a)
-        sync(b)
-        del a, b, src
-
-    phase("C consume via donated jit", body_c)
-
-    src_d = np.ones((elems,), np.float32)
-
-    def body_d():
-        a = jax.device_put(src_d)
-        sync(a)
-        del a
-
-    phase("D reuse one host source", body_d)
-
-    # E: does jnp.asarray behave differently from device_put?
-    def body_e():
-        src = np.ones((elems,), np.float32)
-        a = jnp.asarray(src)
-        sync(a)
-        del a, src
-
-    phase("E jnp.asarray + del", body_e)
+    for name, step in [
+        ("plain", plain),
+        ("sync", sync),
+        ("delete", delete),
+        ("consume", consume),
+        ("reuse_src", sync),
+    ]:
+        variant(name, step)
 
 
 if __name__ == "__main__":
