@@ -47,6 +47,9 @@ def main() -> None:
     size_mb = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     import os
 
+    from modegpt_tpu.utils.backend import ensure_available_backend
+
+    ensure_available_backend()
     import jax
 
     if os.environ.get("JAX_PLATFORMS"):
@@ -60,6 +63,7 @@ def main() -> None:
     shape = (size_mb * 1024 * 1024 // 2,)  # bf16 elements
 
     reduce_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+    donate_fn = jax.jit(lambda x: x[:8] * 1, donate_argnums=0)
 
     def variant(name, step):
         trim()
@@ -101,11 +105,19 @@ def main() -> None:
         del d, s
         return None
 
+    def donate(buf, _):
+        d = jax.device_put(buf)
+        s = donate_fn(d)
+        np.asarray(s)
+        del d, s
+        return None
+
     for name, step in [
         ("plain", plain),
         ("sync", sync),
         ("delete", delete),
         ("consume", consume),
+        ("donate", donate),
         ("reuse_src", sync),
     ]:
         variant(name, step)
