@@ -47,6 +47,7 @@ def main() -> None:
     size_mb = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     import os
 
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from modegpt_tpu.utils.backend import ensure_available_backend
 
     ensure_available_backend()
