@@ -90,6 +90,49 @@ def _lowmem_rows(kernel, idx, valid):
     return jnp.where(valid[:, None], rows, 0.0)
 
 
+# Per-(layer, expert) lowmem solve for beyond-HBM MoE geometry, split so
+# the resident [E, D, D] tap stack is an operand ONLY of the two
+# programs that read it (select, operand extraction) and never sits
+# beside the Cholesky workspace: at Mixtral geometry the stack is
+# 6.6 GB, the staged expert kernels 2.8 GB, and a monolithic solve's
+# gather+workspace arena (~4-5 GB at pad ~= d_int) tipped the 16 GB
+# chip over (bench_results/r03: moe8 RESOURCE_EXHAUSTED inside
+# _lowmem_down). The expert index is a traced scalar, so all four
+# programs compile once and serve every (layer, expert) pair.
+def _select_from_stack(stack, e, rank, pad, ridge):
+    C = jax.lax.dynamic_index_in_dim(stack, e, 0, keepdims=False)
+    return nystrom_select_padded(C, rank, pad, ridge)
+
+
+_select_stack_lowmem = jax.jit(_select_from_stack, static_argnums=(3,))
+
+
+@jax.jit
+def _extract_down_operands(stack, e, down_kernel, idx, valid):
+    """C_SS [pad, pad] + masked cross [pad, d] read straight off the
+    stacked taps and the resident bf16 down kernel (exact upcast)."""
+    C = jax.lax.dynamic_index_in_dim(stack, e, 0, keepdims=False)
+    pad = idx.shape[0]
+    C_rows = C[idx, :]
+    C_SS = C_rows[:, idx]
+    eye = jnp.eye(pad, dtype=C.dtype)
+    keep2d = valid[:, None] & valid[None, :]
+    C_SS = jnp.where(keep2d, C_SS, eye)
+    cross = jnp.where(valid[:, None], C_rows @ down_kernel.astype(C.dtype), 0.0)
+    return C_SS, cross
+
+
+def _down_from_operands(C_SS, cross, valid):
+    from modegpt_tpu.ops.mlp import NYSTROM_SOLVE_RIDGE
+    from modegpt_tpu.ops.psd import cholesky_solve_ridged
+
+    down_T = cholesky_solve_ridged(C_SS, cross, NYSTROM_SOLVE_RIDGE)
+    return jnp.where(valid[:, None], down_T, 0.0).T
+
+
+_down_solve_lowmem = jax.jit(_down_from_operands, donate_argnums=(0, 1))
+
+
 # Two-phase batched Type-I (ops/mlp.py split entries): the selection
 # pass's Cholesky-inverse workspace retires before the factor pass
 # allocates its [pad, D] gathers, and the factor pass's donated inputs
@@ -315,23 +358,34 @@ def _solve_mlp_moe(
         # Beyond-HBM MoE geometry (Mixtral: E=8, d_int 14336 -> the
         # resident [E, D, D] tap stack alone is 6.6 GB of a 16 GB chip):
         # even ONE expert's batched solve next to it RESOURCE_EXHAUSTEDs.
-        # Run the dense path's lowmem sequence per (layer, expert) —
-        # three drained programs reading the resident bf16 expert kernels
-        # in place (exact upcast), so the peak beside the tap stack is
-        # one [D, D] cov slice + one phase's workspace. Shapes are
-        # expert-uniform: still 3 compiled programs total.
+        # Per (layer, expert), run FOUR drained programs — select,
+        # operand extraction, Cholesky solve, row gathers — sliced off
+        # the tap stack IN-PROGRAM (no materialised [D, D] cov copy) and
+        # reading the resident bf16 expert kernels in place (exact
+        # upcast). The stack is an operand only of the two programs
+        # that read it; the Cholesky solve sees just [pad, pad] +
+        # [pad, d] donated operands, so its workspace never lands
+        # beside the stack. Expert index is traced: 4 compiled programs
+        # total regardless of E or depth.
         for l, r in zip(layers, ranks):
             ek = layer_params[l]["experts"]
             rank_t = jnp.asarray(r, dtype=jnp.int32)
             ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
+            cov_stack = calib.cov_mlp[l]
             ups_l, gates_l, downs_l, idxs_l = [], [], [], []
             for e in range(E):
-                C_e = calib.cov_mlp[l][e].astype(dt)
-                idx_e, valid_e = nystrom_select_padded(C_e, rank_t, pad_all, ridge_arr)
+                e_t = jnp.asarray(e, dtype=jnp.int32)
+                idx_e, valid_e = _select_stack_lowmem(
+                    cov_stack, e_t, rank_t, pad_all, ridge_arr
+                )
                 np.asarray(idx_e[:1])  # retire the score workspace
-                down_e = _lowmem_down(C_e, ek["down"]["kernel"][e], idx_e, valid_e)
+                C_SS, cross = _extract_down_operands(
+                    cov_stack, e_t, ek["down"]["kernel"][e], idx_e, valid_e
+                )
+                np.asarray(C_SS[:1, :1])  # retire the gather temps
+                down_e = _down_solve_lowmem(C_SS, cross, valid_e)
                 np.asarray(down_e[:1, :1])
-                del C_e
+                del C_SS, cross
                 up_e = _lowmem_rows(ek["up"]["kernel"][e], idx_e, valid_e)
                 gate_e = _lowmem_rows(ek["gate"]["kernel"][e], idx_e, valid_e)
                 if fetch == "device":
