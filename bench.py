@@ -263,11 +263,19 @@ def dispatch_floor(n: int = 30) -> float:
 
 
 def _host_init_params(spec):
-    """Host-numpy bf16 init for the beyond-HBM preset: same pytree
-    structure as init_params (via eval_shape), leaves filled host-side so
-    the 25 GB model never touches the device — the streamed sweep stages
+    """Host bf16 init for the beyond-HBM presets: same pytree structure
+    as init_params (via eval_shape), leaves filled host-side so the
+    25-66 GB model never touches the device — the streamed sweep stages
     layers one at a time. Norm scales are ones (a random scale would
-    collapse activations over 40 layers and degenerate the statistics)."""
+    collapse activations over 40 layers and degenerate the statistics).
+
+    Weight leaves land in anon RSS by default; MODEGPT_BENCH_MMAP=1 (or
+    auto, when the model is > ~30% of host RAM — large32B's 64 GB on a
+    125 GB host) writes them to disk-backed .npy memmaps instead, so
+    residency is reclaimable page cache and never OOM-killable, and a
+    re-init after release_params just reopens the files. This mirrors
+    how real checkpoints stream (safetensors are mmapped), not a bench
+    shortcut."""
     import jax
     import jax.numpy as jnp
     import ml_dtypes
@@ -277,6 +285,23 @@ def _host_init_params(spec):
     shapes = jax.eval_shape(
         lambda: init_params(spec, jax.random.key(0), dtype=jnp.bfloat16)
     )
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    total_bytes = sum(
+        int(np.prod(sd.shape)) * 2 for _, sd in leaves
+    )
+    mmap_env = _os.environ.get("MODEGPT_BENCH_MMAP", "auto")
+    host_bytes = _os.sysconf("SC_PAGE_SIZE") * _os.sysconf("SC_PHYS_PAGES")
+    use_mmap = mmap_env == "1" or (
+        mmap_env == "auto" and total_bytes > 0.3 * host_bytes
+    )
+    mdir = None
+    if use_mmap:
+        mdir = _os.environ.get(
+            "MODEGPT_BENCH_MMAP_DIR", f"/tmp/modegpt_bench_mmap/{_PRESET}"
+        )
+        _os.makedirs(mdir, exist_ok=True)
+        log(f"mmap weight fabrication -> {mdir} ({total_bytes / 2**30:.1f} GiB)")
+
     # SFC64 uniform + truncating bf16 cast: ~4x faster than
     # PCG64 standard_normal + round-to-nearest astype on this host's ONE
     # core (25 GB of weights would otherwise take ~40 min to fabricate).
@@ -284,18 +309,39 @@ def _host_init_params(spec):
     # std (half-width 0.02*sqrt(3)) keeps activation scales equivalent.
     rng = np.random.Generator(np.random.SFC64(0))
 
-    def fill(path, sd):
-        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-        if name == "scale":
-            return np.ones(sd.shape, dtype=ml_dtypes.bfloat16)
-        if name == "bias":
-            return np.zeros(sd.shape, dtype=ml_dtypes.bfloat16)
+    def fabricate(sd):
         a = rng.random(sd.shape, dtype=np.float32)
         a -= 0.5
         a *= 2.0 * 0.02 * np.sqrt(3.0)
-        return (a.view(np.uint32) >> 16).astype(np.uint16).view(ml_dtypes.bfloat16)
+        return (a.view(np.uint32) >> 16).astype(np.uint16)
 
-    return jax.tree_util.tree_map_with_path(fill, shapes)
+    def leaf_file(i, sd):
+        return _os.path.join(mdir, f"leaf_{i:04d}_{'x'.join(map(str, sd.shape))}.npy")
+
+    out = []
+    for i, (path, sd) in enumerate(leaves):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "scale":
+            out.append(np.ones(sd.shape, dtype=ml_dtypes.bfloat16))
+            continue
+        if name == "bias":
+            out.append(np.zeros(sd.shape, dtype=ml_dtypes.bfloat16))
+            continue
+        codes = fabricate(sd)
+        if not use_mmap:
+            out.append(codes.view(ml_dtypes.bfloat16))
+            continue
+        f = leaf_file(i, sd)
+        if not _os.path.exists(f):
+            # write-then-reopen read-only: flushed pages are clean page
+            # cache, evictable under memory pressure (anon RSS is not)
+            m = np.lib.format.open_memmap(f, mode="w+", dtype=np.uint16, shape=sd.shape)
+            m[...] = codes
+            m.flush()
+            del m
+        del codes
+        out.append(np.load(f, mmap_mode="r").view(ml_dtypes.bfloat16))
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 STREAM_STATS = {}  # streamed-sweep telemetry of the last pass (bench_jax)
