@@ -302,7 +302,7 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
 
 def _solve_mlp_moe(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
-    shared_ranks=None, pad_hint=0, shared_pad_hint=0,
+    shared_ranks=None, pad_hint=0, shared_pad_hint=0, scratch_params=False,
 ) -> Dict[int, Dict]:
     """Per-expert Type-I solves for MoE layers: the (layer, expert) pairs
     are one flat batch through the SAME padded Nystrom program as the
@@ -372,13 +372,42 @@ def _solve_mlp_moe(
             rank_t = jnp.asarray(r, dtype=jnp.int32)
             ridge_arr = jnp.asarray(config.nystrom_ridge, dt)
             cov_stack = calib.cov_mlp[l]
-            ups_l, gates_l, downs_l, idxs_l = [], [], [], []
+            ups_l, gates_l, downs_l, idxs_l, sel = [], [], [], [], []
+            # Phase A — everything that reads the staged up/gate
+            # kernels: select + row gathers per expert, rows leave HBM
+            # (or are sliced) immediately.
             for e in range(E):
                 e_t = jnp.asarray(e, dtype=jnp.int32)
                 idx_e, valid_e = _select_stack_lowmem(
                     cov_stack, e_t, rank_t, pad_all, ridge_arr
                 )
                 np.asarray(idx_e[:1])  # retire the score workspace
+                up_e = _lowmem_rows(ek["up"]["kernel"][e], idx_e, valid_e)
+                gate_e = _lowmem_rows(ek["gate"]["kernel"][e], idx_e, valid_e)
+                if fetch == "device":
+                    ups_l.append(up_e[:r].astype(fdt or up_e.dtype))
+                    gates_l.append(gate_e[:r].astype(fdt or gate_e.dtype))
+                else:
+                    ups_l.append(_fetch(up_e[:r], fdt))
+                    gates_l.append(_fetch(gate_e[:r], fdt))
+                idxs_l.append(np.asarray(idx_e[:r]))
+                sel.append((idx_e, valid_e))
+                del up_e, gate_e
+            # With the caller's consent (the streamed flush passes
+            # scratch_params=True for its disposable staged tree), free
+            # the up/gate expert stacks — 2/3 of the layer's MoE bytes,
+            # 1.9 GB at Mixtral geometry — before any Cholesky arena
+            # allocates. Only the routed-expert entries are touched
+            # (shared experts + attention solve later from the same
+            # window dict).
+            if scratch_params:
+                ek["up"] = {}
+                ek["gate"] = {}
+            # Phase B — down extract + solve per expert beside only the
+            # tap stack and the staged down kernels.
+            for e in range(E):
+                e_t = jnp.asarray(e, dtype=jnp.int32)
+                idx_e, valid_e = sel[e]
                 C_SS, cross = _extract_down_operands(
                     cov_stack, e_t, ek["down"]["kernel"][e], idx_e, valid_e
                 )
@@ -386,18 +415,12 @@ def _solve_mlp_moe(
                 down_e = _down_solve_lowmem(C_SS, cross, valid_e)
                 np.asarray(down_e[:1, :1])
                 del C_SS, cross
-                up_e = _lowmem_rows(ek["up"]["kernel"][e], idx_e, valid_e)
-                gate_e = _lowmem_rows(ek["gate"]["kernel"][e], idx_e, valid_e)
                 if fetch == "device":
-                    ups_l.append(up_e[:r].astype(fdt or up_e.dtype))
-                    gates_l.append(gate_e[:r].astype(fdt or gate_e.dtype))
                     downs_l.append(down_e[:, :r].astype(fdt or down_e.dtype))
-                    idxs_l.append(np.asarray(idx_e[:r]))
                 else:
-                    ups_l.append(_fetch(up_e[:r], fdt))
-                    gates_l.append(_fetch(gate_e[:r], fdt))
                     downs_l.append(_fetch(down_e[:, :r], fdt))
-                    idxs_l.append(np.asarray(idx_e[:r]))
+                del down_e
+            sel.clear()
             stk = jnp.stack if fetch == "device" else np.stack
             out[l] = {
                 "up": stk(ups_l), "gate": stk(gates_l), "down": stk(downs_l),
@@ -533,7 +556,7 @@ def _solve_mlp_moe(
 
 def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
-    shared_ranks=None, pad_hint=0, shared_pad_hint=0,
+    shared_ranks=None, pad_hint=0, shared_pad_hint=0, scratch_params=False,
 ) -> Dict[int, Dict]:
     if spec.n_experts:
         # mixed qwen3_moe stacks: solve the MoE and dense layer subsets
@@ -549,6 +572,7 @@ def _solve_mlp_batched(
                     calib, config, dt, use_dev, mesh, fetch,
                     shared_ranks=[sr_by_layer[l] for l, _ in moe] if sr_by_layer else None,
                     pad_hint=pad_hint, shared_pad_hint=shared_pad_hint,
+                    scratch_params=scratch_params,
                 )
             )
         if dense:
@@ -900,6 +924,7 @@ def solve_chunk_batched(
     order: str,
     mesh=None,
     fetch: str = "host",
+    scratch_params: bool = False,
 ) -> Dict[str, Dict[int, Dict]]:
     """Solve a whole layer chunk with one device program per suffix.
 
@@ -907,6 +932,10 @@ def solve_chunk_batched(
     factor kind — what the factor store needs); fetch="device" keeps the
     factors as exact device slices for zero-copy surgery (in-memory
     compress-then-serve jobs never pay the host link at all).
+    scratch_params=True lets memory-tight solvers consume ``params``
+    leaves that their own factors make dead (the streamed flush passes
+    its disposable staged tree); the default never mutates the caller's
+    tree.
     """
     layers = list(target_layers)
     layer_params = {l: params["layers"][l] for l in layers}
@@ -939,6 +968,7 @@ def solve_chunk_batched(
             )
             out["mlp"] = _solve_mlp_batched(
                 spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch,
+                scratch_params=scratch_params,
                 shared_ranks=shared_ranks,
                 pad_hint=_global_rank_hint(spec, keep_ratios, "mlp"),
                 shared_pad_hint=(

@@ -475,6 +475,10 @@ def stream_calibrate_solve(
                 chunk = solve_chunk_batched(
                     spec, {"layers": wlp}, g, keep_ratios, calib, config, order,
                     fetch="host",
+                    # the staged window tree is disposable: the solver may
+                    # consume leaves its factors make dead (frees the
+                    # up/gate expert stacks before the Cholesky arena)
+                    scratch_params=True,
                 )
                 for s, by_layer in chunk.items():
                     out.setdefault(s, {}).update(by_layer)

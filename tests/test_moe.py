@@ -164,7 +164,17 @@ def test_lowmem_moe_solve_matches_batched(monkeypatch, rng, family):
 
     ref = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
     monkeypatch.setattr(B, "_LOWMEM_COV_BYTES", 0)
-    got = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    # scratch_params=True (the streamed flush's mode) consumes staged
+    # up/gate leaves once their factors are solved — run it on container
+    # copies (shared leaves) and check the real tree stayed intact.
+    import jax
+
+    scratch = jax.tree_util.tree_map(lambda x: x, params)
+    got = solve_chunk_batched(
+        spec, scratch, [0, 1], keep, calib, config, "mlp", scratch_params=True
+    )["mlp"]
+    assert scratch["layers"][0]["experts"]["up"] == {}  # consumed
+    assert "kernel" in params["layers"][0]["experts"]["up"]  # caller tree intact
     for l in (0, 1):
         assert set(got[l]) == set(ref[l])
         for k, v in ref[l].items():
@@ -180,6 +190,11 @@ def test_lowmem_moe_solve_matches_batched(monkeypatch, rng, family):
                     np.asarray(got[l][k]), np.asarray(v), rtol=1e-6, atol=1e-7,
                     err_msg=f"{l}/{k}",
                 )
+    # default (no scratch consent) must not mutate the caller's tree
+    got2 = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    assert "kernel" in params["layers"][0]["experts"]["up"]
+    for l in (0, 1):
+        np.testing.assert_array_equal(got2[l]["idx"], ref[l]["idx"])
 
 
 def test_moe_compression_end_to_end(tmp_path, rng):
