@@ -8,6 +8,29 @@ not returning it. At 32B geometry (64 x ~1 GiB layers x 2 passes) the
 pinned set alone would OOM the 125 GB host, so large32B is blocked on
 understanding WHAT releases these buffers.
 
+MEASURED (v5e tunnel, 2026-08-19, n=6 x 1024 MB then n=4 x 512 MB):
+
+  default env        EVERY variant (plain/sync/delete/consume/donate/
+                     reuse_src) pins +1 buffer of host RSS per
+                     device_put, permanently — the client journals each
+                     op's payload to replay it if the connection drops,
+                     and nothing the Python side does releases the
+                     journal entries.
+  AXON_JOURNAL_COMPACT=1
+                     any variant that makes a D2H round trip after the
+                     put (sync/delete/consume/donate/reuse_src) stays
+                     FLAT at ~one buffer in flight: the round trip
+                     pushes the journal and compaction filters the
+                     destroyed puts out. `plain` (no round trip) still
+                     accumulates until some later op syncs. Trade-off:
+                     a dropped connection can no longer replay — the
+                     session fails instead of recovering.
+
+The streamed sweep (compress/offload.py) fetches a scalar BI term per
+layer, which is exactly the per-step round trip compaction needs — so
+host-resident presets run with AXON_JOURNAL_COMPACT=1 and bounded RSS
+(scripts/run_r03_benches.sh run_one).
+
 Each variant stages N buffers of SIZE_MB and logs RSS after every
 stage; between variants everything is deleted + synced + trimmed.
 

@@ -25,7 +25,20 @@ run_one() {
   # compile cache makes repeat runs cheap anyway).
   local skip=""
   case "$preset" in large13B|large32B|moe8) skip=1 ;; esac
-  MODEGPT_BENCH_PRESET="${preset}" MODEGPT_BENCH_SKIP_WARMUP="${skip}" \
+  # Host-resident presets stage the whole model through H2D (twice: BI
+  # prepass + tap sweep). The tunnel client journals every op's payload
+  # so it can replay on a connection drop — measured: +1 host-pinned
+  # GiB per staged GiB, forever, under EVERY buffer discipline
+  # (scripts/probe_h2d_rss.py). AXON_JOURNAL_COMPACT lets the client
+  # compact destroyed buffers out of the journal at the next D2H round
+  # trip (the sweep's per-layer BI fetch), bounding pins to ~one staged
+  # layer — large32B's 128 GB of staging would otherwise OOM the host.
+  # Trade-off: a mid-run connection drop can no longer replay (the run
+  # fails instead of recovering) — acceptable for a bounded capture.
+  local compact=()
+  case "$preset" in large13B|large32B|moe8) compact=(AXON_JOURNAL_COMPACT=1) ;; esac
+  env "${compact[@]}" \
+    MODEGPT_BENCH_PRESET="${preset}" MODEGPT_BENCH_SKIP_WARMUP="${skip}" \
     timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
   # bench prints exactly one JSON line on success; a CPU-fallback line
@@ -143,6 +156,7 @@ if [ $# -gt 0 ]; then
       small) run_one small 7200 ;;
       large32) run_one large32 9000 ;;
       large13B) run_one large13B 14000 ;;
+      large32B) run_one large32B 21600 ;;
       moe8) run_one moe8 14000 ;;
       serving_ab) serving_ab ;;
       serving_load) serving_load ;;
