@@ -37,7 +37,18 @@ run_one() {
   # fails instead of recovering) — acceptable for a bounded capture.
   local compact=()
   case "$preset" in large13B|large32B|moe8) compact=(AXON_JOURNAL_COMPACT=1) ;; esac
-  env "${compact[@]}" \
+  # First-time beyond-HBM captures skip the torch baseline: the 13B/32B
+  # geometry t(1)/t(2) extrapolation runs hours on this host's ONE core
+  # AFTER the jax measurement, and a timeout there would destroy the
+  # whole capture (the JSON prints last). Baselines are measured
+  # separately (scripts/measure_baseline.py) and re-injected via
+  # MODEGPT_BENCH_BASELINE_S; an inherited value wins over "none".
+  local baseline=()
+  case "$preset" in
+    large13B|large32B|moe8)
+      baseline=(MODEGPT_BENCH_BASELINE_S="${MODEGPT_BENCH_BASELINE_S:-none}") ;;
+  esac
+  env "${compact[@]}" "${baseline[@]}" \
     MODEGPT_BENCH_PRESET="${preset}" MODEGPT_BENCH_SKIP_WARMUP="${skip}" \
     timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
