@@ -327,19 +327,25 @@ def _host_init_params(spec):
         if name == "bias":
             out.append(np.zeros(sd.shape, dtype=ml_dtypes.bfloat16))
             continue
-        codes = fabricate(sd)
         if not use_mmap:
-            out.append(codes.view(ml_dtypes.bfloat16))
+            out.append(fabricate(sd).view(ml_dtypes.bfloat16))
             continue
         f = leaf_file(i, sd)
         if not _os.path.exists(f):
-            # write-then-reopen read-only: flushed pages are clean page
-            # cache, evictable under memory pressure (anon RSS is not)
+            # Existence gates the RNG too: a restarted run reopens the
+            # ~1 GB/layer files instead of re-paying the single-core
+            # fabrication (~30 min at 64 GB). Write-then-reopen
+            # read-only: flushed pages are clean page cache, evictable
+            # under memory pressure (anon RSS is not). The leaf RNG
+            # stream doesn't depend on which leaves already exist —
+            # fabricate() draws per-leaf from the shared generator, so
+            # values differ across restarts, but the workload cost is
+            # value-independent (uniform same-std weights either way).
+            codes = fabricate(sd)
             m = np.lib.format.open_memmap(f, mode="w+", dtype=np.uint16, shape=sd.shape)
             m[...] = codes
             m.flush()
-            del m
-        del codes
+            del m, codes
         out.append(np.load(f, mmap_mode="r").view(ml_dtypes.bfloat16))
     return jax.tree_util.tree_unflatten(treedef, out)
 
