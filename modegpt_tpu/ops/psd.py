@@ -96,9 +96,88 @@ def sqrt_and_inv_sqrt_psd(
 # (triangular solves are columnwise-independent).
 _TRI_SOLVE_BLOCK = 1024
 
+# Even one column block of the native solve keeps ~n^2 * 16 bytes of
+# remainder temps live (the n/128 internal update steps again): 1.9 GB
+# at n=11008 (fits, proven by the 7B captures) but 10.5 GB at n=25600 —
+# the 32B-geometry d_int OOMs the 16 GB chip outright. Above this
+# threshold the solves switch to explicit row-blocked substitution
+# (`_tri_solve_lower_rowblocked`): per step, one [rb, n] panel of L and
+# the [n, m] solution carry are live, nothing else. The row-block
+# update is a dense matmul (2x the triangular FLOPs) but runs on the
+# MXU at full tilt, unlike the native op's 128-column stepping.
+# Thresholded so every geometry captured on the native path (<= 14336)
+# keeps its proven program shape.
+_TRI_NATIVE_MAX_N = 16384
+_TRI_ROWBLOCK = 2048
+
+
+def _tri_solve_lower_rowblocked(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``L X = B`` (lower-triangular L) by exact blocked forward
+    substitution: X_i = L_ii^-1 (B_i - L[i, :] @ X_so_far).
+
+    The panel matmul picks up only solved rows (unsolved rows of the
+    carry are zero; L's upper triangle is zero), so the result is exact
+    — the blocking changes memory behaviour, not math.
+    """
+    n, m = B.shape
+    rb = _TRI_ROWBLOCK
+    nb, rem = divmod(n, rb)
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    X = jnp.zeros((n, m), B.dtype)
+
+    def body(X, i):
+        r0, z = i * rb, jnp.int32(0)
+        Li = jax.lax.dynamic_slice(L, (r0, z), (rb, n))
+        Bi = jax.lax.dynamic_slice(B, (r0, z), (rb, m))
+        Lii = jax.lax.dynamic_slice(Li, (z, r0), (rb, rb))
+        Xi = jax.scipy.linalg.solve_triangular(Lii, Bi - dot(Li, X), lower=True)
+        return jax.lax.dynamic_update_slice(X, Xi, (r0, z)), None
+
+    if nb:
+        X, _ = jax.lax.scan(body, X, jnp.arange(nb, dtype=jnp.int32))
+    if rem:
+        r0 = nb * rb
+        Lr = L[r0:, :]
+        Xr = jax.scipy.linalg.solve_triangular(
+            L[r0:, r0:], B[r0:, :] - dot(Lr, X), lower=True
+        )
+        X = jax.lax.dynamic_update_slice(X, Xr, (r0, 0))
+    return X
+
+
+def _tri_solve_lowerT_rowblocked(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``L.T X = B`` by blocked BACK substitution, slicing column
+    panels of ``L`` directly so the [n, n] transpose is never
+    materialised. Row panel i of L.T is L[:, r0:r0+rb].T."""
+    n, m = B.shape
+    rb = _TRI_ROWBLOCK
+    nb, rem = divmod(n, rb)
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    X = jnp.zeros((n, m), B.dtype)
+    if rem:
+        r0 = nb * rb
+        Xr = jax.scipy.linalg.solve_triangular(
+            L[r0:, r0:].T, B[r0:, :], lower=False
+        )
+        X = jax.lax.dynamic_update_slice(X, Xr, (r0, 0))
+
+    def body(X, i):
+        r0, z = i * rb, jnp.int32(0)
+        Ui = jax.lax.dynamic_slice(L, (z, r0), (n, rb)).T  # [rb, n] panel of L.T
+        Bi = jax.lax.dynamic_slice(B, (r0, z), (rb, m))
+        Uii = jax.lax.dynamic_slice(Ui, (z, r0), (rb, rb))
+        Xi = jax.scipy.linalg.solve_triangular(Uii, Bi - dot(Ui, X), lower=False)
+        return jax.lax.dynamic_update_slice(X, Xi, (r0, z)), None
+
+    if nb:
+        X, _ = jax.lax.scan(body, X, jnp.arange(nb - 1, -1, -1, dtype=jnp.int32))
+    return X
+
 
 def _tri_solve_blocked(L: jax.Array, B: jax.Array, lower: bool) -> jax.Array:
     n, m = B.shape
+    if lower and n > _TRI_NATIVE_MAX_N:
+        return _tri_solve_lower_rowblocked(L, B)
     block = _TRI_SOLVE_BLOCK
     if m <= 2 * block:
         return jax.scipy.linalg.solve_triangular(L, B, lower=lower)
@@ -188,11 +267,15 @@ def ridge_inverse_diag(C: jax.Array, ridge: float = 1e-2) -> jax.Array:
 
     nb = -(-n // block)
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, block), 0)
+    big = n > _TRI_NATIVE_MAX_N  # 32B-geometry d_int: see _TRI_NATIVE_MAX_N
 
     def body(_, b):
         cols = b * block + jax.lax.broadcasted_iota(jnp.int32, (n, block), 1)
         rhs = (rows == cols).astype(C.dtype)  # identity columns [b*B, (b+1)*B)
-        X = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        if big:
+            X = _tri_solve_lower_rowblocked(L, rhs)
+        else:
+            X = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
         return None, jnp.sum(X * X, axis=0)
 
     _, pieces = jax.lax.scan(body, None, jnp.arange(nb, dtype=jnp.int32))
@@ -208,4 +291,8 @@ def cholesky_solve_ridged(A: jax.Array, B: jax.Array, ridge: float = 1e-6) -> ja
     """
     L = _cholesky_escalated(A, ridge)
     y = _tri_solve_blocked(L, B, lower=True)
+    if A.shape[0] > _TRI_NATIVE_MAX_N:
+        # Back-substitution panels slice L's columns directly — no
+        # [n, n] transpose materialisation next to the forward solve.
+        return _tri_solve_lowerT_rowblocked(L, y)
     return _tri_solve_blocked(L.T, y, lower=False)

@@ -192,3 +192,60 @@ def test_cholesky_escalated_under_shard_map(rng):
     # parity with the unsharded path on every shard
     ref = np.stack([np.asarray(ridge_inverse_diag(C[i], 1e-6)) for i in range(n_dev)])
     np.testing.assert_allclose(scores, ref, rtol=2e-4, atol=1e-5)
+
+
+class TestRowBlockedTriangular:
+    """The beyond-native-memory solve path for 32B-geometry d_int.
+
+    XLA's native TPU triangular_solve needs ~n^2*16 bytes of live
+    remainder temps (10.5 GB at n=25600 — OOMs the 16 GB chip), so
+    `ridge_inverse_diag` / `cholesky_solve_ridged` switch to explicit
+    row-blocked substitution above `_TRI_NATIVE_MAX_N`. The blocking is
+    exact; these tests force the threshold down and require the big
+    path to match the native path and the dense f64 oracle."""
+
+    @pytest.fixture
+    def low_threshold(self, monkeypatch):
+        import modegpt_tpu.ops.psd as psd_mod
+
+        monkeypatch.setattr(psd_mod, "_TRI_NATIVE_MAX_N", 48)
+
+    @pytest.mark.parametrize("n,m", [(100, 7), (2048 + 300, 129), (4096 + 1, 1)])
+    def test_rowblocked_solves_match_native(self, rng, n, m):
+        from modegpt_tpu.ops.psd import (
+            _tri_solve_lower_rowblocked,
+            _tri_solve_lowerT_rowblocked,
+        )
+        import jax
+
+        A = rng.standard_normal((n, n)).astype(np.float32)
+        A = A @ A.T / n + 0.1 * np.eye(n, dtype=np.float32)
+        L = np.linalg.cholesky(A).astype(np.float32)
+        B = rng.standard_normal((n, m)).astype(np.float32)
+        want = np.asarray(jax.scipy.linalg.solve_triangular(L, B, lower=True))
+        got = np.asarray(_tri_solve_lower_rowblocked(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+        wantT = np.asarray(jax.scipy.linalg.solve_triangular(L.T, B, lower=False))
+        gotT = np.asarray(_tri_solve_lowerT_rowblocked(jnp.asarray(L), jnp.asarray(B)))
+        np.testing.assert_allclose(gotT, wantT, rtol=2e-5, atol=2e-5)
+
+    def test_ridge_inverse_diag_big_path(self, make_psd, low_threshold):
+        import jax
+
+        C = make_psd(300).astype(np.float32)
+        with jax.disable_jit():
+            got = np.asarray(ridge_inverse_diag.__wrapped__(jnp.asarray(C), 1e-2))
+        want = np.diag(np.linalg.inv(C.astype(np.float64) + 1e-2 * np.eye(300)))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+    def test_cholesky_solve_big_path(self, make_psd, rng, low_threshold):
+        import jax
+
+        A = make_psd(300).astype(np.float32)
+        B = rng.standard_normal((300, 17)).astype(np.float32)
+        with jax.disable_jit():
+            got = np.asarray(
+                cholesky_solve_ridged(jnp.asarray(A), jnp.asarray(B), ridge=1e-4)
+            )
+        want = np.linalg.solve(A.astype(np.float64) + 1e-4 * np.eye(300), B)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
