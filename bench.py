@@ -416,6 +416,10 @@ def bench_jax() -> float:
         # forces it for resident-weight presets (large32) to measure the
         # overlap against the tighter HBM headroom.
         stream_async_flush=_os.environ.get("MODEGPT_STREAM_ASYNC", "auto"),
+        # async flushes allowed in flight; >1 lets the sweep run ahead of
+        # a drain-bound flush worker (tunnel D2H) at the cost of pinning
+        # that many windows' solve working sets in HBM
+        stream_flush_depth=int(_os.environ.get("MODEGPT_STREAM_FLUSH_DEPTH", "1")),
         # Gram speed/precision A/B knob: highest (parity oracle, 6-pass
         # MXU) | high (3-pass) | bf16 (1-pass, f32 accumulate). Factor
         # deviation vs the oracle is bounded in
@@ -883,6 +887,21 @@ def main():
         out["async_flush"] = bool(STREAM_STATS["async_flush"])
         out["flush_wait_s"] = round(STREAM_STATS["flush_wait_s"], 2)
         out["fetched_gb"] = round(STREAM_STATS["fetched_bytes"] / 2**30, 3)
+        # phase split (see stream_calibrate_solve stats_out): main-thread
+        # H2D enqueue block / forward+BI-sync time / worker solve+fetch
+        # total (overlaps sweep when async) / allowed flushes in flight.
+        for k in ("stage_s", "sweep_s", "flush_run_s"):
+            if k in STREAM_STATS:
+                out[k] = round(STREAM_STATS[k], 2)
+        if "flush_depth" in STREAM_STATS:
+            out["flush_depth"] = STREAM_STATS["flush_depth"]
+        # mfu over the sweep alone (e2e minus the main-thread flush
+        # block): the compute-efficiency number comparable across hosts —
+        # on non-tunneled hardware the D2H drain term vanishes and
+        # mfu_wall converges to this.
+        sweep_s = ours - STREAM_STATS["flush_wait_s"]
+        if peak and sweep_s > 0:
+            out["mfu_sweep"] = round(flops / sweep_s / peak, 4)
     print(json.dumps(out))
 
 

@@ -390,26 +390,41 @@ def stream_calibrate_solve(
     # sweep's idle time on tunneled hosts (the device drains while the
     # main thread blocks in np.asarray), so eligible windows solve+fetch
     # in ONE background worker while the main thread keeps the device
-    # fed with the next layers' forwards. Bounded to one window in
-    # flight (the next flush waits first), preserving flush order and
-    # capping the extra residency at one window's solve working set —
-    # which is why 'auto' only enables it when weights are host-staged
-    # (beyond-HBM: HBM holds just 2 staged layers + activations) and
-    # never for MoE windows (their [E, d_int, d_int] taps are too big to
-    # double-buffer; their flush also gates the next H2D prefetch).
+    # fed with the next layers' forwards. At most
+    # ``config.stream_flush_depth`` windows in flight (the next flush
+    # waits for the oldest first); the single worker serialises the
+    # flushes themselves, so depth only controls how far the sweep may
+    # run ahead of the drain. Each in-flight window pins its taps +
+    # staged layer + solve working set in HBM, which is why the default
+    # depth is 1, 'auto' only enables async when weights are host-staged
+    # (beyond-HBM: HBM holds just 2 staged layers + activations), and
+    # MoE windows never go async (their [E, d_int, d_int] taps are too
+    # big to double-buffer; their flush also gates the next H2D
+    # prefetch).
     host_staged = not isinstance(
         jax.tree_util.tree_leaves(params["layers"][0])[0], jax.Array
     )
     use_async = config.stream_async_flush == "on" or (
         config.stream_async_flush == "auto" and host_staged
     )
+    flush_depth = max(1, int(getattr(config, "stream_flush_depth", 1)))
     executor = None
-    pending = None
+    pending: List = []
     flush_wait_s = 0.0
+    flush_run_s = 0.0
+    stage_s = 0.0
+    sweep_s = 0.0
     if use_async:
         from concurrent.futures import ThreadPoolExecutor
 
         executor = ThreadPoolExecutor(max_workers=1)
+
+    def _stage_timed(lp):
+        nonlocal stage_s
+        t0 = _time.perf_counter()
+        out = _stage(lp)
+        stage_s += _time.perf_counter() - t0
+        return out
 
     bi_pass = np.zeros(spec.n_layers, dtype=np.float64)
     factors: Dict[str, Dict[int, Dict]] = {}
@@ -420,13 +435,13 @@ def stream_calibrate_solve(
         for s, by_layer in chunks.items():
             factors.setdefault(s, {}).update(by_layer)
 
-    def _drain_pending():
-        nonlocal pending, flush_wait_s
-        if pending is not None:
+    def _drain_pending(keep: int = 0):
+        """Block until at most ``keep`` flushes remain in flight."""
+        nonlocal flush_wait_s
+        while len(pending) > keep:
             t0 = _time.perf_counter()
-            _merge(pending.result())
+            _merge(pending.pop(0).result())
             flush_wait_s += _time.perf_counter() - t0
-            pending = None
 
     def flush_window():
         nonlocal pending, flush_wait_s
@@ -468,6 +483,8 @@ def stream_calibrate_solve(
         wlp = dict(window_lp)
 
         def run() -> Dict[str, Dict[int, Dict]]:
+            nonlocal flush_run_s
+            t_run = _time.perf_counter()
             out: Dict[str, Dict[int, Dict]] = {}
             for g in groups:
                 if not g:
@@ -486,12 +503,14 @@ def stream_calibrate_solve(
                     on_window(g, chunk)
             if release_params:
                 _release_solved(spec, params, out)
+            flush_run_s += _time.perf_counter() - t_run
             return out
 
-        _drain_pending()  # at most one window in flight
         if use_async and not moe_layers:
-            pending = executor.submit(run)
+            _drain_pending(flush_depth - 1)  # bound windows in flight
+            pending.append(executor.submit(run))
         else:
+            _drain_pending()  # sync flush: nothing may run beside it
             t0 = _time.perf_counter()
             _merge(run())
             flush_wait_s += _time.perf_counter() - t0
@@ -502,7 +521,7 @@ def stream_calibrate_solve(
         window_taps.clear()
         window_lp.clear()
 
-    staged = _stage(params["layers"][0])
+    staged = _stage_timed(params["layers"][0])
     try:
         for l in range(spec.n_layers):
             lp = staged
@@ -522,9 +541,10 @@ def stream_calibrate_solve(
             )
             defer = will_flush and spec.is_moe_layer(l)
             if l + 1 < spec.n_layers and not defer:
-                staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
+                staged = _stage_timed(params["layers"][l + 1])  # overlap H2D with compute
             rep = _rep_index(spec, l)
             taps_l = None
+            t_sweep = _time.perf_counter()
             for i in range(len(stacks)):
                 stacks[i], taps, bi_l = _stream_layer_step(
                     spec, lp, stacks[i], rep, collect, attn_impl, config.gram_precision
@@ -534,6 +554,7 @@ def stream_calibrate_solve(
                     taps_l = taps if taps_l is None else {
                         k: taps_l[k] + taps[k] for k in taps_l
                     }
+            sweep_s += _time.perf_counter() - t_sweep
             if collect:
                 window_taps[l] = taps_l
                 window_lp[l] = lp
@@ -545,7 +566,7 @@ def stream_calibrate_solve(
             if will_flush and window_taps:
                 flush_window()
             if l + 1 < spec.n_layers and defer:
-                staged = _stage(params["layers"][l + 1])
+                staged = _stage_timed(params["layers"][l + 1])
         _drain_pending()
     finally:
         if executor is not None:
@@ -556,6 +577,14 @@ def stream_calibrate_solve(
     if stats_out is not None:
         stats_out["async_flush"] = use_async
         stats_out["flush_wait_s"] = flush_wait_s
+        # phase split for perf triage: stage_s = main-thread block in H2D
+        # enqueues; sweep_s = forward dispatches + per-layer BI syncs;
+        # flush_run_s = worker-side solve+fetch total (overlaps sweep_s
+        # when async). e2e ≈ stage_s + sweep_s + flush_wait_s + python.
+        stats_out["stage_s"] = stage_s
+        stats_out["sweep_s"] = sweep_s
+        stats_out["flush_run_s"] = flush_run_s
+        stats_out["flush_depth"] = flush_depth if use_async else 0
         stats_out["fetched_bytes"] = sum(
             a.nbytes
             for by_layer in factors.values()

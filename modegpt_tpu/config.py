@@ -94,6 +94,13 @@ class CompressionConfig:
     # overlap would double the flush working set against a nearly-full
     # HBM). 'on'/'off' force it.
     stream_async_flush: str = "auto"
+    # Max async window flushes in flight (solve+fetch behind the sweep).
+    # 1 = classic double-buffer. Depth d lets the sweep run d windows
+    # ahead of a slow HBM->host drain at the cost of pinning d windows'
+    # taps + staged layers + solve working sets in HBM — raise only when
+    # the streamed stats show flush_wait_s >> 0 with sweep_s headroom
+    # (drain-bound, e.g. tunneled backends at ~30 MB/s D2H).
+    stream_flush_depth: int = 1
     # Fused compression (compress/fused.py): the whole calibrate ->
     # allocate -> solve -> surgery job in 3 dispatches + 1 tiny fetch.
     # Dense RoPE-family stacks only; bypasses the factor store/resume.
@@ -190,6 +197,10 @@ class CompressionConfig:
             raise ValueError(
                 f"stream_async_flush must be auto, on or off, "
                 f"got {self.stream_async_flush!r}"
+            )
+        if int(self.stream_flush_depth) < 1:
+            raise ValueError(
+                f"stream_flush_depth must be >= 1, got {self.stream_flush_depth!r}"
             )
         if self.gram_precision not in ("highest", "high", "bf16"):
             raise ValueError(

@@ -358,3 +358,42 @@ def test_stream_program_count_is_layer_invariant():
     # Window flushes at different ranks must reuse programs: allow a few
     # extra signatures (grid boundaries), not one-per-layer growth.
     assert deep - base <= 6, (base, deep)
+
+
+def test_stream_flush_depth_equals_depth1():
+    """stream_flush_depth > 1 (sweep runs ahead of the drain) produces
+    bit-identical factors/BI/keep to the default depth-1 double-buffer,
+    and the phase-split stats stay coherent (flush_run_s counts every
+    window's worker time regardless of depth)."""
+    spec = _llama_spec(n_layers=5)
+    params = _host_params(init_params(spec, jax.random.key(7)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    runs = {}
+    for depth in (1, 3):
+        stats = {}
+        config = _config(
+            layers_per_step=1, stream_async_flush="on", stream_flush_depth=depth
+        )
+        runs[depth] = stream_calibrate_solve(
+            spec, params, batches, config, stats_out=stats
+        )
+        assert stats["async_flush"] is True
+        assert stats["flush_depth"] == depth
+        for k in ("stage_s", "sweep_s", "flush_run_s", "flush_wait_s"):
+            assert stats[k] >= 0.0, (k, stats[k])
+        assert stats["flush_run_s"] > 0.0  # 5 windows actually solved
+
+    f1, bi1, keep1 = runs[1]
+    f3, bi3, keep3 = runs[3]
+    assert bi1 == bi3
+    np.testing.assert_array_equal(np.asarray(keep1), np.asarray(keep3))
+    assert sorted(f1) == sorted(f3)
+    for s in f1:
+        assert sorted(f1[s]) == sorted(f3[s])
+        for l in f1[s]:
+            for k, v in f1[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(f3[s][l][k]), np.asarray(v),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
