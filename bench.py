@@ -890,9 +890,15 @@ def main():
         # phase split (see stream_calibrate_solve stats_out): main-thread
         # H2D enqueue block / forward+BI-sync time / worker solve+fetch
         # total (overlaps sweep when async) / allowed flushes in flight.
-        for k in ("stage_s", "sweep_s", "flush_run_s"):
+        for k in ("stage_s", "sweep_s", "flush_run_s", "prepass_s"):
             if k in STREAM_STATS:
                 out[k] = round(STREAM_STATS[k], 2)
+        if "staged_bytes" in STREAM_STATS:
+            # total host->HBM weight traffic (2x the model for beyond-HBM
+            # presets: BI prepass + tap sweep each stage every layer);
+            # with fetched_gb and the probe_duplex.py link rates this IS
+            # the wall-clock floor on tunneled hosts.
+            out["staged_gb"] = round(STREAM_STATS["staged_bytes"] / 2**30, 3)
         if "flush_depth" in STREAM_STATS:
             out["flush_depth"] = STREAM_STATS["flush_depth"]
         # mfu over the sweep alone (e2e minus the main-thread flush

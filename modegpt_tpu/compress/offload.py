@@ -228,9 +228,74 @@ def _stream_layer_step(
     return x_out, taps, bi
 
 
-def _stage(lp) -> Dict:
-    """Host leaves -> device arrays (async H2D); device leaves pass through."""
+def _stage(lp, stats: Optional[Dict] = None) -> Dict:
+    """Host leaves -> device arrays (async H2D); device leaves pass through.
+
+    ``stats`` accumulates ``staged_bytes`` (host->HBM traffic) so bench
+    JSONs can decompose beyond-HBM e2e into link terms: the tunneled
+    host moves 2x the model H2D (BI prepass + tap sweep) plus the
+    factors D2H, and those byte counts x the measured link rates ARE the
+    wall-clock floor there (scripts/probe_duplex.py)."""
+    if stats is not None:
+        stats["staged_bytes"] = stats.get("staged_bytes", 0) + sum(
+            leaf.nbytes
+            for leaf in jax.tree_util.tree_leaves(lp)
+            if not isinstance(leaf, jax.Array)
+        )
     return jax.tree_util.tree_map(jax.device_put, lp)
+
+
+def _flush_hbm_estimate(
+    spec: ModelSpec, layer_bytes: int, stack_bytes: int, width: int, overlap: bool
+) -> int:
+    """Worst-case device bytes while ONE dense window flushes.
+
+    Terms (f32 solves over bf16 weights):
+      taps      per dense layer: cov_mlp [d_int, d_int] f32 + cov_x
+                [d, d] f32 + per-head Q/K grams (bounded by 2*d^2)
+      workspace Type-I selection holds ~2x [d_int, d_int] f32 BESIDE the
+                cov it factors (escalated-Cholesky temp + L,
+                ops/psd.py ridge_inverse_diag)
+      staged    layer weights in flight (2 when the next layer's H2D
+                prefetch overlaps, 1 when deferred past the flush)
+      stacks    the activation stacks the sweep carries
+      overlap   an async flush solves window W while the sweep
+                accumulates window W+1's taps -> taps count twice
+
+    Deliberately coarse (it ignores XLA transients and fragmentation) —
+    callers compare against a conservative fraction of HBM."""
+    d_int = max(
+        (spec.gate_ranks[l] for l in range(spec.n_layers)), default=0
+    ) or spec.d_int
+    taps = 4 * (d_int * d_int + 3 * spec.d_model * spec.d_model) * width
+    workspace = 2 * 4 * d_int * d_int
+    staged = (2 if overlap else 1) * layer_bytes
+    return stack_bytes + staged + (2 if overlap else 1) * taps + workspace
+
+
+def _async_flush_fits(
+    spec: ModelSpec, layer_bytes: int, stack_bytes: int, width: int,
+    hbm_bytes: Optional[int],
+) -> bool:
+    """Whether an async window flush (solve racing the sweep) fits in
+    ``hbm_bytes``. Unknown budget (CPU, no memory_stats) -> True: the
+    gate exists for real HBM, not virtual-device tests."""
+    if not hbm_bytes:
+        return True
+    est = _flush_hbm_estimate(spec, layer_bytes, stack_bytes, width, overlap=True)
+    return est <= 0.75 * hbm_bytes
+
+
+def _device_hbm_bytes() -> Optional[int]:
+    try:
+        from modegpt_tpu.utils.memory import device_memory_stats
+
+        stats = device_memory_stats()
+        limits = [s.get("bytes_limit") for s in stats.values()]
+        limits = [b for b in limits if b]
+        return min(limits) if limits else None
+    except Exception:
+        return None
 
 
 def _release_solved(spec: ModelSpec, params: Dict, chunk: Dict) -> None:
@@ -275,23 +340,30 @@ def stream_bi_sweep(
     params: Dict,
     batches: Sequence[np.ndarray],
     attn_impl: str = "auto",
+    stats_out: Optional[Dict] = None,
 ) -> List[float]:
     """BI-only streamed sweep (no taps): one forward's FLOPs, one full
     H2D weight sweep. Returns per-layer BI scores normalised by sequence
-    count (reference: calibration.py:135-136)."""
+    count (reference: calibration.py:135-136).
+
+    ``stats_out`` gains ``prepass_s`` (wall) and accumulates
+    ``staged_bytes`` — the prepass is one full-model H2D pass, usually
+    link-bound on tunneled hosts."""
+    t_pre = _time.perf_counter()
     attn_impl = _resolve_attn(attn_impl)
     other = {k: v for k, v in params.items() if k != "layers"}
-    other_dev = _stage(_embed_leaves(spec, other))
+    other_dev = _stage(_embed_leaves(spec, other), stats_out)
     stacks = [
         _embed_batches(spec, other_dev, jnp.asarray(g)) for g in _group_batches(batches)
     ]
+    del other_dev  # embeddings are dead once the stacks exist (see sweep)
     n_seq = sum(int(b.shape[0]) for b in batches)
     bi = np.zeros(spec.n_layers, dtype=np.float64)
-    staged = _stage(params["layers"][0])
+    staged = _stage(params["layers"][0], stats_out)
     for l in range(spec.n_layers):
         lp = staged
         if l + 1 < spec.n_layers:
-            staged = _stage(params["layers"][l + 1])  # overlap H2D with compute
+            staged = _stage(params["layers"][l + 1], stats_out)  # overlap H2D with compute
         rep = _rep_index(spec, l)
         for i in range(len(stacks)):
             stacks[i], _, bi_l = _stream_layer_step(
@@ -303,6 +375,8 @@ def stream_bi_sweep(
             "BI prepass: layer %d/%d done (rss %.1f GiB)",
             l + 1, spec.n_layers, _host_rss_gib(),
         )
+    if stats_out is not None:
+        stats_out["prepass_s"] = _time.perf_counter() - t_pre
     return (bi / n_seq).tolist()
 
 
@@ -367,7 +441,7 @@ def stream_calibrate_solve(
 
     bi_scores: List[float]
     if keep_ratios is None:
-        bi_scores = stream_bi_sweep(spec, params, batches, attn_impl)
+        bi_scores = stream_bi_sweep(spec, params, batches, attn_impl, stats_out)
         keep_ratios, _ = allocate_keep_ratios(
             bi_scores, config.compression_ratio,
             smoothing=config.sparsity_smoothing, max_sparsity=config.max_sparsity,
@@ -378,10 +452,15 @@ def stream_calibrate_solve(
         keep_ratios = np.asarray(keep_ratios)
 
     other = {k: v for k, v in params.items() if k != "layers"}
-    other_dev = _stage(_embed_leaves(spec, other))
+    other_dev = _stage(_embed_leaves(spec, other), stats_out)
     stacks = [
         _embed_batches(spec, other_dev, jnp.asarray(g)) for g in _group_batches(batches)
     ]
+    # The embed table is dead once the stacks exist — drop our reference
+    # so host-staged copies free their HBM (Qwen3 vocab at bf16 is
+    # 1.45 GB, real headroom against the 32B-geometry solve workspace).
+    # Resident callers keep theirs alive through ``params``.
+    del other_dev
     n_seq = sum(int(b.shape[0]) for b in batches)
     seq_len = int(batches[0].shape[1])
     total_tokens = n_seq * seq_len
@@ -404,8 +483,20 @@ def stream_calibrate_solve(
     host_staged = not isinstance(
         jax.tree_util.tree_leaves(params["layers"][0])[0], jax.Array
     )
+    layer_bytes = sum(
+        leaf.nbytes for leaf in jax.tree_util.tree_leaves(params["layers"][0])
+    )
+    stack_bytes = sum(s.nbytes for s in stacks)
     use_async = config.stream_async_flush == "on" or (
-        config.stream_async_flush == "auto" and host_staged
+        config.stream_async_flush == "auto"
+        and host_staged
+        # HBM gate: at 32B geometry (d_int 25600) one window's Type-I
+        # selection workspace is ~7.9 GB f32 — racing it against the
+        # sweep's next-window taps RESOURCE_EXHAUSTED a 16 GB chip.
+        # 'auto' only overlaps when the coarse estimate fits.
+        and _async_flush_fits(
+            spec, layer_bytes, stack_bytes, width, _device_hbm_bytes()
+        )
     )
     flush_depth = max(1, int(getattr(config, "stream_flush_depth", 1)))
     executor = None
@@ -422,7 +513,7 @@ def stream_calibrate_solve(
     def _stage_timed(lp):
         nonlocal stage_s
         t0 = _time.perf_counter()
-        out = _stage(lp)
+        out = _stage(lp, stats_out)
         stage_s += _time.perf_counter() - t0
         return out
 
@@ -435,12 +526,48 @@ def stream_calibrate_solve(
         for s, by_layer in chunks.items():
             factors.setdefault(s, {}).update(by_layer)
 
+    def _is_oom(e: Exception) -> bool:
+        return "RESOURCE_EXHAUSTED" in str(e)
+
     def _drain_pending(keep: int = 0):
-        """Block until at most ``keep`` flushes remain in flight."""
-        nonlocal flush_wait_s
+        """Block until at most ``keep`` flushes remain in flight.
+
+        A flush that RESOURCE_EXHAUSTED in the worker is retried
+        synchronously: first every newer in-flight flush is collected
+        (so nothing races the retry's solve workspace), async is
+        disabled for the rest of the sweep (the HBM estimate was
+        evidently optimistic), then the failed windows re-solve one at
+        a time from their still-held taps. Only dense windows ever go
+        async, and dense solves don't consume their inputs — the retry
+        sees exactly the state the first attempt saw."""
+        nonlocal flush_wait_s, use_async
         while len(pending) > keep:
+            fut, run_fn = pending.pop(0)
             t0 = _time.perf_counter()
-            _merge(pending.pop(0).result())
+            failed = []
+            try:
+                _merge(fut.result())
+            except Exception as e:  # noqa: BLE001 — re-raised unless OOM
+                if not _is_oom(e):
+                    raise
+                failed.append(run_fn)
+            if failed:
+                use_async = False
+                logger.warning(
+                    "async window flush RESOURCE_EXHAUSTED; draining in-flight "
+                    "flushes and retrying synchronously (async disabled for the "
+                    "rest of this sweep)"
+                )
+                while pending:
+                    fut2, run2 = pending.pop(0)
+                    try:
+                        _merge(fut2.result())
+                    except Exception as e2:  # noqa: BLE001
+                        if not _is_oom(e2):
+                            raise
+                        failed.append(run2)
+                for rf in failed:
+                    _merge(rf())
             flush_wait_s += _time.perf_counter() - t0
 
     def flush_window():
@@ -508,7 +635,12 @@ def stream_calibrate_solve(
 
         if use_async and not moe_layers:
             _drain_pending(flush_depth - 1)  # bound windows in flight
-            pending.append(executor.submit(run))
+            if use_async:  # a drained flush may have OOMed and gone sync
+                pending.append((executor.submit(run), run))
+            else:
+                t0 = _time.perf_counter()
+                _merge(run())
+                flush_wait_s += _time.perf_counter() - t0
         else:
             _drain_pending()  # sync flush: nothing may run beside it
             t0 = _time.perf_counter()
@@ -529,8 +661,11 @@ def stream_calibrate_solve(
             # MoE flush windows hold [E, d_int, d_int] taps + the window's
             # expert stacks — at Mixtral geometry the solver needs every byte
             # beside them, so the next layer's H2D prefetch (enqueue-time
-            # allocation!) is DEFERRED past the flush. Dense layers keep the
-            # prefetch overlapping compute (their flush working set is small).
+            # allocation!) is DEFERRED past the flush. The same applies to
+            # any SYNC flush: sync mode is chosen exactly when the solve
+            # working set is HBM-tight (the auto gate, or a prior OOM), and
+            # with the sweep paused the prefetch buys no overlap anyway.
+            # Async dense flushes keep the prefetch overlapping compute.
             # ONE predicate for both the deferral and the flush below: this
             # layer's taps (if collected) make the window full, or it's the
             # last layer. A drifted copy would silently re-introduce the
@@ -539,7 +674,7 @@ def stream_calibrate_solve(
                 len(window_taps) + (1 if collect else 0) >= width
                 or l == spec.n_layers - 1
             )
-            defer = will_flush and spec.is_moe_layer(l)
+            defer = will_flush and (spec.is_moe_layer(l) or not use_async)
             if l + 1 < spec.n_layers and not defer:
                 staged = _stage_timed(params["layers"][l + 1])  # overlap H2D with compute
             rep = _rep_index(spec, l)

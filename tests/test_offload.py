@@ -383,6 +383,17 @@ def test_stream_flush_depth_equals_depth1():
         for k in ("stage_s", "sweep_s", "flush_run_s", "flush_wait_s"):
             assert stats[k] >= 0.0, (k, stats[k])
         assert stats["flush_run_s"] > 0.0  # 5 windows actually solved
+        # link accounting: host params -> staged bytes cover the BI
+        # prepass pass AND the sweep pass (~2x the layer weights)
+        assert stats["prepass_s"] > 0.0
+        layer_bytes = sum(
+            leaf.nbytes
+            for lp in params["layers"]
+            for leaf in jax.tree_util.tree_leaves(lp)
+        )
+        assert stats["staged_bytes"] >= 2 * layer_bytes, (
+            stats["staged_bytes"], layer_bytes,
+        )
 
     f1, bi1, keep1 = runs[1]
     f3, bi3, keep3 = runs[3]
@@ -396,4 +407,102 @@ def test_stream_flush_depth_equals_depth1():
                 np.testing.assert_array_equal(
                     np.asarray(f3[s][l][k]), np.asarray(v),
                     err_msg=f"{s}[{l}][{k}]",
+                )
+
+
+def test_async_flush_hbm_gate():
+    """'auto' async flush is gated on the coarse HBM estimate: a tight
+    budget forces sync (the 32B-geometry OOM), a roomy one overlaps, an
+    unknown budget (CPU) never gates, and 'on' bypasses the gate."""
+    from modegpt_tpu.compress import offload
+
+    spec = _llama_spec(n_layers=4)
+    params = _host_params(init_params(spec, jax.random.key(3)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    est_sync = offload._flush_hbm_estimate(spec, 10_000, 1_000, 1, overlap=False)
+    est_async = offload._flush_hbm_estimate(spec, 10_000, 1_000, 1, overlap=True)
+    assert est_async > est_sync > 0
+    assert offload._async_flush_fits(spec, 10_000, 1_000, 1, None)  # unknown budget
+    assert offload._async_flush_fits(spec, 10_000, 1_000, 1, 100 * est_async)
+    assert not offload._async_flush_fits(spec, 10_000, 1_000, 1, est_async)  # > 0.75x
+
+    ref = stream_calibrate_solve(spec, params, batches, _config(layers_per_step=1))
+
+    orig = offload._device_hbm_bytes
+    offload._device_hbm_bytes = lambda: 1  # everything is too big
+    try:
+        stats = {}
+        gated = stream_calibrate_solve(
+            spec, params, batches,
+            _config(layers_per_step=1, stream_async_flush="auto"),
+            stats_out=stats,
+        )
+        assert stats["async_flush"] is False  # gate forced sync
+        stats_on = {}
+        forced = stream_calibrate_solve(
+            spec, params, batches,
+            _config(layers_per_step=1, stream_async_flush="on"),
+            stats_out=stats_on,
+        )
+        assert stats_on["async_flush"] is True  # 'on' bypasses the gate
+    finally:
+        offload._device_hbm_bytes = orig
+
+    for run in (gated, forced):
+        f_ref, bi_ref, keep_ref = ref
+        f, bi, keep = run
+        assert bi == bi_ref
+        np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+        for s in f_ref:
+            for l in f_ref[s]:
+                for k, v in f_ref[s][l].items():
+                    np.testing.assert_array_equal(np.asarray(f[s][l][k]), np.asarray(v))
+
+
+def test_async_flush_oom_falls_back_to_sync():
+    """A worker-side RESOURCE_EXHAUSTED during an async window flush is
+    retried synchronously and disables async for the rest of the sweep —
+    the job completes with factors identical to a clean run."""
+    from modegpt_tpu.compress import batched as batched_mod
+
+    spec = _llama_spec(n_layers=4)
+    params = _host_params(init_params(spec, jax.random.key(5)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    ref = stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1, stream_async_flush="on")
+    )
+
+    orig = batched_mod.solve_chunk_batched
+    state = {"calls": 0}
+
+    def flaky(*args, **kwargs):
+        state["calls"] += 1
+        if state["calls"] == 1:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error (injected)")
+        return orig(*args, **kwargs)
+
+    batched_mod.solve_chunk_batched = flaky
+    try:
+        stats = {}
+        f, bi, keep = stream_calibrate_solve(
+            spec, params, batches,
+            _config(layers_per_step=1, stream_async_flush="on"),
+            stats_out=stats,
+        )
+    finally:
+        batched_mod.solve_chunk_batched = orig
+
+    assert state["calls"] >= 5  # 4 windows + the injected failure
+    assert stats["async_flush"] is False  # flipped off by the fallback
+    f_ref, bi_ref, keep_ref = ref
+    assert bi == bi_ref
+    np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+    for s in f_ref:
+        assert sorted(f[s]) == sorted(f_ref[s])
+        for l in f_ref[s]:
+            for k, v in f_ref[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(f[s][l][k]), np.asarray(v), err_msg=f"{s}[{l}][{k}]"
                 )
