@@ -134,6 +134,12 @@ def flash_attention(
 
     block_q = min(block_q, _ceil_to(T, 128))
     block_k = min(block_k, _ceil_to(T, 128))
+    if block_k % block_q != 0 and block_q % block_k != 0:
+        # clamping can leave the q/k tiles without a common multiple
+        # (e.g. T=300: block_q 256, block_k 384) and then one pad length
+        # cannot tile both — the q grid under-covered and real rows past
+        # the last full q-tile were returned as uninitialized memory
+        block_k = _ceil_to(block_k, block_q)
     t_pad = _ceil_to(T, max(block_q, block_k))
 
     # Pre-scale q outside the kernel (a traced scalar can't be closed over).
@@ -273,13 +279,13 @@ def flash_attention_hbm(
     window: Optional[int] = None,
 ) -> jax.Array:
     """Long-context flash attention: K/V stay in HBM, tiles are streamed
+    into VMEM with double-buffered DMA. Same semantics as
+    `flash_attention`; use when T is too long for whole-K/V-in-VMEM
+    (~30k+ tokens at hd 128 f32).
 
     Default blocks (512, 1024) measured best on TPU v5e at
     B1/H16/T16384/hd96 (16.9ms vs 27.7ms at 256x256): bigger k-tiles
-    keep the double-buffered DMA pipeline ahead of the MXU.
-    into VMEM with double-buffered DMA. Same semantics as
-    `flash_attention`; use when T is too long for whole-K/V-in-VMEM
-    (~30k+ tokens at hd 128 f32)."""
+    keep the double-buffered DMA pipeline ahead of the MXU."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, H, T, hd = q.shape
@@ -291,6 +297,9 @@ def flash_attention_hbm(
 
     block_q = min(block_q, _ceil_to(T, 128))
     block_k = min(block_k, _ceil_to(T, 128))
+    if block_k % block_q != 0 and block_q % block_k != 0:
+        # same under-coverage hazard as `flash_attention` (see there)
+        block_k = _ceil_to(block_k, block_q)
     t_pad = _ceil_to(T, max(block_q, block_k))
     # Manual HBM DMA slices must be 128-lane aligned (Mosaic tiling);
     # zero-padded head columns contribute nothing to q.k or the output.

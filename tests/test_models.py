@@ -143,6 +143,31 @@ def test_flash_attention_long_causal(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+def test_flash_attention_coprime_tile_coverage(rng):
+    """Regression: T where the clamped q/k tiles share no common multiple
+    (T=300 -> block_q 256, block_k 384 before realignment) under-covered
+    the q grid and returned rows past the last full q-tile as
+    uninitialized memory. Both entry points, default blocks."""
+    from modegpt_tpu.kernels.flash_attention import (
+        flash_attention,
+        flash_attention_hbm,
+    )
+    from modegpt_tpu.models.forward import _attention
+
+    B, H, Hk, hd = 1, 4, 2, 64
+    for T, fn in ((300, flash_attention), (300, flash_attention_hbm),
+                  (640, flash_attention_hbm)):
+        q = jnp.asarray(rng.standard_normal((B, H, T, hd)), dtype=jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, Hk, T, hd)), dtype=jnp.float32)
+        ref = _attention(q, k, v, hd**-0.5, None, impl="xla")
+        got = fn(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"{fn.__name__} T={T}",
+        )
+
+
 def test_safetensors_loader_matches_torch_loader(tmp_path, tiny_ids):
     """Torch-free safetensors ingestion == torch-path ingestion."""
     from modegpt_tpu.models.hf import load_hf_model
