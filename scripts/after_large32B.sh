@@ -30,8 +30,10 @@ if [ -n "$PID" ]; then
     || log "large32B NOT captured; tail: $(tail -3 /tmp/bench_r03_large32B.log 2>/dev/null)"
 fi
 
-log "=== small re-capture (re-warm compile cache post-reboot)"
-bash scripts/run_r03_benches.sh small || log "small re-capture FAILED"
+if [ "${SKIP_SMALL:-}" != "1" ]; then
+  log "=== small re-capture (re-warm compile cache post-reboot)"
+  bash scripts/run_r03_benches.sh small || log "small re-capture FAILED"
+fi
 
 log "=== full CPU test suite"
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
