@@ -420,6 +420,13 @@ def bench_jax() -> float:
         # a drain-bound flush worker (tunnel D2H) at the cost of pinning
         # that many windows' solve working sets in HBM
         stream_flush_depth=int(_os.environ.get("MODEGPT_STREAM_FLUSH_DEPTH", "1")),
+        # Factor destination for the streamed sweep: 'host' (default —
+        # persistence semantics, factors cross the ~30 MB/s tunnel D2H
+        # link) or 'device' (resident-weight presets only: factors stay
+        # in HBM as bf16 slices, release_params frees each dense layer
+        # as its factors land, surgery consumes them in place — the
+        # compress-then-serve job with zero factor D2H).
+        stream_fetch=_os.environ.get("MODEGPT_STREAM_FETCH", "host"),
         # Gram speed/precision A/B knob: highest (parity oracle, 6-pass
         # MXU) | high (3-pass) | bf16 (1-pass, f32 accumulate). Factor
         # deviation vs the oracle is bounded in
@@ -643,6 +650,12 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
             num_hidden_layers=n_layers, num_attention_heads=N_HEADS,
             num_key_value_heads=N_KV, max_position_embeddings=SEQ * 2,
             tie_word_embeddings=False,
+            # Explicit: the large32B preset (Qwen-32B geometry) has
+            # n_heads * head_dim != d_model (64*128 vs 5120); the HF
+            # default hidden_size // num_attention_heads would build
+            # 80-dim heads and the hooked solver's 128-dim row slices
+            # would run off the K projection (IndexError at kv>=5).
+            head_dim=HEAD_DIM,
         )
         model = transformers.LlamaForCausalLM(cfg).eval()
 
@@ -887,6 +900,8 @@ def main():
         out["async_flush"] = bool(STREAM_STATS["async_flush"])
         out["flush_wait_s"] = round(STREAM_STATS["flush_wait_s"], 2)
         out["fetched_gb"] = round(STREAM_STATS["fetched_bytes"] / 2**30, 3)
+        if "fetch" in STREAM_STATS:
+            out["stream_fetch"] = STREAM_STATS["fetch"]
         # phase split (see stream_calibrate_solve stats_out): main-thread
         # H2D enqueue block / forward+BI-sync time / worker solve+fetch
         # total (overlaps sweep when async) / allowed flushes in flight.

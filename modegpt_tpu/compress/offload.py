@@ -427,8 +427,11 @@ def stream_calibrate_solve(
         RAM (staged weights) monotonically instead of holding the whole
         dense model until surgery.
 
-    Returns (factors, bi_scores, keep_ratios); factors as host numpy,
-    keyed [suffix][layer].
+    Returns (factors, bi_scores, keep_ratios); factors keyed
+    [suffix][layer] — host numpy under ``config.stream_fetch='host'``
+    (default), model-dtype device slices under ``'device'`` (resident
+    weights only: the compress-then-serve job skips the HBM->host factor
+    transfer entirely and surgery consumes the slices in place).
     """
     from modegpt_tpu.compress.batched import solve_chunk_batched
     from modegpt_tpu.ops.allocation import allocate_keep_ratios
@@ -438,6 +441,23 @@ def stream_calibrate_solve(
     targets = (
         set(range(spec.n_layers)) if target_layers is None else set(target_layers)
     )
+
+    host_staged = not isinstance(
+        jax.tree_util.tree_leaves(params["layers"][0])[0], jax.Array
+    )
+    # Factor destination (config.stream_fetch): 'host' = numpy factors
+    # (persistence; mandatory for beyond-HBM weights), 'device' = model-
+    # dtype device slices for zero-copy surgery — the compress-then-serve
+    # job then never pays the HBM->host factor link (~30 MB/s on tunneled
+    # hosts, the streamed path's dominant term for resident models).
+    fetch_mode = getattr(config, "stream_fetch", "host")
+    if fetch_mode == "device" and host_staged:
+        raise ValueError(
+            "stream_fetch='device' requires device-resident weights: a "
+            "host-staged (beyond-HBM) sweep exists precisely because the "
+            "model does not fit in HBM, and accumulating device factors "
+            "(~keep_ratio x model bytes) would re-fill it"
+        )
 
     bi_scores: List[float]
     if keep_ratios is None:
@@ -480,15 +500,17 @@ def stream_calibrate_solve(
     # MoE windows never go async (their [E, d_int, d_int] taps are too
     # big to double-buffer; their flush also gates the next H2D
     # prefetch).
-    host_staged = not isinstance(
-        jax.tree_util.tree_leaves(params["layers"][0])[0], jax.Array
-    )
     layer_bytes = sum(
         leaf.nbytes for leaf in jax.tree_util.tree_leaves(params["layers"][0])
     )
     stack_bytes = sum(s.nbytes for s in stacks)
-    use_async = config.stream_async_flush == "on" or (
-        config.stream_async_flush == "auto"
+    # Device-fetched flushes are pure device dispatches (JAX async
+    # dispatch already overlaps them with the sweep; there is no D2H
+    # drain to hide), so the worker thread would add nothing but a
+    # second copy of the flush working set.
+    use_async = fetch_mode == "host" and config.stream_async_flush == "on" or (
+        fetch_mode == "host"
+        and config.stream_async_flush == "auto"
         and host_staged
         # HBM gate: at 32B geometry (d_int 25600) one window's Type-I
         # selection workspace is ~7.9 GB f32 — racing it against the
@@ -618,7 +640,7 @@ def stream_calibrate_solve(
                     continue
                 chunk = solve_chunk_batched(
                     spec, {"layers": wlp}, g, keep_ratios, calib, config, order,
-                    fetch="host",
+                    fetch=fetch_mode,
                     # the staged window tree is disposable: the solver may
                     # consume leaves its factors make dead (frees the
                     # up/gate expert stacks before the Cholesky arena)
@@ -720,12 +742,15 @@ def stream_calibrate_solve(
         stats_out["sweep_s"] = sweep_s
         stats_out["flush_run_s"] = flush_run_s
         stats_out["flush_depth"] = flush_depth if use_async else 0
+        stats_out["fetch"] = fetch_mode
+        # Bytes that actually crossed the HBM->host link: device-fetched
+        # factors (jax arrays) never did.
         stats_out["fetched_bytes"] = sum(
             a.nbytes
             for by_layer in factors.values()
             for f in by_layer.values()
             for a in f.values()
-            if hasattr(a, "nbytes")
+            if hasattr(a, "nbytes") and not isinstance(a, jax.Array)
         )
     logger.info(
         "streamed calibrate+solve: %d layers, %d sequences x %d tokens, "

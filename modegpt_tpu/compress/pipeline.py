@@ -48,7 +48,66 @@ from modegpt_tpu.utils.precision import solver_dtype, solver_placement
 
 logger = logging.getLogger("modegpt_tpu")
 
-__all__ = ["run_compression", "solve_layer"]
+__all__ = ["run_compression", "solve_layer", "compress_in_memory"]
+
+
+def compress_in_memory(
+    spec: ModelSpec,
+    params: Dict,
+    config: CompressionConfig,
+    tokenizer=None,
+    mesh=None,
+):
+    """Dense in-memory model -> compressed in-memory model, zero disk.
+
+    The compress-then-serve handoff: no artifact, no factor store, and —
+    on the default path — no HBM->host factor transfer either. The
+    reference has no equivalent flow; it must round-trip compress ->
+    save_pretrained -> reload through its Rebuild classes
+    (reference: run_modegpt.py:158-183).
+
+    Path selection:
+    * ``config.fused`` — the 3-dispatch fused program (compress/fused.py;
+      dense uniform RoPE stacks only, whole-model taps resident: the
+      latency winner when weights + taps fit HBM comfortably).
+    * otherwise — the layer-streamed sweep with DEVICE-fetched factors
+      (``stream_fetch='device'``): O(1)-in-depth tap memory, each dense
+      projection released as its factors land, surgery consumes the
+      factor slices in place. Works at any resident-model scale.
+
+    Returns (compressed_spec, compressed_params); ``params`` is consumed
+    (host leaves are device_put once, dense projections are released).
+    """
+    from dataclasses import replace as _replace
+
+    batches = load_calibration_batches(
+        tokenizer, config.dataset, config.calib_size, config.calibs_batch_size,
+        min(config.seq_len, spec.max_position_embeddings),
+        vocab_size=spec.vocab_size,
+    )
+    if config.fused:
+        from modegpt_tpu.compress.fused import fused_compress
+
+        return fused_compress(spec, params, batches, config, mesh=mesh)
+
+    from modegpt_tpu.compress.offload import stream_calibrate_solve
+
+    # Device-resident weights are the prerequisite for device factor
+    # fetch; fresh checkpoint loads arrive as host numpy — place once.
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    model_dtype = (
+        "bfloat16" if params["embed_tokens"].dtype == jnp.bfloat16 else "float32"
+    )
+    cfg = _replace(config, stream_fetch="device", model_dtype=model_dtype)
+    order = config.order or "mlp,qk,vo"
+    factors, _, _ = stream_calibrate_solve(
+        spec, params, batches, cfg, order=order, release_params=True
+    )
+    return apply_factors(
+        spec, params,
+        factors.get("mlp", {}), factors.get("qk", {}), factors.get("vo", {}),
+        release_dense=True,
+    )
 
 
 def _hf_weight(layer_params: Dict, name: str) -> np.ndarray:

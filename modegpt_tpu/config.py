@@ -101,6 +101,17 @@ class CompressionConfig:
     # the streamed stats show flush_wait_s >> 0 with sweep_s headroom
     # (drain-bound, e.g. tunneled backends at ~30 MB/s D2H).
     stream_flush_depth: int = 1
+    # Where the streamed sweep's window factors land (compress/offload.py):
+    # 'host' fetches each window's factors to host numpy (what persistence
+    # needs, and the only option for beyond-HBM host-staged weights —
+    # dense weights and factors must never coexist on device there);
+    # 'device' keeps them as model-dtype device slices for zero-copy
+    # surgery — the in-memory compress-then-serve job then pays NO
+    # HBM->host factor transfer at all (on tunneled hosts that link is
+    # ~30 MB/s and dominates the streamed e2e). Device fetch pairs with
+    # release_params: factors replace the released dense kernels, so HBM
+    # shrinks monotonically over the sweep.
+    stream_fetch: str = "host"
     # Fused compression (compress/fused.py): the whole calibrate ->
     # allocate -> solve -> surgery job in 3 dispatches + 1 tiny fetch.
     # Dense RoPE-family stacks only; bypasses the factor store/resume.
@@ -201,6 +212,10 @@ class CompressionConfig:
         if int(self.stream_flush_depth) < 1:
             raise ValueError(
                 f"stream_flush_depth must be >= 1, got {self.stream_flush_depth!r}"
+            )
+        if self.stream_fetch not in ("host", "device"):
+            raise ValueError(
+                f"stream_fetch must be host or device, got {self.stream_fetch!r}"
             )
         if self.gram_precision not in ("highest", "high", "bf16"):
             raise ValueError(

@@ -95,6 +95,17 @@ def main(argv=None):
         "int8 activations, int8 x int8 MXU dots — 2x the bf16 peak on "
         "v5e). Decode stays weight-only int8.",
     )
+    parser.add_argument(
+        "--compress_ratio", type=float, default=None,
+        help="compress the (dense) checkpoint IN MEMORY at this ratio "
+        "before serving — no artifact round-trip, factors never leave "
+        "HBM (compress/pipeline.compress_in_memory)",
+    )
+    parser.add_argument("--compress_dataset", default="wikitext",
+                        help="calibration dataset for --compress_ratio; "
+                        "'synthetic' works offline")
+    parser.add_argument("--compress_calib_size", type=int, default=32)
+    parser.add_argument("--compress_seq_len", type=int, default=2048)
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -116,6 +127,23 @@ def main(argv=None):
     spec, params, tokenizer = _load_any(args.model)
     if tokenizer is None:
         raise SystemExit("--model must resolve a tokenizer (artifact tokenizer_source)")
+    if args.compress_ratio is not None:
+        from modegpt_tpu.compress.pipeline import compress_in_memory
+        from modegpt_tpu.config import CompressionConfig
+
+        ccfg = CompressionConfig(
+            compression_ratio=args.compress_ratio,
+            dataset=args.compress_dataset,
+            calib_size=args.compress_calib_size,
+            calibs_batch_size=min(4, args.compress_calib_size),
+            seq_len=args.compress_seq_len,
+            solver_precision="f32_device",
+        ).validate()
+        logger.info(
+            "compressing in memory at ratio %.2f (%s, %d sequences)",
+            args.compress_ratio, args.compress_dataset, args.compress_calib_size,
+        )
+        spec, params = compress_in_memory(spec, params, ccfg, tokenizer=tokenizer)
     pm = pad_to_uniform(spec, params)
     if args.quantize_int8:
         from modegpt_tpu.models.quantize import quantize_padded

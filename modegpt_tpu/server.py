@@ -898,6 +898,18 @@ def main(argv=None):
                         "(Megatron TP over a 'model' mesh axis; remaining "
                         "devices replicate over 'data'); needs "
                         "n_kv_heads %% tensor_parallel == 0")
+    parser.add_argument("--compress_ratio", type=float, default=None,
+                        help="compress the (dense) checkpoint IN MEMORY at "
+                        "this ratio before serving — no artifact round-trip: "
+                        "the layer-streamed sweep keeps the solved factors on "
+                        "device and releases each dense projection as its "
+                        "factors land (compress_in_memory)")
+    parser.add_argument("--compress_dataset", default="wikitext",
+                        help="calibration dataset for --compress_ratio "
+                        "(wikitext/c4/alpaca need network or a local cache; "
+                        "'synthetic' is offline)")
+    parser.add_argument("--compress_calib_size", type=int, default=32)
+    parser.add_argument("--compress_seq_len", type=int, default=2048)
     args = parser.parse_args(argv)
 
     logger = setup_logging()
@@ -910,6 +922,23 @@ def main(argv=None):
     from modegpt_tpu.models.serving import ContinuousBatcher
 
     spec, params, tokenizer = _load_any(args.model)
+    if args.compress_ratio is not None:
+        from modegpt_tpu.compress.pipeline import compress_in_memory
+        from modegpt_tpu.config import CompressionConfig
+
+        ccfg = CompressionConfig(
+            compression_ratio=args.compress_ratio,
+            dataset=args.compress_dataset,
+            calib_size=args.compress_calib_size,
+            calibs_batch_size=min(4, args.compress_calib_size),
+            seq_len=args.compress_seq_len,
+            solver_precision="f32_device",
+        ).validate()
+        logger.info(
+            "compressing in memory at ratio %.2f (%s, %d sequences)",
+            args.compress_ratio, args.compress_dataset, args.compress_calib_size,
+        )
+        spec, params = compress_in_memory(spec, params, ccfg, tokenizer=tokenizer)
     pm = pad_to_uniform(spec, params)
     if args.quantize_int8:
         from modegpt_tpu.models.quantize import quantize_padded

@@ -16,7 +16,10 @@ This probe answers it with four bounded measurements (~1-2 min total):
 
   h2d_alone     MB/s of device_put, synced via a 1-element fetch
                 (block_until_ready does not block on the axon backend)
-  d2h_alone     MB/s of np.asarray on a resident device array
+  d2h_alone     MB/s of np.asarray on device arrays freshly COMPUTED on
+                device and never fetched before (a repeated fetch of one
+                array times jax.Array's host-side value cache, not the
+                link — see _fresh)
   duplex        two threads, one streaming H2D and one D2H: reports the
                 combined achieved rate vs the serialised expectation
                 (ratio ~1.0 -> H1 serialised; ~2.0 -> full duplex)
@@ -62,10 +65,28 @@ def _h2d(host: np.ndarray, reps: int) -> float:
     return time.perf_counter() - t0
 
 
-def _d2h(dev: jax.Array, reps: int) -> float:
+def _fresh(base: jax.Array, n: int) -> list:
+    """``n`` DISTINCT device arrays derived on-device from ``base``.
+
+    jax.Array caches its fetched value on the object (``_value``), so
+    timing repeated ``np.asarray`` on ONE array measures the cache, not
+    the link (the first capture of this probe reported a 15.7 TB/s
+    "D2H rate" exactly this way — and a device_put result may carry the
+    host buffer from birth). Each measured fetch below therefore targets
+    an array that was computed on device and never fetched."""
+    outs = []
+    add = jax.jit(lambda x, s: x + s)
+    for i in range(n):
+        o = add(base, np.int16(i + 1))
+        outs.append(o)
+    _sync(outs[-1])  # drain the queue; the adds are trivial
+    return outs
+
+
+def _d2h(devs: list) -> float:
     t0 = time.perf_counter()
-    for _ in range(reps):
-        np.asarray(dev)
+    for d in devs:
+        np.asarray(d)
     return time.perf_counter() - t0
 
 
@@ -78,19 +99,20 @@ def main() -> None:
     # --- solo rates (warm one transfer each first) ---
     _h2d(host, 1)
     h2d_s = _h2d(host, REPS)
-    _d2h(resident, 1)
-    d2h_s = _d2h(resident, REPS)
+    _d2h(_fresh(resident, 1))
+    d2h_s = _d2h(_fresh(resident, REPS))
     h2d_rate = CHUNK * REPS / h2d_s / MB
     d2h_rate = CHUNK * REPS / d2h_s / MB
 
     # --- duplex: H2D and D2H streams from two threads ---
+    down_targets = _fresh(resident, REPS)
     times = {}
 
     def up() -> None:
         times["up"] = _h2d(host, REPS)
 
     def down() -> None:
-        times["down"] = _d2h(resident, REPS)
+        times["down"] = _d2h(down_targets)
 
     t0 = time.perf_counter()
     th = [threading.Thread(target=up), threading.Thread(target=down)]
@@ -115,9 +137,10 @@ def main() -> None:
 
     b = burn(a)  # warm/compile
     _sync(b)
+    busy_target = _fresh(resident, 1)
     queued = burn(a)  # enqueue a long chain, do NOT sync
     t0 = time.perf_counter()
-    _d2h(resident, 1)
+    _d2h(busy_target)
     d2h_busy_s = time.perf_counter() - t0
     _sync(queued)
     d2h_idle_s = d2h_s / REPS

@@ -92,6 +92,16 @@ serve_compressed_int8() {  # int8-resident weights: ~1.5x decode on v5e
     --slots 8 --max_len 1024 --prefill_bucket 128 --quantize_int8
 }
 
+serve_compress_in_memory() {  # $1 = DENSE checkpoint, $2 = prompts file
+  # compress-then-serve: compress at load, no artifact round-trip
+  # (factors stay on device; compress/pipeline.compress_in_memory)
+  python -m modegpt_tpu.serve --model "$1" --prompts "$2" \
+    --slots 8 --max_len 1024 --prefill_bucket 128 --max_new_tokens 64 \
+    --compress_ratio 0.3 --compress_dataset synthetic \
+    --compress_calib_size "${SMOKE_CALIB:-32}" \
+    --compress_seq_len "${SMOKE_SEQ:-2048}"
+}
+
 speculative_decode() {  # $1 = dense checkpoint, $2 = compressed artifact
   python -m modegpt_tpu.evals.cli --model "$1" \
     --speculative_draft "$2" --n_draft 4 \
@@ -187,6 +197,8 @@ PY
   ZERO_SHOT_TASKS=synthetic zero_shot out/qwen3-8b-30/model "$MODEL_DIR/Qwen3-8B"
   serve_compressed out/qwen3-8b-30/model "$root/prompts.txt"
   serve_compressed_int8 out/qwen3-8b-30/model "$root/prompts.txt"
+  SMOKE_CALIB=4 SMOKE_SEQ=32 serve_compress_in_memory \
+    "$MODEL_DIR/Qwen3-8B" "$root/prompts.txt"
   speculative_decode "$MODEL_DIR/Llama-2-7b-hf" out/llama2-7b-30/model
   echo "SMOKE OK"
 }

@@ -14,9 +14,11 @@ cd "$(dirname "$0")/.."
 mkdir -p bench_results/r03
 
 run_one() {
-  local preset="$1" budget="$2"
-  local out="bench_results/r03/${preset}.json"
-  local log="/tmp/bench_r03_${preset}.log"
+  local preset="$1" budget="$2" outname="${3:-$1}"
+  shift 2; [ $# -gt 0 ] && shift
+  local extra=("$@")  # extra env VAR=val pairs for named variants
+  local out="bench_results/r03/${outname}.json"
+  local log="/tmp/bench_r03_${outname}.log"
   echo "=== preset=${preset} budget=${budget}s -> ${out}"
   # Host-resident presets skip the separate warmup pass: the 13B run was
   # host-OOM-killed (130 GB RSS / 125 GB host) holding warmup leftovers
@@ -48,7 +50,7 @@ run_one() {
     large13B|large32B|moe8)
       baseline=(MODEGPT_BENCH_BASELINE_S="${MODEGPT_BENCH_BASELINE_S:-none}") ;;
   esac
-  env "${compact[@]}" "${baseline[@]}" \
+  env "${compact[@]}" "${baseline[@]}" "${extra[@]}" \
     MODEGPT_BENCH_PRESET="${preset}" MODEGPT_BENCH_SKIP_WARMUP="${skip}" \
     timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
@@ -166,8 +168,20 @@ if [ $# -gt 0 ]; then
     case "$p" in
       small) run_one small 7200 ;;
       large32) run_one large32 9000 ;;
+      # compress-then-serve variant: factors stay in HBM as bf16 slices
+      # (stream_fetch=device) and dense kernels release as factors land —
+      # zero factor D2H, so the tunnel's ~30 MB/s drain term vanishes.
+      # Same re-audited torch baseline as large32 (identical workload).
+      large32_device) run_one large32 9000 large32_device \
+        MODEGPT_STREAM_FETCH=device MODEGPT_BENCH_BASELINE_S=27357.18 ;;
       large13B) run_one large13B 14000 ;;
       large32B) run_one large32B 21600 ;;
+      # flagship variant: two async window flushes in flight — the sweep
+      # runs a window ahead of the tunnel's D2H factor drain (depth 1
+      # left flush_wait_s=1148 of 3341s). Only worth capturing if
+      # probe_duplex shows D2H actually proceeds beside H2D/compute.
+      large32B_d2) run_one large32B 21600 large32B_d2 \
+        MODEGPT_STREAM_FLUSH_DEPTH=2 ;;
       moe8) run_one moe8 14000 ;;
       serving_ab) serving_ab ;;
       serving_load) serving_load ;;

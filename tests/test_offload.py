@@ -248,6 +248,148 @@ def test_stream_release_params_equals_keep():
         np.testing.assert_array_equal(np.asarray(vk), np.asarray(vr))
 
 
+def test_stream_fetch_device_equals_host():
+    """stream_fetch='device' keeps factors as device slices and yields
+    bit-identical values to the host fetch (fetch is a transport, not a
+    numeric path); with release_params the dense leaves pop the same way
+    and surgery builds the same compressed model from the in-HBM slices.
+    This is the zero-factor-D2H compress-then-serve path for resident
+    weights (the host fetch crosses a ~30 MB/s link on tunneled hosts)."""
+    from modegpt_tpu.compress.surgery import apply_factors
+
+    spec = _llama_spec()
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    params_h = init_params(spec, jax.random.key(0))
+    f_host, _, keep_h = stream_calibrate_solve(
+        spec, params_h, batches, _config(layers_per_step=1)
+    )
+    params_d = init_params(spec, jax.random.key(0))
+    f_dev, _, keep_d = stream_calibrate_solve(
+        spec, params_d, batches,
+        _config(layers_per_step=1, stream_fetch="device"),
+        release_params=True,
+    )
+    np.testing.assert_array_equal(np.asarray(keep_h), np.asarray(keep_d))
+    for s in f_host:
+        assert sorted(f_dev[s]) == sorted(f_host[s])
+        for l in f_host[s]:
+            for k, v in f_host[s][l].items():
+                dv = f_dev[s][l][k]
+                # kernel factors stay on device; idx/rotary_mask/bias are
+                # host-side selection metadata on both paths
+                if k in ("q", "k", "v", "o", "up", "gate", "down"):
+                    assert isinstance(dv, jax.Array), f"{s}[{l}][{k}] left the device"
+                np.testing.assert_array_equal(
+                    np.asarray(dv), np.asarray(v), err_msg=f"{s}[{l}][{k}]"
+                )
+    for l in range(spec.n_layers):
+        for key in ("q", "k", "v", "o", "up", "gate", "down"):
+            assert key not in params_d["layers"][l], f"layer {l} dense {key} survived"
+
+    cs_h, cp_h = apply_factors(
+        spec, params_h, f_host["mlp"], f_host["qk"], f_host["vo"]
+    )
+    cs_d, cp_d = apply_factors(
+        spec, params_d, f_dev["mlp"], f_dev["qk"], f_dev["vo"], release_dense=True
+    )
+    assert cs_h == cs_d
+    h_leaves = jax.tree_util.tree_leaves_with_path(cp_h)
+    d_leaves = jax.tree_util.tree_leaves_with_path(cp_d)
+    assert len(h_leaves) == len(d_leaves)
+    for (ph, vh), (pd, vd) in zip(h_leaves, d_leaves):
+        assert ph == pd
+        np.testing.assert_array_equal(np.asarray(vh), np.asarray(vd))
+
+
+def test_stream_fetch_device_rejects_host_staged():
+    """Beyond-HBM (host-staged) sweeps must refuse device factor fetch:
+    accumulating ~keep_ratio x model bytes of factors on device would
+    re-fill the HBM the staging exists to avoid."""
+    spec = _llama_spec()
+    params = _host_params(init_params(spec, jax.random.key(0)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    with pytest.raises(ValueError, match="device-resident"):
+        stream_calibrate_solve(
+            spec, params, batches, _config(stream_fetch="device"),
+            keep_ratios=np.full(spec.n_layers, 0.7),
+        )
+
+
+def test_stream_fetch_device_moe_mixed():
+    """Device fetch through the MoE/mixed-stack flush (per-expert phased
+    solves) matches the host fetch value-for-value."""
+    spec = ModelSpec(
+        arch="mixtral", vocab_size=128, d_model=64, n_layers=3, n_heads=4,
+        n_kv_heads=2, head_dim=16, d_int=48, max_position_embeddings=128,
+        act="silu", norm="rmsnorm", norm_eps=1e-6, rope_theta=10000.0,
+        attention_bias=False, mlp_bias=False, tie_word_embeddings=False,
+        q_ranks=(64,) * 3, k_ranks=(32,) * 3, v_ranks=(32,) * 3,
+        o_ranks=(64,) * 3, gate_ranks=(96, 48, 96),
+        n_experts=4, experts_per_tok=2, moe_layers=(1,),
+    )
+    params = init_params(spec, jax.random.key(3))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    f_host, _, _ = stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1),
+        keep_ratios=np.full(spec.n_layers, 0.7),
+    )
+    f_dev, _, _ = stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1, stream_fetch="device"),
+        keep_ratios=np.full(spec.n_layers, 0.7),
+    )
+    for s in f_host:
+        for l in f_host[s]:
+            for k, v in f_host[s][l].items():
+                if f_dev[s][l][k] is None:
+                    assert v is None, f"{s}[{l}][{k}]"
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(f_dev[s][l][k]), np.asarray(v),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
+
+
+def test_compress_in_memory_equals_streamed_surgery():
+    """compress_in_memory (the compress-then-serve handoff, zero disk
+    and zero factor D2H) builds the same compressed model as the
+    explicit streamed sweep + apply_factors flow, and the result runs a
+    forward pass."""
+    from modegpt_tpu.compress.pipeline import compress_in_memory
+    from modegpt_tpu.compress.surgery import apply_factors
+    from modegpt_tpu.models.forward import forward
+
+    spec = _llama_spec()
+    config = _config(layers_per_step=1)
+
+    params_ref = init_params(spec, jax.random.key(0))
+    batches = load_calibration_batches(
+        None, "synthetic", config.calib_size, config.calibs_batch_size,
+        min(config.seq_len, spec.max_position_embeddings),
+        vocab_size=spec.vocab_size,
+    )
+    f_ref, _, _ = stream_calibrate_solve(spec, params_ref, batches, config)
+    cs_ref, cp_ref = apply_factors(
+        spec, params_ref, f_ref["mlp"], f_ref["qk"], f_ref["vo"]
+    )
+
+    # host-numpy leaves: compress_in_memory must place them itself
+    params_mem = _host_params(init_params(spec, jax.random.key(0)))
+    cs_mem, cp_mem = compress_in_memory(spec, params_mem, config)
+    assert cs_mem == cs_ref
+    r_leaves = jax.tree_util.tree_leaves_with_path(cp_ref)
+    m_leaves = jax.tree_util.tree_leaves_with_path(cp_mem)
+    assert len(r_leaves) == len(m_leaves)
+    for (pr, vr), (pm, vm) in zip(r_leaves, m_leaves):
+        assert pr == pm
+        np.testing.assert_array_equal(np.asarray(vm), np.asarray(vr))
+
+    tokens = np.asarray(batches[0][:1, :16], dtype=np.int32)
+    logits, _ = forward(cs_mem, cp_mem, tokens)
+    assert logits.shape == (1, 16, spec.vocab_size)
+    assert bool(np.isfinite(np.asarray(logits)).all())
+
+
 def test_stream_pipeline_end_to_end(tmp_path):
     """--calib_exec stream through run_compression: same compressed
     kernels as the default chunked pipeline, factor store populated
