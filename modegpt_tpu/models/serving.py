@@ -930,12 +930,28 @@ class ContinuousBatcher:
         # bf16 + int8 caches, sliding windows, softcap, and every
         # slot-table dispatch: decode, draft, prefill chunks and the
         # speculative multi-position verify).
-        # "auto" currently resolves to xla pending a hardware A/B
-        # (scripts/run_r03_benches.sh serving_ab); numerics differ in
-        # reduction order only.
+        # "auto" resolves per DISPATCH TYPE from the round-3 hardware
+        # captures (bench_results/r03/serving_ab + serving_load on
+        # v5e): pure single-position decode contracts the full pool
+        # faster through XLA (15.7 ms vs the kernel's 28.1 ms at
+        # 64x2048 bf16), while multi-position prefill/mixed dispatches
+        # win on the ragged kernel, which reads only live cache rows
+        # (under 8 req/s Poisson load: TTFT p99 1186 ms vs 1705, TPOT
+        # p99 31.8 ms vs 43.9). So on TPU, auto = ragged for the
+        # prefill-type programs (batched prefill, mixed
+        # prefill+decode rounds, per-slot chunks) and xla for pure
+        # decode and the (unmeasured) speculative programs; off-TPU
+        # auto = xla everywhere (the interpret-mode kernel is for
+        # tests). Numerics differ in reduction order only; explicit
+        # "xla"/"ragged" still forces one backend for every dispatch.
         if decode_attn not in ("auto", "xla", "ragged"):
             raise ValueError(f"decode_attn must be auto/xla/ragged, got {decode_attn!r}")
-        self.decode_attn = "xla" if decode_attn == "auto" else decode_attn
+        if decode_attn == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            self.decode_attn = "xla"
+            self.prefill_attn = "ragged" if on_tpu else "xla"
+        else:
+            self.decode_attn = self.prefill_attn = decode_attn
         self.state = init_serve_state(pm, slots, max_len,
                                       dtype=pm.other["embed_tokens"].dtype,
                                       kv_dtype=kv_dtype)
@@ -984,12 +1000,16 @@ class ContinuousBatcher:
         # shard_map over the "model" axis (head-local — no collectives
         # added). Static (mesh, axis) pair; None when single-device, TP
         # width 1, or the xla decode path (which GSPMD propagates fine).
-        self._tp = (
-            (mesh, "model")
-            if (self.decode_attn == "ragged" and mesh is not None
-                and "model" in mesh.axis_names and mesh.shape["model"] > 1)
-            else None
-        )
+        def _tp_for(attn):
+            return (
+                (mesh, "model")
+                if (attn == "ragged" and mesh is not None
+                    and "model" in mesh.axis_names and mesh.shape["model"] > 1)
+                else None
+            )
+
+        self._tp = _tp_for(self.decode_attn)
+        self._tp_prefill = _tp_for(self.prefill_attn)
         # Prefix caching: on admission, the longest bucket-aligned common
         # prefix between the new prompt and any slot's still-resident
         # prefilled prompt is ADOPTED (slot-row cache copy + skipping
@@ -1570,7 +1590,7 @@ class ContinuousBatcher:
                 self.pm_pf.q_hd_true, self.state, *args, self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, top_lp=top_lp,
-                decode_attn=self.decode_attn, tp=self._tp,
+                decode_attn=self.prefill_attn, tp=self._tp_prefill,
                 gen_counts=self.gen_counts,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
@@ -1586,7 +1606,7 @@ class ContinuousBatcher:
                     self.draft_pm_pf.q_hd_true, self.draft_state, args[0], args[1],
                     args[2], jnp.zeros((self.slots,), bool), args[4],
                     self.temperature, sub, moe=self.moe, moe_capacity=self.moe_capacity,
-                    decode_attn=self.decode_attn, tp=self._tp,
+                    decode_attn=self.prefill_attn, tp=self._tp_prefill,
                 )
                 self.draft_state = self.draft_state._replace(
                     last_token=jnp.where(
@@ -1655,7 +1675,7 @@ class ContinuousBatcher:
                 self._static_temp, sub,
                 moe=self.moe, moe_capacity=self.moe_capacity,
                 want_lp=want_lp, top_lp=top_lp,
-                decode_attn=self.decode_attn, tp=self._tp,
+                decode_attn=self.prefill_attn, tp=self._tp_prefill,
                 gen_counts=self.gen_counts,
                 **self._samp_kwargs(),
                 **self._seed_kwargs(sub, with_counts=True),
@@ -1711,7 +1731,7 @@ class ContinuousBatcher:
                     moe=self.moe, moe_capacity=self.moe_capacity,
                     want_lp=self.slot_want_lp[s],
                     top_lp=bool(self.slot_top_k[s]),
-                    decode_attn=self.decode_attn, tp=self._tp,
+                    decode_attn=self.prefill_attn, tp=self._tp_prefill,
                     **self._samp_kwargs(),
                     **self._seed_kwargs(sub, with_counts=False),
                     **self._guided_kwargs(), **self._bias_kwargs(),
@@ -1727,7 +1747,7 @@ class ContinuousBatcher:
                         jnp.asarray(pos0, jnp.int32), jnp.asarray(real, jnp.int32),
                         jnp.asarray(False), self.temperature, sub,
                         moe=self.moe, moe_capacity=self.moe_capacity,
-                        decode_attn=self.decode_attn, tp=self._tp,
+                        decode_attn=self.prefill_attn, tp=self._tp_prefill,
                     )
                 done_budget -= 1
                 if is_last:

@@ -888,7 +888,9 @@ def main(argv=None):
                         default="auto",
                         help="decode attention: xla = masked full-pool "
                         "contraction; ragged = Pallas flash-decoding whose "
-                        "cache reads scale with per-slot lengths")
+                        "cache reads scale with per-slot lengths; auto (TPU) = "
+                        "ragged for prefill/mixed dispatches + xla for pure "
+                        "decode, per the r03 serving_ab/serving_load captures")
     parser.add_argument("--prefix_cache", action="store_true",
                         help="reuse cache-resident KV for bucket-aligned shared "
                         "prompt prefixes (e.g. a common system prompt) instead "

@@ -141,10 +141,14 @@ serving_load() {
   mkdir -p bench_results/r03/serving_load
   local common="MODEGPT_LOAD_SLOTS=16 MODEGPT_LOAD_N=48 MODEGPT_LOAD_RATE=8 \
 MODEGPT_LOAD_MULTI=8"
+  # decode_attn pinned per arm: "auto" now resolves to the per-dispatch
+  # hybrid (ragged prefill/mixed + xla pure decode) on TPU, so the
+  # xla arms are explicit and mixed1_auto captures the hybrid itself.
   for cfg in \
-      "mixed1:" \
-      "mixed0:MODEGPT_LOAD_MIXED=0" \
-      "mixed1_ragged:MODEGPT_LOAD_DECODE_ATTN=ragged"; do
+      "mixed1:MODEGPT_LOAD_DECODE_ATTN=xla" \
+      "mixed0:MODEGPT_LOAD_MIXED=0 MODEGPT_LOAD_DECODE_ATTN=xla" \
+      "mixed1_ragged:MODEGPT_LOAD_DECODE_ATTN=ragged" \
+      "mixed1_auto:MODEGPT_LOAD_DECODE_ATTN=auto"; do
     local name="${cfg%%:*}" extra="${cfg#*:}"
     local out="bench_results/r03/serving_load/${name}.json"
     local log="/tmp/bench_load_${name}.log"

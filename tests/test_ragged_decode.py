@@ -510,3 +510,38 @@ def test_batcher_tp_ragged_gemma2_traced_window(rng):
     got = _run_batcher(pm, prompts, decode_attn="ragged", mesh=_tp_mesh())
     for a, b_ in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+def test_decode_attn_auto_hybrid(rng):
+    """decode_attn='auto' resolves per DISPATCH TYPE from the r03
+    hardware captures (bench_results/r03/serving_ab + serving_load):
+    xla for pure decode, ragged for the multi-position prefill/mixed
+    programs — TPU only (off-TPU auto is all-xla; the interpret-mode
+    kernel is for tests). The forced hybrid must stream the same
+    greedy tokens as the all-xla batcher through batched prefill,
+    mixed prefill+decode rounds and pure decode."""
+    spec, params = params_from_hf_model(_tiny_llama())
+    pm = pad_to_uniform(spec, params)
+    prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
+               for p in (5, 21, 9, 13)]
+
+    ba = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, prefill_exec="batched")
+    # this suite runs on CPU: auto resolves to all-xla
+    assert (ba.decode_attn, ba.prefill_attn) == ("xla", "xla")
+    rids = [ba.submit(p, max_new_tokens=6) for p in prompts]
+    out = ba.run()
+    ref = [out[r] for r in rids]
+
+    # explicit backends still force every dispatch
+    bf = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, decode_attn="ragged")
+    assert (bf.decode_attn, bf.prefill_attn) == ("ragged", "ragged")
+
+    bh = ContinuousBatcher(pm, slots=2, max_len=64, prefill_bucket=8,
+                           eos_token_id=127, prefill_exec="batched")
+    bh.prefill_attn = "ragged"  # what auto picks on a TPU backend
+    rids = [bh.submit(p, max_new_tokens=6) for p in prompts]
+    got = bh.run()
+    for a, r in zip(ref, rids):
+        assert got[r] == a
