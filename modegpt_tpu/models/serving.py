@@ -80,6 +80,37 @@ class ServeState(NamedTuple):
         return None if self.k_scale is None else (self.k_scale, self.v_scale)
 
 
+# Pool-row count at/below which "auto" uses the ragged kernel for PURE
+# decode too (full-ragged), measured on v5e (bench_results/r03):
+#   - serving_load same-session pair at 16 slots x 1024 max_len
+#     (16k pool rows): full-ragged beats the ragged-prefill/xla-decode
+#     hybrid on every metric (TTFT p99 1718 vs 2229 ms, TPOT p99 38.1
+#     vs 45.8, 425 vs 398 tok/s) — at small pools the kernel's
+#     live-row reads win decode as well.
+#   - serving_ab pure decode at 64 slots x 2048 (131k pool rows): XLA
+#     full-pool contraction wins (15.7 vs 28.1 ms bf16) — the kernel
+#     goes DMA-issue-bound at large grids.
+# The crossover between the two measured points is interpolated at
+# 32k rows; re-measure with scripts/run_r03_benches.sh serving_ab /
+# serving_load when changing pool geometry materially.
+AUTO_RAGGED_DECODE_POOL_ROWS = 32768
+
+
+def resolve_auto_decode_attn(slots: int, max_len: int, on_tpu: bool):
+    """Resolve decode_attn='auto' to per-dispatch-type backends.
+
+    Returns ``(decode_attn, prefill_attn)``. On TPU, multi-position
+    prefill/mixed dispatches always use the ragged kernel (it reads
+    only live cache rows; won the serving_load A/B in both measured
+    regimes), while pure decode uses ragged only for small KV pools
+    (see AUTO_RAGGED_DECODE_POOL_ROWS). Off-TPU both resolve to xla —
+    the interpret-mode kernel exists for tests, not speed."""
+    if not on_tpu:
+        return "xla", "xla"
+    decode = "ragged" if slots * max_len <= AUTO_RAGGED_DECODE_POOL_ROWS else "xla"
+    return decode, "ragged"
+
+
 def init_serve_state(pm: PaddedModel, slots: int, max_len: int, dtype=jnp.float32,
                      kv_dtype: str = "model") -> ServeState:
     """kv_dtype: "model" (cache in `dtype`) or "int8" (quantized KV —
@@ -930,26 +961,15 @@ class ContinuousBatcher:
         # bf16 + int8 caches, sliding windows, softcap, and every
         # slot-table dispatch: decode, draft, prefill chunks and the
         # speculative multi-position verify).
-        # "auto" resolves per DISPATCH TYPE from the round-3 hardware
-        # captures (bench_results/r03/serving_ab + serving_load on
-        # v5e): pure single-position decode contracts the full pool
-        # faster through XLA (15.7 ms vs the kernel's 28.1 ms at
-        # 64x2048 bf16), while multi-position prefill/mixed dispatches
-        # win on the ragged kernel, which reads only live cache rows
-        # (under 8 req/s Poisson load: TTFT p99 1186 ms vs 1705, TPOT
-        # p99 31.8 ms vs 43.9). So on TPU, auto = ragged for the
-        # prefill-type programs (batched prefill, mixed
-        # prefill+decode rounds, per-slot chunks) and xla for pure
-        # decode and the (unmeasured) speculative programs; off-TPU
-        # auto = xla everywhere (the interpret-mode kernel is for
-        # tests). Numerics differ in reduction order only; explicit
+        # "auto" resolves from the round-3 hardware captures — see
+        # resolve_auto_decode_attn for the measured evidence and the
+        # policy. Numerics differ in reduction order only; explicit
         # "xla"/"ragged" still forces one backend for every dispatch.
         if decode_attn not in ("auto", "xla", "ragged"):
             raise ValueError(f"decode_attn must be auto/xla/ragged, got {decode_attn!r}")
         if decode_attn == "auto":
-            on_tpu = jax.default_backend() == "tpu"
-            self.decode_attn = "xla"
-            self.prefill_attn = "ragged" if on_tpu else "xla"
+            self.decode_attn, self.prefill_attn = resolve_auto_decode_attn(
+                slots, max_len, on_tpu=jax.default_backend() == "tpu")
         else:
             self.decode_attn = self.prefill_attn = decode_attn
         self.state = init_serve_state(pm, slots, max_len,

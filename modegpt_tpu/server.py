@@ -889,8 +889,9 @@ def main(argv=None):
                         help="decode attention: xla = masked full-pool "
                         "contraction; ragged = Pallas flash-decoding whose "
                         "cache reads scale with per-slot lengths; auto (TPU) = "
-                        "ragged for prefill/mixed dispatches + xla for pure "
-                        "decode, per the r03 serving_ab/serving_load captures")
+                        "ragged for prefill/mixed dispatches, and for pure "
+                        "decode up to 32k pool rows (slots x max_len), per "
+                        "the r03 serving_ab/serving_load captures")
     parser.add_argument("--prefix_cache", action="store_true",
                         help="reuse cache-resident KV for bucket-aligned shared "
                         "prompt prefixes (e.g. a common system prompt) instead "

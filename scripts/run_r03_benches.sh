@@ -141,9 +141,9 @@ serving_load() {
   mkdir -p bench_results/r03/serving_load
   local common="MODEGPT_LOAD_SLOTS=16 MODEGPT_LOAD_N=48 MODEGPT_LOAD_RATE=8 \
 MODEGPT_LOAD_MULTI=8"
-  # decode_attn pinned per arm: "auto" now resolves to the per-dispatch
-  # hybrid (ragged prefill/mixed + xla pure decode) on TPU, so the
-  # xla arms are explicit and mixed1_auto captures the hybrid itself.
+  # decode_attn pinned per arm: "auto" now resolves per dispatch type
+  # and pool size on TPU (at this 16x1024 config: full-ragged), so the
+  # xla arms are explicit and mixed1_auto captures what auto picks.
   for cfg in \
       "mixed1:MODEGPT_LOAD_DECODE_ATTN=xla" \
       "mixed0:MODEGPT_LOAD_MIXED=0 MODEGPT_LOAD_DECODE_ATTN=xla" \

@@ -513,13 +513,22 @@ def test_batcher_tp_ragged_gemma2_traced_window(rng):
 
 
 def test_decode_attn_auto_hybrid(rng):
-    """decode_attn='auto' resolves per DISPATCH TYPE from the r03
-    hardware captures (bench_results/r03/serving_ab + serving_load):
-    xla for pure decode, ragged for the multi-position prefill/mixed
-    programs — TPU only (off-TPU auto is all-xla; the interpret-mode
-    kernel is for tests). The forced hybrid must stream the same
-    greedy tokens as the all-xla batcher through batched prefill,
-    mixed prefill+decode rounds and pure decode."""
+    """decode_attn='auto' resolves per DISPATCH TYPE and POOL SIZE
+    from the r03 hardware captures (bench_results/r03/serving_ab +
+    serving_load): on TPU, ragged for the multi-position prefill/mixed
+    programs always, and for pure decode only at small KV pools
+    (full-ragged won the same-session serving_load pair at 16x1024;
+    xla won serving_ab's pure decode at 64x2048). Off-TPU auto is
+    all-xla (the interpret-mode kernel is for tests). The forced
+    hybrid must stream the same greedy tokens as the all-xla batcher
+    through batched prefill, mixed rounds and pure decode."""
+    from modegpt_tpu.models.serving import resolve_auto_decode_attn
+
+    # the measured regimes pin the policy
+    assert resolve_auto_decode_attn(16, 1024, on_tpu=True) == ("ragged", "ragged")
+    assert resolve_auto_decode_attn(64, 2048, on_tpu=True) == ("xla", "ragged")
+    assert resolve_auto_decode_attn(16, 1024, on_tpu=False) == ("xla", "xla")
+
     spec, params = params_from_hf_model(_tiny_llama())
     pm = pad_to_uniform(spec, params)
     prompts = [rng.integers(1, 100, size=(p,)).astype(np.int32)
