@@ -233,8 +233,31 @@ def _fetch_dtype(config):
     return jnp.bfloat16 if config.model_dtype == "bfloat16" else None
 
 
+class _FetchCounter:
+    """Bytes that actually crossed the HBM->host link through _fetch —
+    the streamed sweep reads the delta for its bench stats (the link is
+    the beyond-HBM bottleneck: measured serialised ~33 MB/s D2H,
+    scripts/probe_duplex.py). Thread-safe: async window flushes fetch
+    from a worker thread."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self.total = 0
+
+    def add(self, n: int) -> None:
+        with self._lock:
+            self.total += n
+
+
+FETCHED_BYTES = _FetchCounter()
+
+
 def _fetch(a, fdt):
-    return np.asarray(a.astype(fdt) if fdt is not None else a)
+    out = np.asarray(a.astype(fdt) if fdt is not None else a)
+    FETCHED_BYTES.add(out.nbytes)
+    return out
 
 
 _FETCH_GRID = 512  # device-side slice/pad sizes rounded up to this
@@ -303,6 +326,7 @@ def _fetch_ragged(stack, ranks, fdt, axis: int):
 def _solve_mlp_moe(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
     shared_ranks=None, pad_hint=0, shared_pad_hint=0, scratch_params=False,
+    host_params=None,
 ) -> Dict[int, Dict]:
     """Per-expert Type-I solves for MoE layers: the (layer, expert) pairs
     are one flat batch through the SAME padded Nystrom program as the
@@ -434,6 +458,7 @@ def _solve_mlp_moe(
             shared = _solve_mlp_dense(
                 spec, layer_params, layers, shared_ranks, calib, config, dt,
                 use_dev, mesh, fetch, module="shared", pad_hint=shared_pad_hint,
+                host_params=host_params,
             )
             for l in layers:
                 out[l].update(shared[l])
@@ -548,6 +573,7 @@ def _solve_mlp_moe(
         shared = _solve_mlp_dense(
             spec, layer_params, layers, shared_ranks, calib, config, dt, use_dev, mesh,
             fetch, module="shared", pad_hint=shared_pad_hint,
+            host_params=host_params,
         )
         for l in layers:
             out[l].update(shared[l])
@@ -557,6 +583,7 @@ def _solve_mlp_moe(
 def _solve_mlp_batched(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
     shared_ranks=None, pad_hint=0, shared_pad_hint=0, scratch_params=False,
+    host_params=None,
 ) -> Dict[int, Dict]:
     if spec.n_experts:
         # mixed qwen3_moe stacks: solve the MoE and dense layer subsets
@@ -572,7 +599,7 @@ def _solve_mlp_batched(
                     calib, config, dt, use_dev, mesh, fetch,
                     shared_ranks=[sr_by_layer[l] for l, _ in moe] if sr_by_layer else None,
                     pad_hint=pad_hint, shared_pad_hint=shared_pad_hint,
-                    scratch_params=scratch_params,
+                    scratch_params=scratch_params, host_params=host_params,
                 )
             )
         if dense:
@@ -580,27 +607,44 @@ def _solve_mlp_batched(
                 _solve_mlp_dense(
                     spec, layer_params, [l for l, _ in dense], [r for _, r in dense],
                     calib, config, dt, use_dev, mesh, fetch, pad_hint=pad_hint,
+                    host_params=host_params,
                 )
             )
         return out
     return _solve_mlp_dense(
         spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch,
-        pad_hint=pad_hint,
+        pad_hint=pad_hint, host_params=host_params,
     )
 
 
 def _solve_mlp_dense(
     spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh=None, fetch="host",
-    module=None, pad_hint=0,
+    module=None, pad_hint=0, host_params=None,
 ) -> Dict[int, Dict]:
     """module=None: the layer's own MLP (cov_mlp). module="shared": the
     DeepSeek/qwen2_moe shared expert (lp["shared"], cov_shared, always
     gated, bias-free) — same padded Nystrom program, "shared_"-prefixed
-    factor keys."""
+    factor keys.
+
+    ``host_params`` (per-layer HOST numpy trees) turns on host-side
+    factor reconstruction: the Type-I up/gate factors are pure ROW
+    SLICES of the dense kernels (reference: compress_mlp.py:49-50), so
+    when the host already holds those kernels (beyond-HBM staged sweeps,
+    host-resident chunked runs) only the selection ``idx`` and the
+    re-solved ``down`` cross the HBM->host link — the up/gate slices are
+    gathered from host memory, bit-identical to the device gather
+    (bf16 -> f32 -> bf16 round-trips exactly). On the serialised
+    ~33 MB/s tunnel D2H link this deletes ~2/3 of the factor drain."""
     shared = module == "shared"
     sub_params = (
         layer_params if not shared else {l: layer_params[l]["shared"] for l in layers}
     )
+    host_sub = None
+    if fetch == "host" and host_params is not None and all(l in host_params for l in layers):
+        host_sub = (
+            host_params if not shared
+            else {l: host_params[l]["shared"] for l in layers}
+        )
     covs = calib.cov_shared if shared else calib.cov_mlp
     gated = True if shared else spec.gated_mlp
     prefix = "shared_" if shared else ""
@@ -651,18 +695,23 @@ def _solve_mlp_dense(
                     C_l, sub_params[l]["down"]["kernel"], idx_i, valid_i
                 )
                 np.asarray(down_i[:1, :1])
-                up_i = _lowmem_rows(sub_params[l]["up"]["kernel"], idx_i, valid_i)
-                gate_i = (
-                    _lowmem_rows(sub_params[l]["gate"]["kernel"], idx_i, valid_i)
-                    if gated else up_i
-                )
-                ups_l.append(up_i)
-                gates_l.append(gate_i)
+                if host_sub is None:
+                    up_i = _lowmem_rows(sub_params[l]["up"]["kernel"], idx_i, valid_i)
+                    gate_i = (
+                        _lowmem_rows(sub_params[l]["gate"]["kernel"], idx_i, valid_i)
+                        if gated else up_i
+                    )
+                    ups_l.append(up_i)
+                    gates_l.append(gate_i)
                 downs_l.append(down_i)
                 idxs_l.append(idx_i)
                 valids_l.append(valid_i)
-            up, gate, down = jnp.stack(ups_l), jnp.stack(gates_l), jnp.stack(downs_l)
+            down = jnp.stack(downs_l)
             idx, valid = jnp.stack(idxs_l), jnp.stack(valids_l)
+            if host_sub is None:
+                up, gate = jnp.stack(ups_l), jnp.stack(gates_l)
+            else:
+                up = gate = None  # host-reconstructed below
         else:
             cov = _stack_covs(covs, sub, dt, use_dev)
             W_u = _stack_w(sub_params, sub, "up", dt, use_dev)
@@ -693,17 +742,36 @@ def _solve_mlp_dense(
             )
         else:
             # One ragged transfer per factor kind (exact bytes, single fetch).
-            ups = _fetch_ragged(up, sub_ranks, fdt, axis=0)
             downs = _fetch_ragged(down, sub_ranks, fdt, axis=1)
             idxs = _fetch_ragged(idx, sub_ranks, None, axis=0)
-            gates = _fetch_ragged(gate, sub_ranks, fdt, axis=0) if gated else None
+            if host_sub is None:
+                ups = _fetch_ragged(up, sub_ranks, fdt, axis=0)
+                gates = _fetch_ragged(gate, sub_ranks, fdt, axis=0) if gated else None
+            else:
+                # Up/gate are row slices of kernels the HOST already
+                # holds: gather there, skip their HBM->host transfer
+                # entirely (bit-identical — see docstring).
+                tgt = fdt if fdt is not None else dt
+                ups = [
+                    _hf_w(host_sub[l], "up")[idxs[i]].astype(tgt, copy=False)
+                    for i, l in enumerate(sub)
+                ]
+                gates = (
+                    [
+                        _hf_w(host_sub[l], "gate")[idxs[i]].astype(tgt, copy=False)
+                        for i, l in enumerate(sub)
+                    ]
+                    if gated
+                    else None
+                )
         for i, l in enumerate(sub):
             f = {prefix + "up": ups[i], prefix + "down": downs[i], prefix + "idx": idxs[i]}
+            bias_src = host_sub[l] if host_sub is not None else layer_params[l]
             if gated:
                 f[prefix + "gate"] = gates[i]
-            elif "bias" in layer_params[l]["up"]:
-                f["up_bias"] = np.asarray(layer_params[l]["up"]["bias"])[f["idx"]]
-                f["down_bias"] = np.asarray(layer_params[l]["down"]["bias"])
+            elif "bias" in bias_src["up"]:
+                f["up_bias"] = np.asarray(bias_src["up"]["bias"])[f["idx"]]
+                f["down_bias"] = np.asarray(bias_src["down"]["bias"])
             out[l] = f
             logger.info(
                 "[MLP%s] layer %d compressed to rank %d",
@@ -713,13 +781,21 @@ def _solve_mlp_dense(
 
 
 def _solve_qk_host(
-    spec, layer_params, layers, ranks, calib, config, use_dev: bool = False, fetch="host"
+    spec, layer_params, layers, ranks, calib, config, use_dev: bool = False, fetch="host",
+    host_params=None,
 ) -> Dict[int, Dict]:
     """QK selection on the host: scores are covariance diagonals (exactly
     the reference's sqrt-column-norms, see ops/qk.py). Row gathers run on
     the device when stats live there, so only the KEPT rows cross the
-    HBM->host link."""
+    HBM->host link — and when the HOST already holds the dense kernels
+    (``host_params``: beyond-HBM staged sweeps, host-resident chunked
+    runs) the kept rows are gathered from host memory instead, so
+    NOTHING crosses the link: Type-II factors are pure row slices of
+    W_q/W_k by the selection mask (reference: compress_qk.py:369-380)."""
     H, Hk, hd = spec.n_heads, spec.n_kv_heads, spec.head_dim
+    if not (fetch == "host" and host_params is not None
+            and all(l in host_params for l in layers)):
+        host_params = None
     group = H // Hk
     half = hd // 2
 
@@ -762,7 +838,7 @@ def _solve_qk_host(
         """Per-head row gathers for every layer, ONE ragged host transfer
         on the device path (gathers are memory moves; only kept rows cross
         the HBM->host link, concatenated into a single fetch)."""
-        if use_dev:
+        if use_dev and host_params is None:
             if fetch == "device":
                 parts = []
                 for i, l in enumerate(layers):
@@ -794,8 +870,9 @@ def _solve_qk_host(
                 out_rows.append(blk.reshape(n_h * m.shape[1], -1))
             return out_rows
         rows = []
+        src = host_params if host_params is not None else layer_params
         for i, l in enumerate(layers):
-            w = _hf_w(layer_params[l], name).reshape(n_h, hd, -1)
+            w = _hf_w(src[l], name).reshape(n_h, hd, -1)
             m = masks_list[i]
             rows.append(np.concatenate([w[h][m[h]] for h in range(n_h)], axis=0))
         return rows
@@ -810,20 +887,21 @@ def _solve_qk_host(
     out = {}
     for i, l in enumerate(layers):
         masks = masks_by_layer[i]
+        lp_b = host_params[l] if host_params is not None else layer_params[l]
         if spec.uses_rope:
             out[l] = {"q": q_rows[i], "k": k_rows[i], "rotary_mask": masks.astype(np.int32)}
-            if "bias" in layer_params[l]["q"]:
+            if "bias" in lp_b["q"]:
                 # RoPE archs with qkv biases (qwen2_moe): bias entries are
                 # per-output-coordinate, so slice them through the same
                 # per-head frequency mask as the kernel rows.
-                bq = np.asarray(layer_params[l]["q"]["bias"]).reshape(H, hd)
-                bk = np.asarray(layer_params[l]["k"]["bias"]).reshape(Hk, hd)
+                bq = np.asarray(lp_b["q"]["bias"]).reshape(H, hd)
+                bk = np.asarray(lp_b["k"]["bias"]).reshape(Hk, hd)
                 mq = np.repeat(masks, group, axis=0)
                 out[l]["q_bias"] = np.concatenate([bq[h][mq[h]] for h in range(H)])
                 out[l]["k_bias"] = np.concatenate([bk[h][masks[h]] for h in range(Hk)])
         else:
-            bq = np.asarray(layer_params[l]["q"]["bias"]).reshape(H, hd)
-            bk = np.asarray(layer_params[l]["k"]["bias"]).reshape(H, hd)
+            bq = np.asarray(lp_b["q"]["bias"]).reshape(H, hd)
+            bk = np.asarray(lp_b["k"]["bias"]).reshape(H, hd)
             out[l] = {
                 "q": q_rows[i],
                 "k": k_rows[i],
@@ -925,6 +1003,7 @@ def solve_chunk_batched(
     mesh=None,
     fetch: str = "host",
     scratch_params: bool = False,
+    host_params=None,
 ) -> Dict[str, Dict[int, Dict]]:
     """Solve a whole layer chunk with one device program per suffix.
 
@@ -936,9 +1015,27 @@ def solve_chunk_batched(
     leaves that their own factors make dead (the streamed flush passes
     its disposable staged tree); the default never mutates the caller's
     tree.
+
+    ``host_params`` (optional per-layer HOST numpy trees, keyed like
+    ``params["layers"]``) enables host-side reconstruction of the
+    selection-type factors: Type-I up/gate and Type-II q/k are pure row
+    slices of the dense kernels, so layers whose kernels the host
+    already holds gather them from host memory and skip their HBM->host
+    transfer (bit-identical; only idx/down/vo cross the link). When
+    omitted, layers whose ``params`` leaves are already host numpy are
+    detected automatically — the streamed beyond-HBM flush passes its
+    original host tree explicitly because the solver only sees the
+    staged device window.
     """
     layers = list(target_layers)
     layer_params = {l: params["layers"][l] for l in layers}
+    if host_params is None and fetch == "host":
+        host_params = {}
+        for l in layers:
+            leaves = jax.tree_util.tree_leaves(layer_params[l])
+            if leaves and not isinstance(leaves[0], jax.Array):
+                host_params[l] = layer_params[l]
+        host_params = host_params or None
     dt = solver_dtype(config.solver_precision)
     use_dev = config.solver_precision == "f32_device"
     whiten = "eigh" if config.solver_precision == "f64_cpu" else "cholesky"
@@ -968,7 +1065,7 @@ def solve_chunk_batched(
             )
             out["mlp"] = _solve_mlp_batched(
                 spec, layer_params, layers, ranks, calib, config, dt, use_dev, mesh, fetch,
-                scratch_params=scratch_params,
+                scratch_params=scratch_params, host_params=host_params,
                 shared_ranks=shared_ranks,
                 pad_hint=_global_rank_hint(spec, keep_ratios, "mlp"),
                 shared_pad_hint=(
@@ -984,7 +1081,8 @@ def solve_chunk_batched(
                 )
             else:
                 out["qk"] = _solve_qk_host(
-                    spec, layer_params, layers, ranks, calib, config, use_dev, fetch
+                    spec, layer_params, layers, ranks, calib, config, use_dev, fetch,
+                    host_params=host_params,
                 )
         if "vo" in order:
             ranks = [compress_ranks_for_layer(spec, keep_ratios[l], "vo") for l in layers]

@@ -228,6 +228,101 @@ def _stream_layer_step(
     return x_out, taps, bi
 
 
+_Q_MIN_SIZE = 1 << 12  # leaves below this stage raw (tiny 2D leaves; 1D
+# norms/biases are already excluded by ndim)
+
+
+def _quantize_host_tree(lp, dtype: str):
+    """Host pytree -> (treedef, kinds, payload) at prepass staging precision.
+
+    Symmetric per-row (last-axis) quantization of every large floating
+    leaf; small leaves (norms, biases) and device-resident leaves pass
+    through raw. int8 = one signed byte per value; int4 = two codes per
+    byte (offset-8 nibbles), last axis padded to even and trimmed on
+    dequant. ``kinds`` is the static per-leaf recipe for the jitted
+    device-side dequant (one compiled program per layer signature)."""
+    leaves, treedef = jax.tree_util.tree_flatten(lp)
+    kinds: List = []
+    payload: List = []
+    for a in leaves:
+        if (
+            isinstance(a, jax.Array)
+            or a.ndim < 2
+            or a.size < _Q_MIN_SIZE
+            # jnp.issubdtype handles ml_dtypes (bf16 reports kind 'V' to
+            # bare numpy)
+            or not jnp.issubdtype(np.asarray(a).dtype, jnp.floating)
+        ):
+            kinds.append(("raw",))
+            payload.append(a)
+            continue
+        f = np.asarray(a, dtype=np.float32)
+        amax = np.abs(f).max(axis=-1, keepdims=True)
+        if dtype == "int8":
+            scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+            q = np.clip(np.rint(f / scale), -127, 127).astype(np.int8)
+            kinds.append(("q8", str(np.asarray(a).dtype)))
+            payload.extend((q, scale))
+        else:  # int4
+            scale = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
+            q = np.clip(np.rint(f / scale), -7, 7).astype(np.int8) + 8
+            n = q.shape[-1]
+            if n % 2:
+                q = np.concatenate(
+                    [q, np.full(q.shape[:-1] + (1,), 8, np.int8)], axis=-1
+                )
+            packed = (q[..., 0::2] | (q[..., 1::2] << 4)).astype(np.uint8)
+            kinds.append(("q4", str(np.asarray(a).dtype), n))
+            payload.extend((packed, scale))
+    return treedef, tuple(kinds), payload
+
+
+@partial(jax.jit, static_argnames=("treedef", "kinds"))
+def _dequant_staged(treedef, kinds, payload):
+    """Rebuild the bf16/f32 layer tree from quantized staged leaves on
+    device. Exactly inverts _quantize_host_tree; jit cache is keyed by
+    (treedef, kinds, shapes) so signature-sharing layers share the
+    program."""
+    it = iter(payload)
+    leaves = []
+    for kind in kinds:
+        if kind[0] == "raw":
+            leaves.append(next(it))
+        elif kind[0] == "q8":
+            q, scale = next(it), next(it)
+            leaves.append((q.astype(jnp.float32) * scale).astype(jnp.dtype(kind[1])))
+        else:  # q4
+            q, scale = next(it), next(it)
+            lo = (q & jnp.uint8(0xF)).astype(jnp.int32) - 8
+            hi = (q >> jnp.uint8(4)).astype(jnp.int32) - 8
+            full = jnp.stack([lo, hi], axis=-1).reshape(*q.shape[:-1], -1)
+            full = full[..., : kind[2]]
+            leaves.append((full.astype(jnp.float32) * scale).astype(jnp.dtype(kind[1])))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def _stage_quantized(lp, dtype: str, stats: Optional[Dict] = None) -> Dict:
+    """Host leaves -> device arrays through per-row quantized staging:
+    the H2D link carries 1 (int8) or 0.5 (int4) bytes per weight instead
+    of 2, and the layer is dequantized on device before the forward.
+    Used ONLY by the BI-allocation prepass (stream_bi_sweep) — the layer
+    ranking it produces is insensitive to sub-percent forward error,
+    while the tap/solve sweep always stages exact weights."""
+    t0 = _time.perf_counter()
+    treedef, kinds, payload = _quantize_host_tree(lp, dtype)
+    if stats is not None:
+        stats["staged_bytes"] = stats.get("staged_bytes", 0) + sum(
+            p.nbytes for p in payload if not isinstance(p, jax.Array)
+        )
+        stats["prepass_quant_s"] = (
+            stats.get("prepass_quant_s", 0.0) + _time.perf_counter() - t0
+        )
+    dev = tuple(
+        p if isinstance(p, jax.Array) else jax.device_put(p) for p in payload
+    )
+    return _dequant_staged(treedef, kinds, dev)
+
+
 def _stage(lp, stats: Optional[Dict] = None) -> Dict:
     """Host leaves -> device arrays (async H2D); device leaves pass through.
 
@@ -245,8 +340,31 @@ def _stage(lp, stats: Optional[Dict] = None) -> Dict:
     return jax.tree_util.tree_map(jax.device_put, lp)
 
 
+def _slim_window_lp(spec: ModelSpec, l: int, lp: Dict, host_staged: bool) -> Dict:
+    """The staged tree a flush window keeps for its solve.
+
+    With host-side factor reconstruction active (host-staged weights),
+    the lowmem-scale dense solve reads ONLY the down/v/o kernels from
+    the staged tree — up/gate/q/k factors are gathered from host RAM and
+    the forward is already done by flush time. Dropping the dead refs
+    frees ~half the staged layer's HBM (524 MB per window at 32B
+    geometry) before the solve workspace allocates beside it. MoE and
+    big-path (small d_int) layers keep the full tree: their solvers
+    still stack up/gate on device."""
+    from modegpt_tpu.compress.batched import _LOWMEM_COV_BYTES
+
+    if (
+        not host_staged
+        or spec.is_moe_layer(l)
+        or spec.gate_ranks[l] ** 2 * 4 <= _LOWMEM_COV_BYTES
+    ):
+        return lp
+    return {k: v for k, v in lp.items() if k in ("down", "v", "o", "shared")}
+
+
 def _flush_hbm_estimate(
-    spec: ModelSpec, layer_bytes: int, stack_bytes: int, width: int, overlap: bool
+    spec: ModelSpec, layer_bytes: int, stack_bytes: int, width: int, overlap: bool,
+    depth: int = 1,
 ) -> int:
     """Worst-case device bytes while ONE dense window flushes.
 
@@ -270,19 +388,24 @@ def _flush_hbm_estimate(
     taps = 4 * (d_int * d_int + 3 * spec.d_model * spec.d_model) * width
     workspace = 2 * 4 * d_int * d_int
     staged = (2 if overlap else 1) * layer_bytes
-    return stack_bytes + staged + (2 if overlap else 1) * taps + workspace
+    # depth > 1 lets the sweep accumulate that many extra windows' taps
+    # while flushes drain — each pins one more window of taps.
+    extra = (depth - 1) * taps if overlap else 0
+    return stack_bytes + staged + (2 if overlap else 1) * taps + workspace + extra
 
 
 def _async_flush_fits(
     spec: ModelSpec, layer_bytes: int, stack_bytes: int, width: int,
-    hbm_bytes: Optional[int],
+    hbm_bytes: Optional[int], depth: int = 1,
 ) -> bool:
     """Whether an async window flush (solve racing the sweep) fits in
     ``hbm_bytes``. Unknown budget (CPU, no memory_stats) -> True: the
     gate exists for real HBM, not virtual-device tests."""
     if not hbm_bytes:
         return True
-    est = _flush_hbm_estimate(spec, layer_bytes, stack_bytes, width, overlap=True)
+    est = _flush_hbm_estimate(
+        spec, layer_bytes, stack_bytes, width, overlap=True, depth=depth
+    )
     return est <= 0.75 * hbm_bytes
 
 
@@ -341,16 +464,34 @@ def stream_bi_sweep(
     batches: Sequence[np.ndarray],
     attn_impl: str = "auto",
     stats_out: Optional[Dict] = None,
+    stage_dtype: str = "bf16",
 ) -> List[float]:
     """BI-only streamed sweep (no taps): one forward's FLOPs, one full
     H2D weight sweep. Returns per-layer BI scores normalised by sequence
     count (reference: calibration.py:135-136).
 
+    ``stage_dtype`` sets the precision the prepass stages weights at:
+    'bf16' stages the exact model leaves; 'int8'/'int4' stage symmetric
+    per-row quantized copies and dequantize on device, cutting the
+    prepass link bytes 2x/4x. BI feeds only the smoothed-softmax layer
+    allocation (reference: compression_utils.py:102-104), which is
+    insensitive to the sub-percent forward error quantized staging adds
+    — the measured keep-ratio deviation is bounded in
+    tests/test_offload.py::test_bi_stage_dtype_allocation_deviation.
+
     ``stats_out`` gains ``prepass_s`` (wall) and accumulates
     ``staged_bytes`` — the prepass is one full-model H2D pass, usually
-    link-bound on tunneled hosts."""
+    link-bound on tunneled hosts (measured serialised at ~89 MB/s H2D,
+    scripts/probe_duplex.py), which is exactly why quantized staging
+    exists."""
     t_pre = _time.perf_counter()
     attn_impl = _resolve_attn(attn_impl)
+
+    def stage_layer(lp):
+        if stage_dtype in ("int8", "int4"):
+            return _stage_quantized(lp, stage_dtype, stats_out)
+        return _stage(lp, stats_out)
+
     other = {k: v for k, v in params.items() if k != "layers"}
     other_dev = _stage(_embed_leaves(spec, other), stats_out)
     stacks = [
@@ -359,11 +500,11 @@ def stream_bi_sweep(
     del other_dev  # embeddings are dead once the stacks exist (see sweep)
     n_seq = sum(int(b.shape[0]) for b in batches)
     bi = np.zeros(spec.n_layers, dtype=np.float64)
-    staged = _stage(params["layers"][0], stats_out)
+    staged = stage_layer(params["layers"][0])
     for l in range(spec.n_layers):
         lp = staged
         if l + 1 < spec.n_layers:
-            staged = _stage(params["layers"][l + 1], stats_out)  # overlap H2D with compute
+            staged = stage_layer(params["layers"][l + 1])  # overlap H2D with compute
         rep = _rep_index(spec, l)
         for i in range(len(stacks)):
             stacks[i], _, bi_l = _stream_layer_step(
@@ -461,7 +602,22 @@ def stream_calibrate_solve(
 
     bi_scores: List[float]
     if keep_ratios is None:
-        bi_scores = stream_bi_sweep(spec, params, batches, attn_impl, stats_out)
+        # Prepass staging precision: 'auto' quantizes to int8 exactly
+        # when the prepass is link-bound — host-staged weights on a real
+        # accelerator (the beyond-HBM tunneled case); everywhere else
+        # (CPU tests, device-resident sweeps) it stays exact.
+        bi_dtype = getattr(config, "bi_stage_dtype", "auto")
+        if bi_dtype == "auto":
+            bi_dtype = (
+                "int8"
+                if host_staged and jax.default_backend() != "cpu"
+                else "bf16"
+            )
+        if stats_out is not None:
+            stats_out["bi_stage_dtype"] = bi_dtype
+        bi_scores = stream_bi_sweep(
+            spec, params, batches, attn_impl, stats_out, stage_dtype=bi_dtype
+        )
         keep_ratios, _ = allocate_keep_ratios(
             bi_scores, config.compression_ratio,
             smoothing=config.sparsity_smoothing, max_sparsity=config.max_sparsity,
@@ -520,7 +676,22 @@ def stream_calibrate_solve(
             spec, layer_bytes, stack_bytes, width, _device_hbm_bytes()
         )
     )
-    flush_depth = max(1, int(getattr(config, "stream_flush_depth", 1)))
+    flush_depth = int(getattr(config, "stream_flush_depth", 0) or 0)
+    if flush_depth == 0:
+        # auto: run one extra window ahead of the drain when the coarse
+        # HBM estimate says an extra in-flight window's taps fit beside
+        # the solve workspace; otherwise classic depth-1 double-buffer.
+        flush_depth = (
+            2
+            if use_async
+            and _async_flush_fits(
+                spec, layer_bytes, stack_bytes, width, _device_hbm_bytes(), depth=2
+            )
+            else 1
+        )
+    from modegpt_tpu.compress import batched as _batched_mod
+
+    fetch_bytes_at_start = _batched_mod.FETCHED_BYTES.total
     executor = None
     pending: List = []
     flush_wait_s = 0.0
@@ -630,6 +801,15 @@ def stream_calibrate_solve(
             else [layers]
         )
         wlp = dict(window_lp)
+        # Host-side factor reconstruction (solve_chunk_batched
+        # host_params): when the dense kernels live in host RAM anyway
+        # (beyond-HBM staging), the selection-type factors (up/gate row
+        # slices, q/k rows) are gathered there and never cross the
+        # HBM->host link. Snapshot the host trees NOW — release_params
+        # pops these leaves after the solve.
+        host_view = (
+            {l: params["layers"][l] for l in layers} if host_staged else None
+        )
 
         def run() -> Dict[str, Dict[int, Dict]]:
             nonlocal flush_run_s
@@ -645,6 +825,7 @@ def stream_calibrate_solve(
                     # consume leaves its factors make dead (frees the
                     # up/gate expert stacks before the Cholesky arena)
                     scratch_params=True,
+                    host_params=host_view,
                 )
                 for s, by_layer in chunk.items():
                     out.setdefault(s, {}).update(by_layer)
@@ -714,7 +895,7 @@ def stream_calibrate_solve(
             sweep_s += _time.perf_counter() - t_sweep
             if collect:
                 window_taps[l] = taps_l
-                window_lp[l] = lp
+                window_lp[l] = _slim_window_lp(spec, l, lp, host_staged)
             _trim_host()
             logger.info(
                 "streamed sweep: layer %d/%d done (rss %.1f GiB)",
@@ -743,9 +924,13 @@ def stream_calibrate_solve(
         stats_out["flush_run_s"] = flush_run_s
         stats_out["flush_depth"] = flush_depth if use_async else 0
         stats_out["fetch"] = fetch_mode
-        # Bytes that actually crossed the HBM->host link: device-fetched
-        # factors (jax arrays) never did.
-        stats_out["fetched_bytes"] = sum(
+        # Bytes that actually crossed the HBM->host link (kernel-factor
+        # transfers through batched._fetch): host-reconstructed slices
+        # and device-fetched factors never did.
+        stats_out["fetched_bytes"] = (
+            _batched_mod.FETCHED_BYTES.total - fetch_bytes_at_start
+        )
+        stats_out["factor_bytes"] = sum(
             a.nbytes
             for by_layer in factors.values()
             for f in by_layer.values()

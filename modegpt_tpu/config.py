@@ -86,21 +86,37 @@ class CompressionConfig:
     # in place, one compile per layers_per_step sweep) for models whose
     # weights fill most of device memory.
     calib_exec: str = "auto"
-    # Streamed-sweep window flush (compress/offload.py): 'auto' runs each
-    # window's solve + factor fetch in a background worker when weights
-    # are host-staged (beyond-HBM presets — the HBM->host factor transfer
-    # then overlaps the next layers' compute instead of idling the
-    # device), synchronously when weights are device-resident (the
-    # overlap would double the flush working set against a nearly-full
-    # HBM). 'on'/'off' force it.
+    # Streamed-sweep window flush (compress/offload.py): 'auto'/'on'
+    # split each dense window's flush into a synchronous on-device solve
+    # (its workspace never races the sweep) plus an asynchronous
+    # HBM->host factor fetch in a background worker — the D2H drain
+    # (the streamed path's idle time on tunneled hosts, ~25-50 MB/s)
+    # overlaps the next layers' staging + compute. 'off' fetches on the
+    # main thread. MoE windows always flush synchronously (their
+    # [E, d_int, d_int] taps and expert factor stacks are too big to
+    # pipeline).
     stream_async_flush: str = "auto"
-    # Max async window flushes in flight (solve+fetch behind the sweep).
-    # 1 = classic double-buffer. Depth d lets the sweep run d windows
-    # ahead of a slow HBM->host drain at the cost of pinning d windows'
-    # taps + staged layers + solve working sets in HBM — raise only when
-    # the streamed stats show flush_wait_s >> 0 with sweep_s headroom
-    # (drain-bound, e.g. tunneled backends at ~30 MB/s D2H).
-    stream_flush_depth: int = 1
+    # Max solved windows whose factor fetch may trail the sweep. Each
+    # pending window pins only its COMPRESSED factor slices in HBM
+    # (~keep_ratio x layer bytes — taps and solve workspace are freed
+    # before the fetch is queued), so depth is cheap; it bounds how far
+    # the sweep runs ahead of a slow HBM->host drain. 0 = auto (3 when
+    # the async fetch pipeline is active). Raise when streamed stats
+    # show flush_wait_s >> 0 with sweep_s headroom (drain-bound).
+    stream_flush_depth: int = 0
+    # Precision the BI-allocation prepass stages weights at
+    # (compress/offload.py stream_bi_sweep). The prepass is one full-
+    # model H2D pass whose only product is the per-layer Block-Influence
+    # ranking (reference: calibration.py:118-124) — a smoothed softmax
+    # over layer saliencies, insensitive to sub-percent forward error.
+    # 'int8'/'int4' stage symmetric per-row-quantized weights and
+    # dequantize on device, cutting the prepass link bytes 2x/4x; the
+    # tap/solve sweep always stages full-precision weights. 'auto' =
+    # int8 when weights are host-staged on a real accelerator (the
+    # beyond-HBM tunneled case where the prepass is link-bound), bf16
+    # (exact) otherwise. Measured keep-ratio deviation vs the exact
+    # prepass is bounded in tests/test_offload.py.
+    bi_stage_dtype: str = "auto"
     # Where the streamed sweep's window factors land (compress/offload.py):
     # 'host' fetches each window's factors to host numpy (what persistence
     # needs, and the only option for beyond-HBM host-staged weights —
@@ -209,9 +225,15 @@ class CompressionConfig:
                 f"stream_async_flush must be auto, on or off, "
                 f"got {self.stream_async_flush!r}"
             )
-        if int(self.stream_flush_depth) < 1:
+        if int(self.stream_flush_depth) < 0:
             raise ValueError(
-                f"stream_flush_depth must be >= 1, got {self.stream_flush_depth!r}"
+                f"stream_flush_depth must be >= 0 (0 = auto), "
+                f"got {self.stream_flush_depth!r}"
+            )
+        if self.bi_stage_dtype not in ("auto", "bf16", "int8", "int4"):
+            raise ValueError(
+                f"bi_stage_dtype must be auto, bf16, int8 or int4, "
+                f"got {self.bi_stage_dtype!r}"
             )
         if self.stream_fetch not in ("host", "device"):
             raise ValueError(

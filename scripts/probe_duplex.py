@@ -37,6 +37,7 @@ time) — this host has ONE core and the tunnel client is CPU-bound.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 
@@ -45,8 +46,12 @@ import jax.numpy as jnp
 import numpy as np
 
 MB = 2**20
-CHUNK = 256 * MB  # per-transfer payload
-REPS = 4  # transfers per measurement
+# Payload/reps are env-tunable: at the observed ~25-50 MB/s tunnel rates
+# the 256 MB x 4 default runs ~7-10 min end to end (compile warmup
+# included), which outlives impatient runners. 64 MB x 3 answers the
+# same duplex question in ~2 min.
+CHUNK = int(os.environ.get("PROBE_CHUNK_MB", "256")) * MB  # per-transfer payload
+REPS = int(os.environ.get("PROBE_REPS", "4"))  # transfers per measurement
 
 
 def _sync(x: jax.Array) -> None:

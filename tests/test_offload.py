@@ -648,3 +648,141 @@ def test_async_flush_oom_falls_back_to_sync():
                 np.testing.assert_array_equal(
                     np.asarray(f[s][l][k]), np.asarray(v), err_msg=f"{s}[{l}][{k}]"
                 )
+
+
+def test_bi_stage_dtype_allocation_deviation():
+    """Quantized BI-prepass staging (int8/int4) must reproduce the exact
+    prepass's allocation to within a few rank units: BI feeds only the
+    smoothed-softmax layer allocator (reference: compression_utils.py:
+    102-104), so sub-percent forward error from per-row weight
+    quantization must not move keep ratios materially. Also checks the
+    staged-byte accounting reflects the 2x/4x link cut."""
+    from modegpt_tpu.compress.surgery import compress_ranks_for_layer
+
+    spec = _llama_spec(n_layers=4)
+    params = _host_params(init_params(spec, jax.random.key(11)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    runs = {}
+    for dtype in ("bf16", "int8", "int4"):
+        stats = {}
+        bi = stream_bi_sweep(
+            spec, params, batches, stats_out=stats, stage_dtype=dtype
+        )
+        runs[dtype] = (np.asarray(bi), stats["staged_bytes"])
+
+    bi_ref, bytes_ref = runs["bf16"]
+    for dtype, max_rel in (("int8", 0.05), ("int4", 0.25)):
+        bi_q, bytes_q = runs[dtype]
+        assert np.all(np.isfinite(bi_q))
+        # BI itself moves by at most a few percent of its magnitude
+        np.testing.assert_allclose(
+            bi_q, bi_ref, rtol=max_rel, atol=max_rel * float(np.abs(bi_ref).mean()),
+            err_msg=dtype,
+        )
+        # ...and the allocation built from it moves by at most a couple
+        # of rank units per layer
+        keep_ref, _ = allocate_keep_ratios(bi_ref.tolist(), 0.3, 0.5, 0.8)
+        keep_q, _ = allocate_keep_ratios(bi_q.tolist(), 0.3, 0.5, 0.8)
+        for l in range(spec.n_layers):
+            r_ref = compress_ranks_for_layer(spec, float(keep_ref[l]), "mlp")
+            r_q = compress_ranks_for_layer(spec, float(keep_q[l]), "mlp")
+            assert abs(r_ref - r_q) <= max(4, int(0.02 * spec.d_int)), (
+                dtype, l, r_ref, r_q,
+            )
+        # link accounting: the weight payload shrinks ~2x (int8) / ~4x
+        # (int4); small leaves (norms, scales) keep it from being exact
+        shrink = bytes_ref / bytes_q
+        assert shrink > (1.6 if dtype == "int8" else 2.6), (dtype, shrink)
+
+
+def test_bi_stage_dtype_auto_resolution():
+    """'auto' stays exact (bf16) on CPU even for host-staged weights —
+    quantized prepass staging exists for link-bound accelerator
+    backends; the stats record what ran."""
+    spec = _llama_spec()
+    params = _host_params(init_params(spec, jax.random.key(12)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    stats = {}
+    stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1), stats_out=stats
+    )
+    assert stats["bi_stage_dtype"] == "bf16"
+
+    # forced int8 is honoured and still produces a complete solve
+    stats8 = {}
+    f, bi, keep = stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1, bi_stage_dtype="int8"),
+        stats_out=stats8,
+    )
+    assert stats8["bi_stage_dtype"] == "int8"
+    assert sorted(f["mlp"]) == [0, 1, 2]
+    assert all(np.isfinite(bi))
+
+
+def test_host_sliced_factors_bit_equal_and_skip_link():
+    """solve_chunk_batched with host_params gathers up/gate/q/k from the
+    host tree: factors must be bit-identical to the device-fetch path,
+    and the _fetch byte counter must show the up/gate/q/k transfers
+    gone (only down + vo kernels cross)."""
+    from modegpt_tpu.compress import batched as batched_mod
+
+    spec = _llama_spec()
+    params = init_params(spec, jax.random.key(13))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=3)
+    calib = calibrate(spec, params, batches, list(range(3)), accumulate="device")
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, 0.5, 0.8)
+    keep = np.asarray(keep)
+
+    host_view = {l: _host_params(params["layers"][l]) for l in range(3)}
+
+    b0 = batched_mod.FETCHED_BYTES.total
+    ref = solve_chunk_batched(
+        spec, params, list(range(3)), keep, calib, config, "mlp,qk,vo"
+    )
+    fetched_ref = batched_mod.FETCHED_BYTES.total - b0
+
+    b1 = batched_mod.FETCHED_BYTES.total
+    got = solve_chunk_batched(
+        spec, params, list(range(3)), keep, calib, config, "mlp,qk,vo",
+        host_params=host_view,
+    )
+    fetched_host = batched_mod.FETCHED_BYTES.total - b1
+
+    for s in ("mlp", "qk", "vo"):
+        for l in range(3):
+            for k, v in ref[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(got[s][l][k]), np.asarray(v),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
+    # up+gate+q+k dominate the factor bytes at 0.3 ratio; host slicing
+    # must delete them from the link (vo v/o + mlp down remain)
+    assert fetched_host < 0.6 * fetched_ref, (fetched_host, fetched_ref)
+
+
+def test_chunked_host_resident_autodetects_host_slices():
+    """Host-numpy params through solve_chunk_batched (no explicit
+    host_params) auto-detect and reconstruct — factors equal the device
+    path's."""
+    spec = _llama_spec()
+    params = init_params(spec, jax.random.key(14))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+    config = _config(layers_per_step=3)
+    calib = calibrate(spec, params, batches, list(range(3)), accumulate="device")
+    keep = np.asarray(allocate_keep_ratios(calib.bi_scores, 0.3, 0.5, 0.8)[0])
+
+    ref = solve_chunk_batched(
+        spec, params, list(range(3)), keep, calib, config, "mlp,qk,vo"
+    )
+    got = solve_chunk_batched(
+        spec, _host_params(params), list(range(3)), keep, calib, config, "mlp,qk,vo"
+    )
+    for s in ("mlp", "qk", "vo"):
+        for l in range(3):
+            for k, v in ref[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(got[s][l][k]), np.asarray(v),
+                    err_msg=f"{s}[{l}][{k}]",
+                )
