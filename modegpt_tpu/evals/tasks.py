@@ -48,7 +48,11 @@ __all__ = [
     "MCExample",
     "evaluate_multiple_choice",
     "load_task",
+    "load_task_docs",
     "TASK_LOADERS",
+    "TASK_DOC_CONVERTERS",
+    "arc_doc",
+    "piqa_doc",
     "hellaswag_doc",
     "winogrande_doc",
 ]
@@ -139,25 +143,46 @@ def evaluate_multiple_choice(
 # ---------------------------------------------------------------------------
 
 
+def arc_doc(doc: Dict) -> Optional[MCExample]:
+    """lm_eval's arc_* doc shape: ``Question: {q}\nAnswer:`` context,
+    ' '-prefixed choice texts, answer index resolved through the LABEL
+    list (ARC mixes letter labels A-E with numeric labels 1-4 — lm_eval
+    indexes ``choices.label``, never assumes letters). Docs whose
+    answerKey is missing from the labels are skipped (returns None), as
+    lm_eval's dataset filtering does."""
+    labels = doc["choices"]["label"]
+    if doc["answerKey"] not in labels:
+        return None
+    return MCExample(
+        context=f"Question: {doc['question']}\nAnswer:",
+        choices=[" " + t for t in doc["choices"]["text"]],
+        answer=labels.index(doc["answerKey"]),
+    )
+
+
 def _arc(subset: str, limit):
     from datasets import load_dataset
 
     ds = load_dataset("allenai/ai2_arc", subset, split="test")
     out = []
     for ex in ds:
-        labels = ex["choices"]["label"]
-        if ex["answerKey"] not in labels:
+        mc = arc_doc(ex)
+        if mc is None:
             continue
-        out.append(
-            MCExample(
-                context=f"Question: {ex['question']}\nAnswer:",
-                choices=[" " + t for t in ex["choices"]["text"]],
-                answer=labels.index(ex["answerKey"]),
-            )
-        )
+        out.append(mc)
         if limit and len(out) >= limit:
             break
     return out
+
+
+def piqa_doc(doc: Dict) -> MCExample:
+    """lm_eval's piqa doc shape: ``Question: {goal}\nAnswer:`` context,
+    the two ' '-prefixed solutions as choices, integer label."""
+    return MCExample(
+        context=f"Question: {doc['goal']}\nAnswer:",
+        choices=[" " + doc["sol1"], " " + doc["sol2"]],
+        answer=int(doc["label"]),
+    )
 
 
 def _piqa(limit):
@@ -166,13 +191,7 @@ def _piqa(limit):
     ds = load_dataset("piqa", split="validation")
     out = []
     for ex in ds:
-        out.append(
-            MCExample(
-                context=f"Question: {ex['goal']}\nAnswer:",
-                choices=[" " + ex["sol1"], " " + ex["sol2"]],
-                answer=int(ex["label"]),
-            )
-        )
+        out.append(piqa_doc(ex))
         if limit and len(out) >= limit:
             break
     return out
@@ -274,8 +293,50 @@ TASK_LOADERS: Dict[str, Callable] = {
     "synthetic": _synthetic,
 }
 
+# Raw-dataset-schema doc converters, one per task family — the pure
+# functions the HF loaders above iterate. Exposed so air-gapped runs can
+# evaluate on locally vendored documents (load_task_docs / a .json path
+# to load_task) through EXACTLY the preprocessing the online loaders use.
+TASK_DOC_CONVERTERS: Dict[str, Callable[[Dict], Optional[MCExample]]] = {
+    "arc_challenge": arc_doc,
+    "arc_easy": arc_doc,
+    "piqa": piqa_doc,
+    "hellaswag": hellaswag_doc,
+    "winogrande": winogrande_doc,
+}
+
+
+def load_task_docs(task: str, docs: Sequence[Dict]) -> List[MCExample]:
+    """Convert raw dataset-schema ``docs`` through ``task``'s converter
+    (skipping docs the converter rejects, e.g. ARC answerKey mismatches)."""
+    if task not in TASK_DOC_CONVERTERS:
+        raise ValueError(
+            f"no doc converter for task {task!r}; available: "
+            f"{sorted(TASK_DOC_CONVERTERS)}"
+        )
+    conv = TASK_DOC_CONVERTERS[task]
+    out = []
+    for d in docs:
+        mc = conv(d)
+        if mc is not None:
+            out.append(mc)
+    return out
+
 
 def load_task(name: str, limit: Optional[int] = None) -> List[MCExample]:
+    """Load a task by name, or by path to a vendored fixture file.
+
+    A ``name`` ending in ``.json`` is read as
+    ``{"task": <family>, "docs": [<raw dataset-schema doc>, ...]}`` and
+    converted through the family's doc converter — the offline path for
+    zero-egress hosts (the HF loaders need a local datasets cache)."""
+    if name.endswith(".json"):
+        import json as _json
+
+        with open(name) as f:
+            blob = _json.load(f)
+        docs = load_task_docs(blob["task"], blob["docs"])
+        return docs[:limit] if limit else docs
     if name not in TASK_LOADERS:
         raise ValueError(f"unknown task {name!r}; available: {sorted(TASK_LOADERS)}")
     return TASK_LOADERS[name](limit)

@@ -99,12 +99,16 @@ AUTO_RAGGED_DECODE_POOL_ROWS = 32768
 def resolve_auto_decode_attn(slots: int, max_len: int, on_tpu: bool):
     """Resolve decode_attn='auto' to per-dispatch-type backends.
 
-    Returns ``(decode_attn, prefill_attn)``. On TPU, multi-position
-    prefill/mixed dispatches always use the ragged kernel (it reads
+    Returns ``(decode_attn, prefill_attn)``. On TPU, the ragged-always
+    rule applies to the SCHEDULER's prefill/mixed dispatches (they read
     only live cache rows; won the serving_load A/B in both measured
     regimes), while pure decode uses ragged only for small KV pools
-    (see AUTO_RAGGED_DECODE_POOL_ROWS). Off-TPU both resolve to xla —
-    the interpret-mode kernel exists for tests, not speed."""
+    (see AUTO_RAGGED_DECODE_POOL_ROWS). Speculative draft/verify
+    dispatches are NOT scheduler prefill: the (k+1)-position verify
+    attends the full pool exactly like decode, so both follow the
+    pool-size decode rule (``decode_attn``), not the prefill rule.
+    Off-TPU both resolve to xla — the interpret-mode kernel exists for
+    tests, not speed."""
     if not on_tpu:
         return "xla", "xla"
     decode = "ragged" if slots * max_len <= AUTO_RAGGED_DECODE_POOL_ROWS else "xla"

@@ -19,7 +19,8 @@ on batched prefill dispatches) and `decode_attn=ragged` (cache reads
 scaling with occupancy) are worth end-to-end:
 
     MODEGPT_LOAD_MIXED=0|1       mixed prefill+decode rounds
-    MODEGPT_LOAD_DECODE_ATTN=xla|ragged
+    MODEGPT_LOAD_DECODE_ATTN=xla|ragged|auto   (default auto: the
+        per-dispatch hybrid resolve_auto_decode_attn picks)
     MODEGPT_LOAD_MULTI=N         steps_per_dispatch when idle of prefill
     MODEGPT_LOAD_KV_INT8=1       int8 KV cache
     MODEGPT_LOAD_RATE=2.0        mean arrivals per second (Poisson)

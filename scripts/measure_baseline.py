@@ -42,8 +42,28 @@ def main() -> None:
         sys.exit("set MODEGPT_BENCH_PRESET (large13B / large32B / moe8 / ...)")
     import bench
 
+    out = os.environ.get("MODEGPT_BASELINE_OUT", "bench_results/r03/baselines.json")
+
+    def _persist(row):
+        rows = []
+        if os.path.exists(out):
+            with open(out) as f:
+                rows = json.load(f)
+            rows = [r for r in rows if r.get("preset") != preset]
+        rows.append(row)
+        os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(rows, f, indent=1)
+
     t0 = time.time()
     t1 = bench.bench_torch_reference(1)
+    # t(1) alone is ~30-60 min of f64 linalg at 32B geometry — persist it
+    # immediately (partial=true) so a runner timeout mid-t(2) loses one
+    # point, not the session's CPU time.
+    _persist({
+        "preset": preset, "metric_label": bench._LABEL, "t1_s": round(t1, 2),
+        "n_layers": bench.N_LAYERS, "partial": True,
+    })
     t2 = bench.bench_torch_reference(2)
     per_layer = max(t2 - t1, 0.0)
     baseline = t1 + per_layer * (bench.N_LAYERS - 1)
@@ -56,18 +76,10 @@ def main() -> None:
         "baseline_s": round(baseline, 2),
         "method": "two-point extrapolation (bench.py main(), run standalone)",
         "host": "single-core torch CPU, f64 hooked-calibration + solvers",
+        "threads": 1,
         "measured_at_s": round(time.time() - t0, 1),
     }
-    out = os.environ.get("MODEGPT_BASELINE_OUT", "bench_results/r03/baselines.json")
-    rows = []
-    if os.path.exists(out):
-        with open(out) as f:
-            rows = json.load(f)
-        rows = [r for r in rows if r.get("preset") != preset]
-    rows.append(row)
-    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(rows, f, indent=1)
+    _persist(row)
     print(json.dumps(row))
 
 

@@ -142,8 +142,12 @@ serving_load() {
   local common="MODEGPT_LOAD_SLOTS=16 MODEGPT_LOAD_N=48 MODEGPT_LOAD_RATE=8 \
 MODEGPT_LOAD_MULTI=8"
   # decode_attn pinned per arm: "auto" now resolves per dispatch type
-  # and pool size on TPU (at this 16x1024 config: full-ragged), so the
-  # xla arms are explicit and mixed1_auto captures what auto picks.
+  # and pool size on TPU (at this 16x1024 config: full-ragged). The
+  # committed mixed1_hybrid.json artifact predates that small-pool
+  # ragged-decode policy — it was captured under the intermediate
+  # ragged-prefill/xla-decode hybrid and is kept (renamed) for the A/B
+  # record; a fresh auto capture writes mixed1_auto.json and should
+  # match mixed1_ragged_rerun at this pool size.
   for cfg in \
       "mixed1:MODEGPT_LOAD_DECODE_ATTN=xla" \
       "mixed0:MODEGPT_LOAD_MIXED=0 MODEGPT_LOAD_DECODE_ATTN=xla" \
