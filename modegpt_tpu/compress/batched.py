@@ -342,6 +342,21 @@ def _solve_mlp_moe(
     nothing materialises the full [E, D, D] twice."""
     E = spec.n_experts
     fdt = _fetch_dtype(config)
+    # Host-side factor reconstruction (see _solve_mlp_dense): expert
+    # up/gate factors are row slices of expert kernels the host already
+    # holds — gather there and keep ~2/3 of the MoE factor bytes off the
+    # HBM->host link (moe8: 15.1 GB fetched in r03, mostly these).
+    host_moe = (
+        fetch == "host"
+        and host_params is not None
+        and all(l in host_params for l in layers)
+    )
+
+    def _host_expert_rows(l, name, e, idx_r):
+        kern = np.asarray(host_params[l]["experts"][name]["kernel"][e])
+        tgt = fdt if fdt is not None else np.float32
+        return kern[:, idx_r].T.astype(tgt, copy=False)
+
     # grid pad (identity-block exact): per-window streamed calls
     # otherwise compile one expert-solve program per distinct layer rank
     pad_all = _grid_pad(max([*ranks, pad_hint]), spec.d_int)
@@ -406,17 +421,24 @@ def _solve_mlp_moe(
                     cov_stack, e_t, rank_t, pad_all, ridge_arr
                 )
                 np.asarray(idx_e[:1])  # retire the score workspace
-                up_e = _lowmem_rows(ek["up"]["kernel"][e], idx_e, valid_e)
-                gate_e = _lowmem_rows(ek["gate"]["kernel"][e], idx_e, valid_e)
-                if fetch == "device":
-                    ups_l.append(up_e[:r].astype(fdt or up_e.dtype))
-                    gates_l.append(gate_e[:r].astype(fdt or gate_e.dtype))
+                idx_r = np.asarray(idx_e[:r])
+                if host_moe:
+                    # rows gathered from host RAM — no device gather, no
+                    # HBM->host transfer, bit-identical (exact upcast)
+                    ups_l.append(_host_expert_rows(l, "up", e, idx_r))
+                    gates_l.append(_host_expert_rows(l, "gate", e, idx_r))
                 else:
-                    ups_l.append(_fetch(up_e[:r], fdt))
-                    gates_l.append(_fetch(gate_e[:r], fdt))
-                idxs_l.append(np.asarray(idx_e[:r]))
+                    up_e = _lowmem_rows(ek["up"]["kernel"][e], idx_e, valid_e)
+                    gate_e = _lowmem_rows(ek["gate"]["kernel"][e], idx_e, valid_e)
+                    if fetch == "device":
+                        ups_l.append(up_e[:r].astype(fdt or up_e.dtype))
+                        gates_l.append(gate_e[:r].astype(fdt or gate_e.dtype))
+                    else:
+                        ups_l.append(_fetch(up_e[:r], fdt))
+                        gates_l.append(_fetch(gate_e[:r], fdt))
+                    del up_e, gate_e
+                idxs_l.append(idx_r)
                 sel.append((idx_e, valid_e))
-                del up_e, gate_e
             # With the caller's consent (the streamed flush passes
             # scratch_params=True for its disposable staged tree), free
             # the up/gate expert stacks — 2/3 of the layer's MoE bytes,
@@ -533,8 +555,6 @@ def _solve_mlp_moe(
                 ]
                 return jnp.concatenate(parts, axis=0)
 
-            up_h = _fetch(cat_rows(up), fdt)
-            gate_h = _fetch(cat_rows(gate), fdt)
             down_h = _fetch(cat_rows(jnp.swapaxes(down, 1, 2)), fdt)  # [ne*r, d]
             idx_h = np.asarray(
                 jnp.concatenate(
@@ -544,15 +564,29 @@ def _solve_mlp_moe(
                     ]
                 )
             )
+            if not host_moe:
+                up_h = _fetch(cat_rows(up), fdt)
+                gate_h = _fetch(cat_rows(gate), fdt)
             off = 0
             for i, l in enumerate(sub):
                 r = sub_ranks[i]
                 sl = slice(off, off + ne * r)
                 p = pieces.setdefault(l, {"up": [], "gate": [], "down": [], "idx": []})
-                p["up"].append(up_h[sl].reshape(ne, r, -1))
-                p["gate"].append(gate_h[sl].reshape(ne, r, -1))
+                idx_le = idx_h[off : off + ne * r].reshape(ne, r)
+                if host_moe:
+                    p["up"].append(np.stack([
+                        _host_expert_rows(l, "up", es.start + e, idx_le[e])
+                        for e in range(ne)
+                    ]))
+                    p["gate"].append(np.stack([
+                        _host_expert_rows(l, "gate", es.start + e, idx_le[e])
+                        for e in range(ne)
+                    ]))
+                else:
+                    p["up"].append(up_h[sl].reshape(ne, r, -1))
+                    p["gate"].append(gate_h[sl].reshape(ne, r, -1))
                 p["down"].append(np.swapaxes(down_h[sl].reshape(ne, r, -1), 1, 2))
-                p["idx"].append(idx_h[off : off + ne * r].reshape(ne, r))
+                p["idx"].append(idx_le)
                 off += ne * r
 
     cat = jnp.concatenate if fetch == "device" else np.concatenate

@@ -664,3 +664,63 @@ def test_moe_expert_chunked_solver_fetch_device(monkeypatch, rng, units):
                 np.asarray(got[l][k]), ref[l][k], rtol=1e-6, atol=1e-8
             )
         np.testing.assert_array_equal(np.asarray(got[l]["idx"]), ref[l]["idx"])
+
+
+@pytest.mark.parametrize("lowmem", [False, True])
+def test_moe_host_sliced_factors_match(monkeypatch, rng, lowmem):
+    """host_params through the MoE solve (both the batched and the
+    sequenced low-memory paths): expert up/gate factors are gathered
+    from the HOST expert kernels instead of crossing the HBM->host link,
+    bit-identical to the device gathers (this is the moe8 beyond-HBM
+    capture path — r03 fetched 15.1 GB, mostly these slices)."""
+    import jax
+
+    import modegpt_tpu.compress.batched as B
+    from modegpt_tpu.compress.batched import solve_chunk_batched
+    from modegpt_tpu.ops.allocation import allocate_keep_ratios
+
+    spec, params = params_from_hf_model(_tiny_mixtral())
+    batches = [rng.integers(0, 128, size=(2, 32)).astype(np.int32) for _ in range(2)]
+    calib = calibrate(spec, params, batches, [0, 1], accumulate="device")
+    config = CompressionConfig(
+        compression_ratio=0.3, sparsity_smoothing=0.2, solver_precision="f32_device"
+    )
+    keep, _ = allocate_keep_ratios(calib.bi_scores, 0.3, smoothing=0.2, max_sparsity=0.8)
+
+    ref = solve_chunk_batched(spec, params, [0, 1], keep, calib, config, "mlp")["mlp"]
+    if lowmem:
+        monkeypatch.setattr(B, "_LOWMEM_COV_BYTES", 0)
+    host_view = {
+        l: jax.tree_util.tree_map(lambda a: np.asarray(a), params["layers"][l])
+        for l in (0, 1)
+    }
+    b0 = B.FETCHED_BYTES.total
+    got = solve_chunk_batched(
+        spec, params, [0, 1], keep, calib, config, "mlp", host_params=host_view
+    )["mlp"]
+    fetched = B.FETCHED_BYTES.total - b0
+    for l in (0, 1):
+        for k, v in ref[l].items():
+            if "idx" in k:
+                np.testing.assert_array_equal(got[l][k], v, err_msg=f"{l}/{k}")
+            elif "down" in k and lowmem:
+                # per-expert vs vmapped Cholesky tiling drift (same
+                # envelope as test_lowmem_moe_solve_matches_batched)
+                np.testing.assert_allclose(
+                    np.asarray(got[l][k]), np.asarray(v), rtol=2e-3, atol=1e-5,
+                    err_msg=f"{l}/{k}",
+                )
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got[l][k]), np.asarray(v), rtol=1e-6, atol=1e-7,
+                    err_msg=f"{l}/{k}",
+                )
+    # the up/gate expert slices stayed off the link: only down (+shared)
+    # was fetched
+    up_gate_bytes = sum(
+        np.asarray(ref[l][k]).nbytes for l in (0, 1) for k in ("up", "gate")
+    )
+    all_bytes = sum(
+        np.asarray(v).nbytes for l in (0, 1) for v in ref[l].values()
+    )
+    assert fetched <= all_bytes - up_gate_bytes + 1024, (fetched, all_bytes)
