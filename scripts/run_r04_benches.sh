@@ -15,6 +15,12 @@ capture() {  # $1 preset, $2 budget seconds, extra env via environment
   local out="bench_results/r04/${preset}.json"
   local log="/tmp/bench_r04_${preset}.log"
   echo "=== capture ${preset} (budget ${budget}s)"
+  # record the link rate of the session next to the capture: the tunnel
+  # swings >8x within a day, so a capture is only interpretable with its
+  # session's measured H2D rate alongside
+  timeout 120 python scripts/probe_link_rate.py \
+    > "bench_results/r04/link_${preset}.json" 2>/dev/null \
+    && echo "link: $(cat bench_results/r04/link_${preset}.json)"
   MODEGPT_BENCH_PRESET="${preset}" timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
   if [ $rc -eq 0 ] && grep -q '"metric"' "${log}"; then
