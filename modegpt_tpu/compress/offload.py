@@ -465,6 +465,7 @@ def stream_bi_sweep(
     attn_impl: str = "auto",
     stats_out: Optional[Dict] = None,
     stage_dtype: str = "bf16",
+    adaptive: bool = False,
 ) -> List[float]:
     """BI-only streamed sweep (no taps): one forward's FLOPs, one full
     H2D weight sweep. Returns per-layer BI scores normalised by sequence
@@ -479,6 +480,15 @@ def stream_bi_sweep(
     — the measured keep-ratio deviation is bounded in
     tests/test_offload.py::test_bi_stage_dtype_allocation_deviation.
 
+    ``adaptive`` (the 'auto' policy) measures instead of assuming:
+    layer 0 stages raw and layer 1 stages quantized, each synced and
+    timed, and the CHEAPER path stages the remaining layers. Whether
+    quantization wins depends on the session: the host-side quantize
+    costs CPU that the CPU-bound tunnel client also needs, so at fast
+    link rates raw bf16 staging wins while at degraded rates (the
+    tunnel swings >8x within a day — scripts/probe_link_rate.py) the
+    2x byte cut dominates. Both timings land in ``stats_out``.
+
     ``stats_out`` gains ``prepass_s`` (wall) and accumulates
     ``staged_bytes`` — the prepass is one full-model H2D pass, usually
     link-bound on tunneled hosts (measured serialised at ~89 MB/s H2D,
@@ -492,6 +502,12 @@ def stream_bi_sweep(
             return _stage_quantized(lp, stage_dtype, stats_out)
         return _stage(lp, stats_out)
 
+    def _sync_staged(tree):
+        lead = next(
+            a for a in jax.tree_util.tree_leaves(tree) if isinstance(a, jax.Array)
+        )
+        np.asarray(lead.reshape(-1)[:1])
+
     other = {k: v for k, v in params.items() if k != "layers"}
     other_dev = _stage(_embed_leaves(spec, other), stats_out)
     stacks = [
@@ -500,11 +516,40 @@ def stream_bi_sweep(
     del other_dev  # embeddings are dead once the stacks exist (see sweep)
     n_seq = sum(int(b.shape[0]) for b in batches)
     bi = np.zeros(spec.n_layers, dtype=np.float64)
-    staged = stage_layer(params["layers"][0])
+
+    if adaptive and stage_dtype in ("int8", "int4") and spec.n_layers >= 3:
+        # Measure both stagings on real layers this session, pick the
+        # cheaper for the rest. Layers 0/1 stay exact-vs-quantized as
+        # timed (BI tolerates either; deviation is bounded by test).
+        t0 = _time.perf_counter()
+        staged0 = _stage(params["layers"][0], stats_out)
+        _sync_staged(staged0)
+        t_raw = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        staged1 = stage_layer(params["layers"][1])
+        _sync_staged(staged1)
+        t_q = _time.perf_counter() - t0
+        if t_raw <= t_q:
+            stage_dtype = "bf16"
+        if stats_out is not None:
+            stats_out["bi_stage_probe_s"] = {"bf16": round(t_raw, 2),
+                                             "quantized": round(t_q, 2)}
+            stats_out["bi_stage_dtype"] = stage_dtype
+        logger.info(
+            "BI prepass staging probe: bf16 %.1fs vs quantized %.1fs -> %s",
+            t_raw, t_q, stage_dtype,
+        )
+        prestaged = {0: staged0, 1: staged1}
+    else:
+        prestaged = {0: stage_layer(params["layers"][0])}
+
+    staged = prestaged.pop(0)
     for l in range(spec.n_layers):
         lp = staged
         if l + 1 < spec.n_layers:
-            staged = stage_layer(params["layers"][l + 1])  # overlap H2D with compute
+            staged = prestaged.pop(l + 1, None)
+            if staged is None:
+                staged = stage_layer(params["layers"][l + 1])  # overlap H2D with compute
         rep = _rep_index(spec, l)
         for i in range(len(stacks)):
             stacks[i], _, bi_l = _stream_layer_step(
@@ -602,21 +647,25 @@ def stream_calibrate_solve(
 
     bi_scores: List[float]
     if keep_ratios is None:
-        # Prepass staging precision: 'auto' quantizes to int8 exactly
-        # when the prepass is link-bound — host-staged weights on a real
-        # accelerator (the beyond-HBM tunneled case); everywhere else
-        # (CPU tests, device-resident sweeps) it stays exact.
+        # Prepass staging precision: 'auto' considers int8 exactly when
+        # the prepass is link-bound — host-staged weights on a real
+        # accelerator (the beyond-HBM tunneled case) — and lets the
+        # sweep MEASURE raw-vs-quantized staging on the first two layers
+        # before committing (adaptive): the host-side quantize costs CPU
+        # the tunnel client also needs, so which wins depends on the
+        # session's link rate. Everywhere else auto stays exact.
         bi_dtype = getattr(config, "bi_stage_dtype", "auto")
+        adaptive = False
         if bi_dtype == "auto":
-            bi_dtype = (
-                "int8"
-                if host_staged and jax.default_backend() != "cpu"
-                else "bf16"
-            )
+            if host_staged and jax.default_backend() != "cpu":
+                bi_dtype, adaptive = "int8", True
+            else:
+                bi_dtype = "bf16"
         if stats_out is not None:
             stats_out["bi_stage_dtype"] = bi_dtype
         bi_scores = stream_bi_sweep(
-            spec, params, batches, attn_impl, stats_out, stage_dtype=bi_dtype
+            spec, params, batches, attn_impl, stats_out, stage_dtype=bi_dtype,
+            adaptive=adaptive,
         )
         keep_ratios, _ = allocate_keep_ratios(
             bi_scores, config.compression_ratio,

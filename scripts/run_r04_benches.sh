@@ -15,13 +15,21 @@ capture() {  # $1 preset, $2 budget seconds, extra env via environment
   local out="bench_results/r04/${preset}.json"
   local log="/tmp/bench_r04_${preset}.log"
   echo "=== capture ${preset} (budget ${budget}s)"
+  # Host-resident presets MUST compact the tunnel client's H2D replay
+  # journal (+1 pinned host GiB per staged GiB otherwise — the 96 GB of
+  # large32B staging would OOM the 125 GB host; see run_r03_benches.sh
+  # and scripts/probe_h2d_rss.py). Trade-off: no replay on a connection
+  # drop — fine for a bounded capture.
+  local compact=()
+  case "$preset" in large13B|large32B|moe8) compact=(AXON_JOURNAL_COMPACT=1) ;; esac
   # record the link rate of the session next to the capture: the tunnel
   # swings >8x within a day, so a capture is only interpretable with its
   # session's measured H2D rate alongside
   timeout 120 python scripts/probe_link_rate.py \
     > "bench_results/r04/link_${preset}.json" 2>/dev/null \
     && echo "link: $(cat bench_results/r04/link_${preset}.json)"
-  MODEGPT_BENCH_PRESET="${preset}" timeout "${budget}" python bench.py > "${log}" 2>&1
+  env "${compact[@]}" MODEGPT_BENCH_PRESET="${preset}" \
+    timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
   if [ $rc -eq 0 ] && grep -q '"metric"' "${log}"; then
     if grep '"metric"' "${log}" | tail -1 | grep -q '"device_kind": "cpu"'; then
