@@ -727,14 +727,20 @@ def stream_calibrate_solve(
     )
     flush_depth = int(getattr(config, "stream_flush_depth", 0) or 0)
     if flush_depth == 0:
-        # auto: run one extra window ahead of the drain when the coarse
-        # HBM estimate says an extra in-flight window's taps fit beside
-        # the solve workspace; otherwise classic depth-1 double-buffer.
+        # auto: run one extra window ahead of the drain ONLY when a
+        # KNOWN HBM budget says the extra in-flight window's taps fit
+        # beside the solve workspace. An unknown budget (this tunneled
+        # backend exposes no memory_stats) resolves to the proven
+        # depth-1 double-buffer — treating unknown as "fits" put a
+        # second 2.9 GB window of taps beside the 32B solve workspace
+        # and RESOURCE_EXHAUSTED the first flush of a 50-min capture.
+        hbm = _device_hbm_bytes()
         flush_depth = (
             2
             if use_async
+            and hbm
             and _async_flush_fits(
-                spec, layer_bytes, stack_bytes, width, _device_hbm_bytes(), depth=2
+                spec, layer_bytes, stack_bytes, width, hbm, depth=2
             )
             else 1
         )
@@ -809,7 +815,21 @@ def stream_calibrate_solve(
                             raise
                         failed.append(run2)
                 for rf in failed:
-                    _merge(rf())
+                    try:
+                        _merge(rf())
+                    except Exception as e3:  # noqa: BLE001
+                        if not _is_oom(e3):
+                            raise
+                        # Last resort: drop every cached executable's
+                        # retained buffers and retry once with the
+                        # device otherwise quiet; propagate if even
+                        # that doesn't fit.
+                        logger.warning(
+                            "sync window-flush retry RESOURCE_EXHAUSTED; "
+                            "clearing caches and retrying once"
+                        )
+                        jax.clear_caches()
+                        _merge(rf())
             flush_wait_s += _time.perf_counter() - t0
 
     def flush_window():
