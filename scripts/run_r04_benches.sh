@@ -62,6 +62,15 @@ moe8() {
     capture moe8 5400
 }
 
+large13B() {
+  # Half the link exposure of large32B with the same r4 byte-cut story
+  # and an already-measured torch baseline (19275.5 s, r03): the
+  # fallback flagship when the tunnel is dropping connections.
+  MODEGPT_BENCH_SKIP_WARMUP=1 \
+    MODEGPT_BENCH_BASELINE_S=19275.52 \
+    capture large13B 5400
+}
+
 # Ragged-decode crossover sweep (VERDICT r3 next-8 / ADVICE): pure
 # decode xla-vs-ragged across pool sizes 4k..131k rows, one occupancy
 # regime (0.25, the serving default). Replaces the 2-point interpolation
