@@ -201,6 +201,14 @@ def main():
                 host_params=host_view,
             )
 
+        # Warm every solve program first (remote AOT compiles cost tens
+        # of seconds through the tunnel and must not pollute the phase
+        # timings; dense solves don't consume their inputs, so a second
+        # run sees identical state), then time the steady-state run.
+        for order in ("mlp", "qk", "vo"):
+            solve(order)
+        f0 = FETCHED_BYTES.total  # count only the timed runs below
+
         # MLP: selection (Cholesky + cholesky-inverse on [DI, DI]) and the
         # down re-solve (blocked triangular solves at rank), fused in one
         # call — the dominant solve phase.
@@ -209,7 +217,7 @@ def main():
         )
         f_mlp = phase(
             "solve_mlp", lambda: solve("mlp"), flops=mlp_flops,
-            note=f"f32 Cholesky {DI}^3/3 + inv + rank-{rank} down re-solve",
+            note=f"f32 Cholesky {DI}^3/3 + inv + rank-{rank} down re-solve (warm)",
         )
         f_qk = phase(
             "solve_qk", lambda: solve("qk"),
@@ -218,7 +226,7 @@ def main():
         vo_flops = D ** 3 / 3 + HK * (2 * D * HD * HD)
         f_vo = phase(
             "solve_vo", lambda: solve("vo"), flops=vo_flops,
-            note="Cholesky whiten + per-head SVDs",
+            note="Cholesky whiten + per-head SVDs (warm)",
         )
         fetched = FETCHED_BYTES.total - f0
         factor_bytes = sum(
