@@ -81,19 +81,21 @@ class ServeState(NamedTuple):
 
 
 # Pool-row count at/below which "auto" uses the ragged kernel for PURE
-# decode too (full-ragged), measured on v5e (bench_results/r03):
-#   - serving_load same-session pair at 16 slots x 1024 max_len
-#     (16k pool rows): full-ragged beats the ragged-prefill/xla-decode
-#     hybrid on every metric (TTFT p99 1718 vs 2229 ms, TPOT p99 38.1
-#     vs 45.8, 425 vs 398 tok/s) — at small pools the kernel's
-#     live-row reads win decode as well.
-#   - serving_ab pure decode at 64 slots x 2048 (131k pool rows): XLA
-#     full-pool contraction wins (15.7 vs 28.1 ms bf16) — the kernel
-#     goes DMA-issue-bound at large grids.
-# The crossover between the two measured points is interpolated at
-# 32k rows; re-measure with scripts/run_r03_benches.sh serving_ab /
-# serving_load when changing pool geometry materially.
-AUTO_RAGGED_DECODE_POOL_ROWS = 32768
+# decode too. The r04 controlled sweep (bench_results/r04/decode_sweep,
+# 6 pool sizes 4k..131k at 0.25 occupancy, fused decode steps) settled
+# what the r03 two-point interpolation guessed at 32k: the XLA full-pool
+# contraction wins PURE decode at EVERY measured pool size (ragged/xla
+# step-time ratio 1.09 at 4k rising to 2.36 at 131k), at 0.85 occupancy
+# (r03 serving_ab: 10.3 vs 27.4 ms) and with int8 KV as well — the
+# ragged kernel's live-row-read advantage never overcomes its DMA-issue
+# cost when every slot contributes exactly one query row. The r03
+# serving_load 16k pair that suggested small-pool ragged decode was a
+# CONFOUNDED end-to-end test (scheduler mix, most dispatches carried
+# prefill); the controlled sweep overrides it. Ragged still wins
+# multi-position prefill/mixed dispatches decisively (both measured
+# load regimes), so auto remains a per-dispatch-type hybrid. 0 disables
+# ragged pure decode entirely (the measured-best policy).
+AUTO_RAGGED_DECODE_POOL_ROWS = 0
 
 
 def resolve_auto_decode_attn(slots: int, max_len: int, on_tpu: bool):
@@ -102,13 +104,13 @@ def resolve_auto_decode_attn(slots: int, max_len: int, on_tpu: bool):
     Returns ``(decode_attn, prefill_attn)``. On TPU, the ragged-always
     rule applies to the SCHEDULER's prefill/mixed dispatches (they read
     only live cache rows; won the serving_load A/B in both measured
-    regimes), while pure decode uses ragged only for small KV pools
-    (see AUTO_RAGGED_DECODE_POOL_ROWS). Speculative draft/verify
-    dispatches are NOT scheduler prefill: the (k+1)-position verify
-    attends the full pool exactly like decode, so both follow the
-    pool-size decode rule (``decode_attn``), not the prefill rule.
-    Off-TPU both resolve to xla — the interpret-mode kernel exists for
-    tests, not speed."""
+    regimes), while pure decode uses xla at every measured pool size
+    (see AUTO_RAGGED_DECODE_POOL_ROWS and the r04 decode sweep).
+    Speculative draft/verify dispatches are NOT scheduler prefill: the
+    (k+1)-position verify attends the full pool exactly like decode, so
+    both follow the decode rule (``decode_attn``), not the prefill
+    rule. Off-TPU both resolve to xla — the interpret-mode kernel
+    exists for tests, not speed."""
     if not on_tpu:
         return "xla", "xla"
     decode = "ragged" if slots * max_len <= AUTO_RAGGED_DECODE_POOL_ROWS else "xla"

@@ -513,19 +513,21 @@ def test_batcher_tp_ragged_gemma2_traced_window(rng):
 
 
 def test_decode_attn_auto_hybrid(rng):
-    """decode_attn='auto' resolves per DISPATCH TYPE and POOL SIZE
-    from the r03 hardware captures (bench_results/r03/serving_ab +
-    serving_load): on TPU, ragged for the multi-position prefill/mixed
-    programs always, and for pure decode only at small KV pools
-    (full-ragged won the same-session serving_load pair at 16x1024;
-    xla won serving_ab's pure decode at 64x2048). Off-TPU auto is
+    """decode_attn='auto' resolves per DISPATCH TYPE from the hardware
+    captures: on TPU, ragged for the multi-position prefill/mixed
+    programs (won both measured load regimes), and xla for PURE decode
+    at every pool size — the r04 controlled sweep
+    (bench_results/r04/decode_sweep, 4k..131k pool rows) showed the xla
+    full-pool contraction winning pure decode everywhere, overriding
+    the confounded r03 16x1024 load-pair inference. Off-TPU auto is
     all-xla (the interpret-mode kernel is for tests). The forced
     hybrid must stream the same greedy tokens as the all-xla batcher
     through batched prefill, mixed rounds and pure decode."""
     from modegpt_tpu.models.serving import resolve_auto_decode_attn
 
-    # the measured regimes pin the policy
-    assert resolve_auto_decode_attn(16, 1024, on_tpu=True) == ("ragged", "ragged")
+    # the measured regimes pin the policy (r04 sweep: xla pure decode
+    # at every pool; ragged prefill stands)
+    assert resolve_auto_decode_attn(16, 1024, on_tpu=True) == ("xla", "ragged")
     assert resolve_auto_decode_attn(64, 2048, on_tpu=True) == ("xla", "ragged")
     assert resolve_auto_decode_attn(16, 1024, on_tpu=False) == ("xla", "xla")
 
