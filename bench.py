@@ -825,11 +825,46 @@ def bench_torch_reference(n_layers: int = N_LAYERS) -> float:
     return elapsed
 
 
+LINK_RATES = {}  # session link-rate probe (host-resident presets)
+
+
+def probe_link_rates(mb: int = 64) -> None:
+    """In-process duplex link probe: one H2D and one D2H of ``mb`` MB,
+    recorded beside the capture so the wall model evaluates at THIS
+    session's rates (the tunnel swings >8x within a day). The D2H leg
+    fetches a freshly device-COMPUTED array — device_put'd arrays keep a
+    host-side value cache that 'fetches' at RAM speed."""
+    import jax
+    import jax.numpy as jnp
+
+    host = np.ones(mb * 2**20 // 2, dtype=np.int16)
+    np.asarray(jax.device_put(host[:1024])[:1])  # session setup, not link
+    t0 = time.perf_counter()
+    d = jax.device_put(host)
+    np.asarray(d.reshape(-1)[:1])
+    h2d = mb / (time.perf_counter() - t0)
+    d2 = jax.block_until_ready(d + jnp.int16(1))
+    t0 = time.perf_counter()
+    np.asarray(d2)
+    d2h = mb / (time.perf_counter() - t0)
+    LINK_RATES.update(
+        {"h2d_mb_s": round(h2d, 1), "d2h_mb_s": round(d2h, 1), "probe_mb": mb}
+    )
+    log(f"link probe: H2D {h2d:.1f} MB/s, D2H {d2h:.1f} MB/s")
+
+
 def main():
     # XLA compile accounting (VERDICT r2 §weak-5): count actual backend
     # compiles and the time they took, so cold-vs-warm cache progress is
     # driver-visible. Cache HITS don't fire backend_compile events, so
     # n_compiles on a warm disk cache ~ 0 and warmup_s is mostly load.
+    # compile_s VARIANCE across captures of the same preset is the
+    # persistent disk cache hitting or missing: the cache key is the
+    # traced program's fingerprint, so ANY code change to a traced
+    # function since the last warm run recompiles through the remote
+    # tunnel (~15 s/program there — the 5.9 s-vs-137 s swing between
+    # identical r03/r04 small captures). compile_cache.new_entries
+    # makes the hit/miss state explicit in every capture.
     compile_events = []
     try:
         from jax._src import monitoring
@@ -841,6 +876,17 @@ def main():
         )
     except Exception:
         pass
+    from modegpt_tpu.utils.cache import _DEFAULT as _CACHE_DIR
+
+    cache_dir = _os.path.expanduser(_CACHE_DIR)
+    cache_entries_before = (
+        len(_os.listdir(cache_dir)) if _os.path.isdir(cache_dir) else 0
+    )
+    if _HOST_RESIDENT:
+        try:
+            probe_link_rates()
+        except Exception as e:  # probe failure must never kill a capture
+            log(f"link probe failed: {e}")
     ours, on_chip, hbm_peak, warmup_s = bench_jax()
     floor = dispatch_floor()
     flops = workload_flops()
@@ -906,6 +952,15 @@ def main():
         "n_compiles": len(compile_events),
         "compile_s": round(sum(compile_events), 2),
     }
+    cache_entries_after = (
+        len(_os.listdir(cache_dir)) if _os.path.isdir(cache_dir) else 0
+    )
+    out["compile_cache"] = {
+        # warm run: new_entries == 0 and n_compiles == 0 — compile_s
+        # then reflects nothing but this session's code drift
+        "enabled": _os.environ.get("MODEGPT_NO_COMPILE_CACHE") != "1",
+        "new_entries": cache_entries_after - cache_entries_before,
+    }
     if injected_baseline:
         out["baseline_source"] = "unmeasured" if injected_baseline == "none" else "injected"
     elif full_baseline:
@@ -967,6 +1022,20 @@ def main():
         sweep_s = ours - STREAM_STATS["flush_wait_s"]
         if peak and sweep_s > 0:
             out["mfu_sweep"] = round(flops / sweep_s / peak, 4)
+        # Checked wall model (VERDICT r4 weak-2): bytes x this session's
+        # probed link rates + solve + compile vs the actual wall. A
+        # residual_frac near 0 proves "bytes are the design, seconds are
+        # weather"; a big one means the link moved mid-run (compare
+        # implied_link_mb_s against the probe).
+        if LINK_RATES:
+            out["link_probe"] = dict(LINK_RATES)
+            from modegpt_tpu.utils.wallmodel import wall_model
+
+            wm = wall_model(
+                out, LINK_RATES.get("h2d_mb_s"), LINK_RATES.get("d2h_mb_s")
+            )
+            if wm:
+                out["wall_model"] = wm
     print(json.dumps(out))
 
 

@@ -784,8 +784,12 @@ def _solve_mlp_dense(
             else:
                 # Up/gate are row slices of kernels the HOST already
                 # holds: gather there, skip their HBM->host transfer
-                # entirely (bit-identical — see docstring).
-                tgt = fdt if fdt is not None else dt
+                # entirely (bit-identical — see docstring). fdt=None
+                # (float32 model) targets f32, NOT the solver dtype dt:
+                # under solver_precision='f64_cpu' the device-fetch
+                # lowmem path yields f32 factors (_lowmem_rows upcast),
+                # and host-gathered factors must match that dtype.
+                tgt = fdt if fdt is not None else np.float32
                 ups = [
                     _hf_w(host_sub[l], "up")[idxs[i]].astype(tgt, copy=False)
                     for i, l in enumerate(sub)

@@ -87,22 +87,30 @@ class CompressionConfig:
     # weights fill most of device memory.
     calib_exec: str = "auto"
     # Streamed-sweep window flush (compress/offload.py): 'auto'/'on'
-    # split each dense window's flush into a synchronous on-device solve
-    # (its workspace never races the sweep) plus an asynchronous
-    # HBM->host factor fetch in a background worker — the D2H drain
-    # (the streamed path's idle time on tunneled hosts, ~25-50 MB/s)
-    # overlaps the next layers' staging + compute. 'off' fetches on the
-    # main thread. MoE windows always flush synchronously (their
-    # [E, d_int, d_int] taps and expert factor stacks are too big to
-    # pipeline).
+    # submit each dense window's ENTIRE flush — on-device solve plus the
+    # HBM->host factor fetch — to a single background worker, so the
+    # D2H drain (the streamed path's idle time on tunneled hosts,
+    # ~25-50 MB/s) and the solve both overlap the next layers' staging +
+    # compute. The solve therefore RACES the sweep's dispatches; 'auto'
+    # only enables this when an HBM estimate says the flush working set
+    # fits beside the sweep (and falls back to sync on a worker
+    # RESOURCE_EXHAUSTED). 'off' solves+fetches on the main thread. MoE
+    # windows always flush synchronously (their [E, d_int, d_int] taps
+    # and expert factor stacks are too big to pipeline).
     stream_async_flush: str = "auto"
-    # Max solved windows whose factor fetch may trail the sweep. Each
-    # pending window pins only its COMPRESSED factor slices in HBM
-    # (~keep_ratio x layer bytes — taps and solve workspace are freed
-    # before the fetch is queued), so depth is cheap; it bounds how far
-    # the sweep runs ahead of a slow HBM->host drain. 0 = auto (3 when
-    # the async fetch pipeline is active). Raise when streamed stats
-    # show flush_wait_s >> 0 with sweep_s headroom (drain-bound).
+    # Max windows whose solve+fetch may trail the sweep. Each pending
+    # window pins its FULL working set in HBM until its worker flush
+    # completes: the window's taps (cov_mlp [d_int,d_int] f32 + cov_x +
+    # Q/K grams), its slimmed staged kernel tree, and — while its solve
+    # runs — the Type-I workspace (~2x [d_int,d_int] f32). Depth is NOT
+    # cheap: each extra unit pins one more window of taps
+    # (offload._flush_hbm_estimate's (depth-1)*taps term), and raising
+    # it past what HBM fits reproduces the RESOURCE_EXHAUSTED documented
+    # at offload.py's auto-depth resolution. 0 = auto: 2 when a known
+    # HBM budget says the extra window's taps fit beside the solve
+    # workspace, else 1 (the proven double-buffer). Raise manually only
+    # when streamed stats show flush_wait_s >> 0 AND the HBM estimate
+    # has slack.
     stream_flush_depth: int = 0
     # Precision the BI-allocation prepass stages weights at
     # (compress/offload.py stream_bi_sweep). The prepass is one full-

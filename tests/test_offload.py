@@ -786,3 +786,81 @@ def test_chunked_host_resident_autodetects_host_slices():
                     np.asarray(got[s][l][k]), np.asarray(v),
                     err_msg=f"{s}[{l}][{k}]",
                 )
+
+
+def test_hbm_from_device_kind_table():
+    """Backends with no memory_stats but a recognisable device_kind get
+    an HBM budget from the capacity table (VERDICT r4 weak-3: the
+    tunneled v5e reports 'TPU v5 lite' and no bytes_limit, so the auto
+    flush-depth gate never engaged where it was built to)."""
+    from unittest import mock
+
+    from modegpt_tpu.compress import offload
+
+    cases = {
+        "TPU v5 lite": 16 << 30,
+        "TPU v5e": 16 << 30,
+        "TPU v5p": 95 << 30,
+        "TPU v4": 32 << 30,
+        "TPU v6 lite": 32 << 30,
+        "cpu": None,  # virtual-device tests must stay ungated
+    }
+    for kind, want in cases.items():
+        dev = mock.Mock()
+        dev.device_kind = kind
+        with mock.patch.object(offload.jax, "devices", return_value=[dev]):
+            assert offload._hbm_from_device_kind() == want, kind
+
+
+def test_async_flush_fit_fractions():
+    """Depth-1 async uses the capture-calibrated 0.85 margin (r03 32B ran
+    async at 0.78x HBM successfully); depth-2 keeps the conservative 0.75
+    (its mis-estimate really did OOM a 32B flush)."""
+    from modegpt_tpu.compress import offload
+
+    spec = _llama_spec()
+    est1 = offload._flush_hbm_estimate(spec, 10_000, 1_000, 1, overlap=True, depth=1)
+    est2 = offload._flush_hbm_estimate(spec, 10_000, 1_000, 1, overlap=True, depth=2)
+    assert est2 > est1
+    # budget where est1 is exactly 0.80x: depth-1 passes, a same-estimate
+    # depth-2 budget at 0.80x would fail its 0.75 line
+    budget = int(est1 / 0.80)
+    assert offload._async_flush_fits(spec, 10_000, 1_000, 1, budget, depth=1)
+    assert not offload._async_flush_fits(
+        spec, 10_000, 1_000, 1, int(est2 / 0.80), depth=2
+    )
+    # sanity: generous budgets pass both, tight budgets fail both
+    assert offload._async_flush_fits(spec, 10_000, 1_000, 1, 100 * est2, depth=2)
+    assert not offload._async_flush_fits(spec, 10_000, 1_000, 1, est1 // 2, depth=1)
+
+
+def test_slim_window_keeps_qk_for_svd_non_rope():
+    """A host-staged streamed window at lowmem scale drops the q/k staged
+    leaves ONLY when the QK solver reconstructs from host rows — the
+    whitened-SVD solver (qk_method='svd', non-RoPE archs) reads the
+    staged kernels directly and must keep them (ADVICE r4 medium-2)."""
+    import dataclasses
+
+    from modegpt_tpu.compress import offload
+
+    big = 20_000  # gate_ranks^2 * 4 > _LOWMEM_COV_BYTES (4e8)
+    rope_spec = dataclasses.replace(_llama_spec(), gate_ranks=(big,) * 3)
+    opt_spec = dataclasses.replace(
+        _llama_spec(), arch="opt", gate_ranks=(big,) * 3
+    )
+    lp = {k: object() for k in ("q", "k", "v", "o", "up", "gate", "down")}
+
+    # RoPE arch (host-reconstructed q/k rows): q/k dropped
+    slim = offload._slim_window_lp(rope_spec, 0, lp, True, _config())
+    assert set(slim) == {"down", "v", "o"}
+    # non-RoPE + qk_method='svd': q/k survive the slim
+    slim_svd = offload._slim_window_lp(
+        opt_spec, 0, lp, True, _config(qk_method="svd")
+    )
+    assert set(slim_svd) == {"down", "v", "o", "q", "k"}
+    # non-RoPE with the default CR method still reconstructs host-side
+    slim_cr = offload._slim_window_lp(opt_spec, 0, lp, True, _config())
+    assert set(slim_cr) == {"down", "v", "o"}
+    # not host-staged / small d_int: untouched
+    assert offload._slim_window_lp(rope_spec, 0, lp, False, _config()) is lp
+    assert offload._slim_window_lp(_llama_spec(), 0, lp, True, _config()) is lp
