@@ -112,6 +112,16 @@ class CompressionConfig:
     # when streamed stats show flush_wait_s >> 0 AND the HBM estimate
     # has slack.
     stream_flush_depth: int = 0
+    # Streamed-sweep drop recovery (compress/offload.py): snapshot the
+    # activation stacks to host every N layers so a transient backend
+    # connection drop (tunneled hosts) reconnects in process and resumes
+    # from the last snapshot instead of losing the hour-scale capture.
+    # 0 = auto (8 for host-staged sweeps on a real accelerator, off
+    # elsewhere), -1 = off, N > 0 forces. Each snapshot costs one stack
+    # D2H (~10 s at 32B geometry); dense release is deferred to
+    # checkpoint boundaries while active (<= N layers of extra host
+    # residency).
+    stream_checkpoint_every: int = 0
     # Precision the BI-allocation prepass stages weights at
     # (compress/offload.py stream_bi_sweep). The prepass is one full-
     # model H2D pass whose only product is the per-layer Block-Influence

@@ -193,6 +193,117 @@ def _tri_solve_blocked(L: jax.Array, B: jax.Array, lower: bool) -> jax.Array:
     return jnp.moveaxis(out, 0, 1).reshape(n, nb * block)[:, :m]
 
 
+# XLA's native TPU Cholesky/triangular-solve step 128-wide internal
+# panels whose small matmuls cannot fill the MXU — measured 3.65 s for
+# the 7B-geometry [11008, 11008] f32 Type-I factorization, ~0.7% of the
+# f32 matmul ceiling (bench_results/r04/profile_window.json; VERDICT r4
+# weak-4). The recursive blocked forms below reorganise the SAME exact
+# math (identical FLOP count, no approximation) so that ~all work lands
+# in half-size HIGHEST-precision matmuls that the MXU tiles natively:
+#
+#   chol([[A11,  ·],[A21, A22]]):  L11 = chol(A11)       (recurse)
+#                                  L21 = A21 L11^-T      (tri-solve)
+#                                  L22 = chol(A22 - L21 L21^T)
+#
+# and the triangular solves recurse the same way (X1 = L11^-1 B1;
+# X2 = L22^-1 (B2 - L21 X1)), bottoming out in native ops at
+# _CHOL_LEAF. Rounding differs from the native op only in summation
+# order; engagement is thresholded at _CHOL_RECURSIVE_MIN_N so every
+# golden-parity geometry (tiny dims) keeps the native program, and
+# capped at _TRI_NATIVE_MAX_N where the rowblocked substitution bounds
+# live HBM instead (32B-geometry d_int).
+_CHOL_LEAF = 1024
+_CHOL_RECURSIVE_MIN_N = 4096
+
+
+def _split_point(n: int) -> int:
+    """Half split, rounded to the MXU's 128 lane grid when big enough to
+    matter; always strictly inside (0, n) so recursion shrinks."""
+    h = n // 2
+    if h >= 256:
+        h = (h + 127) // 128 * 128
+    return min(max(h, 1), n - 1)
+
+
+def _tri_solve_lower_recursive(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``L X = B`` (lower L) with the subtraction steps as
+    half-size matmuls; exact blocked forward substitution."""
+    n = L.shape[0]
+    if n <= _CHOL_LEAF:
+        return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    n1 = _split_point(n)
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    X1 = _tri_solve_lower_recursive(L[:n1, :n1], B[:n1])
+    X2 = _tri_solve_lower_recursive(
+        L[n1:, n1:], B[n1:] - dot(L[n1:, :n1], X1)
+    )
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def _tri_solve_lowerT_recursive(L: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``L.T X = B`` (back substitution) recursively; the upper
+    factor's panels are sliced from ``L`` directly, no [n, n] transpose
+    is materialised."""
+    n = L.shape[0]
+    if n <= _CHOL_LEAF:
+        return jax.scipy.linalg.solve_triangular(L.T, B, lower=False)
+    n1 = _split_point(n)
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    X2 = _tri_solve_lowerT_recursive(L[n1:, n1:], B[n1:])
+    X1 = _tri_solve_lowerT_recursive(
+        L[:n1, :n1], B[:n1] - dot(L[n1:, :n1].T, X2)
+    )
+    return jnp.concatenate([X1, X2], axis=0)
+
+
+def _cholesky_recursive(A: jax.Array) -> jax.Array:
+    """Blocked right-looking Cholesky with static half splits.
+
+    Exact: same recurrence the native op implements, reorganised into
+    MXU-sized matmuls. An indefinite ``A`` produces NaN on some leaf's
+    diagonal exactly like the native op — the NaNs propagate through the
+    panel solve and trailing update into every later block, so
+    `_cholesky_escalated`'s NaN-on-diagonal retry detection is
+    unchanged."""
+    n = A.shape[0]
+    if n <= _CHOL_LEAF:
+        return jnp.linalg.cholesky(A)
+    n1 = _split_point(n)
+    dot = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    L11 = _cholesky_recursive(A[:n1, :n1])
+    # L21 = A21 L11^-T  <=>  L11 L21^T = A21^T
+    L21 = _tri_solve_lower_recursive(L11, jnp.swapaxes(A[n1:, :n1], 0, 1)).T
+    L22 = _cholesky_recursive(A[n1:, n1:] - dot(L21, L21.T))
+    top = jnp.concatenate([L11, jnp.zeros((n1, n - n1), A.dtype)], axis=1)
+    bot = jnp.concatenate([L21, L22], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _use_recursive(n: int) -> bool:
+    import os
+
+    return (
+        _CHOL_RECURSIVE_MIN_N < n <= _TRI_NATIVE_MAX_N
+        and os.environ.get("MODEGPT_CHOL_RECURSIVE", "1") != "0"
+    )
+
+
+def _chol(A: jax.Array) -> jax.Array:
+    """Size-dispatched Cholesky: native below the recursion threshold
+    (golden-parity geometries), recursive blocked in the MXU-starved
+    mid range, native again above _TRI_NATIVE_MAX_N (the lowmem
+    geometries pair it with rowblocked substitution; recursion's
+    concatenated temporaries would defeat their live-HBM bound).
+    MODEGPT_CHOL_RECURSIVE=0 forces the native op everywhere — the
+    escape hatch for memory-tight jobs where the recursion's extra
+    [n, n] temporaries matter more than its MXU fill (read at trace
+    time)."""
+    n = A.shape[-1]
+    if A.ndim == 2 and _use_recursive(n):
+        return _cholesky_recursive(A)
+    return jnp.linalg.cholesky(A)
+
+
 def _cholesky_escalated(A: jax.Array, ridge) -> jax.Array:
     """Cholesky of ``A + r*I``, escalating ``r`` while pivots fail.
 
@@ -226,7 +337,7 @@ def _cholesky_escalated(A: jax.Array, ridge) -> jax.Array:
     def body(state):
         L, r, k = state
         r2 = jnp.where(k == 0, r, jnp.maximum(r * 32.0, floor))
-        return jnp.linalg.cholesky(A + r2 * eye), r2, k + 1
+        return _chol(A + r2 * eye), r2, k + 1
 
     # Under shard_map the loop body's L/r outputs are varying over the
     # mesh axes A is varying over; while_loop requires the initial carry
@@ -274,6 +385,10 @@ def ridge_inverse_diag(C: jax.Array, ridge: float = 1e-2) -> jax.Array:
         rhs = (rows == cols).astype(C.dtype)  # identity columns [b*B, (b+1)*B)
         if big:
             X = _tri_solve_lower_rowblocked(L, rhs)
+        elif _use_recursive(n):
+            # mid range: the subtraction steps as MXU matmuls (same
+            # reorganisation as _cholesky_recursive; see its note)
+            X = _tri_solve_lower_recursive(L, rhs)
         else:
             X = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
         return None, jnp.sum(X * X, axis=0)
@@ -290,8 +405,16 @@ def cholesky_solve_ridged(A: jax.Array, B: jax.Array, ridge: float = 1e-6) -> ja
     in column blocks (memory-exactness note at `_tri_solve_blocked`).
     """
     L = _cholesky_escalated(A, ridge)
+    n = A.shape[0]
+    if _use_recursive(n):
+        # mid range (7B..14B d_int): recursive solves keep the work in
+        # MXU matmuls; RHS memory at these sizes is comfortably bounded
+        # (the column-block scan exists for the native op's live-temp
+        # blowup, which the recursion does not have)
+        y = _tri_solve_lower_recursive(L, B)
+        return _tri_solve_lowerT_recursive(L, y)
     y = _tri_solve_blocked(L, B, lower=True)
-    if A.shape[0] > _TRI_NATIVE_MAX_N:
+    if n > _TRI_NATIVE_MAX_N:
         # Back-substitution panels slice L's columns directly — no
         # [n, n] transpose materialisation next to the forward solve.
         return _tri_solve_lowerT_rowblocked(L, y)

@@ -864,3 +864,141 @@ def test_slim_window_keeps_qk_for_svd_non_rope():
     # not host-staged / small d_int: untouched
     assert offload._slim_window_lp(rope_spec, 0, lp, False, _config()) is lp
     assert offload._slim_window_lp(_llama_spec(), 0, lp, True, _config()) is lp
+
+
+class TestDropRecovery:
+    """In-process tunnel-drop recovery (offload._reset_backend /
+    stream_checkpoint_every): the sweeps snapshot stacks to host, catch
+    UNAVAILABLE backend errors, reconnect, resume from the snapshot, and
+    produce results identical to an undisturbed run. (Two flagship
+    captures died to real drops; with journal compaction there is no
+    transport replay, so recovery must live in the sweep.)"""
+
+    def _inject_drop(self, monkeypatch, at_call, n_drops=1):
+        """Make _stream_layer_step raise an UNAVAILABLE error starting
+        at its ``at_call``-th invocation, ``n_drops`` times (counted
+        by invocation because uniform stacks share one rep index)."""
+        from modegpt_tpu.compress import offload
+
+        orig = offload._stream_layer_step
+        state = {"left": n_drops, "calls": 0}
+
+        def flaky(spec, lp, stack, rep, collect, attn, gram):
+            state["calls"] += 1
+            if state["calls"] >= at_call and state["left"] > 0:
+                state["left"] -= 1
+                raise RuntimeError(
+                    "UNAVAILABLE: TPU backend connection dropped; cannot replay"
+                )
+            return orig(spec, lp, stack, rep, collect, attn, gram)
+
+        monkeypatch.setattr(offload, "_stream_layer_step", flaky)
+        monkeypatch.setattr(offload, "_reset_backend", lambda: None)
+        return state
+
+    def test_sweep_resumes_identically(self, monkeypatch):
+        spec = _llama_spec(n_layers=5)
+        params = init_params(spec, jax.random.key(7))
+        batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+        config = _config(layers_per_step=1, stream_checkpoint_every=2)
+
+        ref = stream_calibrate_solve(
+            spec, _host_params(params), batches, _config(layers_per_step=1)
+        )
+
+        state = self._inject_drop(monkeypatch, at_call=7)
+        stats = {}
+        got = stream_calibrate_solve(
+            spec, _host_params(params), batches, config, stats_out=stats
+        )
+        assert state["left"] == 0  # the drop really fired
+        assert stats.get("drop_recoveries") == 1
+        f_ref, bi_ref, keep_ref = ref
+        f, bi, keep = got
+        assert bi == bi_ref
+        np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_ref))
+        for s in f_ref:
+            for l in f_ref[s]:
+                for k, v in f_ref[s][l].items():
+                    np.testing.assert_array_equal(
+                        np.asarray(f[s][l][k]), np.asarray(v),
+                        err_msg=f"{s}[{l}][{k}]",
+                    )
+
+    def test_sweep_release_backlog_still_releases(self, monkeypatch):
+        """With release_params=True the deferral must not leak: after the
+        run, solved projections are popped exactly as without recovery."""
+        spec = _llama_spec(n_layers=4)
+        params = init_params(spec, jax.random.key(8))
+        batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+        hp_ref = _host_params(params)
+        stream_calibrate_solve(
+            spec, hp_ref, batches, _config(layers_per_step=1),
+            release_params=True,
+        )
+        self._inject_drop(monkeypatch, at_call=5)
+        hp = _host_params(params)
+        stream_calibrate_solve(
+            spec, hp, batches,
+            _config(layers_per_step=1, stream_checkpoint_every=2),
+            release_params=True,
+        )
+        for l in range(4):
+            assert set(hp["layers"][l]) == set(hp_ref["layers"][l]), l
+
+    def test_prepass_resumes_identically(self, monkeypatch):
+        from modegpt_tpu.compress import offload
+
+        spec = _llama_spec(n_layers=5)
+        params = _host_params(init_params(spec, jax.random.key(9)))
+        batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+        ref = offload.stream_bi_sweep(spec, params, batches, "xla")
+        # one stack group x 5 layers = 5 calls; fire at layer 3 (past
+        # the layer-2 checkpoint)
+        state = self._inject_drop(monkeypatch, at_call=4)
+        stats = {}
+        got = offload.stream_bi_sweep(
+            spec, params, batches, "xla", stats_out=stats,
+            config=_config(stream_checkpoint_every=2),
+        )
+        assert state["left"] == 0
+        assert stats.get("prepass_drop_recoveries") == 1
+        assert got == ref
+
+    def test_non_drop_errors_still_raise(self, monkeypatch):
+        from modegpt_tpu.compress import offload
+
+        spec = _llama_spec(n_layers=3)
+        params = _host_params(init_params(spec, jax.random.key(10)))
+        batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+        orig = offload._stream_layer_step
+        calls = {"n": 0}
+
+        def broken(spec_, lp, stack, rep, collect, attn, gram):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise ValueError("a real bug, not a drop")
+            return orig(spec_, lp, stack, rep, collect, attn, gram)
+
+        monkeypatch.setattr(offload, "_stream_layer_step", broken)
+        monkeypatch.setattr(offload, "_reset_backend", lambda: None)
+        with pytest.raises(ValueError, match="real bug"):
+            stream_calibrate_solve(
+                spec, params, batches,
+                _config(layers_per_step=1, stream_checkpoint_every=2),
+            )
+
+    def test_retries_exhausted_raises(self, monkeypatch):
+        spec = _llama_spec(n_layers=3)
+        params = _host_params(init_params(spec, jax.random.key(11)))
+        batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+        self._inject_drop(monkeypatch, at_call=3, n_drops=99)
+        with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+            stream_calibrate_solve(
+                spec, params, batches,
+                _config(layers_per_step=1, stream_checkpoint_every=1),
+            )

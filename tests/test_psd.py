@@ -249,3 +249,94 @@ class TestRowBlockedTriangular:
             )
         want = np.linalg.solve(A.astype(np.float64) + 1e-4 * np.eye(300), B)
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestRecursiveCholesky:
+    """Recursive blocked Cholesky/solves (ops/psd.py _cholesky_recursive):
+    exact reorganisation of the native ops into MXU-sized matmuls for the
+    7B..14B d_int range (VERDICT r4 weak-4). Small leaf sizes here force
+    several recursion levels at test scale."""
+
+    def _psd(self, rng, n):
+        A = rng.standard_normal((n, 640)).astype(np.float32)
+        return jnp.asarray(A @ A.T / 640 + 0.1 * np.eye(n, dtype=np.float32))
+
+    def test_matches_native_cholesky(self, rng, monkeypatch):
+        from modegpt_tpu.ops import psd
+
+        monkeypatch.setattr(psd, "_CHOL_LEAF", 64)
+        C = self._psd(rng, 300)
+        L = np.asarray(psd._cholesky_recursive(C))
+        L_ref = np.asarray(jnp.linalg.cholesky(C))
+        assert np.allclose(L, L_ref, rtol=2e-4, atol=2e-5)
+        assert np.allclose(L, np.tril(L))  # strictly lower-triangular
+
+    def test_tri_solves_match_native(self, rng, monkeypatch):
+        from modegpt_tpu.ops import psd
+        import jax.scipy.linalg as jsl
+
+        monkeypatch.setattr(psd, "_CHOL_LEAF", 64)
+        C = self._psd(rng, 300)
+        L = jnp.linalg.cholesky(C)
+        B = jnp.asarray(rng.standard_normal((300, 37)).astype(np.float32))
+        X = np.asarray(psd._tri_solve_lower_recursive(L, B))
+        X_ref = np.asarray(jsl.solve_triangular(L, B, lower=True))
+        assert np.allclose(X, X_ref, rtol=2e-4, atol=2e-5)
+        Y = np.asarray(psd._tri_solve_lowerT_recursive(L, B))
+        Y_ref = np.asarray(jsl.solve_triangular(L.T, B, lower=False))
+        assert np.allclose(Y, Y_ref, rtol=2e-3, atol=2e-4)
+
+    def test_nan_propagates_to_diagonal(self, rng, monkeypatch):
+        """Indefinite input must surface NaN on the factor diagonal —
+        _cholesky_escalated's retry detection depends on it."""
+        from modegpt_tpu.ops import psd
+
+        monkeypatch.setattr(psd, "_CHOL_LEAF", 64)
+        n = 300
+        A = self._psd(rng, n) - 5.0 * jnp.eye(n)  # strongly indefinite
+        L = np.asarray(psd._cholesky_recursive(A))
+        assert np.isnan(np.diagonal(L)).any()
+        # ...including when only the TRAILING block is indefinite
+        A2 = np.array(self._psd(rng, n))
+        A2[200:, 200:] -= 50.0 * np.eye(100, dtype=np.float32)
+        L2 = np.asarray(psd._cholesky_recursive(jnp.asarray(A2)))
+        assert not np.isnan(np.diagonal(L2)[:64]).any()
+        assert np.isnan(np.diagonal(L2)[200:]).any()
+
+    def test_dispatch_thresholds(self, rng, monkeypatch):
+        """_chol: native below the floor and above _TRI_NATIVE_MAX_N,
+        recursive in between; escalated retry still converges through
+        the recursive path."""
+        from modegpt_tpu.ops import psd
+
+        monkeypatch.setattr(psd, "_CHOL_LEAF", 64)
+        monkeypatch.setattr(psd, "_CHOL_RECURSIVE_MIN_N", 128)
+        C = self._psd(rng, 192)
+        assert np.allclose(
+            np.asarray(psd._chol(C)), np.asarray(jnp.linalg.cholesky(C)),
+            rtol=2e-4, atol=2e-5,
+        )
+        # singular matrix through the mid-range escalated path: the
+        # NaN retry must raise the ridge and return finite factors
+        x = rng.standard_normal((192, 3)).astype(np.float32)
+        S = jnp.asarray(x @ x.T)  # rank-3, singular
+        L = np.asarray(psd._cholesky_escalated(S, 1e-30))
+        assert np.isfinite(L).all()
+
+    def test_ridge_inverse_diag_and_solve_mid_range(self, rng, monkeypatch):
+        """The public entry points route through the recursive forms in
+        the mid range and agree with the dense reference."""
+        from modegpt_tpu.ops import psd
+
+        monkeypatch.setattr(psd, "_CHOL_LEAF", 64)
+        monkeypatch.setattr(psd, "_CHOL_RECURSIVE_MIN_N", 128)
+        monkeypatch.setattr(psd, "_TRI_SOLVE_BLOCK", 48)
+        n = 300
+        C = self._psd(rng, n)
+        got = np.asarray(psd.ridge_inverse_diag.__wrapped__(C, 1e-2))
+        want = np.diagonal(np.linalg.inv(np.asarray(C) + 1e-2 * np.eye(n)))
+        assert np.allclose(got, want, rtol=2e-3, atol=1e-5)
+        B = jnp.asarray(rng.standard_normal((n, 37)).astype(np.float32))
+        X = np.asarray(psd.cholesky_solve_ridged(C, B, 1e-6))
+        X_ref = np.linalg.solve(np.asarray(C) + 1e-6 * np.eye(n), np.asarray(B))
+        assert np.allclose(X, X_ref, rtol=2e-3, atol=2e-4)
