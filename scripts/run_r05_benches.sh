@@ -21,10 +21,18 @@ capture() {  # $1 preset, $2 budget seconds, extra env via environment
   # no replay on a connection drop — fine for a bounded capture.
   local compact=()
   case "$preset" in large13B|large32B|moe8) compact=(AXON_JOURNAL_COMPACT=1) ;; esac
-  # gate on a 5 s link probe: don't burn an hour into a degraded link
-  timeout 120 python scripts/probe_link_rate.py \
-    > "bench_results/r05/link_${preset}.json" 2>/dev/null \
-    && echo "link: $(cat bench_results/r05/link_${preset}.json)"
+  # Gate on the 5 s link probe — and during a full OUTAGE (the probe
+  # HANGS rather than erroring) poll up to ~45 min before giving up,
+  # instead of launching an hour-scale capture into a dead tunnel.
+  local up=0
+  for i in 1 2 3 4 5 6 7 8 9; do
+    if timeout 120 python scripts/probe_link_rate.py \
+        > "bench_results/r05/link_${preset}.json" 2>/dev/null; then
+      echo "link: $(cat bench_results/r05/link_${preset}.json)"; up=1; break
+    fi
+    echo "link down (probe attempt $i); retrying in 300s"; sleep 300
+  done
+  if [ "$up" != 1 ]; then echo "SKIPPED ${preset}: tunnel outage"; return 1; fi
   env "${compact[@]}" MODEGPT_BENCH_PRESET="${preset}" \
     timeout "${budget}" python bench.py > "${log}" 2>&1
   local rc=$?
@@ -51,7 +59,7 @@ large32B() {
   # window trees, async flush with the HBM-table-engaged gates.
   # Baseline: measured-standalone 84906.8 s (r04 baselines.json).
   MODEGPT_BENCH_SKIP_WARMUP=1 MODEGPT_BENCH_BASELINE_S=84906.81 \
-    capture large32B 9000
+    capture large32B 12000
 }
 
 moe8() {
@@ -59,14 +67,14 @@ moe8() {
   # host-side EXPERT up/gate factor slicing (commit b0b4c5b) and the
   # int8 prepass. Baseline: measured-standalone 13352.84 s.
   MODEGPT_BENCH_SKIP_WARMUP=1 MODEGPT_BENCH_BASELINE_S=13352.84 \
-    capture moe8 7200
+    capture moe8 9600
 }
 
 large13B() {
   # Goal here (VERDICT r4 next-4): flush_depth 2 via the HBM table and
   # flush_wait_s < 10% of e2e.
   MODEGPT_BENCH_SKIP_WARMUP=1 MODEGPT_BENCH_BASELINE_S=19275.52 \
-    capture large13B 5400
+    capture large13B 7200
 }
 
 profile() {
