@@ -1002,3 +1002,69 @@ class TestDropRecovery:
                 spec, params, batches,
                 _config(layers_per_step=1, stream_checkpoint_every=1),
             )
+
+
+def test_adaptive_probe_int4_arm(monkeypatch):
+    """When int8 staging beats raw (link-bound session), the adaptive
+    prepass probe also measures int4 and commits to the cheapest; BI
+    scores stay within the quantized-staging tolerance."""
+    import time as _t
+
+    from modegpt_tpu.compress import offload
+
+    spec = _llama_spec(n_layers=4)
+    params = _host_params(init_params(spec, jax.random.key(12)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    ref = offload.stream_bi_sweep(spec, params, batches, "xla")
+
+    orig_stage, orig_q = offload._stage, offload._stage_quantized
+
+    def slow_stage(lp, stats=None):
+        _t.sleep(2.0)
+        return orig_stage(lp, stats)
+
+    def q_stage(lp, dtype, stats=None):
+        # sleeps dominate the tiny-tensor quantize/compile costs so the
+        # probe decision is deterministic: raw 2.0 > int8 0.8 > int4 0.2
+        _t.sleep(0.8 if dtype == "int8" else 0.2)
+        return orig_q(lp, dtype, stats)
+
+    monkeypatch.setattr(offload, "_stage", slow_stage)
+    monkeypatch.setattr(offload, "_stage_quantized", q_stage)
+    stats = {}
+    bi = offload.stream_bi_sweep(
+        spec, params, batches, "xla", stats_out=stats,
+        stage_dtype="int8", adaptive=True,
+    )
+    assert stats["bi_stage_dtype"] == "int4"
+    assert set(stats["bi_stage_probe_s"]) == {"bf16", "quantized", "quantized_int4"}
+    # int4-staged BI must still produce a usable ranking (bounded dev)
+    r, g = np.asarray(ref), np.asarray(bi)
+    assert np.all(np.abs(g - r) / (np.abs(r) + 1e-9) < 0.2)
+
+
+def test_adaptive_probe_raw_wins(monkeypatch):
+    """Raw staging cheaper -> bf16 chosen, no int4 arm probed."""
+    import time as _t
+
+    from modegpt_tpu.compress import offload
+
+    spec = _llama_spec(n_layers=4)
+    params = _host_params(init_params(spec, jax.random.key(13)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    orig_q = offload._stage_quantized
+
+    def q_slow(lp, dtype, stats=None):
+        _t.sleep(2.0)
+        return orig_q(lp, dtype, stats)
+
+    monkeypatch.setattr(offload, "_stage_quantized", q_slow)
+    stats = {}
+    offload.stream_bi_sweep(
+        spec, params, batches, "xla", stats_out=stats,
+        stage_dtype="int8", adaptive=True,
+    )
+    assert stats["bi_stage_dtype"] == "bf16"
+    assert "quantized_int4" not in stats["bi_stage_probe_s"]
