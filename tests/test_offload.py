@@ -1068,3 +1068,48 @@ def test_adaptive_probe_raw_wins(monkeypatch):
     )
     assert stats["bi_stage_dtype"] == "bf16"
     assert "quantized_int4" not in stats["bi_stage_probe_s"]
+
+
+def test_sync_flush_oom_retries_with_native_cholesky(monkeypatch):
+    """A RESOURCE_EXHAUSTED on a SYNC window flush (the MoE memory-tight
+    case) retries once with caches cleared and the recursive Cholesky
+    disabled, instead of killing the hour-scale job."""
+    from modegpt_tpu.compress import batched as batched_mod
+    from modegpt_tpu.compress import offload
+
+    spec = _llama_spec(n_layers=3)
+    params = _host_params(init_params(spec, jax.random.key(15)))
+    batches = load_calibration_batches(None, "synthetic", 4, 2, 32, vocab_size=128)
+
+    ref = stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1, stream_async_flush="off")
+    )
+
+    orig = batched_mod.solve_chunk_batched
+    state = {"calls": 0}
+
+    def flaky(*args, **kwargs):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory (injected)")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(batched_mod, "solve_chunk_batched", flaky)
+    monkeypatch.delenv("MODEGPT_CHOL_RECURSIVE", raising=False)
+    got = stream_calibrate_solve(
+        spec, params, batches, _config(layers_per_step=1, stream_async_flush="off")
+    )
+    assert state["calls"] >= 4  # retry really happened
+    import os
+
+    assert os.environ.get("MODEGPT_CHOL_RECURSIVE") == "0"
+    monkeypatch.setenv("MODEGPT_CHOL_RECURSIVE", "1")  # restore for later tests
+    f_ref, bi_ref, keep_ref = ref
+    f, bi, keep = got
+    assert bi == bi_ref
+    for s in f_ref:
+        for l in f_ref[s]:
+            for k, v in f_ref[s][l].items():
+                np.testing.assert_array_equal(
+                    np.asarray(f[s][l][k]), np.asarray(v), err_msg=f"{s}[{l}][{k}]"
+                )
