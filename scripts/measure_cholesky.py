@@ -35,18 +35,22 @@ from modegpt_tpu.ops import psd
 SIZES = [int(a) for a in sys.argv[1:]] or [4096, 5120, 11008, 13824, 14336]
 
 
-def timed(fn, arg, reps=3):
+def timed(fn, arg, reps=3, tag=""):
     t0 = time.perf_counter()
     out = fn(arg)
     np.asarray(out.reshape(-1)[:1])
     compile_s = time.perf_counter() - t0
+    print(f"    [{tag}] first call (compile+run): {compile_s:.1f}s",
+          file=sys.stderr, flush=True)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(arg)
         np.asarray(out.reshape(-1)[:1])
         times.append(time.perf_counter() - t0)
-    return sorted(times)[len(times) // 2], compile_s
+    t = sorted(times)[len(times) // 2]
+    print(f"    [{tag}] warm: {t:.3f}s", file=sys.stderr, flush=True)
+    return t, compile_s
 
 
 def main():
@@ -63,8 +67,8 @@ def main():
 
         native = jax.jit(jnp.linalg.cholesky)
         recur = jax.jit(psd._cholesky_recursive)
-        t_nat, c_nat = timed(native, C)
-        t_rec, c_rec = timed(recur, C)
+        t_nat, c_nat = timed(native, C, tag=f"native n={n}")
+        t_rec, c_rec = timed(recur, C, tag=f"recursive n={n}")
         row = {
             "n": n,
             "native_s": round(t_nat, 3), "native_compile_s": round(c_nat, 1),
@@ -75,11 +79,11 @@ def main():
         if n >= 8192:
             os.environ["MODEGPT_CHOL_RECURSIVE"] = "0"
             inv_nat = jax.jit(lambda c: psd.ridge_inverse_diag.__wrapped__(c, 1e-2))
-            t, c = timed(inv_nat, C)
+            t, c = timed(inv_nat, C, tag=f"invdiag-native n={n}")
             row["invdiag_native_s"], row["invdiag_native_compile_s"] = round(t, 3), round(c, 1)
             os.environ["MODEGPT_CHOL_RECURSIVE"] = "1"
             inv_rec = jax.jit(lambda c: psd.ridge_inverse_diag.__wrapped__(c, 1e-2))
-            t, c = timed(inv_rec, C)
+            t, c = timed(inv_rec, C, tag=f"invdiag-recursive n={n}")
             row["invdiag_recursive_s"], row["invdiag_recursive_compile_s"] = round(t, 3), round(c, 1)
             row["invdiag_speedup"] = round(
                 row["invdiag_native_s"] / row["invdiag_recursive_s"], 2
